@@ -1,0 +1,394 @@
+"""Engine: storage-backed log store + LQL execution.
+
+The single-process composition root, playing the roles of the reference's
+Ingestor/Querier/Admin services (api/ingestor.go, api/querier.go,
+pkg/backend/admin.go) over one parquet table:
+
+    <root>/logs/src=<id>/*.parquet     data, partitioned by src
+    <root>/state/catalog.json          src → tag_line (the tag index)
+    <root>/state/seq.json              src → seq high-water mark
+    <root>/pipes/defs.json             pipe definitions
+    <root>/pipes/checkpoints/<name>/   streaming checkpoints
+
+Query execution is stateless: pagination uses value cursors, not server
+state. The catalog is the analogue of the in-memory tag index
+(pkg/tindex/inmem.go) — tiny, driver-side, and turns arbitrary tag
+predicates into ``src IN (...)`` static partition pruning on the big scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lql import ast
+from .lql.parser import parse_lql
+from .model.schema import LOG_SCHEMA
+from .model.tags import parse_tags, tag_line
+from .compiler.select import compile_select
+from .compiler.tagexpr import compile_tags
+from .ingest.writer import SeqState, normalize_batch
+
+# server-side limits mirroring the reference (pkg/backend/querier.go:42-43,
+# pkg/cursor/cursor.go:186)
+MAX_LIMIT = 10_000
+MAX_SOURCES = 50
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str, max_limit: int = MAX_LIMIT,
+                 max_sources: int = MAX_SOURCES):
+        self.spark = spark
+        self.root = root
+        self.logs_path = os.path.join(root, "logs")
+        self.state_dir = os.path.join(root, "state")
+        self.pipes_dir = os.path.join(root, "pipes")
+        self.max_limit = max_limit
+        self.max_sources = max_sources
+        os.makedirs(self.logs_path, exist_ok=True)
+        os.makedirs(self.state_dir, exist_ok=True)
+        self.seq_state = SeqState(os.path.join(self.state_dir, "seq.json"))
+        self._catalog: dict[str, str] = {}
+        self._catalog_path = os.path.join(self.state_dir, "catalog.json")
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path) as f:
+                self._catalog = json.load(f)
+        self._pipes: dict[str, dict] = {}
+        self._pipe_queries: dict[str, Any] = {}
+        self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
+        if os.path.exists(self._pipes_path):
+            with open(self._pipes_path) as f:
+                self._pipes = json.load(f)
+
+    # ------------------------------------------------------------- ingest
+    def write(self, tags: str | dict, events: list, fields: dict | None = None) -> dict:
+        """Append a batch of events into the partition identified by ``tags``.
+
+        Mirrors Ingestor.Write (api/ingestor.go:22-31): write-level fields
+        are merged into each record. Returns {src, tag_line, first_seq,
+        last_seq, records}.
+        """
+        batch = normalize_batch(tags, fields, events, self.seq_state)
+        if not batch.rows:
+            return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
+        df = self.spark.createDataFrame(batch.rows, LOG_SCHEMA)
+        # one file per write batch per src — the chunk analogue; avoids the
+        # one-row-per-task small-file explosion on local[N]
+        df.coalesce(1).write.mode("append").partitionBy("src").parquet(self.logs_path)
+        self.seq_state.save()
+        self._register_partition(batch.src, batch.tag_line)
+        return {
+            "src": batch.src,
+            "tag_line": batch.tag_line,
+            "first_seq": batch.first_seq,
+            "last_seq": batch.last_seq,
+            "records": len(batch.rows),
+        }
+
+    def append_df(self, df: DataFrame) -> None:
+        """Append an already-normalized log DataFrame (pipe destination path).
+
+        seq is assigned per-src from the persisted high-water mark; the
+        input order within a src is preserved by (ts, seq-of-source).
+        """
+        from pyspark.sql.window import Window
+
+        srcs = [r["src"] for r in df.select("src").distinct().collect()]
+        w = Window.partitionBy("src").orderBy("ts", "seq")
+        numbered = df.withColumn("_rn", F.row_number().over(w))
+        bases = {}
+        counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        for s in srcs:
+            first, _last = self.seq_state.next_range(s, counts[s])
+            bases[s] = first - 1
+        base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
+        out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
+        out.select([f.name for f in LOG_SCHEMA.fields]).write.mode("append").partitionBy("src").parquet(self.logs_path)
+        self.seq_state.save()
+        for r in df.select("src", "tag_line").distinct().collect():
+            self._register_partition(r["src"], r["tag_line"])
+
+    def _register_partition(self, src: str, line: str) -> None:
+        if self._catalog.get(src) != line:
+            self._catalog[src] = line
+            tmp = self._catalog_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._catalog, f)
+            os.replace(tmp, self._catalog_path)
+
+    # ------------------------------------------------------------- read
+    def logs(self) -> DataFrame:
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.logs_path)
+
+    def catalog_df(self) -> DataFrame:
+        rows = [(src, line, parse_tags(line)) for src, line in self._catalog.items()]
+        return self.spark.createDataFrame(
+            rows or [], "src string, tag_line string, tags map<string,string>"
+        )
+
+    def resolve_sources(self, source: ast.Source | None) -> list[str]:
+        """Tag-index visit: tag condition → matching src ids (≤ max_sources,
+        mirroring the reference's 50-journal cap, pkg/cursor/cursor.go:186)."""
+        if source is None:
+            srcs = sorted(self._catalog)
+        else:
+            pred = compile_tags(source)
+            cat = self.catalog_df().where(pred).select("src")
+            srcs = sorted(r[0] for r in cat.collect())
+        return srcs[: self.max_sources]
+
+    # ------------------------------------------------------------- execute
+    def execute(self, lql: str, now_ns: int | None = None):
+        """Execute any LQL statement. SELECT / SHOW PARTITIONS return a
+        DataFrame; admin statements return a dict."""
+        stmt = parse_lql(lql, now_ns)
+        if isinstance(stmt, ast.Select):
+            return self.select(stmt, now_ns)
+        if isinstance(stmt, ast.ShowPartitions):
+            return self.show_partitions(stmt)
+        if isinstance(stmt, ast.ShowPipes):
+            return self.show_pipes(stmt)
+        if isinstance(stmt, ast.DescribePartition):
+            return self.describe_partition(stmt)
+        if isinstance(stmt, ast.DescribePipe):
+            return self.describe_pipe(stmt)
+        if isinstance(stmt, ast.CreatePipe):
+            return self.create_pipe(stmt)
+        if isinstance(stmt, ast.DeletePipe):
+            return self.delete_pipe(stmt.name)
+        if isinstance(stmt, ast.Truncate):
+            return self.truncate(stmt)
+        raise ValueError(f"unsupported statement: {stmt!r}")
+
+    def select(self, sel: ast.Select, now_ns: int | None = None) -> DataFrame:
+        src_ids = self.resolve_sources(sel.source)
+        limit = min(sel.limit, self.max_limit) if sel.limit is not None else self.max_limit
+        sel = ast.Select(sel.format, sel.source, sel.range, sel.where,
+                         sel.position, sel.offset, limit)
+        return compile_select(self.logs(), sel, now_ns, src_ids=src_ids)
+
+    def query(self, lql: str, now_ns: int | None = None) -> DataFrame:
+        stmt = parse_lql(lql, now_ns)
+        if not isinstance(stmt, ast.Select):
+            raise ValueError("query() accepts SELECT statements only")
+        return self.select(stmt, now_ns)
+
+    # ------------------------------------------------------------- admin
+    def show_partitions(self, stmt: ast.ShowPartitions) -> DataFrame:
+        """SHOW PARTITIONS: per-partition record count + size, sorted by
+        size desc (reference: pkg/backend/admin.go:93-131)."""
+        src_ids = self.resolve_sources(stmt.source)
+        df = (
+            self.logs()
+            .where(F.col("src").isin(src_ids))
+            .groupBy("tag_line")
+            .agg(
+                F.count("*").alias("records"),
+                F.sum(F.octet_length(F.coalesce(F.col("msg"), F.lit("")))).alias("size"),
+            )
+            .orderBy(F.col("size").desc(), F.col("tag_line"))
+        )
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    def describe_partition(self, stmt: ast.DescribePartition) -> dict:
+        """DESCRIBE PARTITION {tags}: per-file stats (the file = chunk
+        analogue; reference: pkg/backend/admin.go:257-280)."""
+        line = tag_line(stmt.tags)
+        from .model.schema import src_for_tag_line
+        src = src_for_tag_line(line)
+        part_dir = os.path.join(self.logs_path, f"src={src}")
+        chunks = []
+        total_records = 0
+        total_size = 0
+        if os.path.isdir(part_dir):
+            import pyarrow.parquet as pq
+
+            for name in sorted(os.listdir(part_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(part_dir, name)
+                md = pq.ParquetFile(fpath)
+                ts_idx = md.schema_arrow.get_field_index("ts")
+                mn, mx = None, None
+                for rg in range(md.metadata.num_row_groups):
+                    st = md.metadata.row_group(rg).column(ts_idx).statistics
+                    if st is not None and st.has_min_max:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                n = md.metadata.num_rows
+                sz = os.path.getsize(fpath)
+                total_records += n
+                total_size += sz
+                chunks.append({"chunk": name, "records": n, "size": sz, "min_ts": mn, "max_ts": mx})
+        return {
+            "tag_line": line,
+            "src": src,
+            "records": total_records,
+            "size": total_size,
+            "chunks": chunks,
+        }
+
+    def truncate(self, stmt: ast.Truncate) -> dict:
+        """Retention at file (chunk) granularity, mirroring
+        pkg/partition/partition.go:408-490 + 516-581:
+
+        phase 1 per partition: drop oldest files while (size > MAXSIZE or
+        oldest file's max_ts < BEFORE), never below MINSIZE; phase 2: drop
+        oldest partitions until total ≤ MAXDBSIZE; delete emptied
+        partitions. DRYRUN reports without deleting.
+        """
+        src_ids = self.resolve_sources(stmt.source)
+        report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
+        sizes: dict[str, int] = {}
+        plans: dict[str, list[str]] = {}
+
+        for src in src_ids:
+            info = self.describe_partition(
+                ast.DescribePartition(parse_tags(self._catalog.get(src, "")))
+            )
+            files = info["chunks"]
+            size = info["size"]
+            sizes[src] = size
+            drop: list[str] = []
+            # oldest-first by min_ts then name
+            files = sorted(files, key=lambda c: (c["min_ts"] if c["min_ts"] is not None else 0, c["chunk"]))
+            remaining = size
+            for c in files:
+                too_big = stmt.max_size is not None and remaining > stmt.max_size
+                too_old = stmt.before_ns is not None and c["max_ts"] is not None and c["max_ts"] < stmt.before_ns
+                under_min = stmt.min_size is not None and remaining - c["size"] < stmt.min_size
+                if (too_big or too_old) and not under_min:
+                    drop.append(c["chunk"])
+                    remaining -= c["size"]
+                else:
+                    break
+            if drop:
+                plans[src] = drop
+                report["partitions"].append({"src": src, "tag_line": self._catalog.get(src, ""),
+                                             "files": len(drop), "bytes": size - remaining})
+                report["deleted_files"] += len(drop)
+                report["deleted_bytes"] += size - remaining
+                sizes[src] = remaining
+
+        if stmt.max_db_size is not None:
+            total = sum(sizes.values())
+            # oldest partitions first: approximate by smallest min_ts
+            order = sorted(sizes, key=lambda s: s)
+            for src in order:
+                if total <= stmt.max_db_size:
+                    break
+                plans.setdefault(src, [])
+                plans[src] = ["*ALL*"]
+                total -= sizes[src]
+                report["deleted_bytes"] += sizes[src]
+                sizes[src] = 0
+
+        if not stmt.dry_run:
+            for src, files in plans.items():
+                part_dir = os.path.join(self.logs_path, f"src={src}")
+                if files == ["*ALL*"]:
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                else:
+                    for name in files:
+                        try:
+                            os.remove(os.path.join(part_dir, name))
+                        except FileNotFoundError:
+                            pass
+                if not os.path.isdir(part_dir) or not any(
+                    f.endswith(".parquet") for f in os.listdir(part_dir)
+                ):
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                    self._catalog.pop(src, None)
+            with open(self._catalog_path + ".tmp", "w") as f:
+                json.dump(self._catalog, f)
+            os.replace(self._catalog_path + ".tmp", self._catalog_path)
+        return report
+
+    # ------------------------------------------------------------- pipes
+    def create_pipe(self, stmt: ast.CreatePipe) -> dict:
+        from .pipes.service import start_pipe
+
+        if stmt.name in self._pipes:
+            return {"pipe": stmt.name, "status": "exists"}
+        defn = {
+            "name": stmt.name,
+            "source": _source_to_str(stmt.source),
+            "where": _expr_to_str(stmt.where),
+        }
+        self._pipes[stmt.name] = defn
+        self._save_pipes()
+        q = start_pipe(self, defn)
+        self._pipe_queries[stmt.name] = q
+        return {"pipe": stmt.name, "status": "created"}
+
+    def delete_pipe(self, name: str) -> dict:
+        q = self._pipe_queries.pop(name, None)
+        if q is not None:
+            q.stop()
+        existed = self._pipes.pop(name, None) is not None
+        self._save_pipes()
+        return {"pipe": name, "status": "deleted" if existed else "missing"}
+
+    def show_pipes(self, stmt: ast.ShowPipes) -> DataFrame:
+        rows = [(n,) for n in sorted(self._pipes)]
+        df = self.spark.createDataFrame(rows or [], "name string")
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    def describe_pipe(self, stmt: ast.DescribePipe) -> dict:
+        d = self._pipes.get(stmt.name)
+        if d is None:
+            raise ValueError(f"pipe {stmt.name!r} does not exist")
+        return dict(d)
+
+    def stop_pipes(self) -> None:
+        for q in self._pipe_queries.values():
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._pipe_queries.clear()
+
+    def _save_pipes(self) -> None:
+        os.makedirs(self.pipes_dir, exist_ok=True)
+        tmp = self._pipes_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._pipes, f)
+        os.replace(tmp, self._pipes_path)
+
+
+def _source_to_str(source: ast.Source | None) -> str:
+    if source is None:
+        return ""
+    if source.tags is not None:
+        return "{" + tag_line(source.tags) + "}"
+    return _expr_to_str(source.expr)
+
+
+def _expr_to_str(e: ast.Expr | None) -> str:
+    if e is None:
+        return ""
+    if isinstance(e, ast.Or):
+        return " OR ".join(_expr_to_str(c) for c in e.children)
+    if isinstance(e, ast.And):
+        return " AND ".join(_expr_to_str(c) for c in e.children)
+    if isinstance(e, ast.Not):
+        return f"NOT ({_expr_to_str(e.child)})"
+    if isinstance(e, ast.Condition):
+        ident = e.ident.operand
+        for fn in reversed(e.ident.funcs):
+            ident = f"{fn}({ident})"
+        return f"{ident} {e.op} '{e.value}'"
+    raise ValueError(f"unknown expr {e!r}")

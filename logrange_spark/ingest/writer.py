@@ -1,0 +1,91 @@
+"""Batch ingest: normalize incoming events into the canonical log schema.
+
+The Spark analogue of the reference write path (api/rpc/ingestor.go:107-118
+→ pkg/partition/partition.go:159-211): write-level tags identify the
+partition; write-level fields are merged into each record's fields
+(write-level first, record-level wins on key clash — mirrors
+api/rpc/ingestor.go:159-230); the tag set is canonicalized and hashed to
+the physical partition key ``src``; ``seq`` is assigned monotonically per
+src from a persisted high-water mark.
+
+Single-writer-per-partition is assumed for seq monotonicity — the same
+contract the reference has (one aggregator owns a journal).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from ..model.tags import parse_tags, tag_line
+from ..model.schema import src_for_tag_line
+
+
+@dataclass
+class NormalizedBatch:
+    rows: list[tuple]
+    src: str
+    tag_line: str
+    first_seq: int
+    last_seq: int
+
+
+class SeqState:
+    """Persisted per-src sequence high-water marks."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._hw: dict[str, int] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._hw = {k: int(v) for k, v in json.load(f).items()}
+
+    def next_range(self, src: str, n: int) -> tuple[int, int]:
+        base = self._hw.get(src, 0)
+        self._hw[src] = base + n
+        return base + 1, base + n
+
+    def save(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._hw, f)
+        os.replace(tmp, self.path)
+
+
+def _event_tuple(ev: Any) -> tuple[int, str, dict[str, str]]:
+    """Accept (ts_ns, msg), (ts_ns, msg, fields) or dict events."""
+    if isinstance(ev, dict):
+        ts = ev.get("ts")
+        msg = ev.get("msg", "")
+        fields = {str(k): str(v) for k, v in (ev.get("fields") or {}).items()}
+    else:
+        ts = ev[0]
+        msg = ev[1]
+        fields = {str(k): str(v) for k, v in (ev[2] if len(ev) > 2 else {}).items()}
+    if ts is None:
+        ts = time.time_ns()
+    return int(ts), str(msg), fields
+
+
+def normalize_batch(
+    tags: str | dict[str, str],
+    write_fields: dict[str, str] | None,
+    events: Iterable[Any],
+    seq_state: SeqState,
+) -> NormalizedBatch:
+    tmap = parse_tags(tags) if isinstance(tags, str) else {str(k): str(v) for k, v in tags.items()}
+    line = tag_line(tmap)
+    src = src_for_tag_line(line)
+    wfields = {str(k): str(v) for k, v in (write_fields or {}).items()}
+
+    evs = [_event_tuple(e) for e in events]
+    first, last = seq_state.next_range(src, len(evs))
+    rows = []
+    for i, (ts, msg, fields) in enumerate(evs):
+        merged = {**wfields, **fields} if wfields else fields
+        rows.append((ts, msg, merged, tmap, line, src, first + i))
+    return NormalizedBatch(rows, src, line, first, last)

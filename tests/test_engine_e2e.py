@@ -1,0 +1,143 @@
+"""End-to-end engine tests: ingest → query → admin → cursor pagination."""
+
+from __future__ import annotations
+
+from logrange_spark.compiler.select import CursorToken
+from logrange_spark.lql import ast
+from logrange_spark.lql.parser import parse_lql
+
+from .conftest import BASE_TS, NS
+
+
+def test_select_subset_tags(loaded_engine):
+    df = loaded_engine.query("SELECT FROM {name=app1} WHERE msg CONTAINS 'ERROR' LIMIT 5")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all("ERROR" in r["msg"] for r in rows)
+    # ascending ts order
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts)
+
+
+def test_select_all_partitions_merge_order(loaded_engine):
+    rows = loaded_engine.query("SELECT LIMIT 10000").collect()
+    assert len(rows) == 60
+    keys = [(r["ts"], r["src"], r["seq"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_tag_expression(loaded_engine):
+    rows = loaded_engine.query("SELECT FROM name=app1 OR name=app2 LIMIT 10000").collect()
+    assert len(rows) == 50
+    assert {r["tag_line"] for r in rows} == {"name=app1,ns=system", "name=app2,ns=dev"}
+
+
+def test_range(loaded_engine):
+    lo, hi = BASE_TS + 5 * NS, BASE_TS + 10 * NS
+    rows = loaded_engine.query(f'SELECT RANGE ["{lo}":"{hi}"] LIMIT 10000').collect()
+    assert rows
+    assert all(lo <= r["ts"] <= hi for r in rows)
+
+
+def test_format_projection(loaded_engine):
+    rows = loaded_engine.query(
+        "SELECT \"[{vars:level}] {msg}\" FROM {name=app1} LIMIT 3"
+    ).collect()
+    assert rows[0]["line"].startswith("[error] line 0")
+
+
+def test_offset(loaded_engine):
+    all_rows = loaded_engine.query("SELECT FROM {name=app1} LIMIT 100").collect()
+    off = loaded_engine.query("SELECT FROM {name=app1} OFFSET 10 LIMIT 5").collect()
+    assert [r["seq"] for r in off] == [r["seq"] for r in all_rows[10:15]]
+
+
+def test_cursor_pagination(loaded_engine):
+    page1 = loaded_engine.query("SELECT LIMIT 20").collect()
+    last = page1[-1]
+    tok = CursorToken(last["ts"], last["src"], last["seq"]).encode()
+    page2 = loaded_engine.query(f"SELECT POSITION '{tok}' LIMIT 20").collect()
+    assert len(page2) == 20
+    all_rows = loaded_engine.query("SELECT LIMIT 40").collect()
+    got = [(r["ts"], r["src"], r["seq"]) for r in page1 + page2]
+    want = [(r["ts"], r["src"], r["seq"]) for r in all_rows]
+    assert got == want
+
+
+def test_tail_negative_offset(loaded_engine):
+    rows = loaded_engine.query("SELECT POSITION tail OFFSET -5 LIMIT 5").collect()
+    all_rows = loaded_engine.query("SELECT LIMIT 10000").collect()
+    assert [(r["ts"], r["seq"]) for r in rows] == [
+        (r["ts"], r["seq"]) for r in all_rows[-5:]
+    ]
+
+
+def test_tail_forward_is_empty(loaded_engine):
+    assert loaded_engine.query("SELECT POSITION tail LIMIT 5").count() == 0
+
+
+def test_show_partitions(loaded_engine):
+    rows = loaded_engine.execute("SHOW PARTITIONS").collect()
+    assert len(rows) == 3
+    sizes = [r["size"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    rows = loaded_engine.execute("SHOW PARTITIONS ns=system").collect()
+    assert len(rows) == 1 and rows[0]["tag_line"] == "name=app1,ns=system"
+
+
+def test_describe_partition(loaded_engine):
+    info = loaded_engine.execute("DESCRIBE PARTITION {name=app1,ns=system}")
+    assert info["records"] == 30
+    assert info["chunks"]
+    assert info["chunks"][0]["min_ts"] == BASE_TS
+
+
+def test_truncate_before(loaded_engine):
+    # second write creates a second file for app1 with later timestamps
+    loaded_engine.write(
+        {"name": "app1", "ns": "system"},
+        [(BASE_TS + 1000 * NS + i * NS, f"late {i}", {}) for i in range(5)],
+    )
+    cutoff = BASE_TS + 500 * NS
+    rep = loaded_engine.execute(f'TRUNCATE DRYRUN {{name=app1,ns=system}} BEFORE "{cutoff}"')
+    assert rep["dry_run"] and rep["deleted_files"] >= 1
+    # dryrun deleted nothing
+    assert loaded_engine.query("SELECT FROM {name=app1} LIMIT 1000").count() == 35
+    rep = loaded_engine.execute(f'TRUNCATE {{name=app1,ns=system}} BEFORE "{cutoff}"')
+    assert rep["deleted_files"] >= 1
+    rows = loaded_engine.query("SELECT FROM {name=app1} LIMIT 1000").collect()
+    assert len(rows) == 5
+    assert all(r["ts"] > cutoff for r in rows)
+
+
+def test_truncate_maxdbsize_drops_partitions(loaded_engine):
+    rep = loaded_engine.execute("TRUNCATE MAXDBSIZE 1")
+    assert not rep["dry_run"]
+    remaining = loaded_engine.execute("SHOW PARTITIONS").collect()
+    assert len(remaining) == 0
+
+
+def test_write_level_fields(engine):
+    engine.write(
+        {"name": "x"},
+        [(BASE_TS, "m1", {"a": "1"}), (BASE_TS + 1, "m2", {})],
+        fields={"host": "h9", "a": "0"},
+    )
+    rows = engine.query("SELECT FROM {name=x} LIMIT 10").collect()
+    # record-level field wins on clash; write-level fields merged in
+    assert rows[0]["fields"] == {"a": "1", "host": "h9"}
+    assert rows[1]["fields"] == {"a": "0", "host": "h9"}
+
+
+def test_seq_monotonic_across_writes(engine):
+    engine.write({"name": "x"}, [(BASE_TS, "a")])
+    engine.write({"name": "x"}, [(BASE_TS + 1, "b"), (BASE_TS + 2, "c")])
+    rows = engine.query("SELECT FROM {name=x} LIMIT 10").collect()
+    assert [r["seq"] for r in rows] == [1, 2, 3]
+
+
+def test_parse_describe_dispatch(loaded_engine):
+    stmt = parse_lql("DESCRIBE PARTITION {name=db,host=h-01}")
+    assert isinstance(stmt, ast.DescribePartition)
+    info = loaded_engine.execute("DESCRIBE PARTITION {name=db,host=h-01}")
+    assert info["records"] == 10
