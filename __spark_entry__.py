@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship LQL query on sf0.001.
+``queries()``    — one entry per implemented operator family (SURVEY.md §2
+                   + the training-data-pipeline operators).
+``oracle_sql()`` — DuckDB-equivalent SQL per query, generated from the
+                   same constants the Spark operators use (shingle size,
+                   seeds, stopword lists, ...), so both sides compute the
+                   same deterministic result.
+
+Determinism rules used throughout (so value hashes match the oracle):
+- timestamps cross the boundary as epoch values (ns longs / dates), never
+  as engine-native timestamp types;
+- money sums go through exact DECIMAL accumulation, cast to DOUBLE at the
+  end — identical in both engines;
+- every hash is md5 (hex) — identical in both engines;
+- LIMIT queries always ride the total order (ts, src, seq) so the
+  selected set is unique.
 """
 
 from __future__ import annotations
@@ -12,27 +23,551 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logrange_spark.compiler.select import compile_select
+from logrange_spark.lql.parser import parse_lql
+from logrange_spark.ops import ann, dedup, multimodal, text
+
+NS_PER_HOUR = 3_600 * 10**9
+# RANGE bounds for the lql_range query, folded like the LQL compiler does
+RANGE_LO = 1_704_844_800_000_000_000  # 2024-01-10 00:00:00 UTC
+RANGE_HI = 1_705_708_800_000_000_000  # 2024-01-20 00:00:00 UTC
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table viewed through the canonical log schema:
+    ts(ns long), msg=props, fields={user}, tags={name=event_type},
+    src=event_type, seq=event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("ts"),
+        F.col("props").alias("msg"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("fields"),
+        F.create_map(F.lit("name"), F.col("event_type")).alias("tags"),
+        F.concat(F.lit("name="), F.col("event_type")).alias("tag_line"),
+        F.col("event_type").alias("src"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+# DuckDB version of the same view (fields:user → f_user)
+_LOGS_CTE = """
+logs AS (
+  SELECT epoch_us(ts) AS ts,
+         props AS msg,
+         CAST(user_id AS VARCHAR) AS f_user,
+         'name=' || event_type AS tag_line,
+         event_type AS src,
+         event_id AS seq
+  FROM events
+)
+""".strip()
+
+_STD = "ts, msg, tag_line, src, seq"
+
+
+def _lql(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stmt = parse_lql(lql_text)
+        df = compile_select(_logs(spark, sf_dir), stmt).select(
+            "ts", "msg", "tag_line", "src", "seq"
+        )
+        # cross-engine boundary: µs (DuckDB truncates ns parquet to µs)
+        return df.withColumn("ts", F.expr("ts div 1000"))
+
+    return run
+
+
+def _lql_fmt(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stmt = parse_lql(lql_text)
+        df = compile_select(_logs(spark, sf_dir), stmt)
+        return df.withColumn("ts", F.expr("ts div 1000"))
+
+    return run
+
+
+# --------------------------------------------------------------------- LQL
+def _q_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _logs(spark, sf_dir)
+        .groupBy("tag_line")
+        .agg(
+            F.count("*").alias("records"),
+            F.sum(F.octet_length("msg")).alias("size"),
+        )
+    )
+
+
+# --------------------------------------------------------- SQL analytics
+_DEC = "decimal(12,2)"   # prices/quantities
+_RATE = "decimal(4,2)"   # (1±discount/tax) factors
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(_DEC)
+    disc = (F.lit(1.0) - F.col("l_discount")).cast(_RATE)
+    tax = (F.lit(1.0) + F.col("l_tax")).cast(_RATE)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-10-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * disc).cast("double").alias("sum_disc_price"),
+            F.sum(ep * disc * tax).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def _q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast(_DEC) * (F.lit(1.0) - F.col("l_discount")).cast(_RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast(_DEC) * (F.lit(1.0) - F.col("l_discount")).cast(_RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"ts div {NS_PER_HOUR}"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust_nations = n.join(c, n.n_nationkey == c.c_nationkey).select("n_name")
+    supp_nations = n.join(s, n.n_nationkey == s.s_nationkey).select("n_name")
+    return cust_nations.intersect(supp_nations)
+
+
+# ----------------------------------------------------------------- dedup
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedup.exact_duplicates(ev, "event_id", F.col("props"))
+
+
+def _q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+
+
+def _q_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_duplicates(docs, "doc_id", "text", threshold=0.8)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ------------------------------------------------------------------ text
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+# ------------------------------------------------------------------- ann
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+# ------------------------------------------------------------ multimodal
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "doc_id", "text", kind="image", mime="text/plain")
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.col("meta.sha").alias("sha"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+# ================================================================ contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LQL over the log view of the events stream at sf0.001."""
+    return _lql(
+        "SELECT FROM {name=error} WHERE msg CONTAINS '7' LIMIT 500"
+    )(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # LQL surface (reference SURVEY §2.2-2.5)
+        "lql_contains": _lql("SELECT FROM {name=error} WHERE msg CONTAINS '7' LIMIT 500"),
+        "lql_glob_like": _lql("SELECT FROM name=click OR name=view WHERE msg LIKE '{\"k\": 1?}'"),
+        "lql_fields_lex": _lql("SELECT WHERE fields:user < '11'"),
+        "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
+        "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
+        "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
+        "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
+        "lql_upper_func": _lql("SELECT WHERE UPPER(msg) CONTAINS '\"K\": 9'"),
+        "lql_format": _lql_fmt('SELECT "{ts} {vars:name} {msg}" FROM {name=signup}'),
+        "show_partitions": _q_show_partitions,
+        # SQL analytics (beyond-reference surface, SURVEY §2.8)
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "distinct_customers": _q_distinct_customers,
+        "events_hourly": _q_events_hourly,
+        "nations_with_both": _q_nations_with_both,
+        # training-data pipeline: dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_lsh_candidates": _q_lsh_candidates,
+        "dedup_near_duplicates": _q_near_dups,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        # training-data pipeline: text analysis
+        "text_stats": _q_text_stats,
+        "text_top_words": _q_top_words,
+        # training-data pipeline: similarity search
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_bucketed_topk": _q_ann_bucketed,
+        # multimodal plumbing
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------- oracle generation
+def _tok_cte() -> str:
+    return (
+        "toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS w "
+        "FROM documents)"
+    )
+
+
+def _shingle_cte() -> str:
+    n = dedup.SHINGLE_N
+    return (
+        f"sh AS (SELECT doc_id, list_distinct("
+        f"[array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, greatest(len(w)-{n - 2}, 1))]"
+        f") AS shingles FROM toks)"
+    )
+
+
+def _sig_cte() -> str:
+    mins = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(dedup.MINHASH_SEEDS)
+    )
+    return (
+        "sh_ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh_ex GROUP BY doc_id)"
+    )
+
+
+def _bands_cte() -> str:
+    per = dedup.MINHASH_SEEDS // dedup.LSH_BANDS
+    selects = []
+    for b in range(dedup.LSH_BANDS):
+        cols = " || '|' || ".join(f"mh{b * per + j}" for j in range(per))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM sig")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def _lsh_pairs_sql() -> str:
+    return (
+        f"WITH {_tok_cte()}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()} "
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        "FROM bands l JOIN bands r "
+        "ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"
+    )
+
+
+def _near_dup_sql(threshold: float) -> str:
+    return (
+        f"WITH {_tok_cte()}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        "pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        "  FROM bands l JOIN bands r "
+        "  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), "
+        "dtok AS (SELECT doc_id, list_distinct(w) AS tok FROM toks) "
+        "SELECT id_a, id_b, jaccard FROM ("
+        "  SELECT id_a, id_b, "
+        "    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) "
+        "        / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard "
+        "  FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id "
+        "  JOIN dtok b ON pairs.id_b = b.doc_id) "
+        f"WHERE jaccard >= {threshold}"
+    )
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    bits = dedup.SIMHASH_BITS
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    per = bits // dedup.SIMHASH_BANDS
+    mask = (1 << per) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * per}) & {mask} AS bv FROM sh"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return (
+        f"WITH {_tok_cte()}, "
+        "tok_ex AS (SELECT doc_id, unnest(w) AS tok FROM toks), "
+        f"votes AS (SELECT doc_id, {votes} FROM tok_ex GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM votes), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, "
+        "  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming "
+        "FROM bands l JOIN bands r "
+        "ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id "
+        f"WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"
+    )
+
+
+def _stopword_hits_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"len(list_filter(w, t -> list_contains([{lst}], t)))"
+
+
+def _text_stats_sql() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = {l: _stopword_hits_sql(text.LANG_STOPWORDS[l]) for l in langs}
+    hit_cols = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    lang_case = "CASE "
+    for l in langs:
+        lang_case += f"WHEN h_{l} = best AND best > 0 THEN '{l}' "
+    lang_case += "ELSE 'und' END"
+    punct = text.PUNCT_PATTERN.replace("'", "''")
+    en_hits = hits["en"]
+    return f"""
+WITH {_tok_cte()},
+base AS (
+  SELECT d.doc_id, d.text, t.w,
+         len(t.w) AS n_tokens,
+         length(d.text) AS n_chars_computed,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(length(d.text) - length(regexp_replace(d.text, '{punct}', '', 'g')) AS DOUBLE) / length(d.text)
+              ELSE 0.0 END AS praw
+  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+hits AS (SELECT doc_id, text, w, n_tokens, n_chars_computed, praw, {hit_cols} FROM base),
+scored AS (
+  SELECT *, {best} AS best,
+    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * (1.0 - least(praw / {text.QUALITY_MAX_PUNCT_RATIO}, 1.0))
+    + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST({en_hits} AS DOUBLE) / n_tokens ELSE 0.0 END) / 0.1, 1.0)
+      AS quality
+  FROM hits)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_chars_computed AS INT) AS n_chars_computed,
+       round(praw, 6) AS punct_ratio,
+       {lang_case} AS lang_guess,
+       round(quality, 6) AS quality,
+       md5(array_to_string(w, ' ')) AS fingerprint
+FROM scored
+""".strip()
+
+
+def _ann_sql(bucketed: bool) -> str:
+    dims = 64
+    prods = "[CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) FOR i IN range(1, 65)]"
+    qq = "CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)"
+    cc = "CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)"
+    dot = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+    qn = f"sqrt(list_reduce(list_prepend(0.0, [{qq} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
+    cn = f"sqrt(list_reduce(list_prepend(0.0, [{cc} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
+    bucket = " + ".join(
+        f"(CASE WHEN e.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ann.ANN_BUCKET_DIMS)
+    )
+    join_cond = "q.bucket = c.bucket AND " if bucketed else ""
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings e),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({dot} / ({qn} * {cn}), 6) AS score
+  FROM q JOIN c ON {join_cond}q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "DECIMAL(12,2)"
+    rate = "DECIMAL(4,2)"
+    rev = f"CAST(l_extendedprice AS {dec}) * CAST(1.0 - l_discount AS {rate})"
+    return {
+        "lql_contains": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "WHERE tag_line = 'name=error' AND contains(msg, '7') "
+        "ORDER BY ts, src, seq LIMIT 500",
+        "lql_glob_like": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "WHERE (src = 'click' OR src = 'view') "
+        "AND regexp_matches(msg, '^\\{\"k\": 1[^/]\\}$')",
+        "lql_fields_lex": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs WHERE f_user < '11'",
+        "lql_range": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        f"WHERE tag_line = 'name=purchase' AND ts >= {RANGE_LO // 1000} AND ts <= {RANGE_HI // 1000}",
+        "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
+        "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "ORDER BY ts DESC, src DESC, seq DESC LIMIT 300",
+        "lql_not_expr": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "WHERE (src = 'click' OR src = 'view') AND NOT (f_user LIKE '1%')",
+        "lql_upper_func": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        "WHERE contains(upper(msg), '\"K\": 9')",
+        "lql_format": f"WITH {_LOGS_CTE} "
+        "SELECT ts, src, seq, "
+        "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || 'Z' "
+        "|| ' ' || src || ' ' || msg AS line "
+        "FROM logs WHERE tag_line = 'name=signup'",
+        "show_partitions": f"WITH {_LOGS_CTE} SELECT tag_line, "
+        "count(*) AS records, CAST(sum(octet_length(encode(msg))) AS BIGINT) AS size "
+        "FROM logs GROUP BY tag_line",
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({rev} * CAST(1.0 + l_tax AS {rate})) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem WHERE l_shipdate <= DATE '2024-10-01'
+GROUP BY l_returnflag, l_linestatus""".strip(),
+        "revenue_by_segment": f"""
+SELECT c_mktsegment, CAST(SUM({rev}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""".strip(),
+        "revenue_by_nation": f"""
+SELECT r_name, n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""".strip(),
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3""".strip(),
+        "distinct_customers": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority""".strip(),
+        "events_hourly": f"""
+SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS hour_bucket,
+  count(*) AS n, count(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS {dec})) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""".strip(),
+        "nations_with_both": """
+SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey""".strip(),
+        "dedup_exact": """
+SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
+       count(*) AS dup_count
+FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
+        "dedup_lsh_candidates": _lsh_pairs_sql(),
+        "dedup_near_duplicates": _near_dup_sql(0.8),
+        "dedup_simhash_pairs": _simhash_sql(3),
+        "text_stats": _text_stats_sql(),
+        "text_top_words": """
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
+        "ann_cosine_topk": _ann_sql(bucketed=False),
+        "ann_bucketed_topk": _ann_sql(bucketed=True),
+        "multimodal_meta": """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS sha, 'text/plain' AS mime
+FROM documents""".strip(),
+    }

@@ -80,8 +80,9 @@ _RFC3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
 
 def _ts_col(pattern: str) -> Column:
-    # ts is epoch nanos; format at microsecond precision (JVM timestamps are µs)
-    return F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), pattern)
+    # ts is epoch nanos; format at microsecond precision (JVM timestamps
+    # are µs). Integer division — float division loses ns precision at 1e18.
+    return F.date_format(F.timestamp_micros(F.expr("ts div 1000")), pattern)
 
 
 def _json_escape(col: Column) -> Column:
