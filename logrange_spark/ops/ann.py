@@ -43,7 +43,8 @@ def sign_bucket(a: Column, dims: int = ANN_BUCKET_DIMS) -> Column:
     """Axis-aligned sign-LSH bucket id: Σ (a[i] > 0) << i for i < dims."""
     out = F.lit(0)
     for i in range(dims):
-        out = out + F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # try_element_at: vectors shorter than ``dims`` contribute 0 bits
+        out = out + F.when(F.try_element_at(a, F.lit(i + 1)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out.cast("int")
 
 

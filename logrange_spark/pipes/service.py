@@ -64,7 +64,10 @@ def start_pipe(engine, defn: dict):
                 F.coalesce(F.col("tags"), F.expr("map()")),
             ),
         )
-        .withColumn("tags", F.typedLit(dest_tags))
+        .withColumn(
+            "tags",
+            F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
+        )
         .withColumn("tag_line", F.lit(dest_line))
         .withColumn("src", F.lit(dest_src))
     )

@@ -1,0 +1,138 @@
+"""Training-data pipeline operator tests: dedup, ANN, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logrange_spark.ops import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "el perro corre por la calle y el gato duerme en la casa"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    d = dedup.exact_duplicates(docs, "doc_id", F.col("text")).collect()
+    assert len(d) == 1
+    assert d[0]["keep_id"] == 1 and d[0]["dup_count"] == 2
+
+
+def test_shingles(docs, spark):
+    row = docs.where("doc_id = 1").select(
+        dedup.shingles(F.col("text")).alias("s")
+    ).collect()[0]
+    assert "the quick brown" in row["s"]
+    assert len(row["s"]) == 7  # 9 tokens → 7 trigrams (all distinct here)
+    empty = docs.where("doc_id = 6").select(dedup.shingles(F.col("text")).alias("s")).collect()[0]
+    assert empty["s"] == []
+
+
+def test_lsh_finds_near_and_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 3) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 3) in pairs  # near-dup should band-collide
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_near_duplicates_jaccard(docs):
+    nd = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert nd[(1, 3)] == 1.0
+    assert 0.5 <= nd[(1, 2)] < 1.0
+    assert (1, 4) not in nd
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0  # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_deterministic(docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert a == b
+    assert a[1] == a[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.5, -0.5]),
+        (1, [0.99, -0.4, 0.55, -0.45]),  # close to 0, same sign bucket
+        (2, [-0.5, 1.0, -0.5, 0.5]),     # different bucket
+        (3, [-1.0, 0.5, -0.5, 0.5]),     # opposite of 0
+        (4, [0.9, -0.6, 0.4, -0.6]),     # close to 0, same sign bucket
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk(vectors):
+    res = ann.cosine_topk(vectors, vectors.where("vec_id = 0"), k=2)
+    rows = res.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 4]
+    assert rows[0]["score"] > 0.99
+
+
+def test_bucketed_topk_restricts_to_bucket(vectors):
+    res = ann.bucketed_topk(vectors, vectors.where("vec_id = 0"), k=4).collect()
+    ids = {r["neighbor_id"] for r in res}
+    assert 3 not in ids  # opposite sign bucket
+    assert 1 in ids
+
+
+def test_embedding_near_duplicates(vectors):
+    nd = ann.embedding_near_duplicates(vectors, threshold=0.98)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_text_stats(docs):
+    stats = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["lang_guess"] == "en"
+    assert stats[5]["lang_guess"] == "es"
+    assert stats[6]["n_tokens"] == 0 and stats[6]["lang_guess"] == "und"
+    assert 0.0 <= stats[4]["quality"] <= 1.0
+    assert stats[1]["fingerprint"] == stats[3]["fingerprint"]
+    assert stats[1]["fingerprint"] != stats[2]["fingerprint"]
+
+
+def test_quality_filter_shape(docs):
+    q = docs.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+    vals = {r["doc_id"]: r["q"] for r in q.collect()}
+    assert vals[6] < vals[1]  # empty doc scores lowest
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_binary(docs, "doc_id", "text", kind="image")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["meta"]["size_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert rows[1]["meta"]["sha"] == rows[3]["meta"]["sha"]
+    feats = multimodal.extract_features(media)
+    frows = {r["media_id"]: r for r in feats.collect()}
+    assert len(frows[1]["feature"]) == multimodal.FEATURE_DIM
+    assert frows[1]["decode_ok"]
+    assert frows[1]["feature"] == frows[3]["feature"]
+
+
+def test_multimodal_real_codec_is_stubbed(docs):
+    media = multimodal.attach_binary(docs, "doc_id", "text")
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        multimodal.extract_features(media, real_codec=True).collect()

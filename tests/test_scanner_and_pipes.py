@@ -1,0 +1,127 @@
+"""Collector scan → store, pipes (streaming), forwarder sink tests."""
+
+from __future__ import annotations
+
+import os
+import socketserver
+import threading
+import time
+
+import pytest
+
+from logrange_spark.forward import ConsoleSink, SyslogConfig, SyslogSink, start_forwarder
+from logrange_spark.ingest.scanner import ScanSchema, collect_into, scan
+
+from .conftest import BASE_TS, NS
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "logs" / "host-01"
+    d.mkdir(parents=True)
+    (d / "app.log").write_text(
+        "2024-01-01 10:00:00 start of app\n"
+        "2024-01-01 10:00:01 ERROR disk is full\n"
+        "2024-01-01 10:00:02 recovered\n"
+    )
+    (d / "db.log").write_text("2024-01-01 11:00:00 db checkpoint\n")
+    return str(tmp_path / "logs")
+
+
+def test_scan_batch(spark, log_dir):
+    schema = ScanSchema(
+        path_glob=f"{log_dir}/*/*.log",
+        parser="text",
+        path_regex=r"(?P<host>host-\d+)/(?P<file>[a-z]+)\.log",
+        static_tags={"env": "test"},
+    )
+    df = scan(spark, schema)
+    rows = df.collect()
+    assert len(rows) == 4
+    app = [r for r in rows if r["tags"]["file"] == "app"]
+    assert len(app) == 3
+    assert app[0]["tags"] == {"env": "test", "host": "host-01", "file": "app"}
+    assert app[0]["tag_line"] == "env=test,file=app,host=host-01"
+    # detected timestamps
+    assert any(r["ts"] == 1704103200 * NS for r in rows)  # 2024-01-01 10:00:00
+
+
+def test_collect_into_engine(engine, log_dir):
+    schema = ScanSchema(
+        path_glob=f"{log_dir}/*/*.log",
+        parser="text",
+        path_regex=r"(?P<host>host-\d+)/(?P<file>[a-z]+)\.log",
+    )
+    collect_into(engine, schema)
+    rows = engine.query("SELECT FROM {file=app} WHERE msg CONTAINS 'ERROR' LIMIT 10").collect()
+    assert len(rows) == 1
+    assert "disk is full" in rows[0]["msg"]
+    # seq assigned monotonically per src
+    all_app = engine.query("SELECT FROM {file=app} LIMIT 10").collect()
+    assert [r["seq"] for r in all_app] == [1, 2, 3]
+
+
+def _wait(pred, timeout=30.0, step=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_pipe_end_to_end(loaded_engine):
+    res = loaded_engine.execute("CREATE PIPE errs FROM {name=app1} WHERE msg CONTAINS 'ERROR'")
+    assert res["status"] == "created"
+    assert [r["name"] for r in loaded_engine.execute("SHOW PIPES").collect()] == ["errs"]
+
+    def piped():
+        try:
+            return (
+                loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').count() == 10
+            )
+        except Exception:
+            return False
+
+    assert _wait(piped), "pipe did not materialize filtered records"
+    rows = loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').collect()
+    assert all("ERROR" in r["msg"] for r in rows)
+    # source tags became fields (T4 enrichment)
+    assert rows[0]["fields"]["name"] == "app1"
+    assert rows[0]["fields"]["ns"] == "system"
+    # new writes flow through continuously
+    loaded_engine.write(
+        {"name": "app1", "ns": "system"},
+        [(BASE_TS + 2000 * NS, "late ERROR arrives", {})],
+    )
+    assert _wait(
+        lambda: loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').count() == 11
+    ), "pipe did not pick up new data"
+    assert loaded_engine.execute("DELETE PIPE errs")["status"] == "deleted"
+
+
+class _Collector(socketserver.StreamRequestHandler):
+    def handle(self):
+        for line in self.rfile:
+            self.server.lines.append(line.decode("utf-8").rstrip("\n"))
+
+
+def test_syslog_forwarder(loaded_engine):
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.lines = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    q = start_forwarder(
+        loaded_engine,
+        "to-syslog",
+        'SELECT "{vars:level}|{msg}" FROM {name=app2}',
+        SyslogSink(SyslogConfig(port=port)),
+    )
+    try:
+        assert _wait(lambda: len(srv.lines) >= 20), f"got {len(srv.lines)} lines"
+        assert any("warn|app2 msg 0" in l for l in srv.lines)
+        assert all(l.startswith("<134>") for l in srv.lines)
+    finally:
+        q.stop()
+        srv.shutdown()
