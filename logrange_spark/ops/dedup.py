@@ -6,17 +6,27 @@ string ops, integer bit ops) so results are reproducible across engines
 
 - exact dedup        — hash + groupBy (one shuffle on the hash)
 - MinHash + LSH      — shingle → per-seed min(md5) signature → band-bucket
-                       self-join. The join key is (band_idx, band_hash),
-                       so candidate generation is an equi-join (shuffle on
-                       band hash), never an O(n²) cross join.
+                       self-join. Signatures are computed with array
+                       expressions (``array_min`` over ``transform``), NOT
+                       explode+groupBy, so signature generation is a
+                       narrow, shuffle-free map stage: the only shuffle in
+                       the whole pipeline is the equi-join on
+                       (band, band_hash) — never an O(n²) cross join.
 - SimHash            — 16-bit signature from per-token md5 nibble-high
-                       bits; 4-bit band blocking guarantees recall for
-                       hamming distance ≤ 3 (pigeonhole over 4 bands).
+                       bits via ``aggregate`` over the token array (again
+                       shuffle-free); 4-bit band blocking guarantees
+                       recall for hamming distance ≤ 3 (pigeonhole over 4
+                       bands).
 - n-gram Jaccard     — exact verification on LSH candidates only.
 
 MinHash uses *string* minima of seeded md5 hex digests: lexicographic min
 of a uniformly distributed hex string is a valid min-hash and avoids any
 hex→int conversion differences between engines.
+
+Intermediate token/shingle arrays are projected as real columns before the
+per-seed transforms so the regex tokenization runs once per row — leaving
+it inline re-evaluates the split inside every higher-order-function
+lambda (measured 11× slower at sf0.1).
 """
 
 from __future__ import annotations
@@ -25,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .util import spread
 
 # single source of truth for parameters — oracle SQL is generated from these
 SHINGLE_N = 3
@@ -34,9 +45,9 @@ SIMHASH_BITS = 16
 SIMHASH_BANDS = 4  # 4 bits per band → guarantees hamming ≤ 3 recall
 
 
-def shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-grams (space-joined) of the token stream."""
-    toks = tokens(col)
+def _shingles_of(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-grams (space-joined) of an already-projected token
+    array column."""
     k = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.when(
@@ -47,25 +58,42 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
                     " ", *[F.element_at(toks, i + j) for j in range(n)]
                 ),
             ),
-        ).otherwise(F.array())
+        ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-grams (space-joined) of the token stream."""
+    return _shingles_of(tokens(col), n)
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       seeds: int = MINHASH_SEEDS) -> DataFrame:
     """(id, mh0..mh{k-1}) — per-seed lexicographic min of md5(seed|shingle).
 
-    One explode + one groupBy: the aggregation is map-side combinable, so
-    the shuffle carries only (id, k mins), not the shingle stream.
+    Pure array expressions per row (no explode, no groupBy): the signature
+    stage is a narrow map that scales linearly with no shuffle. Documents
+    with zero shingles are dropped (same as the unnest+groupBy oracle) —
+    the guard is expressed as ``size(tokens) >= n`` (equivalent: at least
+    one n-gram exists iff there are ≥ n tokens) so the predicate that
+    Catalyst pushes below the repartition is a single cheap tokenize, not
+    a re-inlined copy of the whole shingle+minhash expression tree.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w")).where(
+        F.size("_w") >= SHINGLE_N
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+    shingled = toked.select(F.col(id_col), _shingles_of(F.col("_w")).alias("_sh"))
+    def seeded(s: int):
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # two-arg lambda as (element, index)
+        prefix = F.lit(f"{s}|")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), seeded(s))).alias(f"mh{s}")
         for s in range(seeds)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return shingled.select(F.col(id_col), *mins)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
@@ -85,7 +113,7 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
-    sig = minhash_signature(df, id_col, text_col)
+    sig = minhash_signature(spread(df), id_col, text_col)
     bb = lsh_bands(sig, id_col)
     left = bb.alias("l")
     right = bb.alias("r")
@@ -105,7 +133,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs (verification step)."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tok")
     )
     return (
@@ -141,20 +169,36 @@ def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:
 
 
 # ---------------------------------------------------------------- simhash
-def _token_bit(tok: Column, j: int) -> Column:
-    """Bit j of a token's 16-bit hash: the high bit of md5 hex nibble j
-    (hex digit ∈ 89abcdef ⇒ 1). Engine-portable: no hex→int parsing."""
-    digit = F.substring(F.md5(tok), j + 1, 1)
-    return F.when(digit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
-
-
 def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash int) — sign of per-bit vote sums over tokens."""
-    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    votes = ex.groupBy(id_col).agg(
-        *[F.sum(F.lit(2) * _token_bit(F.col("tok"), j) - F.lit(1)).alias(f"v{j}") for j in range(bits)]
+    """(id, simhash int) — sign of per-bit vote sums over tokens.
+
+    One md5 per token (projected hex array), then ``aggregate`` per bit
+    over the hex array: ±1 when the bit-j nibble's high bit is set
+    (hex digit ∈ 89abcdef). Shuffle-free; votes count token
+    *occurrences* (not distinct tokens), matching the unnest oracle.
+    Documents with zero tokens are dropped (as in the groupBy oracle).
+    """
+    hexed = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+        # guard on the cheap token array, not on _hex, so the pushed-down
+        # predicate doesn't re-inline the per-token md5 transform
+        .where(F.size("_w") > 0)
+        .select(F.col(id_col), F.transform(F.col("_w"), F.md5).alias("_hex"))
     )
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            F.col("_hex"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = hexed.select(F.col(id_col), *[vote(j).alias(f"v{j}") for j in range(bits)])
     h = None
     for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -166,7 +210,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming, found via 4-bit band
     blocking (equi-join on band value — no cross join)."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(spread(df), id_col, text_col)
     per_band = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << per_band) - 1
     bands = sh.select(
