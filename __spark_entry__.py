@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logrange_spark.compiler.select import compile_select
+from logrange_spark.ingest import parsers
 from logrange_spark.lql.parser import parse_lql
 from logrange_spark.ops import ann, dedup, multimodal, text
 
@@ -253,6 +254,89 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_duplicates(emb, threshold=0.3)
+
+
+# --------------------------------------------------- ingestion parsers
+# Oracle strategy for the collector parsers (SURVEY §2.1 S5-S8): build
+# deterministic raw log lines FROM the events table on the Spark side,
+# run the real parser transform over them, and have DuckDB compute the
+# expected parse output directly from the source columns. This checks the
+# whole construct→parse→normalize loop without golden files.
+
+_K8S_TIME_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _k8s_time() -> F.Column:
+    # integer div, NOT "/": epoch-ns exceeds double's 2^53 integer range
+    return F.date_format(F.timestamp_micros(F.expr("ts div 1000")), _K8S_TIME_FMT)
+
+
+def _q_parse_k8json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    stream = F.when(F.col("event_id") % 2 == 0, F.lit("stdout")).otherwise(
+        F.lit("stderr")
+    )
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.col("props"), F.lit("\n")).alias("log"),
+                stream.alias("stream"),
+                _k8s_time().alias("time"),
+            )
+        ).alias("value")
+    )
+    out = parsers.parse_k8json(lines)
+    return out.select(
+        F.expr("ts div 1000").alias("ts"),
+        "msg",
+        F.col("fields")["stream"].alias("stream"),
+    )
+
+
+def _q_parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    body = F.concat(
+        F.lit("evt="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(' note="user '), F.col("user_id").cast("string"),
+        F.lit(" did "), F.col("event_type"), F.lit('"'),
+    )
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.concat(body, F.lit("\n")).alias("log"),
+                F.lit("stdout").alias("stream"),
+                _k8s_time().alias("time"),
+            )
+        ).alias("value")
+    )
+    out = parsers.parse_logfmt(lines, fields=["evt", "user", "note"])
+    return out.select(
+        F.expr("ts div 1000").alias("ts"),
+        "msg",
+        F.col("fields")["evt"].alias("evt"),
+        F.col("fields")["user"].alias("user"),
+        F.col("fields")["note"].alias("note"),
+    )
+
+
+def _q_parse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date auto-detection: three layouts cycling by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.timestamp_micros(F.expr("ts div 1000"))
+    stamp = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format(t, "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format(t, "yyyy/MM/dd HH:mm:ss"))
+        .otherwise(F.date_format(t, "dd/MM/yyyy HH:mm:ss"))
+    )
+    lines = ev.select(F.concat(stamp, F.lit(" "), F.col("props")).alias("value"))
+    out = parsers.parse_text(lines)
+    return out.select(F.expr("ts div 1000").alias("ts"), "msg")
+
+
 # ------------------------------------------------------------ multimodal
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -306,6 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_bucketed_topk": _q_ann_bucketed,
+        "dedup_embedding": _q_dedup_embedding,
+        # ingestion parsers (SURVEY §2.1 S5-S8)
+        "parse_k8json": _q_parse_k8json,
+        "parse_logfmt": _q_parse_logfmt,
+        "parse_text_autodetect": _q_parse_text,
         # multimodal plumbing
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -478,6 +567,61 @@ SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE
 """.strip()
 
 
+def _emb_neardup_sql(threshold: float) -> str:
+    dims = 64
+    bucket = " + ".join(
+        f"(CASE WHEN e.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ann.ANN_BUCKET_DIMS)
+    )
+    prods = f"[CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) FOR i IN range(1, {dims + 1})]"
+    aa = "CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE)"
+    bb = "CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)"
+    dot = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+    na = f"sqrt(list_reduce(list_prepend(0.0, [{aa} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
+    nb = f"sqrt(list_reduce(list_prepend(0.0, [{bb} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings e),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.embedding AS av, r.embedding AS bv
+  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b, round({dot} / ({na} * {nb}), 6) AS score FROM pairs)
+WHERE score >= {threshold}
+""".strip()
+
+
+# expected parse output, computed directly from the source columns: the
+# constructed k8s `time` field carries millisecond precision, so expected
+# µs = (ns // 1e6) * 1e3; the text layouts carry second precision.
+_PARSE_TS_MS = "(epoch_ns(ts) // 1000000) * 1000"
+_PARSE_TS_S = "(epoch_ns(ts) // 1000000000) * 1000000"
+
+_PARSE_K8JSON_SQL = f"""
+SELECT {_PARSE_TS_MS} AS ts, props AS msg,
+       CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream
+FROM events
+""".strip()
+
+_PARSE_LOGFMT_SQL = f"""
+SELECT {_PARSE_TS_MS} AS ts,
+       'evt=' || event_type || ' user=' || user_id
+           || ' note="user ' || user_id || ' did ' || event_type || '"' AS msg,
+       event_type AS evt,
+       CAST(user_id AS VARCHAR) AS "user",
+       'user ' || user_id || ' did ' || event_type AS note
+FROM events
+""".strip()
+
+_PARSE_TEXT_SQL = f"""
+SELECT {_PARSE_TS_S} AS ts,
+       CASE CAST(event_id % 3 AS INT)
+         WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+         WHEN 1 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+         ELSE strftime(ts, '%d/%m/%Y %H:%M:%S') END || ' ' || props AS msg
+FROM events
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(12,2)"
     rate = "DECIMAL(4,2)"
@@ -565,6 +709,10 @@ SELECT token, count(*) AS cnt FROM (
 GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_bucketed_topk": _ann_sql(bucketed=True),
+        "dedup_embedding": _emb_neardup_sql(0.3),
+        "parse_k8json": _PARSE_K8JSON_SQL,
+        "parse_logfmt": _PARSE_LOGFMT_SQL,
+        "parse_text_autodetect": _PARSE_TEXT_SQL,
         "multimodal_meta": """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,

@@ -36,6 +36,8 @@ HEADLINE = [
     "text_top_words",
     "ann_cosine_topk",
     "ann_bucketed_topk",
+    "dedup_embedding",
+    "parse_k8json",
 ]
 
 
