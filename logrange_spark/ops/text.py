@@ -41,10 +41,15 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def _hits_of(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of elements of an already-projected token array in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens that are in ``words``."""
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+    return _hits_of(tokens(col), words)
 
 
 def stopword_ratio(col: Column, words: tuple[str, ...]) -> Column:
@@ -95,14 +100,42 @@ def fingerprint(col: Column) -> Column:
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: tokens, chars, punct ratio, lang, quality,
-    fingerprint."""
+    fingerprint.
+
+    The token array is projected once (``_w``) and every derived metric is
+    an expression over that column — computing them straight off the text
+    re-inlines the regex tokenization into each of the ~10 consumers
+    (measured: 61 copies of ``split`` in the optimized plan, 2× slower).
+    """
     c = F.col(text_col)
-    return docs.select(
+    toked = docs.select("doc_id", c.alias("_text"), tokens(c).alias("_w"))
+    w, t = F.col("_w"), F.col("_text")
+
+    hit_cols = {lang: _hits_of(w, words) for lang, words in sorted(LANG_STOPWORDS.items())}
+    best = F.greatest(*hit_cols.values())
+    lang = F.lit("und")
+    for name in sorted(hit_cols, reverse=True):
+        lang = F.when((hit_cols[name] == best) & (best > 0), F.lit(name)).otherwise(lang)
+
+    n_tok = F.size(w).cast("double")
+    praw = F.when(
+        F.length(t) > 0,
+        (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("double")
+        / F.length(t),
+    ).otherwise(F.lit(0.0))
+    sr = F.when(n_tok > 0, hit_cols["en"] / n_tok).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(praw / F.lit(QUALITY_MAX_PUNCT_RATIO), F.lit(1.0)))
+        + F.lit(0.3) * F.least(sr / F.lit(0.1), F.lit(1.0))
+    )
+
+    return toked.select(
         "doc_id",
-        token_count(c).alias("n_tokens"),
-        F.length(c).alias("n_chars_computed"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        lang_id(c).alias("lang_guess"),
-        F.round(quality_score(c), 6).alias("quality"),
-        fingerprint(c).alias("fingerprint"),
+        F.size(w).alias("n_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        F.round(praw, 6).alias("punct_ratio"),
+        lang.alias("lang_guess"),
+        F.round(quality, 6).alias("quality"),
+        F.md5(F.array_join(w, " ")).alias("fingerprint"),
     )
