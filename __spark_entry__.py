@@ -254,6 +254,32 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(text.bpe_ish_tokens(c)).alias("n_bpe_tokens"),
+        text.token_count(c).alias("n_ws_tokens"),
+        F.length(c).alias("n_chars"),
+    )
+
+
+def _q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_hash(F.col("text")).alias("rhash"))
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logrange_spark.streaming import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    timed = ev.select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("t")
+    )
+    return sessionize(timed, key_col="user_id", ts_col="t", gap="30 minutes")
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann.embedding_near_duplicates(emb, threshold=0.3)
@@ -387,6 +413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: text analysis
         "text_stats": _q_text_stats,
         "text_top_words": _q_top_words,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_rolling_hash": _q_text_rolling_hash,
+        # event-time streaming ops (batch-checkable session windows)
+        "events_sessions": _q_events_sessions,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_bucketed_topk": _q_ann_bucketed,
@@ -612,6 +642,49 @@ SELECT {_PARSE_TS_MS} AS ts,
 FROM events
 """.strip()
 
+def _bpe_tokens_sql() -> str:
+    pat = text.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{pat}')) AS n_bpe_tokens,
+       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS n_ws_tokens,
+       length(text) AS n_chars
+FROM documents
+""".strip()
+
+
+def _rolling_hash_sql() -> str:
+    return f"""
+WITH {_tok_cte()}
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      [('0x' || substr(md5(t), 1, 8))::BIGINT FOR t IN w]),
+         (acc, x) -> (acc * {text.ROLL_BASE} + x) % {text.ROLL_MOD}) AS rhash
+FROM toks
+""".strip()
+
+
+# session_window semantics: a new session starts when the gap from the
+# previous event is >= the window gap (half-open [t, t+gap) windows)
+_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+m AS (
+  SELECT user_id, tus, event_id,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (
+  SELECT user_id, tus,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(tus) AS start_us, max(tus) AS end_us, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""".strip()
+
+
 _PARSE_TEXT_SQL = f"""
 SELECT {_PARSE_TS_S} AS ts,
        CASE CAST(event_id % 3 AS INT)
@@ -709,6 +782,9 @@ SELECT token, count(*) AS cnt FROM (
 GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_bucketed_topk": _ann_sql(bucketed=True),
+        "text_bpe_tokens": _bpe_tokens_sql(),
+        "text_rolling_hash": _rolling_hash_sql(),
+        "events_sessions": _SESSIONS_SQL,
         "dedup_embedding": _emb_neardup_sql(0.3),
         "parse_k8json": _PARSE_K8JSON_SQL,
         "parse_logfmt": _PARSE_LOGFMT_SQL,

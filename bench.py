@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_bucketed_topk",
     "dedup_embedding",
     "parse_k8json",
+    "events_sessions",
 ]
 
 

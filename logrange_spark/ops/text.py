@@ -98,6 +98,39 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(tokens(col), " "))
 
 
+# BPE-ish tokenization: GPT-2-style pretokenizer families (contractions,
+# space-prefixed letter runs, digit runs, punctuation runs), restricted to
+# syntax that Java regex and RE2 interpret identically (no lookarounds,
+# no \p classes) so the DuckDB oracle matches byte-for-byte.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Subword-ish tokens of lowercased text (BPE pretokenizer shape)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+# rolling-hash parameters (shared with the oracle SQL)
+ROLL_BASE = 1_000_003
+ROLL_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*base + x within int64
+
+
+def rolling_hash(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over the whitespace token
+    stream: h = (h * BASE + tok_hash) mod MOD, where tok_hash is the
+    first 32 md5 bits of the token. A pure left fold over the token
+    array — shuffle-free and engine-portable."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(ROLL_BASE)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        ) % F.lit(ROLL_MOD),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: tokens, chars, punct ratio, lang, quality,
     fingerprint.

@@ -136,3 +136,41 @@ def test_multimodal_real_codec_is_stubbed(docs):
     media = multimodal.attach_binary(docs, "doc_id", "text")
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         multimodal.extract_features(media, real_codec=True).collect()
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! it's 42 deg.",)], ["text"])
+    toks = df.select(text.bpe_ish_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["hello", ",", " world", "!", " it", "'s", " 42", " deg", "."]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",), ("",)], ["text"])
+    vals = [r["h"] for r in df.select(text.rolling_hash(F.col("text")).alias("h")).collect()]
+    assert vals[0] == vals[2]          # deterministic
+    assert vals[0] != vals[1]          # order matters
+    assert vals[3] == 0                # empty → fold init
+    assert all(0 <= v < text.ROLL_MOD for v in vals)
+
+
+def test_sessionize_gap_split(spark):
+    from logrange_spark.streaming import sessionize
+
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 31-min gap
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:41:00"),
+        # user 2: single event
+        (2, "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "raw"]).select(
+        "user_id", F.to_timestamp("raw").alias("t")
+    )
+    out = sessionize(df, key_col="user_id", ts_col="t").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert sorted(s["n_events"] for s in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1 and by_user[2][0]["start_us"] == by_user[2][0]["end_us"]
