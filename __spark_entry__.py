@@ -393,6 +393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
         "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
         "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
+        "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
+        "lql_cursor_back": _lql(
+            f"SELECT POSITION '{RANGE_LO}::0' OFFSET -400 LIMIT 400"
+        ),
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
         "lql_upper_func": _lql("SELECT WHERE UPPER(msg) CONTAINS '\"K\": 9'"),
         "lql_format": _lql_fmt('SELECT "{ts} {vars:name} {msg}" FROM {name=signup}'),
@@ -713,6 +717,16 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
         "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "ORDER BY ts DESC, src DESC, seq DESC LIMIT 300",
+        # cursor token (ts=RANGE_LO ns, src='', seq=0); all event ts are
+        # µs-aligned so the ns↔µs domains are order-isomorphic
+        "lql_cursor_page": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        f"WHERE (ts, src, seq) > ({RANGE_LO // 1000}, '', 0) "
+        "ORDER BY ts, src, seq LIMIT 800",
+        "lql_cursor_back": f"WITH {_LOGS_CTE} SELECT * FROM ("
+        f"SELECT {_STD} FROM logs "
+        f"WHERE (ts, src, seq) <= ({RANGE_LO // 1000}, '', 0) "
+        "ORDER BY ts DESC, src DESC, seq DESC LIMIT 400) "
+        "ORDER BY ts, src, seq",
         "lql_not_expr": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "WHERE (src = 'click' OR src = 'view') AND NOT (f_user LIKE '1%')",
         "lql_upper_func": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "

@@ -119,19 +119,24 @@ def compile_select(
         else:
             # at end-of-stream going forward: nothing to return in batch mode
             return _project(df.where(F.lit(False)), sel).limit(0)
-    else:
-        tok = CursorToken.decode(sel.position.pos_id)
-        if offset >= 0:
-            df = df.where(after_cursor(tok))
-        else:
-            df = df.where(before_cursor(tok))
-            backward = True
-            offset = -offset  # skip n back, then read forward
-
     limit = sel.limit if sel.limit is not None else default_limit
 
     asc = [F.col(c).asc() for c in ORDER_COLUMNS]
     desc = [F.col(c).desc() for c in ORDER_COLUMNS]
+
+    if pos not in ("head", "tail"):
+        tok = CursorToken.decode(sel.position.pos_id)
+        if offset >= 0:
+            df = df.where(after_cursor(tok))
+        else:
+            # OFFSET -n: move the cursor n records back, then read LIMIT
+            # forward (reference: pkg/cursor/cursor.go:246-285). The n
+            # records at-or-before the token (which is the last row
+            # already returned) plus everything after it, read in order.
+            n = -offset
+            offset = 0
+            back = df.where(~after_cursor(tok)).orderBy(*desc).limit(n)
+            df = back.unionByName(df.where(after_cursor(tok)))
 
     if backward:
         take = (offset + limit) if limit is not None else None

@@ -76,6 +76,21 @@ def test_tail_forward_is_empty(loaded_engine):
     assert loaded_engine.query("SELECT POSITION tail LIMIT 5").count() == 0
 
 
+def test_cursor_negative_offset(loaded_engine):
+    """OFFSET -n from an explicit cursor: step n back, read LIMIT forward
+    (includes the token row, which is the last row already returned)."""
+    all_rows = loaded_engine.query("SELECT LIMIT 10000").collect()
+    anchor = all_rows[30]
+    tok = CursorToken(anchor["ts"], anchor["src"], anchor["seq"]).encode()
+    rows = loaded_engine.query(f"SELECT POSITION '{tok}' OFFSET -10 LIMIT 10").collect()
+    want = [(r["ts"], r["src"], r["seq"]) for r in all_rows[21:31]]
+    assert [(r["ts"], r["src"], r["seq"]) for r in rows] == want
+    # reading past the token: n back, limit > n crosses into unread rows
+    rows2 = loaded_engine.query(f"SELECT POSITION '{tok}' OFFSET -5 LIMIT 12").collect()
+    want2 = [(r["ts"], r["src"], r["seq"]) for r in all_rows[26:38]]
+    assert [(r["ts"], r["src"], r["seq"]) for r in rows2] == want2
+
+
 def test_show_partitions(loaded_engine):
     rows = loaded_engine.execute("SHOW PARTITIONS").collect()
     assert len(rows) == 3
