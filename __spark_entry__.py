@@ -254,6 +254,11 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
 def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -424,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_bucketed_topk": _q_ann_bucketed,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
         # ingestion parsers (SURVEY §2.1 S5-S8)
         "parse_k8json": _q_parse_k8json,
@@ -598,6 +604,52 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
   FROM scored)
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+""".strip()
+
+
+def _ivf_sql(k: int = 10) -> str:
+    dims = 64
+    nc, npr = ann.IVF_CENTROIDS, ann.IVF_PROBE
+
+    def l2(col: str) -> str:
+        sq = f"CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)"
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, [{sq} FOR i IN range(1, {dims + 1})]), "
+            "(acc, x) -> acc + x))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        prods = f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN range(1, {dims + 1})]"
+        return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+    return f"""
+WITH en AS (SELECT vec_id, embedding, {l2('embedding')} AS vn FROM embeddings),
+cn AS (SELECT vec_id AS cid, embedding AS cv, vn AS cnorm FROM en WHERE vec_id < {nc}),
+ascore AS (
+  SELECT v.vec_id AS id, c.cid,
+         {dot('v.embedding', 'c.cv')} / (v.vn * c.cnorm) AS s
+  FROM en v CROSS JOIN cn c),
+assigned AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM ascore) WHERE rn = 1),
+qp AS (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM ascore WHERE id < 10) WHERE rn <= {npr}),
+scored AS (
+  SELECT q.query_id, a.id AS neighbor_id,
+         round({dot('qe.embedding', 'ne.embedding')} / (qe.vn * ne.vn), 6) AS score
+  FROM qp q
+  JOIN assigned a ON q.cid = a.cid
+  JOIN en qe ON qe.vec_id = q.query_id
+  JOIN en ne ON ne.vec_id = a.id
+  WHERE q.query_id <> a.id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """.strip()
 
 
@@ -796,6 +848,7 @@ SELECT token, count(*) AS cnt FROM (
 GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_bucketed_topk": _ann_sql(bucketed=True),
+        "ann_ivf_topk": _ivf_sql(10),
         "text_bpe_tokens": _bpe_tokens_sql(),
         "text_rolling_hash": _rolling_hash_sql(),
         "events_sessions": _SESSIONS_SQL,

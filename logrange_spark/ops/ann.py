@@ -120,6 +120,137 @@ def bucketed_topk(
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def _centroid_norm(cv: list[float]) -> float:
+    # plain left-fold, NOT math.fsum: must reproduce the oracle's
+    # list_reduce double-addition order bit-for-bit
+    s = 0.0
+    for x in cv:
+        s += float(x) * float(x)
+    import math
+
+    return math.sqrt(s)
+
+
+def ivf_assign_expr(
+    vec: Column, cents: list[tuple[int, list[float]]], norm: Column | None = None
+) -> Column:
+    """Nearest-centroid id for ``vec`` (cosine; ties → smaller id).
+
+    ``cents`` are driver-side (cid, vector) pairs embedded as literals, so
+    assignment is a pure per-row expression — a map stage with NO shuffle,
+    which is what real IVF assignment looks like at 100 TB (centroids are
+    always small enough to ship with the plan). Pass a pre-projected
+    ``norm`` column to avoid re-inlining the vector norm per centroid.
+    """
+    norm = norm if norm is not None else _norm(vec)
+    entries = []
+    for cid, cv in cents:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        score = _dot(vec, carr) / (norm * F.lit(_centroid_norm(cv)))
+        # array_max picks (max score, max -cid) → ties resolve to smaller cid
+        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nc"]).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are inverted-listed by
+    nearest centroid; each query probes its ``n_probe`` nearest lists.
+
+    Centroid seeding is deterministic (the ``n_centroids`` lowest-id
+    corpus vectors) so results are oracle-checkable; production would
+    k-means iterate, which only changes the centroid constants. Plan
+    shape: assignment = shuffle-free map (literal centroids), probe =
+    broadcast join on centroid id, scoring = broadcast join, final top-k
+    = window over the (small) candidate set. At scale the centroid id is
+    the natural partition/bucket key for the corpus table.
+    """
+    from pyspark.sql.window import Window
+
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+    ]
+
+    pre = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    assigned = pre.select(
+        "neighbor_id",
+        "cvec",
+        ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
+    )
+
+    qpre = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("pscore").desc(), F.col("centroid_id")
+    )
+    qp = (
+        qpre.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("centroid_id"),
+                            (
+                                _dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in cv]))
+                                / (F.col("_qn") * F.lit(_centroid_norm(cv)))
+                            ).alias("pscore"),
+                        )
+                        for cid, cv in cents
+                    ]
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "qvec", F.col("pc.centroid_id").alias("centroid_id"),
+                F.col("pc.pscore").alias("pscore"))
+        .withColumn("prank", F.row_number().over(qw))
+        .where(F.col("prank") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(qp), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

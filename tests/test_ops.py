@@ -174,3 +174,22 @@ def test_sessionize_gap_split(spark):
     assert len(by_user[1]) == 2
     assert sorted(s["n_events"] for s in by_user[1]) == [1, 2]
     assert len(by_user[2]) == 1 and by_user[2][0]["start_us"] == by_user[2][0]["end_us"]
+
+
+def test_ivf_topk_recall(vectors):
+    """IVF with all lists probed == brute force; fewer probes ⊆ brute force."""
+    queries = vectors.where(F.col("vec_id") < 2)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.cosine_topk(vectors, queries, k=3).collect()
+    }
+    full = ann.ivf_topk(vectors, queries, k=3, n_centroids=2, n_probe=2).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full}
+    assert got == exact  # probing every list is exhaustive
+    # single-probe is approximate: still ranked, still ≤ k per query
+    part = ann.ivf_topk(vectors, queries, k=3, n_centroids=2, n_probe=1).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in part:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) <= {0, 1}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
