@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
         "lql_upper_func": _lql("SELECT WHERE UPPER(msg) CONTAINS '\"K\": 9'"),
         "lql_format": _lql_fmt('SELECT "{ts} {vars:name} {msg}" FROM {name=signup}'),
+        "lql_format_full": _lql_fmt(
+            'SELECT "{ts.format(2006/01/02 15:04)} {vars} [{msg.json()}]" FROM {name=click}'
+        ),
         "show_partitions": _q_show_partitions,
         # SQL analytics (beyond-reference surface, SURVEY §2.8)
         "pricing_summary": _q_pricing_summary,
@@ -788,6 +791,16 @@ def oracle_sql() -> dict[str, str]:
         "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || 'Z' "
         "|| ' ' || src || ' ' || msg AS line "
         "FROM logs WHERE tag_line = 'name=signup'",
+        # {vars} = tag_line + "," + fields kv; {msg.json()} escape chain
+        # mirrors compiler/formatter._json_escape (backslash first)
+        "lql_format_full": f"WITH {_LOGS_CTE} "
+        "SELECT ts, src, seq, "
+        "strftime(make_timestamp(ts), '%Y/%m/%d %H:%M') || ' ' "
+        "|| tag_line || ',user=' || f_user || ' [' "
+        "|| replace(replace(replace(replace(replace(msg, "
+        "'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') "
+        "|| ']' AS line "
+        "FROM logs WHERE tag_line = 'name=click'",
         "show_partitions": f"WITH {_LOGS_CTE} SELECT tag_line, "
         "count(*) AS records, CAST(sum(octet_length(encode(msg))) AS BIGINT) AS size "
         "FROM logs GROUP BY tag_line",
