@@ -50,7 +50,10 @@ class CursorToken:
 
     @staticmethod
     def decode(token: str) -> "CursorToken":
-        ts, src, seq = token.split(":", 2)
+        # src is opaque and may contain ':' — ts and seq are digit-only,
+        # so peel them off the ends
+        ts, rest = token.split(":", 1)
+        src, seq = rest.rsplit(":", 1)
         return CursorToken(int(ts), src, int(seq))
 
 

@@ -114,7 +114,10 @@ def parse_tags(s: str) -> dict[str, str]:
 
 
 def _quote_value(v: str) -> str:
-    if v == "" or KV_SEP in v or FIELD_SEP in v:
+    # quote anything that would confuse the line parser: separators,
+    # quotes/backslashes (escape chars), braces (trimmed by the {}-wrapper
+    # logic), empties and edge whitespace (stripped by _unquote)
+    if v == "" or v != v.strip() or any(c in v for c in '=,"{}\\'):
         return json.dumps(v)
     return v
 
