@@ -180,19 +180,22 @@ class Engine:
 
     # ------------------------------------------------------------- admin
     def show_partitions(self, stmt: ast.ShowPartitions) -> DataFrame:
-        """SHOW PARTITIONS: per-partition record count + size, sorted by
-        size desc (reference: pkg/backend/admin.go:93-131)."""
+        """SHOW PARTITIONS: per-partition record count + on-disk size,
+        sorted by size desc (reference: pkg/backend/admin.go:93-131).
+
+        Metadata-only — record counts and byte sizes come from parquet
+        footers / the file system, not a data scan, and the same size
+        notion drives TRUNCATE's MAXSIZE/MAXDBSIZE budgeting (the
+        reference's journal sizes are on-disk chunk bytes too)."""
         src_ids = self.resolve_sources(stmt.source)
-        df = (
-            self.logs()
-            .where(F.col("src").isin(src_ids))
-            .groupBy("tag_line")
-            .agg(
-                F.count("*").alias("records"),
-                F.sum(F.octet_length(F.coalesce(F.col("msg"), F.lit("")))).alias("size"),
-            )
-            .orderBy(F.col("size").desc(), F.col("tag_line"))
-        )
+        rows = []
+        for src in src_ids:
+            line = self._catalog.get(src, "")
+            info = self.describe_partition(ast.DescribePartition(parse_tags(line)))
+            rows.append((info["tag_line"], info["records"], info["size"]))
+        df = self.spark.createDataFrame(
+            rows or [], "tag_line string, records long, size long"
+        ).orderBy(F.col("size").desc(), F.col("tag_line"))
         if stmt.offset:
             df = df.offset(stmt.offset)
         if stmt.limit is not None:
@@ -249,6 +252,8 @@ class Engine:
         src_ids = self.resolve_sources(stmt.source)
         report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
         sizes: dict[str, int] = {}
+        oldest: dict[str, int] = {}
+        nfiles: dict[str, int] = {}
         plans: dict[str, list[str]] = {}
 
         for src in src_ids:
@@ -258,6 +263,10 @@ class Engine:
             files = info["chunks"]
             size = info["size"]
             sizes[src] = size
+            oldest[src] = min(
+                (c["min_ts"] for c in files if c["min_ts"] is not None), default=0
+            )
+            nfiles[src] = len(files)
             drop: list[str] = []
             # oldest-first by min_ts then name
             files = sorted(files, key=lambda c: (c["min_ts"] if c["min_ts"] is not None else 0, c["chunk"]))
@@ -278,18 +287,20 @@ class Engine:
                 report["deleted_files"] += len(drop)
                 report["deleted_bytes"] += size - remaining
                 sizes[src] = remaining
+                nfiles[src] -= len(drop)
 
         if stmt.max_db_size is not None:
             total = sum(sizes.values())
-            # oldest partitions first: approximate by smallest min_ts
-            order = sorted(sizes, key=lambda s: s)
+            # oldest partitions first (by earliest record timestamp, then
+            # src for determinism — reference: partition.go:516-581)
+            order = sorted(sizes, key=lambda s: (oldest.get(s, 0), s))
             for src in order:
                 if total <= stmt.max_db_size:
                     break
-                plans.setdefault(src, [])
                 plans[src] = ["*ALL*"]
                 total -= sizes[src]
                 report["deleted_bytes"] += sizes[src]
+                report["deleted_files"] += nfiles[src]
                 sizes[src] = 0
 
         if not stmt.dry_run:

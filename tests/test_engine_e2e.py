@@ -156,3 +156,15 @@ def test_parse_describe_dispatch(loaded_engine):
     assert isinstance(stmt, ast.DescribePartition)
     info = loaded_engine.execute("DESCRIBE PARTITION {name=db,host=h-01}")
     assert info["records"] == 10
+
+
+def test_truncate_maxdbsize_drops_oldest_first(engine):
+    # three partitions with distinct time ranges; "old" is the oldest
+    engine.write({"name": "old"}, [(BASE_TS + i * NS, f"o{i}", {}) for i in range(10)])
+    engine.write({"name": "mid"}, [(BASE_TS + (1000 + i) * NS, f"m{i}", {}) for i in range(10)])
+    engine.write({"name": "new"}, [(BASE_TS + (2000 + i) * NS, f"n{i}", {}) for i in range(10)])
+    total = sum(r["size"] for r in engine.execute("SHOW PARTITIONS").collect())
+    rep = engine.execute(f"TRUNCATE MAXDBSIZE {total - 1}")
+    assert rep["deleted_files"] >= 1
+    remaining = {r["tag_line"] for r in engine.execute("SHOW PARTITIONS").collect()}
+    assert remaining == {"name=mid", "name=new"}
