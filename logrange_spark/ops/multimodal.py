@@ -98,6 +98,101 @@ def extract_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_batches, _FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("size_bytes", T.LongType(), True),
+                    T.StructField("sha", T.StringType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over mapInPandas (Arrow-batched).
+
+    STUB codec: a real implementation would decode, resample, and
+    re-encode with PIL/opencv (not present in this container). The stub
+    deterministically truncates/pads the payload to width*height bytes so
+    the batch shape, output schema, and metadata recomputation are the
+    real thing; swap ``_resize_stub`` for a codec where libraries exist.
+    """
+    import hashlib
+
+    def _resize_stub(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        return bytes(p[: width * height]).ljust(width * height, b"\0")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [_resize_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "meta": [
+                        None
+                        if p is None
+                        else {
+                            "size_bytes": len(p),
+                            "sha": hashlib.md5(p).hexdigest(),
+                            "mime": "application/octet-stream",
+                        }
+                        for p in out
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_batches, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling over mapInPandas — 1 row in, N frame rows out.
+
+    STUB codec: a real implementation seeks keyframes with ffmpeg; the
+    stub slices the payload every ``every_n_bytes`` so the fan-out shape
+    (one input row → up to ``max_frames`` output rows inside the same
+    Arrow batch) and schema are exercised end-to-end.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for k in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(bytes(p[k * every_n_bytes : (k + 1) * every_n_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(_batches, _FRAME_SCHEMA)
+
+
 def decode_stub(payload: bytes | None) -> list[float] | None:
     """STUB codec: deterministic fake features from the first bytes.
 

@@ -193,3 +193,22 @@ def test_ivf_topk_recall(vectors):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert set(per_q) <= {0, 1}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_multimodal_resize_and_frames(docs):
+    media = multimodal.attach_binary(docs, "doc_id", "text", kind="image")
+    rs = {r["media_id"]: r for r in multimodal.resize(media, 4, 3).collect()}
+    assert all(len(r["payload"]) == 12 for r in rs.values())
+    assert all(r["meta"]["size_bytes"] == 12 for r in rs.values())
+    assert rs[1]["width"] == 4 and rs[1]["height"] == 3
+
+    fr = multimodal.frame_sample(media, every_n_bytes=8, max_frames=3).collect()
+    per = {}
+    for r in fr:
+        per.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per.values())
+    assert all(r["frame_idx"] < 3 and len(r["frame"]) <= 8 for r in fr)
+    # deterministic: same payload → same frames
+    f1 = sorted((r["frame_idx"], bytes(r["frame"])) for r in per[1])
+    f3 = sorted((r["frame_idx"], bytes(r["frame"])) for r in per[3])
+    assert f1 == f3
