@@ -248,7 +248,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     l, r = bands.alias("l"), bands.alias("r")
-    pairs = (
+    return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -260,6 +260,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             F.col(f"r.{id_col}").alias("id_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
+        # filter BEFORE distinct: false band-candidates never enter the
+        # dedup shuffle (they dominate the candidate set at scale)
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
