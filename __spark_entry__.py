@@ -84,6 +84,23 @@ def _lql(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+FIXED_NOW = 1_706_745_600_000_000_000  # 2024-02-01 00:00:00 UTC
+
+
+def _lql_at(lql_text: str, now_ns: int) -> Callable[[SparkSession, str], DataFrame]:
+    """LQL with a pinned 'now' so relative/special datetime literals fold
+    deterministically (oracle-checkable)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        stmt = parse_lql(lql_text, now_ns)
+        df = compile_select(_logs(spark, sf_dir), stmt, now_ns=now_ns).select(
+            "ts", "msg", "tag_line", "src", "seq"
+        )
+        return df.withColumn("ts", F.expr("ts div 1000"))
+
+    return run
+
+
 def _lql_fmt(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stmt = parse_lql(lql_text)
@@ -396,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_glob_like": _lql("SELECT FROM name=click OR name=view WHERE msg LIKE '{\"k\": 1?}'"),
         "lql_fields_lex": _lql("SELECT WHERE fields:user < '11'"),
         "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
+        "lql_range_relative": _lql_at('SELECT FROM {name=view} RANGE "-22d"', FIXED_NOW),
         "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
         "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
@@ -768,6 +786,9 @@ def oracle_sql() -> dict[str, str]:
         "lql_fields_lex": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs WHERE f_user < '11'",
         "lql_range": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         f"WHERE tag_line = 'name=purchase' AND ts >= {RANGE_LO // 1000} AND ts <= {RANGE_HI // 1000}",
+        # -22d from the pinned now (2024-02-01) folds to exactly RANGE_LO
+        "lql_range_relative": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        f"WHERE tag_line = 'name=view' AND ts >= {RANGE_LO // 1000}",
         "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
         "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
