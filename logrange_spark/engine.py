@@ -324,6 +324,52 @@ class Engine:
             os.replace(self._catalog_path + ".tmp", self._catalog_path)
         return report
 
+    def compact(self, source: ast.Source | None = None,
+                target_file_bytes: int = 100 << 20) -> dict:
+        """Rewrite each partition's small files into ~``target_file_bytes``
+        files (default 100 MB — the reference's chunk roll size,
+        server/config.go:134). The ingest path writes one file per batch,
+        so partitions accumulate small files exactly like the reference
+        accumulates chunks; this is the OPTIMIZE analogue. Safe to re-run;
+        partitions already at one file per target size are skipped.
+        """
+        import math
+
+        src_ids = self.resolve_sources(source)
+        report: dict[str, dict] = {}
+        for src in src_ids:
+            part_dir = os.path.join(self.logs_path, f"src={src}")
+            if not os.path.isdir(part_dir):
+                continue
+            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+            want = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= want:
+                continue
+            tmp = part_dir + ".compact"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # files inside src=<id>/ hold every column except the src
+            # partition key; rewrite preserves the (ts, seq) order within
+            # files via sortWithinPartitions for row-group ts locality
+            (
+                self.spark.read.parquet(part_dir)
+                .coalesce(want)
+                .sortWithinPartitions("ts", "seq")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for f in files:
+                os.remove(os.path.join(part_dir, f))
+            moved = 0
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    os.replace(os.path.join(tmp, f), os.path.join(part_dir, f))
+                    moved += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            report[src] = {"files_before": len(files), "files_after": moved,
+                           "bytes": total}
+        return report
+
     # ------------------------------------------------------------- pipes
     def create_pipe(self, stmt: ast.CreatePipe) -> dict:
         from .pipes.service import start_pipe

@@ -168,3 +168,26 @@ def test_truncate_maxdbsize_drops_oldest_first(engine):
     assert rep["deleted_files"] >= 1
     remaining = {r["tag_line"] for r in engine.execute("SHOW PARTITIONS").collect()}
     assert remaining == {"name=mid", "name=new"}
+
+
+def test_compact_merges_batch_files(engine):
+    for b in range(4):
+        engine.write(
+            {"name": "cmp"},
+            [(BASE_TS + (b * 10 + i) * NS, f"b{b} m{i}", {"b": str(b)}) for i in range(5)],
+        )
+    before = engine.query("SELECT FROM {name=cmp} LIMIT 1000").collect()
+    info = engine.execute("DESCRIBE PARTITION {name=cmp}")
+    assert len(info["chunks"]) == 4
+    rep = engine.compact()
+    src = info["src"]
+    assert rep[src]["files_before"] == 4 and rep[src]["files_after"] == 1
+    info2 = engine.execute("DESCRIBE PARTITION {name=cmp}")
+    assert len(info2["chunks"]) == 1
+    assert info2["records"] == 20
+    after = engine.query("SELECT FROM {name=cmp} LIMIT 1000").collect()
+    assert [(r["ts"], r["seq"], r["msg"]) for r in after] == [
+        (r["ts"], r["seq"], r["msg"]) for r in before
+    ]
+    # idempotent
+    assert engine.compact() == {}
