@@ -178,6 +178,59 @@ class Engine:
             raise ValueError("query() accepts SELECT statements only")
         return self.select(stmt, now_ns)
 
+    def follow(self, lql: str, wait_timeout_s: float = 60.0, poll_s: float = 0.5):
+        """tail -f: generator yielding batches of new matching rows.
+
+        The WaitNewData analogue (reference: pkg/cursor/cursor.go:316-327,
+        capped at 60 s like pkg/backend/querier.go:42): each poll re-runs
+        the pruned scan strictly after the last-seen (ts, src, seq) cursor
+        — stateless between polls, any-executor. Stops after
+        ``wait_timeout_s`` with no new data. POSITION/OFFSET in the
+        statement apply to the first batch only.
+        """
+        import time as _time
+
+        from .compiler.select import CursorToken
+
+        stmt = parse_lql(lql)
+        if not isinstance(stmt, ast.Select):
+            raise ValueError("follow() accepts SELECT statements only")
+        if stmt.format:
+            raise ValueError("follow() requires the default projection (no format)")
+        wait_timeout_s = min(wait_timeout_s, 60.0)
+        cursor: CursorToken | None = None
+
+        pos = stmt.position.pos_id.lower() if stmt.position else "head"
+        if pos == "tail":
+            # start at end-of-stream: seed the cursor with the last row
+            probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
+                               ast.Position("tail"), -1, 1)
+            rows = self.select(probe, None).collect()
+            if rows:
+                cursor = CursorToken(rows[0]["ts"], rows[0]["src"], rows[0]["seq"])
+            stmt = ast.Select(stmt.format, stmt.source, stmt.range, stmt.where,
+                              None, None, stmt.limit)
+
+        idle_since = _time.monotonic()
+        while True:
+            if cursor is None:
+                batch = self.select(stmt, None).collect()
+            else:
+                nxt = ast.Select(
+                    stmt.format, stmt.source, stmt.range, stmt.where,
+                    ast.Position(cursor.encode()), None, stmt.limit,
+                )
+                batch = self.select(nxt, None).collect()
+            if batch:
+                last = batch[-1]
+                cursor = CursorToken(last["ts"], last["src"], last["seq"])
+                idle_since = _time.monotonic()
+                yield batch
+            elif _time.monotonic() - idle_since >= wait_timeout_s:
+                return
+            else:
+                _time.sleep(poll_s)
+
     # ------------------------------------------------------------- admin
     def show_partitions(self, stmt: ast.ShowPartitions) -> DataFrame:
         """SHOW PARTITIONS: per-partition record count + on-disk size,

@@ -191,3 +191,35 @@ def test_compact_merges_batch_files(engine):
     ]
     # idempotent
     assert engine.compact() == {}
+
+
+def test_follow_tail_sees_new_writes(engine):
+    import threading
+    import time
+
+    engine.write({"name": "fol"}, [(BASE_TS + i * NS, f"pre {i}", {}) for i in range(3)])
+    got: list = []
+
+    def consume():
+        for batch in engine.follow(
+            "SELECT FROM {name=fol} WHERE msg PREFIX 'post'", wait_timeout_s=10, poll_s=0.2
+        ):
+            got.extend(batch)
+            if len(got) >= 4:
+                return
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(1.0)
+    engine.write({"name": "fol"}, [(BASE_TS + (10 + i) * NS, f"post {i}", {}) for i in range(2)])
+    time.sleep(1.0)
+    engine.write({"name": "fol"}, [(BASE_TS + (20 + i) * NS, f"post {i+2}", {}) for i in range(2)])
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert [r["msg"] for r in got] == ["post 0", "post 1", "post 2", "post 3"]
+
+
+def test_follow_tail_skips_existing(engine):
+    engine.write({"name": "fol2"}, [(BASE_TS + i * NS, f"old {i}", {}) for i in range(3)])
+    batches = list(engine.follow("SELECT FROM {name=fol2} POSITION tail", wait_timeout_s=1.5, poll_s=0.2))
+    assert batches == []  # nothing new after end-of-stream → times out empty
