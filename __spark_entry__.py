@@ -414,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_fields_lex": _lql("SELECT WHERE fields:user < '11'"),
         "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
         "lql_range_relative": _lql_at('SELECT FROM {name=view} RANGE "-22d"', FIXED_NOW),
+        "lql_range_special": _lql_at(
+            'SELECT FROM {name=signup} RANGE "week"', 1_705_487_400_000_000_000
+        ),  # now = Wed 2024-01-17 10:30 UTC → week starts Sun 2024-01-14
         "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
         "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
@@ -789,6 +792,9 @@ def oracle_sql() -> dict[str, str]:
         # -22d from the pinned now (2024-02-01) folds to exactly RANGE_LO
         "lql_range_relative": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         f"WHERE tag_line = 'name=view' AND ts >= {RANGE_LO // 1000}",
+        # "week" special form folds to Sunday 2024-01-14 00:00 UTC
+        "lql_range_special": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+        f"WHERE tag_line = 'name=signup' AND ts >= {1_705_190_400 * 10**6}",
         "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
         "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
