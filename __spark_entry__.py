@@ -302,6 +302,27 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(timed, key_col="user_id", ts_col="t", gap="30 minutes")
 
 
+def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: quality filter → near-dup removal → survivors.
+
+    The canonical training-data curation pipeline: documents scoring
+    quality ≥ 0.5, with near-duplicates (token-Jaccard ≥ 0.8 via
+    MinHash-LSH candidates) removed keep-first (drop the higher doc_id of
+    each pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.text_stats(docs)
+    q = stats.where(F.col("quality") >= 0.5)
+    qdocs = docs.join(q.select("doc_id"), "doc_id")
+    drop = (
+        dedup.near_duplicates(qdocs, "doc_id", "text", threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return q.select("doc_id", "quality", "fingerprint").join(
+        drop, "doc_id", "left_anti"
+    )
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann.embedding_near_duplicates(emb, threshold=0.3)
@@ -455,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bucketed_topk": _q_ann_bucketed,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
+        "training_pipeline": _q_training_pipeline,
         # ingestion parsers (SURVEY §2.1 S5-S8)
         "parse_k8json": _q_parse_k8json,
         "parse_logfmt": _q_parse_logfmt,
@@ -465,11 +487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------- oracle generation
-def _tok_cte() -> str:
+def _tok_cte(src: str = "documents") -> str:
     return (
         "toks AS (SELECT doc_id, "
         "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS w "
-        "FROM documents)"
+        f"FROM {src})"
     )
 
 
@@ -675,6 +697,31 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def _training_pipeline_sql(min_quality: float = 0.5, threshold: float = 0.8) -> str:
+    """Quality-filter → near-dup-removal pipeline over a qdocs CTE; the
+    near-dup machinery is the same generated SQL as dedup_near_duplicates
+    but rooted at the quality-filtered documents."""
+    return (
+        f"WITH stats AS ({_text_stats_sql()}), "
+        f"q AS (SELECT doc_id, quality, fingerprint FROM stats WHERE quality >= {min_quality}), "
+        "qdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)), "
+        f"{_tok_cte('qdocs')}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        "pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        "  FROM bands l JOIN bands r "
+        "  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), "
+        "dtok AS (SELECT doc_id, list_distinct(w) AS tok FROM toks), "
+        "nd AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) "
+        "        / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard "
+        "  FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id "
+        "  JOIN dtok b ON pairs.id_b = b.doc_id) "
+        f"WHERE jaccard >= {threshold}) "
+        "SELECT doc_id, quality, fingerprint FROM q "
+        "WHERE doc_id NOT IN (SELECT id_b FROM nd)"
+    )
 
 
 def _emb_neardup_sql(threshold: float) -> str:
@@ -893,6 +940,7 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "text_rolling_hash": _rolling_hash_sql(),
         "events_sessions": _SESSIONS_SQL,
         "dedup_embedding": _emb_neardup_sql(0.3),
+        "training_pipeline": _training_pipeline_sql(0.5, 0.8),
         "parse_k8json": _PARSE_K8JSON_SQL,
         "parse_logfmt": _PARSE_LOGFMT_SQL,
         "parse_text_autodetect": _PARSE_TEXT_SQL,

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding",
     "parse_k8json",
     "events_sessions",
+    "training_pipeline",
 ]
 
 
