@@ -310,15 +310,17 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH candidates) removed keep-first (drop the higher doc_id of
     each pair)."""
     docs = _t(spark, sf_dir, "documents")
-    stats = text.text_stats(docs)
-    q = stats.where(F.col("quality") >= 0.5)
-    qdocs = docs.join(q.select("doc_id"), "doc_id")
+    # quality is a pure map-side expression — filter the docs directly
+    # instead of self-joining against the stats frame (no shuffle).
+    # Round like text_stats does so the threshold matches the oracle's
+    # rounded quality column.
+    qdocs = docs.where(F.round(text.quality_score(F.col("text")), 6) >= 0.5)
     drop = (
         dedup.near_duplicates(qdocs, "doc_id", "text", threshold=0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    return q.select("doc_id", "quality", "fingerprint").join(
+    return text.text_stats(qdocs).select("doc_id", "quality", "fingerprint").join(
         drop, "doc_id", "left_anti"
     )
 
