@@ -214,6 +214,43 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NS_PER_DAY = 86_400 * 10**9
+FUNNEL_WINDOW_NS = 7 * NS_PER_DAY
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion funnel: per signup day, users whose first signup
+    is followed by a purchase within 7 days. Plan shape: groupBy(user)
+    shuffle → co-partitioned join on user → tiny cohort aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        (F.col("pts") > F.col("signup_ts"))
+        & (F.col("pts") <= F.col("signup_ts") + F.lit(FUNNEL_WINDOW_NS))
+    )
+    per_user = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(F.max(F.when(conv, 1).otherwise(0)).alias("converted"))
+    )
+    return (
+        per_user.withColumn("cohort_day", F.expr(f"signup_ts div {NS_PER_DAY}"))
+        .groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
+        )
+    )
+
+
 def _q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -461,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_customers": _q_distinct_customers,
         "events_hourly": _q_events_hourly,
         "nations_with_both": _q_nations_with_both,
+        "events_funnel": _q_events_funnel,
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_candidates": _q_lsh_candidates,
@@ -921,6 +959,24 @@ FROM events GROUP BY 1, 2""".strip(),
 SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
 INTERSECT
 SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey""".strip(),
+        "events_funnel": f"""
+WITH s AS (
+  SELECT user_id, min(epoch_ns(ts)) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, epoch_ns(ts) AS pts FROM events WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT s.user_id, s.signup_ts,
+         max(CASE WHEN p.pts > s.signup_ts
+                   AND p.pts <= s.signup_ts + {FUNNEL_WINDOW_NS}
+                  THEN 1 ELSE 0 END) AS converted
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+  GROUP BY s.user_id, s.signup_ts)
+SELECT signup_ts // {NS_PER_DAY} AS cohort_day,
+       count(*) AS n_signups,
+       sum(converted) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
+FROM per_user GROUP BY 1
+""".strip(),
         "dedup_exact": """
 SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
        count(*) AS dup_count
