@@ -218,6 +218,23 @@ NS_PER_DAY = 86_400 * 10**9
 FUNNEL_WINDOW_NS = 7 * NS_PER_DAY
 
 
+def _q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++ sketch).
+
+    No oracle entry on purpose: HLL register layouts and hash functions
+    are engine-specific, so cross-engine value equality is impossible —
+    the driver records the weaker rows-only check. The exact companion
+    (`events_hourly`, `distinct_customers`) pins down correctness; this
+    pins down the sketch path that replaces exact distinct at 100 TB
+    (mergeable partial aggregation, no exact-distinct shuffle explosion).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
 def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort conversion funnel: per signup day, users whose first signup
     is followed by a purchase within 7 days. Plan shape: groupBy(user)
@@ -499,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "nations_with_both": _q_nations_with_both,
         "events_funnel": _q_events_funnel,
+        "events_approx_users": _q_events_approx_users,  # rows-only: HLL is engine-specific
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_candidates": _q_lsh_candidates,

@@ -125,3 +125,45 @@ def test_syslog_forwarder(loaded_engine):
     finally:
         q.stop()
         srv.shutdown()
+
+
+def test_sessionize_streaming(spark, tmp_path):
+    """sessionize runs as a Structured Streaming query: file source →
+    watermark → session_window aggregation → memory sink (complete mode)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.streaming import sessionize
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    rows = [
+        {"user_id": 1, "t": "2024-01-01 00:00:00"},
+        {"user_id": 1, "t": "2024-01-01 00:10:00"},
+        {"user_id": 1, "t": "2024-01-01 01:00:00"},
+        {"user_id": 2, "t": "2024-01-01 02:00:00"},
+    ]
+    (src_dir / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("user_id long, t string")
+        .json(str(src_dir))
+        .select("user_id", F.to_timestamp("t").alias("t"))
+        .withWatermark("t", "2 hours")
+    )
+    q = (
+        sessionize(stream, key_col="user_id", ts_col="t")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
