@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from logrange_spark.compiler.select import compile_select
 from logrange_spark.ingest import parsers
 from logrange_spark.lql.parser import parse_lql
-from logrange_spark.ops import ann, dedup, multimodal, text
+from logrange_spark.ops import ann, dedup, joins, multimodal, text
 
 NS_PER_HOUR = 3_600 * 10**9
 # RANGE bounds for the lql_range query, folded like the LQL compiler does
@@ -266,6 +266,120 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
         )
     )
+
+
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/joins.py; beyond-reference, SURVEY §2.8): each
+    purchase enriched with the latest prior-or-equal click value of the
+    same user. union + one window pass — a single shuffle on user_id,
+    no join operator at all, whole plan codegen'd."""
+    # whole computation in µs: DuckDB truncates parquet ns timestamps to
+    # µs, and the ordering (not just the output) must agree across engines
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return joins.asof_join(
+        p, c, on=["user_id"], values=["value"], tie_break="event_id"
+    ).select("event_id", "user_id", "ts", "asof_value")
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join (ops/joins.py): clicks within the hour before
+    each purchase, aggregated per purchase. Equality key (user_id)
+    rides the join keys → hash/SMJ with the interval as residual."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), "value"
+    )
+    j = joins.range_join(
+        p, c, on=["user_id"], left_ts="ts", right_ts="cts",
+        lower=-NS_PER_HOUR // 1000, upper=0, how="left",
+    )
+    return j.groupBy(
+        F.col("__l.event_id").alias("event_id"),
+        F.col("__l.user_id").alias("user_id"),
+        F.col("__l.ts").alias("ts"),
+    ).agg(
+        F.count(F.col("__r.cts")).alias("n_clicks"),
+        F.coalesce(F.sum(F.col("__r.value").cast(_DEC)), F.lit(0).cast(_DEC))
+        .cast("double")
+        .alias("click_value"),
+    )
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (nation, segment): subtotals + grand total
+    in one shuffle with map-side partial aggregation (the hypertable
+    rollup analogue). nation/customer dims broadcast under AQE."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(cst, o.o_custkey == cst.c_custkey).join(
+        F.broadcast(n), cst.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts, one column per event type. The pivot
+    value list is explicit so Spark skips the extra distinct-values job
+    and the output schema is stable at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.expr(f"ts div {NS_PER_DAY}"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def _q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95) per order priority.
+    Exact percentile needs the per-group values together — fine at dim-
+    like group counts; at 100 TB swap in approx_percentile (t-digest,
+    mergeable map-side partials) — same call shape."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def _q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): nations that have customers but no
+    high-balance (acctbal > 8000) supplier."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 8000)
+    cust_nations = n.join(c, n.n_nationkey == c.c_nationkey).select("n_name")
+    supp_nations = n.join(s, n.n_nationkey == s.s_nationkey).select("n_name")
+    # subtract == SQL EXCEPT (set semantics): drops every nation that
+    # appears on the supplier side, regardless of multiplicity
+    return cust_nations.subtract(supp_nations)
 
 
 def _q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_customers": _q_distinct_customers,
         "events_hourly": _q_events_hourly,
         "nations_with_both": _q_nations_with_both,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "revenue_rollup": _q_revenue_rollup,
+        "events_daily_pivot": _q_events_daily_pivot,
+        "order_price_percentiles": _q_order_price_percentiles,
+        "nations_without_suppliers": _q_nations_without_suppliers,
         "events_funnel": _q_events_funnel,
         "events_approx_users": _q_events_approx_users,  # rows-only: HLL is engine-specific
         # training-data pipeline: dedup
@@ -977,6 +1097,57 @@ FROM events GROUP BY 1, 2""".strip(),
 SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
 INTERSECT
 SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey""".strip(),
+        "events_asof": """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts, 0 AS side, event_id AS tie,
+         {'rts': epoch_us(ts), 'value': value} AS rrow,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1, 0, NULL, event_id
+  FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id, ts,
+       (last_value(rrow IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, side, tie
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).value AS asof_value
+FROM u QUALIFY side = 1""".strip(),
+        "events_range_join": f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS cts, value FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
+       CAST(COALESCE(SUM(CAST(c.value AS {dec})), 0) AS DOUBLE) AS click_value
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
+GROUP BY 1, 2, 3""".strip(),
+        "events_daily_pivot": f"""
+SELECT epoch_ns(ts) // {NS_PER_DAY} AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1""".strip(),
+        "order_price_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       count(*) AS n_orders
+FROM orders GROUP BY 1""".strip(),
+        "nations_without_suppliers": """
+SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+EXCEPT
+SELECT n_name FROM nation JOIN supplier
+  ON n_nationkey = s_nationkey AND s_acctbal > 8000""".strip(),
+        "revenue_rollup": f"""
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(c_mktsegment, '(all)') AS segment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)""".strip(),
         "events_funnel": f"""
 WITH s AS (
   SELECT user_id, min(epoch_ns(ts)) AS signup_ts FROM events
