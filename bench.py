@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_embedding",
     "parse_k8json",
     "events_sessions",
+    "events_asof",
+    "events_range_join",
     "training_pipeline",
 ]
 

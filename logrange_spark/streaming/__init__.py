@@ -8,10 +8,10 @@ built on Spark's native streaming primitives so the same code runs in batch
 
 - ``sessionize``  — gap-based session windows via ``F.session_window``;
   in streaming, pair with ``withWatermark`` before the groupBy.
-- For custom state machines that session_window can't express, the
-  pattern is ``applyInPandasWithState`` over ``groupBy(key)`` — see
-  ``sessionize_custom_state`` for the shape (kept minimal; the built-in
-  session_window covers the gap-session case and stays JVM-side).
+- ``stateful.stateful_dedupe`` — custom stateful operator via
+  ``applyInPandasWithState`` over ``groupBy(key)``: cross-batch exact
+  dedup with optional state TTL. The template for any state machine
+  ``session_window`` can't express.
 """
 
 from __future__ import annotations
