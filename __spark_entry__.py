@@ -314,6 +314,31 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+US_PER_MIN = 60 * 10**6
+
+
+def _q_events_corr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less interval join (ops/joins.range_join_buckets): clicks by
+    ANY user within ±60 s of each error event. Time-bucket blocking
+    turns the would-be nested-loop cross join into a bucket equi-join
+    (right side duplicated ≤2×), then counts join back onto all errors."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    e = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("cts")
+    )
+    j = joins.range_join_buckets(
+        e, c, left_ts="ts", right_ts="cts",
+        lower=-US_PER_MIN, upper=US_PER_MIN,
+    )
+    counts = j.groupBy(F.col("__l.event_id").alias("event_id")).agg(
+        F.count("*").alias("n_nearby")
+    )
+    return e.join(counts, "event_id", "left").select(
+        "event_id", "ts", F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby")
+    )
+
+
 def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP over (nation, segment): subtotals + grand total
     in one shuffle with map-side partial aggregation (the hypertable
@@ -632,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "revenue_rollup": _q_revenue_rollup,
+        "events_corr_window": _q_events_corr_window,
         "events_daily_pivot": _q_events_daily_pivot,
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
@@ -1121,6 +1147,15 @@ SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
 FROM p LEFT JOIN c ON p.user_id = c.user_id
  AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
 GROUP BY 1, 2, 3""".strip(),
+        "events_corr_window": f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT epoch_us(ts) AS cts FROM events WHERE event_type = 'click'),
+n AS (SELECT e.event_id, count(*) AS n_nearby
+      FROM e JOIN c ON c.cts >= e.ts - {US_PER_MIN} AND c.cts < e.ts + {US_PER_MIN}
+      GROUP BY 1)
+SELECT e.event_id, e.ts, COALESCE(n.n_nearby, 0) AS n_nearby
+FROM e LEFT JOIN n USING (event_id)""".strip(),
         "events_daily_pivot": f"""
 SELECT epoch_ns(ts) // {NS_PER_DAY} AS day,
        count(*) FILTER (event_type = 'click') AS click,

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "range_join_buckets"]
 
 
 def asof_join(
@@ -145,3 +145,65 @@ def range_join(
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
     cond = cond & (rts >= lts + F.lit(int(lower))) & (rts < lts + F.lit(int(upper)))
     return left.alias("__l").join(right.alias("__r"), cond, how)
+
+
+def _floordiv(col: Column, b: int) -> Column:
+    """Floor division on longs, negative-safe. ``pmod`` makes the
+    numerator an exact multiple of ``b``, so the double division is
+    within 1 ulp of an integer and ``round`` recovers it exactly —
+    naive ``floor(x/b)`` on epoch-ns longs (> 2^53) silently loses
+    precision, and ``cast("long")`` truncates toward zero."""
+    q = col.cast("long")
+    return F.round((q - F.pmod(q, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int = 0,
+    upper: int = 0,
+    bucket: int | None = None,
+) -> DataFrame:
+    """Key-less interval join at scale: right rows with ``right_ts`` in
+    ``[left_ts + lower, left_ts + upper)`` — no equality key available.
+
+    A naive formulation is a nested-loop cross join (O(|L|·|R|), and on
+    Spark a single-task BroadcastNestedLoopJoin). Instead, block time
+    into fixed buckets of width ``bucket`` (default: the interval span):
+    each left row keys by its own bucket; each right row is duplicated
+    into every bucket its match-window overlaps (≤ 2 copies when
+    ``bucket >= span``). The join becomes an equi-join on the bucket id
+    with the interval as residual — a plain shuffled hash join that
+    scales out, at the cost of ~2× duplication of the right side.
+
+    Returns the joined frame aliased ``__l`` / ``__r`` (inner join: a
+    pair appears exactly once because the left bucket is unique).
+    """
+    span = int(upper) - int(lower)
+    if span <= 0:
+        raise ValueError("upper must be > lower")
+    b = int(bucket) if bucket is not None else span
+
+    lts = F.col(left_ts).cast("long")
+    rts = F.col(right_ts).cast("long")
+    # matching left rows have lts in (rts - upper, rts - lower]
+    l_b = left.withColumn("__bkt", _floordiv(lts, b))
+    r_b = right.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                _floordiv(rts - F.lit(int(upper)) + F.lit(1), b),
+                _floordiv(rts - F.lit(int(lower)), b),
+            )
+        ),
+    )
+    lts_j = F.col(f"__l.{left_ts}").cast("long")
+    rts_j = F.col(f"__r.{right_ts}").cast("long")
+    cond = (
+        (F.col("__l.__bkt") == F.col("__r.__bkt"))
+        & (rts_j >= lts_j + F.lit(int(lower)))
+        & (rts_j < lts_j + F.lit(int(upper)))
+    )
+    return l_b.alias("__l").join(r_b.alias("__r"), cond, "inner")

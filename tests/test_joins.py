@@ -111,3 +111,28 @@ def test_range_join_plan_is_not_cartesian(spark):
                          lower=-100, upper=0)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_range_join_buckets_matches_bruteforce(spark):
+    """Bucket-blocked keyless interval join == brute-force cross-join
+    filter, including negative timestamps (floor-division correctness)
+    and window edges (inclusive lower, exclusive upper)."""
+    lrows = [(i, t) for i, t in enumerate(range(-150, 151, 37))]
+    rrows = [(j, t) for j, t in enumerate(range(-160, 161, 23))]
+    left = spark.createDataFrame(lrows, "lid long, ts long")
+    right = spark.createDataFrame(rrows, "rid long, rts long")
+    lo, hi = -50, 30
+    j = joins.range_join_buckets(
+        left, right, left_ts="ts", right_ts="rts", lower=lo, upper=hi
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in j.select(F.col("__l.lid"), F.col("__r.rid")).collect()
+    }
+    want = {
+        (li, rj)
+        for li, lt in lrows
+        for rj, rt in rrows
+        if lt + lo <= rt < lt + hi
+    }
+    assert got == want and len(want) > 0
