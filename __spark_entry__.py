@@ -36,7 +36,25 @@ RANGE_LO = 1_704_844_800_000_000_000  # 2024-01-10 00:00:00 UTC
 RANGE_HI = 1_705_708_800_000_000_000  # 2024-01-20 00:00:00 UTC
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Make the entry contract hold on a *vanilla* SparkSession.
+
+    The driver harness builds its own session (not ``build_session``), so
+    every conf the query paths rely on must be (re-)applied here at runtime.
+    Both confs below are runtime-settable and idempotent:
+
+    - ``nanosAsLong``: the testdata stores ``events.ts`` as parquet
+      TIMESTAMP(NANOS); Spark refuses that type unless it is read back as
+      a LongType of epoch-ns — exactly the log schema's ``ts``.
+    - session timezone UTC: ``lql_format*`` render via ``date_format``;
+      without this the rendered strings depend on the host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

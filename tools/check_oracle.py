@@ -50,7 +50,6 @@ def main() -> int:
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry_mod
-    from logrange_spark import build_session
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
@@ -62,7 +61,22 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args or list(qs)
 
-    spark = build_session(app_name="check-oracle")
+    if "--tuned" in sys.argv:
+        from logrange_spark import build_session
+
+        spark = build_session(app_name="check-oracle")
+    else:
+        # Mirror the driver harness: a VANILLA session — no engine confs.
+        # Every conf the entry path needs must come from __spark_entry__
+        # itself (see _ensure_session_conf); round 1 died on exactly this.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-oracle-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
