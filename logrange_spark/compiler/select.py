@@ -105,29 +105,30 @@ def compile_select(
     if sel.where is not None:
         df = df.where(compile_where(sel.where, now_ns))
 
-    backward = False
     offset = sel.offset or 0
     pos = sel.position.pos_id.lower() if sel.position else "head"
-    if pos == "head":
-        if offset < 0:
-            offset = 0  # can't step back from head
-    elif pos == "tail":
-        # tail + negative offset reads the last |offset| records
-        # (reference: pkg/cursor/cursor.go:246-285 backward walk)
-        if offset < 0:
-            backward = True
-            offset = 0
-            # caller's LIMIT applies from the tail backwards; results are
-            # re-sorted ascending below for a stable output contract
-        else:
-            # at end-of-stream going forward: nothing to return in batch mode
-            return _project(df.where(F.lit(False)), sel).limit(0)
     limit = sel.limit if sel.limit is not None else default_limit
 
     asc = [F.col(c).asc() for c in ORDER_COLUMNS]
     desc = [F.col(c).desc() for c in ORDER_COLUMNS]
 
-    if pos not in ("head", "tail"):
+    if pos == "head":
+        if offset < 0:
+            offset = 0  # can't step back from head
+    elif pos == "tail":
+        # tail + OFFSET -n: the cursor steps back n records from the end,
+        # then reads LIMIT *forward* (reference: pkg/cursor/cursor.go:246-285
+        # backward walk then forward read) — so the window is the last n
+        # records and LIMIT selects from the start of that window. When
+        # n != LIMIT the two caps differ; both apply.
+        if offset < 0:
+            df = df.orderBy(*desc).limit(-offset)  # the last n records
+            offset = 0
+            # fall through: re-sorted ascending, then forward LIMIT
+        else:
+            # at end-of-stream going forward: nothing to return in batch mode
+            return _project(df.where(F.lit(False)), sel).limit(0)
+    else:
         tok = CursorToken.decode(sel.position.pos_id)
         if offset >= 0:
             df = df.where(after_cursor(tok))
@@ -141,21 +142,11 @@ def compile_select(
             back = df.where(~after_cursor(tok)).orderBy(*desc).limit(n)
             df = back.unionByName(df.where(after_cursor(tok)))
 
-    if backward:
-        take = (offset + limit) if limit is not None else None
-        df = df.orderBy(*desc)
-        if take is not None:
-            df = df.limit(take)
-        if offset:
-            df = df.orderBy(*desc).offset(offset)
-        # restore ascending order for output
-        df = df.orderBy(*asc)
-    else:
-        df = df.orderBy(*asc)
-        if offset:
-            df = df.offset(offset)
-        if limit is not None:
-            df = df.limit(limit)
+    df = df.orderBy(*asc)
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
 
     return _project(df, sel)
 
