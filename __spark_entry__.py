@@ -20,12 +20,14 @@ Determinism rules used throughout (so value hashes match the oracle):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logrange_spark.compiler.select import compile_select
+from logrange_spark.engine import MAX_LIMIT
 from logrange_spark.ingest import parsers
 from logrange_spark.lql.parser import parse_lql
 from logrange_spark.ops import ann, dedup, joins, multimodal, text
@@ -36,8 +38,18 @@ RANGE_LO = 1_704_844_800_000_000_000  # 2024-01-10 00:00:00 UTC
 RANGE_HI = 1_705_708_800_000_000_000  # 2024-01-20 00:00:00 UTC
 
 
+_CONFIGURED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Make the entry contract hold on a *vanilla* SparkSession.
+
+    GLOBAL-MUTATION CONTRACT: this sets session-wide confs (UTC session
+    timezone, parquet nanosAsLong) on the *shared* driver session — any
+    other queries the harness runs on the same session see them too.
+    Both are required for correct results here (see below) and are
+    idempotent; the WeakSet memo means the two conf RPCs fire once per
+    session, not per table read.
 
     The driver harness builds its own session (not ``build_session``), so
     every conf the query paths rely on must be (re-)applied here at runtime.
@@ -49,8 +61,11 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     - session timezone UTC: ``lql_format*`` render via ``date_format``;
       without this the rendered strings depend on the host timezone.
     """
+    if spark in _CONFIGURED_SESSIONS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFIGURED_SESSIONS.add(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,7 +108,10 @@ _STD = "ts, msg, tag_line, src, seq"
 def _lql(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stmt = parse_lql(lql_text)
-        df = compile_select(_logs(spark, sf_dir), stmt).select(
+        # LIMIT-less queries get the server-side 10k cap (reference:
+        # pkg/backend/querier.go:43) — at scale this turns the full
+        # global sort into TakeOrderedAndProject
+        df = compile_select(_logs(spark, sf_dir), stmt, default_limit=MAX_LIMIT).select(
             "ts", "msg", "tag_line", "src", "seq"
         )
         # cross-engine boundary: µs (DuckDB truncates ns parquet to µs)
@@ -111,9 +129,9 @@ def _lql_at(lql_text: str, now_ns: int) -> Callable[[SparkSession, str], DataFra
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stmt = parse_lql(lql_text, now_ns)
-        df = compile_select(_logs(spark, sf_dir), stmt, now_ns=now_ns).select(
-            "ts", "msg", "tag_line", "src", "seq"
-        )
+        df = compile_select(
+            _logs(spark, sf_dir), stmt, now_ns=now_ns, default_limit=MAX_LIMIT
+        ).select("ts", "msg", "tag_line", "src", "seq")
         return df.withColumn("ts", F.expr("ts div 1000"))
 
     return run
@@ -122,7 +140,7 @@ def _lql_at(lql_text: str, now_ns: int) -> Callable[[SparkSession, str], DataFra
 def _lql_fmt(lql_text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         stmt = parse_lql(lql_text)
-        df = compile_select(_logs(spark, sf_dir), stmt)
+        df = compile_select(_logs(spark, sf_dir), stmt, default_limit=MAX_LIMIT)
         return df.withColumn("ts", F.expr("ts div 1000"))
 
     return run
@@ -237,19 +255,31 @@ FUNNEL_WINDOW_NS = 7 * NS_PER_DAY
 
 
 def _q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per event type (HyperLogLog++ sketch).
+    """Approximate distinct users per event type (HyperLogLog++ sketch),
+    made oracle-checkable via an error-bound contract.
 
-    No oracle entry on purpose: HLL register layouts and hash functions
-    are engine-specific, so cross-engine value equality is impossible —
-    the driver records the weaker rows-only check. The exact companion
-    (`events_hourly`, `distinct_customers`) pins down correctness; this
-    pins down the sketch path that replaces exact distinct at 100 TB
-    (mergeable partial aggregation, no exact-distinct shuffle explosion).
-    """
+    HLL register layouts / hash functions are engine-specific, so the
+    estimate itself can't be value-compared cross-engine. Instead the
+    query emits the exact count (oracle-checked directly) plus
+    ``hll_within_bound`` — the HLL++ estimate at rsd=0.02 landing within
+    a documented 5% (2.5σ) relative-error bound of the exact count. The
+    oracle asserts that column is TRUE, which verifies the sketch path
+    (the mergeable partial aggregation that replaces exact distinct at
+    100 TB) without comparing register-level internals."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("hll_within_bound"),
     )
 
 
@@ -680,7 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
         "events_funnel": _q_events_funnel,
-        "events_approx_users": _q_events_approx_users,  # rows-only: HLL is engine-specific
+        "events_approx_users": _q_events_approx_users,
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_candidates": _q_lsh_candidates,
@@ -1054,16 +1084,21 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY ts, src, seq LIMIT 500",
         "lql_glob_like": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "WHERE (src = 'click' OR src = 'view') "
-        "AND regexp_matches(msg, '^\\{\"k\": 1[^/]\\}$')",
-        "lql_fields_lex": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs WHERE f_user < '11'",
+        "AND regexp_matches(msg, '^\\{\"k\": 1[^/]\\}$') "
+        "ORDER BY ts, src, seq LIMIT 10000",
+        "lql_fields_lex": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs WHERE f_user < '11' "
+        "ORDER BY ts, src, seq LIMIT 10000",
         "lql_range": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        f"WHERE tag_line = 'name=purchase' AND ts >= {RANGE_LO // 1000} AND ts <= {RANGE_HI // 1000}",
+        f"WHERE tag_line = 'name=purchase' AND ts >= {RANGE_LO // 1000} AND ts <= {RANGE_HI // 1000} "
+        "ORDER BY ts, src, seq LIMIT 10000",
         # -22d from the pinned now (2024-02-01) folds to exactly RANGE_LO
         "lql_range_relative": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        f"WHERE tag_line = 'name=view' AND ts >= {RANGE_LO // 1000}",
+        f"WHERE tag_line = 'name=view' AND ts >= {RANGE_LO // 1000} "
+        "ORDER BY ts, src, seq LIMIT 10000",
         # "week" special form folds to Sunday 2024-01-14 00:00 UTC
         "lql_range_special": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        f"WHERE tag_line = 'name=signup' AND ts >= {1_705_190_400 * 10**6}",
+        f"WHERE tag_line = 'name=signup' AND ts >= {1_705_190_400 * 10**6} "
+        "ORDER BY ts, src, seq LIMIT 10000",
         "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
         "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
@@ -1079,14 +1114,17 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY ts DESC, src DESC, seq DESC LIMIT 400) "
         "ORDER BY ts, src, seq",
         "lql_not_expr": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        "WHERE (src = 'click' OR src = 'view') AND NOT (f_user LIKE '1%')",
+        "WHERE (src = 'click' OR src = 'view') AND NOT (f_user LIKE '1%') "
+        "ORDER BY ts, src, seq LIMIT 10000",
         "lql_upper_func": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        "WHERE contains(upper(msg), '\"K\": 9')",
+        "WHERE contains(upper(msg), '\"K\": 9') "
+        "ORDER BY ts, src, seq LIMIT 10000",
         "lql_format": f"WITH {_LOGS_CTE} "
         "SELECT ts, src, seq, "
         "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || 'Z' "
         "|| ' ' || src || ' ' || msg AS line "
-        "FROM logs WHERE tag_line = 'name=signup'",
+        "FROM logs WHERE tag_line = 'name=signup' "
+        "ORDER BY ts, src, seq LIMIT 10000",
         # {vars} = tag_line + "," + fields kv; {msg.json()} escape chain
         # mirrors compiler/formatter._json_escape (backslash first)
         "lql_format_full": f"WITH {_LOGS_CTE} "
@@ -1096,7 +1134,8 @@ def oracle_sql() -> dict[str, str]:
         "|| replace(replace(replace(replace(replace(msg, "
         "'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') "
         "|| ']' AS line "
-        "FROM logs WHERE tag_line = 'name=click'",
+        "FROM logs WHERE tag_line = 'name=click' "
+        "ORDER BY ts, src, seq LIMIT 10000",
         "show_partitions": f"WITH {_LOGS_CTE} SELECT tag_line, "
         "count(*) AS records, CAST(sum(octet_length(encode(msg))) AS BIGINT) AS size "
         "FROM logs GROUP BY tag_line",
@@ -1132,6 +1171,12 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
 SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority""".strip(),
+        # exact column checked directly; hll_within_bound asserts the Spark
+        # HLL++ estimate (rsd=0.02) is within the documented 5% bound
+        "events_approx_users": """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       count(*) AS n, TRUE AS hll_within_bound
+FROM events GROUP BY event_type""".strip(),
         "events_hourly": f"""
 SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS hour_bucket,
   count(*) AS n, count(DISTINCT user_id) AS n_users,
@@ -1215,7 +1260,7 @@ per_user AS (
   GROUP BY s.user_id, s.signup_ts)
 SELECT signup_ts // {NS_PER_DAY} AS cohort_day,
        count(*) AS n_signups,
-       sum(converted) AS n_converted,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
        round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
 FROM per_user GROUP BY 1
 """.strip(),

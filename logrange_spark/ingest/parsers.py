@@ -110,9 +110,14 @@ def parse_logfmt(
     if fields is not None:
         wanted = F.array(*[F.lit(f) for f in fields])
         kv = F.map_filter(kv, lambda k, _: F.array_contains(wanted, k))
-    fields_col = F.when(j["stream"].isNotNull(),
-                        F.map_concat(kv, F.create_map(F.lit("stream"), j["stream"])))\
-                  .otherwise(kv)
+    # logfmt body keys win over the k8s envelope's stream on collision
+    # (a body containing ``stream=...`` must not crash map_concat under
+    # mapKeyDedupPolicy=EXCEPTION; reference fields are first-match,
+    # pkg/model/field/field.go:143-157)
+    fields_col = F.when(
+        j["stream"].isNotNull() & ~F.map_contains_key(kv, F.lit("stream")),
+        F.map_concat(kv, F.create_map(F.lit("stream"), j["stream"])),
+    ).otherwise(kv)
     return df.select(ts.alias("ts"), body.alias("msg"), fields_col.alias("fields"))
 
 

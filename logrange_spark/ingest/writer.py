@@ -3,8 +3,10 @@
 The Spark analogue of the reference write path (api/rpc/ingestor.go:107-118
 → pkg/partition/partition.go:159-211): write-level tags identify the
 partition; write-level fields are merged into each record's fields
-(write-level first, record-level wins on key clash — mirrors
-api/rpc/ingestor.go:159-230); the tag set is canonicalized and hashed to
+(write-level fields are concatenated first and field lookup is
+first-match, so write-level WINS on key clash — mirrors
+api/rpc/ingestor.go:159-230 + pkg/model/field/field.go:143-157); the tag
+set is canonicalized and hashed to
 the physical partition key ``src``; ``seq`` is assigned monotonically per
 src from a persisted high-water mark.
 
@@ -86,6 +88,8 @@ def normalize_batch(
     first, last = seq_state.next_range(src, len(evs))
     rows = []
     for i, (ts, msg, fields) in enumerate(evs):
-        merged = {**wfields, **fields} if wfields else fields
+        # dict-merge: later keys win, so record fields go first and
+        # write-level fields overwrite on clash (write-level wins)
+        merged = {**fields, **wfields} if wfields else fields
         rows.append((ts, msg, merged, tmap, line, src, first + i))
     return NormalizedBatch(rows, src, line, first, last)

@@ -55,13 +55,23 @@ def start_pipe(engine, defn: dict):
         stream = stream.where(compile_where(where))
 
     # source-tag enrichment: tags become fields on the piped record
-    # (reference: pkg/pipe/worker.go:67-69)
+    # (reference: pkg/pipe/worker.go:67-69). On key collision the record's
+    # own field wins — the reference's field lookup is first-match and
+    # record fields are concatenated first (pkg/model/field/field.go:143-157)
+    # — so colliding tag keys are filtered out rather than letting
+    # map_concat throw DUPLICATE_MAP_KEY under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION.
     enriched = (
         stream.withColumn(
             "fields",
             F.map_concat(
                 F.coalesce(F.col("fields"), F.expr("map()")),
-                F.coalesce(F.col("tags"), F.expr("map()")),
+                F.map_filter(
+                    F.coalesce(F.col("tags"), F.expr("map()")),
+                    lambda k, _: ~F.map_contains_key(
+                        F.coalesce(F.col("fields"), F.expr("map()")), k
+                    ),
+                ),
             ),
         )
         .withColumn(

@@ -139,9 +139,21 @@ def test_write_level_fields(engine):
         fields={"host": "h9", "a": "0"},
     )
     rows = engine.query("SELECT FROM {name=x} LIMIT 10").collect()
-    # record-level field wins on clash; write-level fields merged in
-    assert rows[0]["fields"] == {"a": "1", "host": "h9"}
+    # write-level field WINS on clash (reference concats write-level first,
+    # lookup is first-match: api/rpc/ingestor.go:159-230 +
+    # pkg/model/field/field.go:143-157); non-clashing keys merge
+    assert rows[0]["fields"] == {"a": "0", "host": "h9"}
     assert rows[1]["fields"] == {"a": "0", "host": "h9"}
+
+
+def test_tail_offset_past_start_returns_all(engine):
+    """tail OFFSET -n with n > row count: the backward walk stops at the
+    beginning of the stream and the forward read returns everything —
+    pins the edge the reference leaves implicit (pkg/cursor/cursor.go
+    Offset err branch sets pos unknown; our contract: start-of-stream)."""
+    engine.write({"name": "tiny"}, [(BASE_TS + i * NS, f"m{i}", {}) for i in range(5)])
+    rows = engine.query("SELECT FROM {name=tiny} POSITION tail OFFSET -100 LIMIT 100").collect()
+    assert [r["msg"] for r in rows] == [f"m{i}" for i in range(5)]
 
 
 def test_seq_monotonic_across_writes(engine):

@@ -1,0 +1,56 @@
+"""Driver-contract tests over __spark_entry__ (plan shape + smoke)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_limitless_lql_is_take_ordered_not_full_sort(spark):
+    """LIMIT-less LQL entry queries carry the server-side 10k cap
+    (reference: pkg/backend/querier.go:43), so the physical plan must be
+    TakeOrderedAndProject — never a full global Sort at 100 TB."""
+    q = entry.queries()["lql_fields_lex"]
+    plan = _physical_plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # and no full-data Sort node feeding the result
+    assert "Sort [" not in plan
+
+
+def test_formatted_limitless_lql_is_take_ordered(spark):
+    q = entry.queries()["lql_format"]
+    plan = _physical_plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_queries_and_oracles_align(spark):
+    """Every oracle key must have a queries() entry (driver contract)."""
+    qs = entry.queries()
+    sql = entry.oracle_sql()
+    assert set(sql) <= set(qs)
+    # every query is either oracle-checked or documented rows-only
+    unoracled = set(qs) - set(sql)
+    assert unoracled == set(), f"queries without oracle: {unoracled}"
+
+
+def test_approx_users_within_bound(spark):
+    out = entry.queries()["events_approx_users"](spark, SF_DIR).collect()
+    assert out, "no rows"
+    assert all(r["hll_within_bound"] for r in out)
+    assert all(r["exact_users"] > 0 for r in out)

@@ -90,3 +90,14 @@ def test_logfmt(spark):
 def test_logfmt_field_selection(spark):
     rows = parse_logfmt(_lines(spark, LOGFMT_LINES), fields=["level"]).collect()
     assert set(rows[0]["fields"]) == {"level", "stream"}
+
+
+def test_logfmt_stream_key_collision(spark):
+    """A logfmt body containing its own ``stream=`` key must not crash
+    map_concat (DUPLICATE_MAP_KEY) — the body's key wins, first-match
+    semantics (reference: pkg/model/field/field.go:143-157)."""
+    line = '{"log":"level=info stream=ingest msg=ok\\n","stream":"stderr","time":"2019-02-01T15:40:12Z"}'
+    rows = parse_logfmt(_lines(spark, [line])).collect()
+    f = rows[0]["fields"]
+    assert f["stream"] == "ingest"  # body value, not the envelope's stderr
+    assert f["level"] == "info"

@@ -97,6 +97,23 @@ def test_pipe_end_to_end(loaded_engine):
     assert _wait(
         lambda: loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').count() == 11
     ), "pipe did not pick up new data"
+    # T4 enrichment collision: a record whose field key equals a source tag
+    # key must flow through (no DUPLICATE_MAP_KEY crash) and the record's
+    # own field wins (reference first-match, pkg/model/field/field.go:143-157)
+    loaded_engine.write(
+        {"name": "app1", "ns": "system"},
+        [(BASE_TS + 3000 * NS, "colliding ERROR record", {"name": "record-wins"})],
+    )
+    assert _wait(
+        lambda: loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').count() == 12
+    ), "pipe crashed or stalled on tag/field key collision"
+    collided = [
+        r
+        for r in loaded_engine.query('SELECT FROM {logrange.pipe=errs} LIMIT 100').collect()
+        if "colliding" in r["msg"]
+    ]
+    assert collided[0]["fields"]["name"] == "record-wins"
+    assert collided[0]["fields"]["ns"] == "system"  # non-clashing tag still folded in
     assert loaded_engine.execute("DELETE PIPE errs")["status"] == "deleted"
 
 
