@@ -1,0 +1,139 @@
+"""Serving-layer e2e: write → query → cursor paging → admin → truncate,
+over the wire (reference contract: api/querier.go:41-83,
+pkg/backend/querier.go:40-130)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from logrange_spark.client import Client
+from logrange_spark.server import Server
+
+from .conftest import BASE_TS, NS
+
+
+@pytest.fixture()
+def served(engine):
+    srv = Server(engine).start()
+    c = Client(f"http://127.0.0.1:{srv.port}")
+    yield engine, c
+    srv.stop()
+
+
+def test_ping(served):
+    _, c = served
+    assert c.ping()
+
+
+def test_write_query_page_truncate(served):
+    engine, c = served
+    # write over the wire
+    res = c.write(
+        "name=web,ns=prod",
+        [(BASE_TS + i * NS, f"req {i}", {"status": "200"}) for i in range(25)],
+        fields={"host": "h1"},
+    )
+    assert res["records"] == 25
+    assert res["err"] is None
+
+    # first page
+    r1 = c.query("SELECT FROM {name=web}", limit=10)
+    assert len(r1["events"]) == 10
+    assert r1["events"][0]["message"] == "req 0"
+    assert r1["events"][0]["tags"] == "name=web,ns=prod"
+    assert "host=h1" in r1["events"][0]["fields"]
+    assert "status=200" in r1["events"][0]["fields"]
+
+    # consecutive page via the returned nextQueryRequest (the reference's
+    # iteration contract)
+    r2 = c.query(r1["nextQueryRequest"])
+    assert len(r2["events"]) == 10
+    assert r2["events"][0]["message"] == "req 10"
+    r3 = c.query(r2["nextQueryRequest"])
+    assert [e["message"] for e in r3["events"]] == [f"req {i}" for i in range(20, 25)]
+    # exhausted: empty page, cursor does not move
+    r4 = c.query(r3["nextQueryRequest"])
+    assert r4["events"] == []
+    assert r4["nextQueryRequest"]["pos"] == r3["nextQueryRequest"]["pos"]
+
+    # admin over the wire
+    out = c.execute("SHOW PARTITIONS")
+    assert "name=web,ns=prod" in out
+
+    # truncate over the wire
+    out = c.execute('TRUNCATE {name=web} BEFORE "2100-01-01"')
+    assert "web" in out or "truncated" in out.lower() or out  # formatted text
+    assert c.query("SELECT FROM {name=web}", limit=10)["events"] == []
+
+
+def test_query_offset_and_explicit_pos(served):
+    engine, c = served
+    c.write("name=pag", [(BASE_TS + i * NS, f"m{i}", {}) for i in range(10)])
+    r = c.query("SELECT FROM {name=pag}", offset=7, limit=5)
+    assert [e["message"] for e in r["events"]] == ["m7", "m8", "m9"]
+    # explicit pos: head restarts from the beginning
+    r = c.query("SELECT FROM {name=pag}", pos="head", limit=2)
+    assert [e["message"] for e in r["events"]] == ["m0", "m1"]
+
+
+def test_limit_zero_no_wait_is_empty(served):
+    _, c = served
+    r = c.query("SELECT", limit=0)
+    assert r["events"] == []
+
+
+def test_bad_requests(served):
+    _, c = served
+    with pytest.raises(RuntimeError, match="limit"):
+        c.query("SELECT", limit=-1)
+    with pytest.raises(RuntimeError, match="wait timeout"):
+        c.query("SELECT", wait_timeout=1000)
+    with pytest.raises(RuntimeError, match="SELECT"):
+        c.execute("SELECT LIMIT 5")
+    with pytest.raises(RuntimeError, match="bad LQL"):
+        c.query("SELEKT FROM")
+
+
+def test_wait_timeout_sees_new_data(served):
+    engine, c = served
+    c.write("name=live", [(BASE_TS, "old", {})])
+    r1 = c.query("SELECT FROM {name=live}", limit=100)
+    assert len(r1["events"]) == 1
+
+    def later():
+        time.sleep(1.5)
+        engine.write({"name": "live"}, [(BASE_TS + NS, "fresh", {})])
+
+    t = threading.Thread(target=later)
+    t.start()
+    t0 = time.monotonic()
+    r2 = c.query({**r1["nextQueryRequest"], "waitTimeout": 20})
+    t.join()
+    assert [e["message"] for e in r2["events"]] == ["fresh"]
+    assert time.monotonic() - t0 < 20  # returned as soon as data arrived
+
+
+def test_formatted_query_over_the_wire(served):
+    engine, c = served
+    c.write("name=fmtd", [(BASE_TS, "hello", {"lvl": "info"})])
+    r = c.query('SELECT "{vars:lvl}|{msg}" FROM {name=fmtd}', limit=10)
+    assert r["events"][0]["message"] == "info|hello"
+
+
+def test_cli_query_and_exec(served, capsys, monkeypatch):
+    import io
+
+    from logrange_spark.cli import main
+
+    engine, c = served
+    server = c.base_url
+    monkeypatch.setattr("sys.stdin", io.StringIO("one\ntwo\n"))
+    assert main(["write", "--tags", "name=cli", "--server", server]) == 0
+    assert main(["query", "SELECT FROM {name=cli}", "--server", server]) == 0
+    out = capsys.readouterr().out
+    assert "one" in out and "two" in out
+    assert main(["exec", "SHOW PARTITIONS", "--server", server]) == 0
+    assert "name=cli" in capsys.readouterr().out
