@@ -1,14 +1,34 @@
 """Timestamp auto-detection for raw log lines.
 
-The reference's ``text`` parser detects one of ~70 date layouts with a
+The reference's ``text`` parser detects one of ~40 date layouts with a
 state machine and sticks to it per file (reference:
-pkg/scanner/parser/date/date.go, line_parser.go:106-169). The Spark-first
-equivalent is a single Column expression: a coalesce-cascade of
-``try_to_timestamp(regexp_extract(line, pat), fmt)`` attempts — JVM-side,
-codegen'd, no per-row Python. Per-file stickiness is replaced by
-first-match-wins ordering (most specific patterns first), plus a
-fallback chain: detected → previous line's ts (per file, ingest order) →
-ingest time.
+pkg/scanner/parser/date/date.go:29-139, line_parser.go:106-169). The
+Spark-first equivalent is a single Column expression: a coalesce-cascade
+of ``try_to_timestamp(regexp_extract(line, pat), fmt)`` attempts —
+JVM-side, codegen'd, short-circuiting, no per-row Python. Per-file
+stickiness is replaced by first-match-wins ordering (most specific
+patterns first), plus a fallback chain: detected → previous line's ts
+(per file, ingest order) → ingest time.
+
+Layout families covered (mirroring date.go KnownFormats):
+
+- ISO-8601 / RFC3339 with or without 'T', any fraction length, and any
+  offset shape (``Z``, ``+hh:mm``, ``+hhmm``, `` +hhmm``) — one regex,
+  parsed by Spark's native ISO parser (handles all of these);
+- ``yyyy/mm/dd`` and ``dd/mm/yyyy`` with optional ``.SSS`` / minute-only;
+- 12-hour ``d/M/yyyy h:mm[:ss] AM|PM``;
+- apache CLF ``dd/MMM/yyyy:HH:mm:ss +0000``;
+- RFC822/1123 ``[Day, ]d MMM yyyy HH:mm:ss +0000|GMT|UTC``;
+- ``d MMM yyyy[,] HH:mm[:ss]`` (e.g. ``02 Jan 2006 15:04``);
+- ANSI-C asctime ``Mon Jan _2 15:04:05 2006``;
+- year-less syslog ``MMM _d HH:mm:ss`` with optional weekday prefix and
+  optional fractional seconds (``Jan _2 15:04:05.000``) → current year;
+- ``MM.dd.yyyy``; bare ``yyyy-MM-dd`` / ``yyyy/MM/dd``;
+- epoch-in-line: 10-digit seconds / 13-digit millis / 19-digit nanos
+  (bounded to the 2011–2033 range so version numbers don't match).
+
+Multi-space runs in the matched region are collapsed before parsing, so
+``_2``-padded layouts (``Jan  2``) parse with single-space formats.
 """
 
 from __future__ import annotations
@@ -16,35 +36,92 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (regex-to-extract, jvm timestamp format) — most specific first.
-# Covers the reference's high-traffic families: ISO-8601, classic syslog,
-# CLF, yyyy/mm/dd, dd/mm/yyyy, and bare times.
-DATE_PATTERNS: list[tuple[str, str]] = [
-    (r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}\.\d{3})", "yyyy-MM-dd['T'][ ]HH:mm:ss.SSS"),
-    (r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2})", "yyyy-MM-dd['T'][ ]HH:mm:ss"),
-    (r"(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}\.\d{3})", "yyyy/MM/dd HH:mm:ss.SSS"),
-    (r"(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2})", "yyyy/MM/dd HH:mm:ss"),
-    (r"(\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2})", "dd/MM/yyyy HH:mm:ss"),
-    # apache CLF: 10/Oct/2000:13:55:36 -0700
-    (r"(\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4})", "dd/MMM/yyyy:HH:mm:ss Z"),
-    # syslog: Jan  2 15:04:05 / Jan 12 15:04:05 (year-less → current year)
-    (r"^([A-Z][a-z]{2} [ 1-9]\d \d{2}:\d{2}:\d{2})", "MMM dd HH:mm:ss"),
+# Detection table, most specific first. Entries are (kind, regex, fmt):
+#   iso      — extract, collapse spaces, Spark native ISO parse (fmt unused)
+#   fmt      — extract, collapse spaces, try_to_timestamp with fmt
+#   yearless — like fmt, but prefixed with the current year
+#   epoch_s / epoch_ms / epoch_ns — numeric epoch literal
+DATE_PATTERNS: list[tuple[str, str, str | None]] = [
+    # -- ISO-8601 family: fraction and/or offset (native parser covers all)
+    ("iso",
+     r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d{1,9})?(?: ?(?:Z|[+-]\d{2}:?\d{2}))?)",
+     None),
+    ("fmt", r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2})(?![:\d])", "yyyy-MM-dd['T'][ ]HH:mm"),
+    # -- yyyy/mm/dd
+    ("fmt", r"(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}\.\d{3})", "yyyy/MM/dd HH:mm:ss.SSS"),
+    ("fmt", r"(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2})(?![.\d])", "yyyy/MM/dd HH:mm:ss"),
+    ("fmt", r"(\d{4}/\d{2}/\d{2} \d{2}:\d{2})(?![:\d])", "yyyy/MM/dd HH:mm"),
+    # -- 12-hour with AM/PM (before 24h dd/mm so the suffix binds)
+    ("fmt", r"(\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}(?::\d{2})? [AP]M)",
+     "d/M/yyyy h:mm[:ss] a"),
+    # -- dd/mm/yyyy
+    ("fmt", r"(\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}\.\d{3})", "dd/MM/yyyy HH:mm:ss.SSS"),
+    ("fmt", r"(\d{1,2}/\d{1,2}/\d{4} \d{2}:\d{2}:\d{2})(?![.\d])", "d/M/yyyy HH:mm:ss"),
+    ("fmt", r"(\d{1,2}/\d{1,2}/\d{4} \d{2}:\d{2})(?![:\d])", "d/M/yyyy HH:mm"),
+    # -- apache CLF: 10/Oct/2000:13:55:36 -0700
+    ("fmt", r"(\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4})",
+     "dd/MMM/yyyy:HH:mm:ss xx"),
+    # -- RFC822/1123: [Tue, ]25 Dec 2017 21:57:12 +0000|GMT|UTC
+    ("fmt", r"(?:[A-Z][a-z]{2}, )?(\d{1,2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} [+-]\d{4})",
+     "d MMM yyyy HH:mm:ss xx"),
+    ("fmt", r"(?:[A-Z][a-z]{2}, )?(\d{1,2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} (?:GMT|UTC))",
+     "d MMM yyyy HH:mm:ss zzz"),
+    # -- d MMM yyyy[,] HH:mm[:ss]  (covers '02 Jan 2006 15:04')
+    ("fmt", r"(\d{1,2} [A-Z][a-z]{2} \d{4},? \d{2}:\d{2}(?::\d{2})?)(?![:\d])",
+     "d MMM yyyy[,] HH:mm[:ss]"),
+    # -- ANSI-C asctime: Mon Jan  2 15:04:05 2006
+    ("fmt", r"[A-Z][a-z]{2} ([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2} \d{4})",
+     "MMM d HH:mm:ss yyyy"),
+    # -- year-less syslog, fractional first: Jan _2 15:04:05.000 (opt. weekday)
+    ("yearless", r"(?:[A-Z][a-z]{2} )?([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2}\.\d{3})",
+     "MMM d HH:mm:ss.SSS"),
+    ("yearless", r"(?:[A-Z][a-z]{2} )?([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2})(?![.\d])",
+     "MMM d HH:mm:ss"),
+    # -- mm.dd.yyyy
+    ("fmt", r"(\d{2}\.\d{2}\.\d{4})(?!\d)", "MM.dd.yyyy"),
+    # -- bare dates (guarded against version-number false hits)
+    ("fmt", r"(?:^|\s)(\d{4}-\d{2}-\d{2})(?![\dT:.-])", "yyyy-MM-dd"),
+    ("fmt", r"(?:^|\s)(\d{4}/\d{2}/\d{2})(?![\d:./])", "yyyy/MM/dd"),
+    # -- epoch-in-line (2011-2033 bounded; ns → ms → s, longest first;
+    #    context limited to start/whitespace/bracket so ids like
+    #    ``req=1612345678`` don't read as timestamps)
+    ("epoch_ns", r"(?:^|[\s\[\(])(1[3-9]\d{17})(?![\d.])", None),
+    ("epoch_ms", r"(?:^|[\s\[\(])(1[3-9]\d{11})(?![\d.])", None),
+    ("epoch_s", r"(?:^|[\s\[\(])(1[3-9]\d{8})(?![\d.])", None),
 ]
 
 
 def detect_timestamp(line: Column, current_year: Column | None = None) -> Column:
-    """Best-effort event time from a raw line; NULL when nothing matches."""
+    """Best-effort event time from a raw line; NULL when nothing matches.
+
+    One coalesce over ~20 codegen'd attempts — the per-line cost is a
+    short-circuited regex cascade on the JVM, the Spark replacement for
+    the reference's per-file format state machine (date.go:190-230).
+    """
     attempts = []
-    for pat, fmt in DATE_PATTERNS:
-        extracted = F.regexp_extract(line, pat, 1)
-        ts = F.try_to_timestamp(F.nullif(extracted, F.lit("")), F.lit(fmt))
-        if "y" not in fmt:  # year-less layout → assume current year
+    for kind, pat, fmt in DATE_PATTERNS:
+        raw = F.nullif(F.regexp_extract(line, pat, 1), F.lit(""))
+        if kind.startswith("epoch_"):
+            n = raw.cast("long")
+            if kind == "epoch_s":
+                attempts.append(F.timestamp_seconds(n))
+            elif kind == "epoch_ms":
+                attempts.append(F.timestamp_millis(n))
+            else:
+                attempts.append(F.timestamp_micros((n / 1000).cast("long")))
+            continue
+        ex = F.regexp_replace(raw, r"  +", " ")  # collapse _2-style padding
+        if kind == "iso":
+            attempts.append(F.try_to_timestamp(ex))
+        elif kind == "yearless":
             yr = current_year if current_year is not None else F.year(F.current_timestamp())
-            ts = F.try_to_timestamp(
-                F.concat(yr.cast("string"), F.lit(" "), F.nullif(extracted, F.lit(""))),
-                F.lit("yyyy " + fmt),
+            attempts.append(
+                F.try_to_timestamp(
+                    F.concat(yr.cast("string"), F.lit(" "), ex), F.lit("yyyy " + fmt)
+                )
             )
-        attempts.append(ts)
+        else:
+            attempts.append(F.try_to_timestamp(ex, F.lit(fmt)))
     return F.coalesce(*attempts)
 
 

@@ -60,3 +60,85 @@ def test_bad():
         parse_datetime("not a date", NOW)
     with pytest.raises(ValueError):
         parse_datetime("-1x", NOW)
+
+
+# ---- timestamp auto-detection layout sweep (mirrors the reference's
+# pkg/scanner/parser/date/date_test.go over date.go KnownFormats) ----
+
+DETECT_CASES = [
+    # (line, expected UTC tuple (y, mo, d, h, mi, s, ns))
+    ("2017-12-25T21:57:12.934+0000 [clientcursormon] connections:0",
+     (2017, 12, 25, 21, 57, 12, 934_000_000)),
+    ("2017-12-25T21:57:12.934+02:00 x", (2017, 12, 25, 19, 57, 12, 934_000_000)),
+    ("2017-12-25T21:57:12Z ok", (2017, 12, 25, 21, 57, 12, 0)),
+    ("at 2019-03-11 12:34:43 something happened", (2019, 3, 11, 12, 34, 43, 0)),
+    ("2019-03-11T12:34:43.123 iso millis", (2019, 3, 11, 12, 34, 43, 123_000_000)),
+    ("2019-03-11 12:34 minute only", (2019, 3, 11, 12, 34, 0, 0)),
+    ("2019/03/11 12:34:43.500 slashed", (2019, 3, 11, 12, 34, 43, 500_000_000)),
+    ("2019/03/11 12:34:43 slashed", (2019, 3, 11, 12, 34, 43, 0)),
+    ("11/03/2019 12:34:43 dmy", (2019, 3, 11, 12, 34, 43, 0)),
+    ("02/03/2017 04:05 dmy minute", (2017, 3, 2, 4, 5, 0, 0)),
+    ("3/4/2017 1:05 PM twelve hour", (2017, 4, 3, 13, 5, 0, 0)),
+    ('69.164.145.164 - - [25/Mar/2015:06:20:45 +0800] "GET / HTTP/1.1" 200',
+     (2015, 3, 24, 22, 20, 45, 0)),
+    ("Tue, 25 Dec 2017 21:57:12 +0000 rfc1123z", (2017, 12, 25, 21, 57, 12, 0)),
+    ("Mon, 25 Dec 2017 21:57:12 GMT rfc1123", (2017, 12, 25, 21, 57, 12, 0)),
+    ("25 Dec 2017, 21:57 short", (2017, 12, 25, 21, 57, 0, 0)),
+    ("02 Jan 2006 15:04 reference layout", (2006, 1, 2, 15, 4, 0, 0)),
+    ("Mon Jan  2 15:04:05 2006 asctime", (2006, 1, 2, 15, 4, 5, 0)),
+    ("12.25.2017 dotted", (2017, 12, 25, 0, 0, 0, 0)),
+    ("released 2017-12-25 bare date", (2017, 12, 25, 0, 0, 0, 0)),
+    ("epoch 1552307683 in line", (2019, 3, 11, 12, 34, 43, 0)),
+    ("epoch-ms 1552307683123 in line", (2019, 3, 11, 12, 34, 43, 123_000_000)),
+    ("epoch-ns 1552307683123456789 here", (2019, 3, 11, 12, 34, 43, 123_456_000)),
+]
+
+YEARLESS_CASES = [
+    ("Tue Jan 30 00:42:28.694 <kernel> BTCoex", (2019, 1, 30, 0, 42, 28, 694_000_000)),
+    ("Jan  2 15:04:05.000 padded syslog frac", (2019, 1, 2, 15, 4, 5, 0)),
+    ("Mar 11 12:34:43 host prog: hi", (2019, 3, 11, 12, 34, 43, 0)),
+]
+
+
+def _detect_many(spark, lines, year=None):
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ingest.datedetect import detect_timestamp
+
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    yr = F.lit(year) if year is not None else None
+    return [
+        r["t"]
+        for r in df.select(
+            detect_timestamp(F.col("value"), current_year=yr).alias("t")
+        ).collect()
+    ]
+
+
+def test_detect_layout_sweep(spark):
+    got = _detect_many(spark, [l for l, _ in DETECT_CASES])
+    for (line, exp), t in zip(DETECT_CASES, got):
+        assert t is not None, f"no detection: {line!r}"
+        act = (t.year, t.month, t.day, t.hour, t.minute, t.second, t.microsecond * 1000)
+        assert act == exp, f"{line!r}: {act} != {exp}"
+
+
+def test_detect_yearless_layouts(spark):
+    got = _detect_many(spark, [l for l, _ in YEARLESS_CASES], year=2019)
+    for (line, exp), t in zip(YEARLESS_CASES, got):
+        assert t is not None, f"no detection: {line!r}"
+        act = (t.year, t.month, t.day, t.hour, t.minute, t.second, t.microsecond * 1000)
+        assert act == exp, f"{line!r}: {act} != {exp}"
+
+
+def test_detect_no_false_positives(spark):
+    got = _detect_many(
+        spark,
+        [
+            "no date in this line",
+            "version 1.2.3 build 20171225",   # bare digits, not a date shape
+            "req=1612345678 id field is not an epoch",
+            "pi is 3.14159 and e is 2.71828",
+        ],
+    )
+    assert got == [None, None, None, None]
