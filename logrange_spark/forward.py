@@ -7,16 +7,18 @@ Structured Streaming query per forwarder job:
 
     readStream(logs) → tag/WHERE filter → format template → foreachBatch sink
 
-Sinks mirror pkg/forwarder/sink: syslog (TCP, RFC3164 framing with
-facility/severity/tag templates — syslog.go:76-98,133-201) and stdout
-(stdout.go). Positions/retries/backoff are Spark's checkpoint + trigger
-machinery.
+Sinks mirror pkg/forwarder/sink: syslog over tcp/udp/tls with optional
+root-CA (pkg/syslog/syslog.go:38-40,128-147, config.go:24-78), RFC3164
+or the reference's RFC5424 framing (pkg/syslog/message.go:43-56) with
+newline replacement and line-length truncation, and stdout (stdout.go).
+Positions/retries/backoff are Spark's checkpoint + trigger machinery.
 """
 
 from __future__ import annotations
 
 import os
 import socket
+import ssl
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -28,6 +30,10 @@ from .compiler.select import compile_select
 from .lql import ast
 from .lql.parser import parse_lql
 
+PROTO_TCP = "tcp"
+PROTO_UDP = "udp"
+PROTO_TLS = "tls"
+
 
 @dataclass
 class SyslogConfig:
@@ -37,6 +43,38 @@ class SyslogConfig:
     severity: int = 6  # info
     hostname: str = "logrange-spark"
     tag: str = "logrange"
+    # transport (reference: pkg/syslog/config.go:24-43)
+    protocol: str = PROTO_TCP  # tcp | udp | tls
+    root_ca_file: str = ""  # PEM chain for tls; system store when empty
+    connect_timeout_s: float = 5.0
+    write_timeout_s: float = 5.0
+    # framing (reference: pkg/syslog/message.go:43-56)
+    framing: str = "rfc3164"  # rfc3164 | rfc5424
+    replace_newline: bool = False
+    line_len_limit: int = 1024
+
+    def check(self) -> None:
+        if self.protocol not in (PROTO_TCP, PROTO_UDP, PROTO_TLS):
+            raise ValueError(f"unknown protocol={self.protocol!r}")
+        if self.protocol != PROTO_TLS and self.root_ca_file:
+            raise ValueError("root_ca_file requires protocol='tls'")
+
+
+def _open_conn(cfg: SyslogConfig) -> socket.socket:
+    """Dial the configured transport (syslog.go:128-147)."""
+    if cfg.protocol == PROTO_UDP:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.connect((cfg.host, cfg.port))
+        return sock
+    sock = socket.create_connection((cfg.host, cfg.port), timeout=cfg.connect_timeout_s)
+    if cfg.protocol == PROTO_TLS:
+        ctx = ssl.create_default_context(cafile=cfg.root_ca_file or None)
+        if cfg.root_ca_file:
+            # private CA: verify the chain but not the public hostname
+            ctx.check_hostname = False
+        sock = ctx.wrap_socket(sock, server_hostname=cfg.host)
+    sock.settimeout(cfg.write_timeout_s)
+    return sock
 
 
 def format_lines(df: DataFrame, template: str) -> DataFrame:
@@ -44,34 +82,58 @@ def format_lines(df: DataFrame, template: str) -> DataFrame:
     return df.select(compile_format(template).alias("line"))
 
 
-def _rfc3164_header(cfg: SyslogConfig) -> str:
+def _header(cfg: SyslogConfig) -> str:
     pri = cfg.facility * 8 + cfg.severity
-    ts = datetime.now(timezone.utc).strftime("%b %d %H:%M:%S")
+    now = datetime.now(timezone.utc)
+    if cfg.framing == "rfc5424":
+        # reference framing: "<pri>1 time host tag - - - msg"
+        # (pkg/syslog/message.go:53-55)
+        ts = now.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        return f"<{pri}>1 {ts} {cfg.hostname} {cfg.tag} - - - "
+    ts = now.strftime("%b %d %H:%M:%S")
     return f"<{pri}>{ts} {cfg.hostname} {cfg.tag}: "
 
 
+def _frame(line: str, cfg: SyslogConfig) -> str:
+    """Newline handling + truncation (pkg/syslog/message.go:44-51)."""
+    if cfg.replace_newline:
+        line = line.replace("\n", "")
+    if cfg.line_len_limit > 0 and len(line) > cfg.line_len_limit:
+        line = line[: cfg.line_len_limit] + "... [truncated]"
+    return line
+
+
 class SyslogSink:
-    """foreachBatch sink writing RFC3164 lines over TCP.
+    """foreachBatch sink writing syslog lines over tcp, udp or tls.
 
     One connection per batch per partition; partition-local iteration so
-    nothing funnels through the driver.
+    nothing funnels through the driver. UDP sends one datagram per line
+    (standard syslog/UDP transport); tcp/tls use newline framing.
     """
 
     def __init__(self, cfg: SyslogConfig):
+        cfg.check()
         self.cfg = cfg
 
     def __call__(self, batch_df: DataFrame, _batch_id: int) -> None:
         cfg = self.cfg
-        header = _rfc3164_header(cfg)
+        header = _header(cfg)
 
         def write_partition(rows):
-            sock = socket.create_connection((cfg.host, cfg.port), timeout=10)
+            sock = None
             try:
                 for r in rows:
+                    if sock is None:  # connect lazily: empty partitions don't dial
+                        sock = _open_conn(cfg)
                     line = r["line"] if "line" in r else str(r[0])
-                    sock.sendall((header + line + "\n").encode("utf-8"))
+                    payload = (header + _frame(line, cfg) + "\n").encode("utf-8")
+                    if cfg.protocol == PROTO_UDP:
+                        sock.send(payload.rstrip(b"\n"))
+                    else:
+                        sock.sendall(payload)
             finally:
-                sock.close()
+                if sock is not None:
+                    sock.close()
 
         batch_df.foreachPartition(write_partition)
 

@@ -144,6 +144,72 @@ def test_syslog_forwarder(loaded_engine):
         srv.shutdown()
 
 
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "line string")
+
+
+def test_syslog_udp_sink(spark):
+    class _UdpCollector(socketserver.DatagramRequestHandler):
+        def handle(self):
+            self.server.lines.append(self.rfile.read().decode("utf-8"))
+
+    srv = socketserver.ThreadingUDPServer(("127.0.0.1", 0), _UdpCollector)
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = SyslogSink(SyslogConfig(port=srv.server_address[1], protocol="udp"))
+        sink(_lines_df(spark, ["udp one", "udp two"]), 0)
+        assert _wait(lambda: len(srv.lines) >= 2), f"got {len(srv.lines)}"
+        assert all(l.startswith("<134>") for l in srv.lines)
+        assert {l.split(": ", 1)[1] for l in srv.lines} == {"udp one", "udp two"}
+    finally:
+        srv.shutdown()
+
+
+def test_syslog_tls_sink(spark, tmp_path):
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", str(key),
+         "-out", str(cert), "-days", "2", "-nodes", "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.lines = []
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = SyslogSink(
+            SyslogConfig(port=srv.server_address[1], protocol="tls",
+                         root_ca_file=str(cert), framing="rfc5424")
+        )
+        sink(_lines_df(spark, ["tls secret"]), 0)
+        assert _wait(lambda: len(srv.lines) >= 1), f"got {len(srv.lines)}"
+        # reference RFC5424 framing: <pri>1 time host tag - - - msg
+        assert srv.lines[0].startswith("<134>1 ")
+        assert srv.lines[0].endswith(" - - - tls secret")
+    finally:
+        srv.shutdown()
+
+
+def test_syslog_frame_truncation_and_config_check(spark):
+    from logrange_spark.forward import _frame
+
+    cfg = SyslogConfig(replace_newline=True, line_len_limit=10)
+    assert _frame("a\nb\nc", cfg) == "abc"
+    assert _frame("x" * 25, cfg) == "x" * 10 + "... [truncated]"
+    with pytest.raises(ValueError, match="unknown protocol"):
+        SyslogSink(SyslogConfig(protocol="carrier-pigeon"))
+    with pytest.raises(ValueError, match="root_ca_file"):
+        SyslogSink(SyslogConfig(protocol="tcp", root_ca_file="/x.pem"))
+
+
 def test_sessionize_streaming(spark, tmp_path):
     """sessionize runs as a Structured Streaming query: file source →
     watermark → session_window aggregation → memory sink (complete mode)."""
