@@ -131,16 +131,21 @@ class Engine:
             rows or [], "src string, tag_line string, tags map<string,string>"
         )
 
-    def resolve_sources(self, source: ast.Source | None) -> list[str]:
-        """Tag-index visit: tag condition → matching src ids (≤ max_sources,
-        mirroring the reference's 50-journal cap, pkg/cursor/cursor.go:186)."""
+    def resolve_sources(self, source: ast.Source | None, cap: bool = True) -> list[str]:
+        """Tag-index visit: tag condition → matching src ids.
+
+        ``cap`` applies the reference's 50-journal cursor cap
+        (pkg/cursor/cursor.go:186) — it is a *read-path* limit only;
+        admin commands (SHOW PARTITIONS / TRUNCATE) visit every matching
+        partition, mirroring pkg/backend/admin.go:93-96 (limit defaults
+        to MaxUint32)."""
         if source is None:
             srcs = sorted(self._catalog)
         else:
             pred = compile_tags(source)
             cat = self.catalog_df().where(pred).select("src")
             srcs = sorted(r[0] for r in cat.collect())
-        return srcs[: self.max_sources]
+        return srcs[: self.max_sources] if cap else srcs
 
     # ------------------------------------------------------------- execute
     def execute(self, lql: str, now_ns: int | None = None):
@@ -240,12 +245,12 @@ class Engine:
         footers / the file system, not a data scan, and the same size
         notion drives TRUNCATE's MAXSIZE/MAXDBSIZE budgeting (the
         reference's journal sizes are on-disk chunk bytes too)."""
-        src_ids = self.resolve_sources(stmt.source)
-        rows = []
-        for src in src_ids:
-            line = self._catalog.get(src, "")
-            info = self.describe_partition(ast.DescribePartition(parse_tags(line)))
-            rows.append((info["tag_line"], info["records"], info["size"]))
+        src_ids = self.resolve_sources(stmt.source, cap=False)
+        infos = self.describe_many(src_ids)
+        rows = [
+            (infos[src]["tag_line"], infos[src]["records"], infos[src]["size"])
+            for src in src_ids
+        ]
         df = self.spark.createDataFrame(
             rows or [], "tag_line string, records long, size long"
         ).orderBy(F.col("size").desc(), F.col("tag_line"))
@@ -255,43 +260,74 @@ class Engine:
             df = df.limit(stmt.limit)
         return df
 
+    @staticmethod
+    def _file_stat(part_dir: str, name: str) -> dict:
+        """Footer-only stats for one parquet file (the chunk analogue).
+        pyarrow releases the GIL during the footer read, so these pool."""
+        import pyarrow.parquet as pq
+
+        fpath = os.path.join(part_dir, name)
+        md = pq.ParquetFile(fpath)
+        ts_idx = md.schema_arrow.get_field_index("ts")
+        mn, mx = None, None
+        for rg in range(md.metadata.num_row_groups):
+            st = md.metadata.row_group(rg).column(ts_idx).statistics
+            if st is not None and st.has_min_max:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        return {"chunk": name, "records": md.metadata.num_rows,
+                "size": os.path.getsize(fpath), "min_ts": mn, "max_ts": mx}
+
+    def describe_many(self, src_ids: list[str]) -> dict[str, dict]:
+        """Partition stats for many srcs with pooled footer reads.
+
+        The round-1 shape — a Python loop reading footers one file at a
+        time — made SHOW PARTITIONS / TRUNCATE O(#files) sequential
+        driver time. All (src, file) pairs now flatten into one thread
+        pool, so wall time is O(#files / pool) and flat-ish in the
+        partition count. (At true 100 TB scale the durable fix is chunk
+        stats in the catalog at write time; footers keep this metadata
+        honest without a second bookkeeping path.)
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: list[tuple[str, str, str]] = []  # (src, part_dir, file)
+        for src in src_ids:
+            part_dir = os.path.join(self.logs_path, f"src={src}")
+            if os.path.isdir(part_dir):
+                for name in sorted(os.listdir(part_dir)):
+                    if name.endswith(".parquet"):
+                        jobs.append((src, part_dir, name))
+
+        stats: dict[str, list[dict]] = {src: [] for src in src_ids}
+        if jobs:
+            with ThreadPoolExecutor(max_workers=min(32, max(4, len(jobs)))) as pool:
+                for (src, _, _), st in zip(
+                    jobs, pool.map(lambda j: self._file_stat(j[1], j[2]), jobs)
+                ):
+                    stats[src].append(st)
+
+        out = {}
+        for src in src_ids:
+            chunks = stats[src]
+            out[src] = {
+                "tag_line": self._catalog.get(src, ""),
+                "src": src,
+                "records": sum(c["records"] for c in chunks),
+                "size": sum(c["size"] for c in chunks),
+                "chunks": chunks,
+            }
+        return out
+
     def describe_partition(self, stmt: ast.DescribePartition) -> dict:
         """DESCRIBE PARTITION {tags}: per-file stats (the file = chunk
         analogue; reference: pkg/backend/admin.go:257-280)."""
         line = tag_line(stmt.tags)
         from .model.schema import src_for_tag_line
         src = src_for_tag_line(line)
-        part_dir = os.path.join(self.logs_path, f"src={src}")
-        chunks = []
-        total_records = 0
-        total_size = 0
-        if os.path.isdir(part_dir):
-            import pyarrow.parquet as pq
-
-            for name in sorted(os.listdir(part_dir)):
-                if not name.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(part_dir, name)
-                md = pq.ParquetFile(fpath)
-                ts_idx = md.schema_arrow.get_field_index("ts")
-                mn, mx = None, None
-                for rg in range(md.metadata.num_row_groups):
-                    st = md.metadata.row_group(rg).column(ts_idx).statistics
-                    if st is not None and st.has_min_max:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-                n = md.metadata.num_rows
-                sz = os.path.getsize(fpath)
-                total_records += n
-                total_size += sz
-                chunks.append({"chunk": name, "records": n, "size": sz, "min_ts": mn, "max_ts": mx})
-        return {
-            "tag_line": line,
-            "src": src,
-            "records": total_records,
-            "size": total_size,
-            "chunks": chunks,
-        }
+        info = self.describe_many([src])[src]
+        info["tag_line"] = line
+        return info
 
     def truncate(self, stmt: ast.Truncate) -> dict:
         """Retention at file (chunk) granularity, mirroring
@@ -302,17 +338,16 @@ class Engine:
         oldest partitions until total ≤ MAXDBSIZE; delete emptied
         partitions. DRYRUN reports without deleting.
         """
-        src_ids = self.resolve_sources(stmt.source)
+        src_ids = self.resolve_sources(stmt.source, cap=False)
         report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
         sizes: dict[str, int] = {}
         oldest: dict[str, int] = {}
         nfiles: dict[str, int] = {}
         plans: dict[str, list[str]] = {}
 
+        infos = self.describe_many(src_ids)
         for src in src_ids:
-            info = self.describe_partition(
-                ast.DescribePartition(parse_tags(self._catalog.get(src, "")))
-            )
+            info = infos[src]
             files = info["chunks"]
             size = info["size"]
             sizes[src] = size
@@ -388,7 +423,7 @@ class Engine:
         """
         import math
 
-        src_ids = self.resolve_sources(source)
+        src_ids = self.resolve_sources(source, cap=False)
         report: dict[str, dict] = {}
         for src in src_ids:
             part_dir = os.path.join(self.logs_path, f"src={src}")

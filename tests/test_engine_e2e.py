@@ -163,6 +163,33 @@ def test_seq_monotonic_across_writes(engine):
     assert [r["seq"] for r in rows] == [1, 2, 3]
 
 
+def test_show_partitions_many_partitions_uncapped_and_fast(engine, spark):
+    """Admin commands visit every matching partition (no 50-source cursor
+    cap — reference pkg/backend/admin.go:93-96) and the pooled footer
+    reads keep SHOW PARTITIONS wall time flat-ish in partition count."""
+    import time
+
+    from logrange_spark.model.schema import LOG_SCHEMA, src_for_tag_line
+
+    rows = []
+    for i in range(200):
+        line = f"name=many-{i:03d}"
+        rows.append(
+            (BASE_TS + i, f"m{i}", {}, {"name": f"many-{i:03d}"}, line,
+             src_for_tag_line(line), 1)
+        )
+    engine.append_df(spark.createDataFrame(rows, LOG_SCHEMA))
+
+    t0 = time.monotonic()
+    out = engine.execute("SHOW PARTITIONS").collect()
+    dt = time.monotonic() - t0
+    assert len(out) == 200
+    assert dt < 30, f"SHOW PARTITIONS over 200 partitions took {dt:.1f}s"
+    # truncate also sees all of them
+    rep = engine.execute('TRUNCATE DRYRUN BEFORE "2100-01-01"')
+    assert len(rep["partitions"]) == 200
+
+
 def test_parse_describe_dispatch(loaded_engine):
     stmt = parse_lql("DESCRIBE PARTITION {name=db,host=h-01}")
     assert isinstance(stmt, ast.DescribePartition)
