@@ -147,12 +147,20 @@ def range_join(
     return left.alias("__l").join(right.alias("__r"), cond, how)
 
 
+MIN_BUCKET = 1024
+"""Smallest safe _floordiv divisor: an epoch-ns long near 2^60 has a
+double ulp of ~2^8.6 ≈ 390, so the double division's error stays below
+the 0.5 that ``round`` tolerates only when the divisor exceeds ~2·ulp.
+1024 gives margin; sub-µs bucket widths make no sense for log data."""
+
+
 def _floordiv(col: Column, b: int) -> Column:
     """Floor division on longs, negative-safe. ``pmod`` makes the
     numerator an exact multiple of ``b``, so the double division is
     within 1 ulp of an integer and ``round`` recovers it exactly —
     naive ``floor(x/b)`` on epoch-ns longs (> 2^53) silently loses
-    precision, and ``cast("long")`` truncates toward zero."""
+    precision, and ``cast("long")`` truncates toward zero. Callers must
+    keep ``b >= MIN_BUCKET`` (enforced at the public entry points)."""
     q = col.cast("long")
     return F.round((q - F.pmod(q, F.lit(b))) / F.lit(b)).cast("long")
 
@@ -184,7 +192,12 @@ def range_join_buckets(
     span = int(upper) - int(lower)
     if span <= 0:
         raise ValueError("upper must be > lower")
-    b = int(bucket) if bucket is not None else span
+    b = int(bucket) if bucket is not None else max(span, MIN_BUCKET)
+    if b < MIN_BUCKET:
+        raise ValueError(
+            f"bucket width {b} ns is below the {MIN_BUCKET} ns minimum — "
+            "_floordiv loses float precision on epoch-ns longs below that"
+        )
 
     lts = F.col(left_ts).cast("long")
     rts = F.col(right_ts).cast("long")

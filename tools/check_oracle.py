@@ -71,6 +71,13 @@ def main() -> int:
         # itself (see _ensure_session_conf); round 1 died on exactly this.
         from pyspark.sql import SparkSession
 
+        # getOrCreate() would silently reuse an already-tuned session and
+        # defeat the vanilla check — this script assumes it owns the
+        # process; fail loudly if something created a session first.
+        assert SparkSession.getActiveSession() is None, (
+            "check_oracle must run in a fresh process: an active SparkSession "
+            "exists, so the 'vanilla session' check would be meaningless"
+        )
         spark = (
             SparkSession.builder.appName("check-oracle-vanilla")
             .master("local[8]")
