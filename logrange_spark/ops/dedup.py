@@ -248,20 +248,32 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     l, r = bands.alias("l"), bands.alias("r")
+    # A close pair matches in SEVERAL bands (hamming 0 → all 4), so the
+    # raw band join emits duplicates. Instead of a distinct() — a full
+    # shuffle of every surviving pair — keep only the FIRST matching
+    # band: the xor's lowest zero nibble, a pure bitwise residual
+    # evaluated inside the join. Each pair then appears exactly once and
+    # the only shuffle left in the whole operator is the band equi-join.
+    x = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    per = SIMHASH_BITS // SIMHASH_BANDS
+    nib = (1 << per) - 1
+    first_zero_nibble = F.when(x.bitwiseAND(F.lit(nib)) == 0, 0)
+    for b in range(1, SIMHASH_BANDS):
+        first_zero_nibble = first_zero_nibble.when(
+            F.shiftright(x, b * per).bitwiseAND(F.lit(nib)) == 0, b
+        )
     return (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("l.band") == first_zero_nibble),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
-        # filter BEFORE distinct: false band-candidates never enter the
-        # dedup shuffle (they dominate the candidate set at scale)
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
