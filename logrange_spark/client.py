@@ -93,3 +93,11 @@ class Client:
 
     def execute(self, query: str) -> str:
         return self._post("/api/v1/execute", {"query": query})["output"]
+
+    def ensure_pipe(self, name: str, tags_cond: str = "", filter_cond: str = "") -> dict:
+        """Create the pipe if it doesn't exist; returns its definition
+        (reference: api/pipes.go EnsurePipe)."""
+        return self._post(
+            "/api/v1/pipes",
+            {"name": name, "tagsCond": tags_cond, "filterCond": filter_cond},
+        )

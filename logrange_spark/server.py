@@ -209,6 +209,41 @@ def execute_stmt(engine, req: dict) -> dict:
     return {"output": output, "err": None}
 
 
+def ensure_pipe(engine, req: dict) -> dict:
+    """Pipes.EnsurePipe analogue (api/pipes.go:21-54): create the pipe if
+    it doesn't exist; either way return its definition. ``destination``
+    is server-defined (the ``{logrange.pipe=<name>}`` partition)."""
+    from .lql.parser import parse_source, parse_where
+    from .pipes.service import pipe_tags
+    from .model.tags import tag_line as _tag_line
+
+    name = req.get("name") or ""
+    if not name:
+        raise ApiError(400, "pipe name is required")
+    tags_cond = req.get("tagsCond") or ""
+    filter_cond = req.get("filterCond") or ""
+    try:
+        source = parse_source(tags_cond) if tags_cond else None
+        where = parse_where(filter_cond) if filter_cond else None
+    except Exception as e:
+        raise ApiError(400, f"bad pipe condition: {e}") from e
+    try:
+        res = engine.create_pipe(ast.CreatePipe(name, source, where))
+    except Exception as e:
+        raise ApiError(400, str(e)) from e
+    defn = engine.describe_pipe(ast.DescribePipe(name))
+    return {
+        "pipe": {
+            "name": name,
+            "tagsCond": defn.get("source") or "",
+            "filterCond": defn.get("where") or "",
+            "destination": _tag_line(pipe_tags(name)),
+        },
+        "status": res["status"],
+        "err": None,
+    }
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set by serve(): the engine this handler serves
     engine = None
@@ -245,6 +280,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, write_batch(self.engine, req))
             elif self.path == "/api/v1/execute":
                 self._send(200, execute_stmt(self.engine, req))
+            elif self.path == "/api/v1/pipes":
+                self._send(200, ensure_pipe(self.engine, req))
             else:
                 self._send(404, {"err": f"unknown path {self.path}"})
         except ApiError as e:

@@ -123,6 +123,26 @@ def test_formatted_query_over_the_wire(served):
     assert r["events"][0]["message"] == "info|hello"
 
 
+def test_ensure_pipe_over_the_wire(served):
+    engine, c = served
+    res = c.ensure_pipe("wired", tags_cond="{name=piped}", filter_cond="msg CONTAINS 'keep'")
+    assert res["status"] == "created"
+    assert res["pipe"]["destination"] == "logrange.pipe=wired"
+    # idempotent (EnsurePipe contract: create only if it doesn't exist)
+    assert c.ensure_pipe("wired")["status"] == "exists"
+
+    c.write("name=piped", [(BASE_TS, "keep me", {}), (BASE_TS + NS, "drop me", {})])
+
+    deadline = time.monotonic() + 30
+    events = []
+    while time.monotonic() < deadline and not events:
+        events = c.query("SELECT FROM {logrange.pipe=wired}", limit=10)["events"]
+        if not events:
+            time.sleep(0.5)
+    assert [e["message"] for e in events] == ["keep me"]
+    assert c.execute("DELETE PIPE wired")
+
+
 def test_cli_query_and_exec(served, capsys, monkeypatch):
     import io
 
