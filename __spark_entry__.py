@@ -543,6 +543,20 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(timed, key_col="user_id", ts_col="t", gap="30 minutes")
 
 
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via F.window (the watermark-capable
+    streaming aggregation, run in batch for the oracle). 6-hour windows
+    keyed by event_type; Spark windows align to the epoch, so the oracle
+    is plain epoch floor division."""
+    from logrange_spark.streaming import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    timed = ev.select(
+        "event_type", F.timestamp_micros(F.expr("ts div 1000")).alias("t")
+    )
+    return windowed_counts(timed, ts_col="t", window="6 hours", key_col="event_type")
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: quality filter → near-dup removal → survivors.
 
@@ -721,8 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_words": _q_top_words,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_rolling_hash": _q_text_rolling_hash,
-        # event-time streaming ops (batch-checkable session windows)
+        # event-time streaming ops (batch-checkable session/tumbling windows)
         "events_sessions": _q_events_sessions,
+        "events_tumbling": _q_events_tumbling,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_bucketed_topk": _q_ann_bucketed,
@@ -1284,6 +1299,14 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "text_bpe_tokens": _bpe_tokens_sql(),
         "text_rolling_hash": _rolling_hash_sql(),
         "events_sessions": _SESSIONS_SQL,
+        # Spark F.window aligns to the epoch, so 6-hour tumbling windows
+        # are epoch floor division (µs columns; events ts are µs-aligned)
+        "events_tumbling": f"""
+SELECT event_type,
+       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} AS window_start_us,
+       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} + {6 * 3600 * 10**6} AS window_end_us,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3""".strip(),
         "dedup_embedding": _emb_neardup_sql(0.3),
         "training_pipeline": _training_pipeline_sql(0.5, 0.8),
         "parse_k8json": _PARSE_K8JSON_SQL,

@@ -8,6 +8,10 @@ built on Spark's native streaming primitives so the same code runs in batch
 
 - ``sessionize``  — gap-based session windows via ``F.session_window``;
   in streaming, pair with ``withWatermark`` before the groupBy.
+- ``windowed_counts`` — tumbling/sliding event-time windows with an
+  optional watermark: the late-data contract (events later than the
+  watermark are dropped; windows finalize once the watermark passes
+  their end, so append-mode sinks emit each window exactly once).
 - ``stateful.stateful_dedupe`` — custom stateful operator via
   ``applyInPandasWithState`` over ``groupBy(key)``: cross-batch exact
   dedup with optional state TTL. The template for any state machine
@@ -48,3 +52,37 @@ def sessionize(
         )
         .select(key_col, "start_us", "end_us", "n_events")
     )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "t",
+    window: str = "1 hour",
+    slide: str | None = None,
+    key_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) event-time window
+    counts, optionally keyed. ``ts_col`` must be TimestampType.
+
+    With ``watermark`` set and run as a streaming query in append mode,
+    this carries Spark's late-data contract: events older than
+    (max event time − watermark) are dropped, and a window row is
+    emitted exactly once — when the watermark passes its end. In batch
+    the same plan is a plain windowed aggregation (oracle-checkable).
+    One shuffle on (window, key); map-side partial aggregation applies,
+    so at 100 TB the shuffle carries one row per (window, key) per task,
+    not per event.
+
+    Returns (key?, window_start_us, window_end_us, n).
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    win = F.window(F.col(ts_col), window, slide or window).alias("_w")
+    keys = ([F.col(key_col)] if key_col else []) + [win]
+    out = src.groupBy(*keys).agg(F.count("*").alias("n"))
+    cols = ([F.col(key_col)] if key_col else []) + [
+        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+        F.col("n"),
+    ]
+    return out.select(*cols)

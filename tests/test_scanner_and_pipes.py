@@ -210,6 +210,60 @@ def test_syslog_frame_truncation_and_config_check(spark):
         SyslogSink(SyslogConfig(protocol="tcp", root_ca_file="/x.pem"))
 
 
+def test_windowed_counts_streaming_drops_late_data(spark, tmp_path):
+    """windowed_counts with a watermark, streamed in append mode:
+    a window is emitted exactly once when the watermark passes its end,
+    and events arriving later than the watermark are dropped — Spark's
+    late-data contract, which the reference's pipes (position-ordered,
+    no event time) cannot express."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.streaming import windowed_counts
+
+    src_dir = tmp_path / "win_in"
+    src_dir.mkdir()
+    checkpoint = str(tmp_path / "win_ckpt")
+
+    def emit(name, rows):
+        (src_dir / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run_wave(_name):
+        stream = (
+            spark.readStream.schema("t string")
+            .json(str(src_dir))
+            .select(F.to_timestamp("t").alias("t"))
+        )
+        emitted: list = []
+        q = (
+            windowed_counts(stream, ts_col="t", window="1 hour", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda bdf, _bid: emitted.extend(bdf.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(emitted, key=lambda r: r["window_start_us"])
+
+    base_us = 1_704_067_200 * 10**6  # 2024-01-01 00:00:00 UTC
+
+    # wave 1: two events in the 00:00-01:00 window, plus one at 05:00
+    # that advances the watermark to 04:00 — finalizing that window
+    emit("b0.json", [{"t": "2024-01-01 00:05:00"}, {"t": "2024-01-01 00:15:00"},
+                     {"t": "2024-01-01 05:00:00"}])
+    got = run_wave("win_out_w1")
+    assert [(r["window_start_us"], r["n"]) for r in got] == [(base_us, 2)]
+
+    # wave 2 (same checkpoint → watermark 04:00 persisted): a late event
+    # for the already-finalized window arrives — behind the watermark, so
+    # it is DROPPED: no new row, no re-emission of the window
+    emit("b1.json", [{"t": "2024-01-01 00:20:00"}])
+    got = run_wave("win_out_w2")
+    assert got == []
+
+
 def test_sessionize_streaming(spark, tmp_path):
     """sessionize runs as a Structured Streaming query: file source →
     watermark → session_window aggregation → memory sink (complete mode)."""
