@@ -1,0 +1,85 @@
+"""Physical-plan shape guards: the properties that make queries scale
+are asserted, not assumed — partition pruning, broadcast joins, column
+pruning, top-K instead of global sort. A regression here is invisible at
+sf0.001 row counts but fatal at 100 TB."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from .conftest import BASE_TS, NS
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_engine_select_prunes_partitions(engine):
+    """A tag-filtered SELECT must turn into src= partition pruning on the
+    store scan (the tag index's whole purpose), not a full-table filter."""
+    engine.write({"name": "pp1"}, [(BASE_TS, "a", {})])
+    engine.write({"name": "pp2"}, [(BASE_TS, "b", {})])
+    plan = plan_of(engine.query("SELECT FROM {name=pp1} LIMIT 10"))
+    assert "PartitionFilters" in plan
+    assert "src" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_engine_select_is_top_k_not_full_sort(engine):
+    engine.write({"name": "topk"}, [(BASE_TS + i * NS, f"m{i}", {}) for i in range(5)])
+    plan = plan_of(engine.query("SELECT FROM {name=topk} LIMIT 3"))
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_testdata
+def test_star_join_broadcasts_dimensions(spark):
+    """revenue_by_nation joins fact→customer→nation: the dimension sides
+    must broadcast (no shuffle of the fact table for a 25-row dim)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_pricing_summary_prunes_columns(spark):
+    """The scan must read only the projected columns — l_comment (the
+    widest lineitem column) must not reach the parquet reader."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["pricing_summary"](spark, SF_DIR))
+    scan = plan[plan.index("ReadSchema") :][:500]
+    assert "l_quantity" in scan
+    assert "l_comment" not in scan
+
+
+@needs_testdata
+def test_lsh_join_is_hash_join_not_nested_loop(spark):
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["dedup_lsh_candidates"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_simhash_pairs_single_shuffle_no_distinct(spark):
+    """After the first-matching-band rewrite the operator's only shuffle
+    is the band equi-join — no aggregate/distinct exchange downstream."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["dedup_simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # distinct would appear as a HashAggregate pair over the pair columns
+    after_join = plan.split("Join", 1)[0]
+    assert "HashAggregate" not in after_join
