@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,11 @@ class Engine:
         os.makedirs(self.logs_path, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
         self.seq_state = SeqState(os.path.join(self.state_dir, "seq.json"))
+        # serializes seq assignment + catalog upserts: writes arrive
+        # concurrently from HTTP handler threads and pipe streaming
+        # threads (single-writer-per-partition is about seq monotonicity
+        # per src, not about one global writer thread)
+        self._write_lock = threading.Lock()
         self._catalog: dict[str, str] = {}
         self._catalog_path = os.path.join(self.state_dir, "catalog.json")
         if os.path.exists(self._catalog_path):
@@ -73,15 +79,16 @@ class Engine:
         are merged into each record. Returns {src, tag_line, first_seq,
         last_seq, records}.
         """
-        batch = normalize_batch(tags, fields, events, self.seq_state)
-        if not batch.rows:
-            return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
-        df = self.spark.createDataFrame(batch.rows, LOG_SCHEMA)
-        # one file per write batch per src — the chunk analogue; avoids the
-        # one-row-per-task small-file explosion on local[N]
-        df.coalesce(1).write.mode("append").partitionBy("src").parquet(self.logs_path)
-        self.seq_state.save()
-        self._register_partition(batch.src, batch.tag_line)
+        with self._write_lock:
+            batch = normalize_batch(tags, fields, events, self.seq_state)
+            if not batch.rows:
+                return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
+            df = self.spark.createDataFrame(batch.rows, LOG_SCHEMA)
+            # one file per write batch per src — the chunk analogue; avoids
+            # the one-row-per-task small-file explosion on local[N]
+            df.coalesce(1).write.mode("append").partitionBy("src").parquet(self.logs_path)
+            self.seq_state.save()
+            self._register_partition(batch.src, batch.tag_line)
         return {
             "src": batch.src,
             "tag_line": batch.tag_line,
@@ -98,20 +105,21 @@ class Engine:
         """
         from pyspark.sql.window import Window
 
-        srcs = [r["src"] for r in df.select("src").distinct().collect()]
-        w = Window.partitionBy("src").orderBy("ts", "seq")
-        numbered = df.withColumn("_rn", F.row_number().over(w))
-        bases = {}
-        counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
-        for s in srcs:
-            first, _last = self.seq_state.next_range(s, counts[s])
-            bases[s] = first - 1
-        base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
-        out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
-        out.select([f.name for f in LOG_SCHEMA.fields]).write.mode("append").partitionBy("src").parquet(self.logs_path)
-        self.seq_state.save()
-        for r in df.select("src", "tag_line").distinct().collect():
-            self._register_partition(r["src"], r["tag_line"])
+        with self._write_lock:
+            srcs = [r["src"] for r in df.select("src").distinct().collect()]
+            w = Window.partitionBy("src").orderBy("ts", "seq")
+            numbered = df.withColumn("_rn", F.row_number().over(w))
+            bases = {}
+            counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
+            for s in srcs:
+                first, _last = self.seq_state.next_range(s, counts[s])
+                bases[s] = first - 1
+            base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
+            out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
+            out.select([f.name for f in LOG_SCHEMA.fields]).write.mode("append").partitionBy("src").parquet(self.logs_path)
+            self.seq_state.save()
+            for r in df.select("src", "tag_line").distinct().collect():
+                self._register_partition(r["src"], r["tag_line"])
 
     def _register_partition(self, src: str, line: str) -> None:
         if self._catalog.get(src) != line:

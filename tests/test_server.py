@@ -123,6 +123,26 @@ def test_formatted_query_over_the_wire(served):
     assert r["events"][0]["message"] == "info|hello"
 
 
+def test_concurrent_writes_keep_seq_monotonic(served):
+    """Writes land concurrently from handler threads; the engine write
+    lock must keep per-src seq assignment gap-free and duplicate-free."""
+    engine, c = served
+    workers = 8
+    per = 5
+
+    def wr(i):
+        return c.write("name=conc", [(BASE_TS + i * 1000 + j, f"w{i}.{j}", {}) for j in range(per)])
+
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(workers) as pool:
+        results = list(pool.map(wr, range(workers)))
+    assert all(r["records"] == per for r in results)
+    rows = engine.query("SELECT FROM {name=conc} LIMIT 100").collect()
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(1, workers * per + 1))
+
+
 def test_ensure_pipe_over_the_wire(served):
     engine, c = served
     res = c.ensure_pipe("wired", tags_cond="{name=piped}", filter_cond="msg CONTAINS 'keep'")
