@@ -69,9 +69,15 @@ DATE_PATTERNS: list[tuple[str, str, str | None]] = [
     # -- d MMM yyyy[,] HH:mm[:ss]  (covers '02 Jan 2006 15:04')
     ("fmt", r"(\d{1,2} [A-Z][a-z]{2} \d{4},? \d{2}:\d{2}(?::\d{2})?)(?![:\d])",
      "d MMM yyyy[,] HH:mm[:ss]"),
+    # -- asctime with numeric zone: Mon Jan 02 15:04:05 +0000 2006
+    ("fmt", r"[A-Z][a-z]{2} ([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2} [+-]\d{4} \d{4})",
+     "MMM d HH:mm:ss xx yyyy"),
     # -- ANSI-C asctime: Mon Jan  2 15:04:05 2006
     ("fmt", r"[A-Z][a-z]{2} ([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2} \d{4})",
      "MMM d HH:mm:ss yyyy"),
+    # -- MMM D, YYYY h:mm:ss P (e.g. Jan 2, 2006 3:04:05 PM)
+    ("fmt", r"([A-Z][a-z]{2} \d{1,2}, \d{4} \d{1,2}:\d{2}:\d{2} [AP]M)",
+     "MMM d, yyyy h:mm:ss a"),
     # -- year-less syslog, fractional first: Jan _2 15:04:05.000 (opt. weekday)
     ("yearless", r"(?:[A-Z][a-z]{2} )?([A-Z][a-z]{2} {1,2}\d{1,2} \d{2}:\d{2}:\d{2}\.\d{3})",
      "MMM d HH:mm:ss.SSS"),
@@ -79,6 +85,11 @@ DATE_PATTERNS: list[tuple[str, str, str | None]] = [
      "MMM d HH:mm:ss"),
     # -- mm.dd.yyyy
     ("fmt", r"(\d{2}\.\d{2}\.\d{4})(?!\d)", "MM.dd.yyyy"),
+    # -- yyyy-MMM-dd (2019-Mar-11)
+    ("fmt", r"(\d{4}-[A-Z][a-z]{2}-\d{2})(?![\d:])", "yyyy-MMM-dd"),
+    # -- d MMMM yyyy / d MMM yyyy bare dates (full or abbreviated month)
+    ("fmt", r"(\d{1,2} [A-Z][a-z]{3,8} \d{4})(?![\d:])", "d MMMM yyyy"),
+    ("fmt", r"(\d{1,2} [A-Z][a-z]{2} \d{4})(?![\d:,])", "d MMM yyyy"),
     # -- bare dates (guarded against version-number false hits)
     ("fmt", r"(?:^|\s)(\d{4}-\d{2}-\d{2})(?![\dT:.-])", "yyyy-MM-dd"),
     ("fmt", r"(?:^|\s)(\d{4}/\d{2}/\d{2})(?![\d:./])", "yyyy/MM/dd"),

@@ -88,6 +88,11 @@ DETECT_CASES = [
     ("Mon Jan  2 15:04:05 2006 asctime", (2006, 1, 2, 15, 4, 5, 0)),
     ("12.25.2017 dotted", (2017, 12, 25, 0, 0, 0, 0)),
     ("released 2017-12-25 bare date", (2017, 12, 25, 0, 0, 0, 0)),
+    ("Mon Jan 02 15:04:05 +0000 2006 ruby asctime", (2006, 1, 2, 15, 4, 5, 0)),
+    ("Jan 2, 2006 3:04:05 PM mdy twelve hour", (2006, 1, 2, 15, 4, 5, 0)),
+    ("2019-Mar-11 dashed month name", (2019, 3, 11, 0, 0, 0, 0)),
+    ("25 December 2017 full month", (2017, 12, 25, 0, 0, 0, 0)),
+    ("on 25 Dec 2017 bare abbreviated", (2017, 12, 25, 0, 0, 0, 0)),
     ("epoch 1552307683 in line", (2019, 3, 11, 12, 34, 43, 0)),
     ("epoch-ms 1552307683123 in line", (2019, 3, 11, 12, 34, 43, 123_000_000)),
     ("epoch-ns 1552307683123456789 here", (2019, 3, 11, 12, 34, 43, 123_456_000)),
