@@ -69,6 +69,18 @@ def test_write_query_page_truncate(served):
     assert c.query("SELECT FROM {name=web}", limit=10)["events"] == []
 
 
+@pytest.mark.parametrize("page", [1, 4, 7, 25, 100])
+def test_paging_is_lossless_at_any_page_size(served, page):
+    """Concatenated pages equal the full ordered result for any page
+    size — no lost, duplicated, or reordered rows at page boundaries."""
+    engine, c = served
+    engine.write({"name": "sweep"}, [(BASE_TS + i * NS, f"s{i}", {}) for i in range(25)])
+    got = []
+    for events in c.pages("SELECT FROM {name=sweep}", limit=page):
+        got.extend(e["message"] for e in events)
+    assert got == [f"s{i}" for i in range(25)]
+
+
 def test_query_offset_and_explicit_pos(served):
     engine, c = served
     c.write("name=pag", [(BASE_TS + i * NS, f"m{i}", {}) for i in range(10)])
