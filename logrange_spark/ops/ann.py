@@ -157,6 +157,33 @@ def ivf_assign_expr(
     return (-best["nc"]).cast("int")
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """K-means-trained IVF centroids via Spark MLlib (the production
+    quantizer; the deterministic lowest-id seeding in ``ivf_topk`` exists
+    for cross-engine oracle checks — training only changes the centroid
+    constants, never the plan shape). Deterministic for a fixed seed.
+
+    MLlib's fit is itself a distributed Spark job (k-means|| init +
+    Lloyd iterations), so training scales with the corpus; the returned
+    centroids are driver-side constants shipped with the query plan,
+    exactly like the seeded ones.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,6 +192,7 @@ def ivf_topk(
     n_probe: int = IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are inverted-listed by
     nearest centroid; each query probes its ``n_probe`` nearest lists.
@@ -179,7 +207,7 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cents = [
+    cents = centroids if centroids is not None else [
         (int(r[0]), list(r[1]))
         for r in (
             corpus.where(F.col(id_col) < n_centroids)

@@ -195,6 +195,41 @@ def test_ivf_topk_recall(vectors):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_ivf_trained_centroids_recall(spark):
+    """K-means-trained centroids (the production quantizer) give decent
+    recall@10 vs brute force at n_probe=4/16 on the real embeddings
+    table. Deterministic: fixed k-means seed."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.isdir(path) and not os.path.exists(path):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    vecs = spark.read.parquet(path)
+    queries = vecs.where(F.col("vec_id") < 5)
+
+    exact = {}
+    for r in ann.cosine_topk(vecs, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cents = ann.ivf_train_centroids(vecs, n_centroids=16, seed=42)
+    assert len(cents) == 16 and all(len(c) == 64 for _, c in cents)
+    approx = {}
+    for r in ann.ivf_topk(vecs, queries, k=10, n_probe=4, centroids=cents).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # synthetic embeddings are near-random, so clusters are weak; random
+    # probing would give ~n_probe/n_centroids = 0.25. Trained centroids
+    # reach ~0.48 (deterministic for the fixed seed) — assert they beat
+    # the random baseline by a clear margin.
+    assert mean_recall >= 0.4, f"mean recall@10 {mean_recall:.2f} too low"
+
+
 def test_multimodal_resize_and_frames(docs):
     media = multimodal.attach_binary(docs, "doc_id", "text", kind="image")
     rs = {r["media_id"]: r for r in multimodal.resize(media, 4, 3).collect()}
