@@ -191,6 +191,15 @@ class Engine:
             raise ValueError("query() accepts SELECT statements only")
         return self.select(stmt, now_ns)
 
+    def sql(self, query: str) -> DataFrame:
+        """Full Spark SQL over the store (beyond-reference escape hatch,
+        SURVEY §2.8): the log table is exposed as ``logs`` with the
+        canonical columns (ts ns-long, msg, fields, tags, tag_line, src,
+        seq). Tag/src predicates still prune partitions; everything else
+        is ordinary Catalyst SQL."""
+        self.logs().createOrReplaceTempView("logs")
+        return self.spark.sql(query)
+
     def follow(self, lql: str, wait_timeout_s: float = 60.0, poll_s: float = 0.5):
         """tail -f: generator yielding batches of new matching rows.
 

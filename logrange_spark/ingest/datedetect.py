@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 #   yearless — like fmt, but prefixed with the current year
 #   epoch_s / epoch_ms / epoch_ns — numeric epoch literal
 DATE_PATTERNS: list[tuple[str, str, str | None]] = [
+    # -- ISO-date with 12-hour clock: must precede the plain ISO rule or
+    #    '2017-12-25 10:05:06 PM' parses as 10:05 instead of 22:05
+    ("fmt", r"(\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2} [AP]M)", "yyyy-MM-dd h:mm:ss a"),
     # -- ISO-8601 family: fraction and/or offset (native parser covers all)
     ("iso",
      r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d{1,9})?(?: ?(?:Z|[+-]\d{2}:?\d{2}))?)",
@@ -58,6 +61,10 @@ DATE_PATTERNS: list[tuple[str, str, str | None]] = [
     ("fmt", r"(\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}\.\d{3})", "dd/MM/yyyy HH:mm:ss.SSS"),
     ("fmt", r"(\d{1,2}/\d{1,2}/\d{4} \d{2}:\d{2}:\d{2})(?![.\d])", "d/M/yyyy HH:mm:ss"),
     ("fmt", r"(\d{1,2}/\d{1,2}/\d{4} \d{2}:\d{2})(?![:\d])", "d/M/yyyy HH:mm"),
+    # -- 2-digit-year variants ONLY with a time attached ('D/M/YY HH:mm'
+    #    in the reference); bare D/M/YY is excluded deliberately — it
+    #    false-matches fractions and version strings
+    ("fmt", r"(\d{1,2}/\d{1,2}/\d{2} \d{2}:\d{2})(?![:\d])", "d/M/yy HH:mm"),
     # -- apache CLF: 10/Oct/2000:13:55:36 -0700
     ("fmt", r"(\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4})",
      "dd/MMM/yyyy:HH:mm:ss xx"),

@@ -89,6 +89,8 @@ DETECT_CASES = [
     ("12.25.2017 dotted", (2017, 12, 25, 0, 0, 0, 0)),
     ("released 2017-12-25 bare date", (2017, 12, 25, 0, 0, 0, 0)),
     ("Mon Jan 02 15:04:05 +0000 2006 ruby asctime", (2006, 1, 2, 15, 4, 5, 0)),
+    ("2017-12-25 10:05:06 PM iso twelve hour", (2017, 12, 25, 22, 5, 6, 0)),
+    ("3/4/17 10:00 two digit year", (2017, 4, 3, 10, 0, 0, 0)),
     ("Jan 2, 2006 3:04:05 PM mdy twelve hour", (2006, 1, 2, 15, 4, 5, 0)),
     ("2019-Mar-11 dashed month name", (2019, 3, 11, 0, 0, 0, 0)),
     ("25 December 2017 full month", (2017, 12, 25, 0, 0, 0, 0)),

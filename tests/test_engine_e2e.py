@@ -146,6 +146,19 @@ def test_write_level_fields(engine):
     assert rows[1]["fields"] == {"a": "0", "host": "h9"}
 
 
+def test_engine_sql_over_logs_view(loaded_engine):
+    rows = loaded_engine.sql(
+        "SELECT src, count(*) AS n FROM logs GROUP BY src ORDER BY n DESC, src"
+    ).collect()
+    assert sum(r["n"] for r in rows) > 0
+    assert len(rows) == len(loaded_engine.execute("SHOW PARTITIONS").collect())
+    # predicates on the partition column still prune
+    plan = loaded_engine.sql(
+        "SELECT msg FROM logs WHERE src = 'nosuch'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
 def test_tail_offset_past_start_returns_all(engine):
     """tail OFFSET -n with n > row count: the backward walk stops at the
     beginning of the stream and the forward read returns everything —
