@@ -39,6 +39,11 @@ def build_session(
         # schema's ts; Spark otherwise refuses nanosecond parquet columns)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # a concurrent TRUNCATE may delete chunk files between a query's
+        # planning and execution; readers skip them instead of failing
+        # (the reference serializes this with journal refcounts —
+        # pkg/partition/partition.go; stateless readers just tolerate it)
+        .config("spark.sql.files.ignoreMissingFiles", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

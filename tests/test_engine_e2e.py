@@ -146,6 +146,21 @@ def test_write_level_fields(engine):
     assert rows[1]["fields"] == {"a": "0", "host": "h9"}
 
 
+def test_reads_survive_concurrent_truncate(engine):
+    """A chunk file deleted between planning and execution (concurrent
+    TRUNCATE) must not fail the read — stateless readers skip missing
+    files where the reference serializes with journal refcounts."""
+    import glob
+    import os
+
+    for b in range(3):
+        engine.write({"name": "tr"}, [(BASE_TS + (b * 10 + i) * NS, f"b{b}.{i}", {}) for i in range(4)])
+    df = engine.query("SELECT FROM {name=tr} LIMIT 100")
+    victim = sorted(glob.glob(os.path.join(engine.logs_path, "src=*", "*.parquet")))[0]
+    os.remove(victim)
+    assert len(df.collect()) == 8
+
+
 def test_engine_sql_over_logs_view(loaded_engine):
     rows = loaded_engine.sql(
         "SELECT src, count(*) AS n FROM logs GROUP BY src ORDER BY n DESC, src"
