@@ -35,6 +35,9 @@ class ScanSchema:
     path_regex: str | None = None  # Python named groups → tags
     static_tags: dict[str, str] = field(default_factory=dict)
     parser_options: dict = field(default_factory=dict)
+    # files whose path matches any of these regexes are skipped
+    # (reference: ExcludeMatchers, pkg/scanner/config.go:28,110-113)
+    exclude_regexes: tuple[str, ...] = ()
 
 
 def _java_regex_and_groups(path_regex: str) -> tuple[str, list[str]]:
@@ -84,6 +87,9 @@ def scan(spark: SparkSession, schema: ScanSchema, streaming: bool = False) -> Da
     parse = PARSERS[schema.parser]
     reader = spark.readStream if streaming else spark.read
     raw = reader.text(schema.path_glob)
+    for ex in schema.exclude_regexes:
+        re.compile(ex)  # fail fast on bad patterns (config.go:110-113)
+        raw = raw.where(~F.input_file_name().rlike(ex))
     parsed = parse(raw, **schema.parser_options)
     tags = _tags_from_path(schema)
     out = (

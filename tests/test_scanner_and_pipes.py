@@ -46,6 +46,24 @@ def test_scan_batch(spark, log_dir):
     assert any(r["ts"] == 1704103200 * NS for r in rows)  # 2024-01-01 10:00:00
 
 
+def test_scan_exclude_matchers(spark, log_dir):
+    """ExcludeMatchers parity: files matching an exclude regex are
+    skipped; bad patterns fail fast (pkg/scanner/config.go:110-113)."""
+    schema = ScanSchema(
+        path_glob=f"{log_dir}/*/*.log",
+        parser="text",
+        exclude_regexes=(r"db\.log$",),
+    )
+    rows = scan(spark, schema).collect()
+    assert len(rows) == 3  # db.log's single line excluded
+    assert all("db" not in r["msg"] for r in rows)
+    import re as _re
+
+    with pytest.raises(_re.error):
+        scan(spark, ScanSchema(path_glob=f"{log_dir}/*/*.log",
+                               exclude_regexes=("[bad",))).collect()
+
+
 def test_collect_into_engine(engine, log_dir):
     schema = ScanSchema(
         path_glob=f"{log_dir}/*/*.log",
