@@ -2,15 +2,17 @@
 
 Subcommands:
 
-    serve  --root DIR [--host H] [--port P]   run engine + HTTP server
-    query  'LQL'  [--server URL] [--follow]   run a SELECT, print events
-    exec   'LQL'  [--server URL]              run an admin statement
-    write  --tags 'k=v,...' [--fields ...]    read "message" lines on stdin
-    shell  [--server URL]                     interactive prompt
+    serve   --root DIR [--host H] [--port P]  run engine + HTTP server
+    query   'LQL'  [--server URL] [--follow]  run a SELECT, print events
+    exec    'LQL'  [--server URL]             run an admin statement
+    write   --tags 'k=v,...' [--fields ...]   read "message" lines on stdin
+    shell   [--server URL]                    interactive prompt
+    collect --root DIR --glob PAT [...]       collector: files → store
+    forward --root DIR --query LQL --sink ... forwarder: store → syslog
 
-Everything but ``serve`` talks to a running server over HTTP — the
-analogue of the reference's client mode (cmd/lr/main.go). ``serve``
-starts a local Spark session and blocks.
+query/exec/write/shell talk to a running server over HTTP; collect and
+forward run an embedded engine against --root, mirroring the reference's
+three `lr` modes (cmd/lr/main.go:66-70: collector, forwarder, shell).
 """
 
 from __future__ import annotations
@@ -77,6 +79,80 @@ def cmd_write(args) -> int:
     return 0
 
 
+def _embedded_engine(root: str, app: str):
+    """Engine + session for daemon modes. build_session's getOrCreate may
+    hand back a session someone else owns (tests, a notebook); the
+    returned stop() only stops sessions this call actually created."""
+    from pyspark.sql import SparkSession
+
+    from .engine import Engine
+    from .session import build_session
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name=app)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stop():
+        if not pre_existing:
+            spark.stop()
+
+    return Engine(spark, root), spark, stop
+
+
+def cmd_collect(args) -> int:
+    """Collector mode (reference: cmd/lr collect → client/collector):
+    scan files into the store; --once ingests what exists and exits."""
+    from .ingest.scanner import ScanSchema, collect_into
+    from .model.tags import parse_tags
+
+    engine, spark, stop = _embedded_engine(args.root, "logrange-spark-collect")
+    schema = ScanSchema(
+        path_glob=args.glob,
+        parser=args.parser,
+        path_regex=args.path_regex or None,
+        static_tags=parse_tags(args.tags) if args.tags else {},
+        exclude_regexes=tuple(args.exclude or ()),
+    )
+    try:
+        if args.once:
+            collect_into(engine, schema)
+            print("collected", flush=True)
+            return 0
+        q = collect_into(engine, schema, streaming=True)
+        print(f"collecting {args.glob} into {args.root}", flush=True)
+        q.awaitTermination()
+        return 0
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        stop()
+
+
+def cmd_forward(args) -> int:
+    """Forwarder mode (reference: cmd/lr forward → client/forwarder):
+    continuously export matching records to a syslog sink."""
+    from .forward import SyslogConfig, SyslogSink, start_forwarder
+
+    engine, spark, stop = _embedded_engine(args.root, "logrange-spark-forward")
+    host, _, port = args.sink.partition(":")
+    cfg = SyslogConfig(
+        host=host or "127.0.0.1",
+        port=int(port or 514),
+        protocol=args.protocol,
+        root_ca_file=args.root_ca or "",
+        framing=args.framing,
+    )
+    try:
+        q = start_forwarder(engine, args.name, args.query, SyslogSink(cfg))
+        print(f"forwarding {args.query!r} to {args.protocol}://{cfg.host}:{cfg.port}", flush=True)
+        q.awaitTermination()
+        return 0
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        stop()
+
+
 def cmd_shell(args) -> int:
     c = Client(args.server)
     print(f"connected to {args.server} — LQL statements; 'exit' to quit")
@@ -132,6 +208,26 @@ def main(argv: list[str] | None = None) -> int:
     sh = sub.add_parser("shell", help="interactive prompt")
     sh.add_argument("--server", default=DEFAULT_SERVER)
     sh.set_defaults(fn=cmd_shell)
+
+    co = sub.add_parser("collect", help="collector: scan files into the store")
+    co.add_argument("--root", required=True)
+    co.add_argument("--glob", required=True)
+    co.add_argument("--parser", default="text", choices=["pure", "text", "k8json", "logfmt"])
+    co.add_argument("--path-regex", default="")
+    co.add_argument("--tags", default="")
+    co.add_argument("--exclude", action="append")
+    co.add_argument("--once", action="store_true")
+    co.set_defaults(fn=cmd_collect)
+
+    fw = sub.add_parser("forward", help="forwarder: export records to syslog")
+    fw.add_argument("--root", required=True)
+    fw.add_argument("--query", required=True)
+    fw.add_argument("--name", default="cli-forwarder")
+    fw.add_argument("--sink", required=True, help="host:port")
+    fw.add_argument("--protocol", default="tcp", choices=["tcp", "udp", "tls"])
+    fw.add_argument("--root-ca", default="")
+    fw.add_argument("--framing", default="rfc3164", choices=["rfc3164", "rfc5424"])
+    fw.set_defaults(fn=cmd_forward)
 
     args = p.parse_args(argv)
     return args.fn(args)

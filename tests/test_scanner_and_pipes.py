@@ -46,6 +46,25 @@ def test_scan_batch(spark, log_dir):
     assert any(r["ts"] == 1704103200 * NS for r in rows)  # 2024-01-01 10:00:00
 
 
+def test_cli_collect_once(spark, log_dir, tmp_path, capsys):
+    """`collect --once` (cmd/lr collect analogue) ingests existing files
+    into a store root that a normal engine can then query."""
+    from logrange_spark import Engine
+    from logrange_spark.cli import main
+
+    root = str(tmp_path / "store")
+    rc = main([
+        "collect", "--root", root, "--glob", f"{log_dir}/*/*.log",
+        "--path-regex", r"(?P<file>[a-z]+)\.log", "--once",
+    ])
+    assert rc == 0 and "collected" in capsys.readouterr().out
+    # note: cmd_collect stopped its session; build a fresh engine on the
+    # same root with the test session to read what it wrote
+    e = Engine(spark, root)
+    rows = e.query("SELECT FROM {file=app} LIMIT 10").collect()
+    assert len(rows) == 3
+
+
 def test_scan_exclude_matchers(spark, log_dir):
     """ExcludeMatchers parity: files matching an exclude regex are
     skipped; bad patterns fail fast (pkg/scanner/config.go:110-113)."""
