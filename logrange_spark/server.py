@@ -266,9 +266,14 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"err": f"unknown path {self.path}"})
 
+    MAX_BODY = 64 << 20  # one write batch tops out well under this
+
     def do_POST(self):
         try:
             n = int(self.headers.get("Content-Length") or 0)
+            if n > self.MAX_BODY:
+                self._send(413, {"err": f"body {n} bytes exceeds {self.MAX_BODY}"})
+                return
             req = json.loads(self.rfile.read(n) or b"{}")
         except Exception as e:
             self._send(400, {"err": f"bad JSON body: {e}"})
