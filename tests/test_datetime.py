@@ -149,3 +149,58 @@ def test_detect_no_false_positives(spark):
         ],
     )
     assert got == [None, None, None, None]
+
+
+def test_detect_roundtrip_stress(spark):
+    """Seeded stress: random datetimes rendered through each layout,
+    embedded in random message noise — detection must recover the exact
+    instant. One batched DataFrame, one collect."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ingest.datedetect import detect_timestamp
+
+    rng = random.Random(20260813)
+    layouts = [
+        ("%Y-%m-%dT%H:%M:%S.%f", None),
+        ("%Y-%m-%d %H:%M:%S", None),
+        ("%Y/%m/%d %H:%M:%S", None),
+        ("%d/%m/%Y %H:%M:%S", None),
+        ("%Y-%m-%dT%H:%M:%SZ", None),
+        ("%d %b %Y %H:%M:%S +0000", None),
+        ("%m.%d.%Y", "date-only"),
+        ("%Y-%m-%d", "date-only"),
+    ]
+    prefixes = ["", "app[312]: ", "1.2.3 ", "level=info at ", "<<< "]
+    suffixes = ["", " done", " k=v pairs trail", " :: tail"]
+
+    cases = []
+    for i in range(300):
+        fmt, kind = layouts[i % len(layouts)]
+        # second precision; micros only for the .%f layout (rendered ms-truncated)
+        dt = datetime(2015, 1, 1) + timedelta(
+            days=rng.randrange(3650), seconds=rng.randrange(86400)
+        )
+        if "%f" in fmt:
+            dt = dt.replace(microsecond=rng.randrange(1000) * 1000)
+            rendered = dt.strftime(fmt)[:-3]  # micros → millis
+        else:
+            rendered = dt.strftime(fmt)
+        if kind == "date-only":
+            dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        line = rng.choice(prefixes) + rendered + rng.choice(suffixes)
+        cases.append((line, dt))
+
+    df = spark.createDataFrame([(l,) for l, _ in cases], "value string")
+    got = [
+        r["t"]
+        for r in df.select(detect_timestamp(F.col("value")).alias("t")).collect()
+    ]
+    bad = [
+        (cases[i][0], cases[i][1], got[i])
+        for i in range(len(cases))
+        if got[i] != cases[i][1]
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 3: {bad[:3]}"

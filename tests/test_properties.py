@@ -151,3 +151,48 @@ def test_relative_datetime_folding(n, unit):
 @given(st.integers(min_value=0, max_value=4 * 10**18))
 def test_unix_nanos_passthrough(ns)  :
     assert parse_datetime(str(ns), now_ns=NOW) == ns
+
+
+# -------------------------------------------------------------- parser fuzz
+
+from logrange_spark.lql.lexer import LqlSyntaxError
+from logrange_spark.lql.parser import parse_lql
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(
+        alphabet='SELECTFROMWHERELIMITOFSTPIN{}=!<>"\'(),:*?-. abcdefghij0123456789',
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_parser_never_crashes_on_token_soup(text):
+    """Any input either parses or raises LqlSyntaxError/ValueError —
+    never an unexpected exception type (the server maps these to 400s)."""
+    try:
+        parse_lql(text)
+    except (LqlSyntaxError, ValueError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=6),
+        st.text(alphabet='abc ,="\\', min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=1, max_value=10_000),
+)
+def test_select_roundtrip_through_parser(tags, offset, limit):
+    """A SELECT built from arbitrary tag sets round-trips: the parsed AST
+    carries the same tags (via the canonical tag line), offset and limit."""
+    from logrange_spark.model.tags import parse_tags, tag_line
+
+    line = tag_line(tags)
+    stmt = parse_lql(f"SELECT FROM {{{line}}} OFFSET {offset} LIMIT {limit}")
+    assert stmt.source is not None and stmt.source.tags == parse_tags(line) == tags
+    assert stmt.offset == offset and stmt.limit == limit
