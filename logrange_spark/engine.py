@@ -278,13 +278,18 @@ class Engine:
         return df
 
     @staticmethod
-    def _file_stat(part_dir: str, name: str) -> dict:
+    def _file_stat(part_dir: str, name: str) -> dict | None:
         """Footer-only stats for one parquet file (the chunk analogue).
-        pyarrow releases the GIL during the footer read, so these pool."""
+        pyarrow releases the GIL during the footer read, so these pool.
+        Returns None if the file vanished (concurrent TRUNCATE) — the
+        metadata twin of ignoreMissingFiles on the data path."""
         import pyarrow.parquet as pq
 
         fpath = os.path.join(part_dir, name)
-        md = pq.ParquetFile(fpath)
+        try:
+            md = pq.ParquetFile(fpath)
+        except FileNotFoundError:
+            return None
         ts_idx = md.schema_arrow.get_field_index("ts")
         mn, mx = None, None
         for rg in range(md.metadata.num_row_groups):
@@ -292,8 +297,12 @@ class Engine:
             if st is not None and st.has_min_max:
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
+        try:
+            size = os.path.getsize(fpath)
+        except FileNotFoundError:
+            return None
         return {"chunk": name, "records": md.metadata.num_rows,
-                "size": os.path.getsize(fpath), "min_ts": mn, "max_ts": mx}
+                "size": size, "min_ts": mn, "max_ts": mx}
 
     def describe_many(self, src_ids: list[str]) -> dict[str, dict]:
         """Partition stats for many srcs with pooled footer reads.
@@ -322,7 +331,8 @@ class Engine:
                 for (src, _, _), st in zip(
                     jobs, pool.map(lambda j: self._file_stat(j[1], j[2]), jobs)
                 ):
-                    stats[src].append(st)
+                    if st is not None:  # file deleted mid-scan
+                        stats[src].append(st)
 
         out = {}
         for src in src_ids:

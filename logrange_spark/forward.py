@@ -68,10 +68,10 @@ def _open_conn(cfg: SyslogConfig) -> socket.socket:
         return sock
     sock = socket.create_connection((cfg.host, cfg.port), timeout=cfg.connect_timeout_s)
     if cfg.protocol == PROTO_TLS:
+        # a private CA replaces the trust roots but hostname verification
+        # stays ON — any-cert-from-this-CA must not impersonate the
+        # configured endpoint (Go's tls.Config{RootCAs} behaves the same)
         ctx = ssl.create_default_context(cafile=cfg.root_ca_file or None)
-        if cfg.root_ca_file:
-            # private CA: verify the chain but not the public hostname
-            ctx.check_hostname = False
         sock = ctx.wrap_socket(sock, server_hostname=cfg.host)
     sock.settimeout(cfg.write_timeout_s)
     return sock

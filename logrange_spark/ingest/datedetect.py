@@ -126,7 +126,12 @@ def detect_timestamp(line: Column, current_year: Column | None = None) -> Column
             elif kind == "epoch_ms":
                 attempts.append(F.timestamp_millis(n))
             else:
-                attempts.append(F.timestamp_micros((n / 1000).cast("long")))
+                # exact ns→µs floor: plain `/ 1000` goes through doubles
+                # and loses ulps on 19-digit longs; subtracting the
+                # remainder first keeps the double division within 1 ulp
+                # of an integer, which round() recovers exactly
+                us = F.round((n - F.pmod(n, F.lit(1000))) / F.lit(1000)).cast("long")
+                attempts.append(F.timestamp_micros(us))
             continue
         ex = F.regexp_replace(raw, r"  +", " ")  # collapse _2-style padding
         if kind == "iso":

@@ -110,7 +110,10 @@ def query_once(engine, req: dict) -> dict:
         raise ApiError(400, f"wrong limit value, expected not-negative integer, but got {limit}")
     lim = min(limit, MAX_LIMIT)
 
-    if lim == 0 and wait_timeout <= 0:
+    if lim == 0:
+        # the reference's read loop never runs with limit=0 — it returns
+        # an empty result immediately even when waitTimeout is set
+        # (pkg/backend/querier.go:90 `for limit > 0`)
         return {
             "events": [],
             "nextQueryRequest": {"query": query, "pos": pos, "offset": 0,
@@ -125,6 +128,22 @@ def query_once(engine, req: dict) -> dict:
     elif offset:
         stmt = replace(stmt, offset=(stmt.offset or 0) + offset)
     stmt = replace(stmt, limit=lim)
+
+    if stmt.position and stmt.position.pos_id.lower() == "tail" and (stmt.offset or 0) >= 0:
+        # batch-compiled 'tail going forward' is always empty; the cursor
+        # semantics are 'start at end-of-stream, return what arrives
+        # later'. Seed a value cursor from the current last row (like
+        # engine.follow) so the wait loop — and the returned pos — can
+        # actually observe new data.
+        probe = replace(stmt, format=None, position=ast.Position("tail"),
+                        offset=-1, limit=1)
+        last_rows = engine.select(probe).collect()
+        if last_rows:
+            lr = last_rows[0]
+            pos = CursorToken(lr["ts"], lr["src"], lr["seq"]).encode()
+            stmt = replace(stmt, position=ast.Position(pos), offset=0)
+        else:  # empty stream: everything that ever arrives is new
+            stmt = replace(stmt, position=None, offset=0)
 
     def run():
         return engine.select(stmt).collect()
@@ -272,6 +291,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length") or 0)
             if n > self.MAX_BODY:
+                # the unread body would be parsed as the next request on a
+                # keep-alive connection — close instead
+                self.close_connection = True
                 self._send(413, {"err": f"body {n} bytes exceeds {self.MAX_BODY}"})
                 return
             req = json.loads(self.rfile.read(n) or b"{}")

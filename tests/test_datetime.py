@@ -98,6 +98,8 @@ DETECT_CASES = [
     ("epoch 1552307683 in line", (2019, 3, 11, 12, 34, 43, 0)),
     ("epoch-ms 1552307683123 in line", (2019, 3, 11, 12, 34, 43, 123_000_000)),
     ("epoch-ns 1552307683123456789 here", (2019, 3, 11, 12, 34, 43, 123_456_000)),
+    # float division would land on ...015 µs for this one (review fix)
+    ("epoch-ns 1500000000000016000 ulp edge", (2017, 7, 14, 2, 40, 0, 16_000)),
 ]
 
 YEARLESS_CASES = [

@@ -146,6 +146,12 @@ def test_write_level_fields(engine):
     assert rows[1]["fields"] == {"a": "0", "host": "h9"}
 
 
+def test_file_stat_tolerates_vanished_file(engine):
+    """The metadata path's twin of ignoreMissingFiles: a chunk deleted
+    between listing and the footer read yields None, not an exception."""
+    assert engine._file_stat("/nonexistent-dir", "gone.parquet") is None
+
+
 def test_reads_survive_concurrent_truncate(engine):
     """A chunk file deleted between planning and execution (concurrent
     TRUNCATE) must not fail the read — stateless readers skip missing

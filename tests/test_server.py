@@ -109,6 +109,42 @@ def test_bad_requests(served):
         c.query("SELEKT FROM")
 
 
+def test_tail_query_with_wait_sees_new_data(served):
+    """POSITION tail over the wire = start at end-of-stream; with
+    waitTimeout the server must observe rows written after the tail was
+    taken (round-3 review fix: the tail is seeded into a value cursor
+    rather than re-running the always-empty batch tail plan)."""
+    engine, c = served
+    c.write("name=tailsrv", [(BASE_TS, "existing", {})])
+
+    def later():
+        time.sleep(1.5)
+        engine.write({"name": "tailsrv"}, [(BASE_TS + NS, "new arrival", {})])
+
+    t = threading.Thread(target=later)
+    t.start()
+    r = c.query("SELECT FROM {name=tailsrv} POSITION tail", limit=10, wait_timeout=20)
+    t.join()
+    assert [e["message"] for e in r["events"]] == ["new arrival"]
+    # and the returned cursor continues from there
+    r2 = c.query(r["nextQueryRequest"])
+    assert r2["events"] == []
+
+
+def test_tail_query_on_empty_stream(served):
+    _, c = served
+    r = c.query("SELECT FROM {name=ghost} POSITION tail", limit=5)
+    assert r["events"] == []
+
+
+def test_limit_zero_returns_immediately_even_with_wait(served):
+    _, c = served
+    t0 = time.monotonic()
+    r = c.query("SELECT", limit=0, wait_timeout=30)
+    assert r["events"] == []
+    assert time.monotonic() - t0 < 5  # reference: read loop never runs
+
+
 def test_wait_timeout_sees_new_data(served):
     engine, c = served
     c.write("name=live", [(BASE_TS, "old", {})])
