@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
@@ -29,3 +30,35 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     if width * min_factor <= target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Skew-busting equi-join: spread a hot key over ``salts`` shuffle
+    partitions.
+
+    Left rows get a deterministic salt from their full row content
+    (xxhash64 — reproducible, no RNG); right rows are replicated once per
+    salt. The join key becomes (key, salt), so a key that dominated one
+    shuffle partition now lands on ``salts`` of them, at the cost of a
+    ``salts``× blow-up of the (small) right side.
+
+    AQE's skew-join split (on by default in build_session) handles most
+    cases at runtime; use this when AQE can't — a stateful/streaming
+    stage, or a skewed key known in advance. Result is identical to a
+    plain ``left.join(right, on, how)`` for inner/left joins.
+    """
+    if salts < 2:
+        return left.join(right, on, how)
+    l_s = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    )
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return l_s.join(r_s, [on, "__salt"], how).drop("__salt")

@@ -247,3 +247,27 @@ def test_multimodal_resize_and_frames(docs):
     f1 = sorted((r["frame_idx"], bytes(r["frame"])) for r in per[1])
     f3 = sorted((r["frame_idx"], bytes(r["frame"])) for r in per[3])
     assert f1 == f3
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join result is identical to the plain join on skewed data
+    (90% of left rows share one key)."""
+    from logrange_spark.ops.util import salted_join
+
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("r"), F.col("id")).alias("name")
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["name"]) for r in salted_join(left, right, "k", salts=8).collect()
+    )
+    assert salted == plain and len(plain) == 1000
+    # left join keeps unmatched rows exactly once too
+    lj = salted_join(left.withColumn("k", F.col("k") + 1000), right, "k", how="left")
+    assert lj.count() == 1000 and lj.where(F.col("name").isNotNull()).count() == 0
