@@ -166,6 +166,18 @@ def cmd_shell(args) -> int:
             continue
         if line.lower() in ("exit", "quit"):
             return 0
+        if line.lower().startswith("help"):
+            # reference shell help (client/shell/command.go:92-190)
+            print(
+                "commands:\n"
+                "  SELECT ...            query records (pages of 100)\n"
+                "  SHOW PARTITIONS|PIPES list partitions / pipes\n"
+                "  DESCRIBE ...          partition / pipe details\n"
+                "  CREATE|DELETE PIPE    manage pipes\n"
+                "  TRUNCATE ...          retention (DRYRUN to preview)\n"
+                "  help | exit | quit"
+            )
+            continue
         try:
             if line.upper().startswith("SELECT"):
                 for page in c.pages(line, limit=100):
