@@ -490,6 +490,25 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution with mean quality per language — the
+    first thing a training-data curator asks of a new crawl. Rides the
+    same n-gram lang-ID + quality expressions as text_stats, so the
+    oracle is a GROUP BY over the shared generated SQL."""
+    stats = text.text_stats(_t(spark, sf_dir, "documents"))
+    # DECIMAL-accumulate the (already 6dp-rounded) quality so the mean is
+    # exact regardless of partition summation order — same determinism
+    # pattern as the money queries
+    dec = "decimal(18,6)"
+    return stats.groupBy("lang_guess").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            (F.sum(F.col("quality").cast(dec)) / F.count("*")).cast("double"), 6
+        ).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def _q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -732,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         # training-data pipeline: text analysis
         "text_stats": _q_text_stats,
+        "text_lang_dist": _q_text_lang_dist,
         "text_top_words": _q_top_words,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_rolling_hash": _q_text_rolling_hash,
@@ -1287,6 +1307,11 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dedup_near_duplicates": _near_dup_sql(0.8),
         "dedup_simhash_pairs": _simhash_sql(3),
         "text_stats": _text_stats_sql(),
+        "text_lang_dist": f"""
+SELECT lang_guess, count(*) AS n_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
         "text_top_words": """
 SELECT token, count(*) AS cnt FROM (
   SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
