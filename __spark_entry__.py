@@ -70,7 +70,21 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # every query below assumes events.ts is epoch-ns long. The driver
+        # testdata has stored ts as parquet TIMESTAMP(NANOS) (read back as
+        # long via nanosAsLong) and as TIMESTAMP(MICROS) (read back as a
+        # timestamp type) in different rounds — normalize both to ns-long.
+        # The µs→ns widening is exact (×1000), so oracle twins that use
+        # DuckDB's epoch_ns()/epoch_us() agree in either layout.
+        t = dict(df.dtypes).get("ts")
+        if t in ("timestamp", "timestamp_ntz"):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+            )
+    return df
 
 
 def _logs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,7 +724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_glob_like": _lql("SELECT FROM name=click OR name=view WHERE msg LIKE '{\"k\": 1?}'"),
         "lql_fields_lex": _lql("SELECT WHERE fields:user < '11'"),
         "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
-        "lql_range_relative": _lql_at('SELECT FROM {name=view} RANGE "-22d"', FIXED_NOW),
+        # NB: the driver's correctness report holds at most 50 rows, so the
+        # registry is capped at exactly 50 entries. `lql_range_relative`
+        # (relative "-22d" literal folding) was retired from the registry in
+        # round 4 — the same query is still oracle-checked against DuckDB in
+        # tests/test_entry_contract.py::test_retired_range_relative_oracle,
+        # and the literal folding itself is unit-tested in test_datetime.py.
         "lql_range_special": _lql_at(
             'SELECT FROM {name=signup} RANGE "week"', 1_705_487_400_000_000_000
         ),  # now = Wed 2024-01-17 10:30 UTC → week starts Sun 2024-01-14
@@ -1125,10 +1144,6 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY ts, src, seq LIMIT 10000",
         "lql_range": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         f"WHERE tag_line = 'name=purchase' AND ts >= {RANGE_LO // 1000} AND ts <= {RANGE_HI // 1000} "
-        "ORDER BY ts, src, seq LIMIT 10000",
-        # -22d from the pinned now (2024-02-01) folds to exactly RANGE_LO
-        "lql_range_relative": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        f"WHERE tag_line = 'name=view' AND ts >= {RANGE_LO // 1000} "
         "ORDER BY ts, src, seq LIMIT 10000",
         # "week" special form folds to Sunday 2024-01-14 00:00 UTC
         "lql_range_special": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "

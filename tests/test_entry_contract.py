@@ -49,6 +49,38 @@ def test_queries_and_oracles_align(spark):
     assert unoracled == set(), f"queries without oracle: {unoracled}"
 
 
+def test_registry_is_at_most_50_entries():
+    """The driver's correctness report holds at most 50 rows (observed in
+    round 3: the 51st registered query silently fell off the report), so
+    the registry must stay at <= 50 so every entry gets a driver row."""
+    assert len(entry.queries()) <= 50
+
+
+def test_retired_range_relative_oracle(spark):
+    """`lql_range_relative` was retired from the 50-entry registry in
+    round 4; this test keeps its oracle check alive: the relative "-22d"
+    literal with a pinned now must match the DuckDB twin exactly."""
+    import duckdb
+
+    q = entry._lql_at('SELECT FROM {name=view} RANGE "-22d"', entry.FIXED_NOW)
+    s_rows = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    # -22d from the pinned now (2024-02-01) folds to exactly RANGE_LO
+    d_rows = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {entry._LOGS_CTE} SELECT {entry._STD} FROM logs "
+            f"WHERE tag_line = 'name=view' AND ts >= {entry.RANGE_LO // 1000} "
+            "ORDER BY ts, src, seq LIMIT 10000"
+        ).fetchall()
+    )
+    assert len(s_rows) == len(d_rows) and s_rows == d_rows
+
+
 def test_approx_users_within_bound(spark):
     out = entry.queries()["events_approx_users"](spark, SF_DIR).collect()
     assert out, "no rows"
