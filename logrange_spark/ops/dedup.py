@@ -67,22 +67,35 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
     return _shingles_of(tokens(col), n)
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str,
-                      seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(id, mh0..mh{k-1}) — per-seed lexicographic min of md5(seed|shingle).
+def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _tok) for documents with ≥ SHINGLE_N tokens, tokenized BELOW
+    the ``spread`` repartition.
+
+    This is the shared scan for the whole near-dup pipeline: LSH signature
+    generation and Jaccard verification both consume it, and because the
+    projection+filter sit *under* the exchange, every consumer's exchange
+    subtree is byte-identical — Spark's exchange reuse (ReusedExchange)
+    materializes the shuffle once, so the regex tokenization runs once per
+    row and ``near_duplicates`` has exactly ONE repartition regardless of
+    how many stages read the tokens (round-4 finding: tokenize+spread ran
+    twice, doubling both the regex work and the shuffle).
+    """
+    return spread(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).where(
+            F.size("_tok") >= SHINGLE_N
+        )
+    )
+
+
+def _signature_from_tokens(toked: DataFrame, id_col: str,
+                           seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(id, mh0..mh{k-1}) from an (id, _tok) frame — per-seed
+    lexicographic min of md5(seed|shingle).
 
     Pure array expressions per row (no explode, no groupBy): the signature
-    stage is a narrow map that scales linearly with no shuffle. Documents
-    with zero shingles are dropped (same as the unnest+groupBy oracle) —
-    the guard is expressed as ``size(tokens) >= n`` (equivalent: at least
-    one n-gram exists iff there are ≥ n tokens) so the predicate that
-    Catalyst pushes below the repartition is a single cheap tokenize, not
-    a re-inlined copy of the whole shingle+minhash expression tree.
+    stage is a narrow map that scales linearly with no shuffle.
     """
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w")).where(
-        F.size("_w") >= SHINGLE_N
-    )
-    shingled = toked.select(F.col(id_col), _shingles_of(F.col("_w")).alias("_sh"))
+    shingled = toked.select(F.col(id_col), _shingles_of(F.col("_tok")).alias("_sh"))
     def seeded(s: int):
         # NB: the lambda must take exactly one arg — F.transform treats a
         # two-arg lambda as (element, index)
@@ -94,6 +107,22 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
         for s in range(seeds)
     ]
     return shingled.select(F.col(id_col), *mins)
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(id, mh0..mh{k-1}) — per-seed lexicographic min of md5(seed|shingle).
+
+    Documents with zero shingles are dropped (same as the unnest+groupBy
+    oracle) — the guard is ``size(tokens) >= n`` (equivalent: at least one
+    n-gram exists iff there are ≥ n tokens) so the predicate Catalyst
+    pushes down is a single cheap tokenize, not a re-inlined copy of the
+    whole shingle+minhash expression tree.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).where(
+        F.size("_tok") >= SHINGLE_N
+    )
+    return _signature_from_tokens(toked, id_col, seeds)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
@@ -113,7 +142,11 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
-    sig = minhash_signature(spread(df), id_col, text_col)
+    return _lsh_pairs_from_tokens(_token_frame(df, id_col, text_col), id_col)
+
+
+def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
+    sig = _signature_from_tokens(toked, id_col)
     bb = lsh_bands(sig, id_col)
     left = bb.alias("l")
     right = bb.alias("r")
@@ -132,10 +165,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs (verification step)."""
+    """Exact token-set Jaccard for arbitrary candidate pairs.
+
+    Unlike the internal near-dup path this does NOT drop short documents —
+    externally supplied pairs may reference docs with < SHINGLE_N tokens.
+    """
     toks = spread(df).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tok")
     )
+    return _jaccard_join(toks, pairs, id_col)
+
+
+def _jaccard_from_tokens(toked: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    toks = toked.select(F.col(id_col), F.array_distinct("_tok").alias("tok"))
+    return _jaccard_join(toks, pairs, id_col)
+
+
+def _jaccard_join(toks: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return (
         pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tok", "tok_a"), "id_a")
         .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tok", "tok_b"), "id_b")
@@ -152,9 +198,17 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -
 
 
 def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
-    cand = lsh_candidate_pairs(df, id_col, text_col)
-    return jaccard_pairs(df, cand, id_col, text_col).where(F.col("jaccard") >= threshold)
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+
+    Tokenizes once: both the LSH candidate stage and the Jaccard verify
+    stage read the same `_token_frame` exchange (see its docstring).
+    Restricting the Jaccard token lookup to docs with ≥ SHINGLE_N tokens
+    is lossless here — every candidate id comes from the signature stage,
+    which already requires that.
+    """
+    toked = _token_frame(df, id_col, text_col)
+    cand = _lsh_pairs_from_tokens(toked, id_col)
+    return _jaccard_from_tokens(toked, cand, id_col).where(F.col("jaccard") >= threshold)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:

@@ -73,6 +73,26 @@ def test_lsh_join_is_hash_join_not_nested_loop(spark):
 
 
 @needs_testdata
+def test_near_duplicates_single_tokenize_repartition(spark):
+    """The whole LSH→Jaccard pipeline shares ONE token-frame repartition:
+    after execution every consumer but the first reads it via
+    ReusedExchange, so the regex tokenization runs once per row (round-4
+    perf finding: it ran twice, doubling shuffle + tokenize cost)."""
+    from logrange_spark.ops.dedup import near_duplicates
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    nd = near_duplicates(df, "doc_id", "text")
+    nd.collect()  # AQE: reuse shows in the final plan only after execution
+    final = plan_of(nd).split("== Initial Plan ==")[0]
+    import re
+
+    materialized = len(re.findall(r"Exchange RoundRobinPartitioning", final))
+    reused = len(re.findall(r"ReusedExchange.*RoundRobinPartitioning", final))
+    # one materialized token shuffle; every other reference is a reuse
+    assert materialized - reused == 1, final
+
+
+@needs_testdata
 def test_simhash_pairs_single_shuffle_no_distinct(spark):
     """After the first-matching-band rewrite the operator's only shuffle
     is the band equi-join — no aggregate/distinct exchange downstream."""
