@@ -57,10 +57,15 @@ def cmd_serve(args) -> int:
 def cmd_query(args) -> int:
     c = Client(args.server)
     if args.follow:
-        res = c.query(args.lql, wait_timeout=args.wait)
+        # clamp into the server's accepted range; with --wait 0 the server
+        # answers instantly, so idle pacing happens client-side below
+        wait = min(max(args.wait, 0), 60)
+        res = c.query(args.lql, wait_timeout=wait)
         while True:
             _print_events(res["events"])
-            res = c.query({**res["nextQueryRequest"], "waitTimeout": args.wait})
+            if wait == 0 and not res["events"]:
+                time.sleep(0.5)  # don't busy-spin the server
+            res = c.query({**res["nextQueryRequest"], "waitTimeout": wait})
     for page in c.pages(args.lql, limit=args.limit):
         _print_events(page)
     return 0

@@ -7,6 +7,7 @@ pkg/backend/admin.go) over one parquet table:
     <root>/logs/src=<id>/*.parquet     data, partitioned by src
     <root>/state/catalog.json          src → tag_line (the tag index)
     <root>/state/seq.json              src → seq high-water mark
+    <root>/state/chunks.json           src → per-file chunk stats
     <root>/pipes/defs.json             pipe definitions
     <root>/pipes/checkpoints/<name>/   streaming checkpoints
 
@@ -54,16 +55,32 @@ class Engine:
         os.makedirs(self.logs_path, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
         self.seq_state = SeqState(os.path.join(self.state_dir, "seq.json"))
-        # serializes seq assignment + catalog upserts: writes arrive
-        # concurrently from HTTP handler threads and pipe streaming
-        # threads (single-writer-per-partition is about seq monotonicity
-        # per src, not about one global writer thread)
+        # serializes seq-range reservation + catalog/stat upserts: writes
+        # arrive concurrently from HTTP handler threads and pipe streaming
+        # threads. Only METADATA mutation holds it — the parquet writes
+        # themselves run outside (unique filenames make them safe), so
+        # concurrent writers don't serialize through Spark actions.
         self._write_lock = threading.Lock()
+        # write notification: tail/wait consumers block on this condition
+        # instead of polling re-scans (reference analogue: the journal
+        # write signal behind WaitNewData, pkg/cursor/cursor.go:316-327)
+        self._write_cv = threading.Condition()
+        self._write_epoch = 0
         self._catalog: dict[str, str] = {}
         self._catalog_path = os.path.join(self.state_dir, "catalog.json")
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
+        # chunk-stats catalog: (records, size, min_ts, max_ts) per file,
+        # recorded AT WRITE TIME so SHOW PARTITIONS / TRUNCATE read a tiny
+        # driver-side dict instead of O(#files) parquet footers — the
+        # design that survives 100 TB. Footer reads remain as the repair
+        # path for files the catalog doesn't know (see describe_many).
+        self._chunk_stats: dict[str, dict[str, dict]] = {}
+        self._chunk_stats_path = os.path.join(self.state_dir, "chunks.json")
+        if os.path.exists(self._chunk_stats_path):
+            with open(self._chunk_stats_path) as f:
+                self._chunk_stats = json.load(f)
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
@@ -78,17 +95,25 @@ class Engine:
         Mirrors Ingestor.Write (api/ingestor.go:22-31): write-level fields
         are merged into each record. Returns {src, tag_line, first_seq,
         last_seq, records}.
+
+        Only the seq-range reservation and metadata upserts hold the write
+        lock. The rows are already driver-resident, so the chunk file is
+        written directly with pyarrow — no Spark job on the ingest hot
+        path, and the unique filename lets concurrent writers proceed in
+        parallel (the reference's chunk writer is likewise a plain
+        appender, pkg/records/chunk/chunkfs/cwriter.go).
         """
         with self._write_lock:
             batch = normalize_batch(tags, fields, events, self.seq_state)
-            if not batch.rows:
-                return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
-            df = self.spark.createDataFrame(batch.rows, LOG_SCHEMA)
-            # one file per write batch per src — the chunk analogue; avoids
-            # the one-row-per-task small-file explosion on local[N]
-            df.coalesce(1).write.mode("append").partitionBy("src").parquet(self.logs_path)
-            self.seq_state.save()
-            self._register_partition(batch.src, batch.tag_line)
+            if batch.rows:
+                self.seq_state.save()
+                self._register_partition(batch.src, batch.tag_line)
+        if not batch.rows:
+            return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
+        stats = self._write_chunk_file(batch.src, batch.rows)
+        with self._write_lock:
+            self._record_chunks(batch.src, [stats])
+        self._notify_write()
         return {
             "src": batch.src,
             "tag_line": batch.tag_line,
@@ -97,37 +122,150 @@ class Engine:
             "records": len(batch.rows),
         }
 
+    def _write_chunk_file(self, src: str, rows: list[tuple]) -> dict:
+        """Write one batch as ONE parquet file (the chunk analogue) via
+        pyarrow, returning its stats for the chunk catalog. Written to a
+        dot-prefixed temp name (invisible to Spark's file listing) and
+        os.replace'd into place, so readers never see a partial file."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part_dir = os.path.join(self.logs_path, f"src={src}")
+        os.makedirs(part_dir, exist_ok=True)
+        name = f"batch-{uuid.uuid4().hex}.parquet"
+        kv = pa.map_(pa.string(), pa.string())
+        ts = [r[0] for r in rows]
+        # LOG_SCHEMA order (ts,msg,fields,tags,tag_line,src,seq); src is
+        # the directory partition key and stays out of the file, matching
+        # Spark's partitionBy layout
+        table = pa.table(
+            {
+                "ts": pa.array(ts, pa.int64()),
+                "msg": pa.array([r[1] for r in rows], pa.string()),
+                "fields": pa.array([list(r[2].items()) for r in rows], kv),
+                "tags": pa.array([list(r[3].items()) for r in rows], kv),
+                "tag_line": pa.array([r[4] for r in rows], pa.string()),
+                "seq": pa.array([r[6] for r in rows], pa.int64()),
+            }
+        )
+        tmp = os.path.join(part_dir, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        fpath = os.path.join(part_dir, name)
+        os.replace(tmp, fpath)
+        return {"chunk": name, "records": len(rows),
+                "size": os.path.getsize(fpath), "min_ts": min(ts), "max_ts": max(ts)}
+
     def append_df(self, df: DataFrame) -> None:
         """Append an already-normalized log DataFrame (pipe destination path).
 
         seq is assigned per-src from the persisted high-water mark; the
         input order within a src is preserved by (ts, seq-of-source).
+
+        The write lock covers ONLY the seq-range reservation and catalog
+        upsert — the Spark actions (count, window-number, parquet write)
+        run outside it, so concurrent pipes don't serialize through the
+        driver. Each job writes to its own staging directory and the files
+        are then moved into the partition dirs under unique names: no
+        shared ``_temporary`` dir between concurrent jobs, and readers see
+        whole files only.
         """
+        import uuid
+
         from pyspark.sql.window import Window
 
+        counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        if not counts:
+            return
+        srcs = sorted(counts)
+        lines = {r["src"]: r["tag_line"] for r in df.select("src", "tag_line").distinct().collect()}
+
         with self._write_lock:
-            srcs = [r["src"] for r in df.select("src").distinct().collect()]
-            w = Window.partitionBy("src").orderBy("ts", "seq")
-            numbered = df.withColumn("_rn", F.row_number().over(w))
             bases = {}
-            counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
             for s in srcs:
                 first, _last = self.seq_state.next_range(s, counts[s])
                 bases[s] = first - 1
-            base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
-            out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
-            out.select([f.name for f in LOG_SCHEMA.fields]).write.mode("append").partitionBy("src").parquet(self.logs_path)
             self.seq_state.save()
-            for r in df.select("src", "tag_line").distinct().collect():
-                self._register_partition(r["src"], r["tag_line"])
+            for s in srcs:
+                self._register_partition(s, lines.get(s, ""))
+
+        w = Window.partitionBy("src").orderBy("ts", "seq")
+        numbered = df.withColumn("_rn", F.row_number().over(w))
+        base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
+        out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
+
+        staging = os.path.join(self.root, "staging", uuid.uuid4().hex)
+        out.select([f.name for f in LOG_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).partitionBy("src").parquet(staging)
+        moved: dict[str, list[str]] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("src="):
+                continue
+            src = d[len("src="):]
+            part_dir = os.path.join(self.logs_path, d)
+            os.makedirs(part_dir, exist_ok=True)
+            for f in sorted(os.listdir(os.path.join(staging, d))):
+                if f.endswith(".parquet"):
+                    name = f"batch-{uuid.uuid4().hex}.parquet"
+                    os.replace(os.path.join(staging, d, f), os.path.join(part_dir, name))
+                    moved.setdefault(src, []).append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # seed the chunk catalog from the just-written files (footer reads
+        # bounded by THIS batch's file count, not the store size)
+        for src, names in moved.items():
+            part_dir = os.path.join(self.logs_path, f"src={src}")
+            stats = [self._file_stat(part_dir, n) for n in names]
+            with self._write_lock:
+                self._record_chunks(src, [s for s in stats if s is not None])
+        self._notify_write()
 
     def _register_partition(self, src: str, line: str) -> None:
+        # caller holds _write_lock
         if self._catalog.get(src) != line:
             self._catalog[src] = line
             tmp = self._catalog_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(self._catalog, f)
             os.replace(tmp, self._catalog_path)
+
+    def _record_chunks(self, src: str, stats: list[dict]) -> None:
+        # caller holds _write_lock
+        if not stats:
+            return
+        d = self._chunk_stats.setdefault(src, {})
+        for st in stats:
+            d[st["chunk"]] = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
+        self._save_chunk_stats()
+
+    def _save_chunk_stats(self) -> None:
+        # caller holds _write_lock
+        tmp = self._chunk_stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._chunk_stats, f)
+        os.replace(tmp, self._chunk_stats_path)
+
+    # --------------------------------------------------- write notification
+    def write_epoch(self) -> int:
+        """Monotonic counter that advances on every completed write."""
+        with self._write_cv:
+            return self._write_epoch
+
+    def wait_for_write(self, epoch: int, timeout: float) -> int:
+        """Block until the write epoch advances past ``epoch`` or
+        ``timeout`` elapses; returns the current epoch. Event-driven tail:
+        idle waiters cost zero driver work until a write actually lands."""
+        with self._write_cv:
+            if self._write_epoch == epoch and timeout > 0:
+                self._write_cv.wait(timeout)
+            return self._write_epoch
+
+    def _notify_write(self) -> None:
+        with self._write_cv:
+            self._write_epoch += 1
+            self._write_cv.notify_all()
 
     # ------------------------------------------------------------- read
     def logs(self) -> DataFrame:
@@ -204,11 +342,14 @@ class Engine:
         """tail -f: generator yielding batches of new matching rows.
 
         The WaitNewData analogue (reference: pkg/cursor/cursor.go:316-327,
-        capped at 60 s like pkg/backend/querier.go:42): each poll re-runs
-        the pruned scan strictly after the last-seen (ts, src, seq) cursor
-        — stateless between polls, any-executor. Stops after
-        ``wait_timeout_s`` with no new data. POSITION/OFFSET in the
-        statement apply to the first batch only.
+        capped at 60 s like pkg/backend/querier.go:42): after a scan comes
+        back empty the generator BLOCKS on the engine's write condition —
+        the pruned scan re-runs only when a write has actually landed, so
+        an idle follow costs zero driver jobs (round-4 finding: the old
+        0.5 s poll re-ran the full scan up to 120× per wait window).
+        Stops after ``wait_timeout_s`` with no new data. POSITION/OFFSET
+        in the statement apply to the first batch only. ``poll_s`` is kept
+        for API compatibility; the wait is event-driven now.
         """
         import time as _time
 
@@ -235,6 +376,7 @@ class Engine:
 
         idle_since = _time.monotonic()
         while True:
+            epoch = self.write_epoch()  # before the scan: no lost wakeup
             if cursor is None:
                 batch = self.select(stmt, None).collect()
             else:
@@ -248,10 +390,13 @@ class Engine:
                 cursor = CursorToken(last["ts"], last["src"], last["seq"])
                 idle_since = _time.monotonic()
                 yield batch
-            elif _time.monotonic() - idle_since >= wait_timeout_s:
-                return
-            else:
-                _time.sleep(poll_s)
+                continue
+            while True:
+                remaining = wait_timeout_s - (_time.monotonic() - idle_since)
+                if remaining <= 0:
+                    return
+                if self.wait_for_write(epoch, remaining) != epoch:
+                    break  # a write landed somewhere: re-run the scan
 
     # ------------------------------------------------------------- admin
     def show_partitions(self, stmt: ast.ShowPartitions) -> DataFrame:
@@ -305,38 +450,50 @@ class Engine:
                 "size": size, "min_ts": mn, "max_ts": mx}
 
     def describe_many(self, src_ids: list[str]) -> dict[str, dict]:
-        """Partition stats for many srcs with pooled footer reads.
+        """Partition stats for many srcs from the chunk catalog.
 
-        The round-1 shape — a Python loop reading footers one file at a
-        time — made SHOW PARTITIONS / TRUNCATE O(#files) sequential
-        driver time. All (src, file) pairs now flatten into one thread
-        pool, so wall time is O(#files / pool) and flat-ish in the
-        partition count. (At true 100 TB scale the durable fix is chunk
-        stats in the catalog at write time; footers keep this metadata
-        honest without a second bookkeeping path.)
+        The common case does ZERO parquet footer reads: stats were
+        recorded at write time (``_record_chunks``), so SHOW PARTITIONS /
+        TRUNCATE cost one dict lookup per file — the only shape that
+        survives 100 TB, where O(#files) driver metadata I/O is fatal.
+        Files the catalog doesn't know (stores written before the catalog
+        existed, externally-dropped files) fall back to pooled footer
+        reads and are recorded back — a self-healing repair path, so the
+        two bookkeeping sources can't drift.
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        jobs: list[tuple[str, str, str]] = []  # (src, part_dir, file)
+        stats: dict[str, list[dict]] = {src: [] for src in src_ids}
+        jobs: list[tuple[str, str, str]] = []  # (src, part_dir, file) repairs
         for src in src_ids:
             part_dir = os.path.join(self.logs_path, f"src={src}")
+            known = self._chunk_stats.get(src, {})
             if os.path.isdir(part_dir):
                 for name in sorted(os.listdir(part_dir)):
-                    if name.endswith(".parquet"):
+                    if not name.endswith(".parquet"):
+                        continue
+                    st = known.get(name)
+                    if st is not None:
+                        stats[src].append({"chunk": name, **st})
+                    else:
                         jobs.append((src, part_dir, name))
 
-        stats: dict[str, list[dict]] = {src: [] for src in src_ids}
         if jobs:
+            repaired: dict[str, list[dict]] = {}
             with ThreadPoolExecutor(max_workers=min(32, max(4, len(jobs)))) as pool:
                 for (src, _, _), st in zip(
                     jobs, pool.map(lambda j: self._file_stat(j[1], j[2]), jobs)
                 ):
                     if st is not None:  # file deleted mid-scan
                         stats[src].append(st)
+                        repaired.setdefault(src, []).append(st)
+            with self._write_lock:
+                for src, sts in repaired.items():
+                    self._record_chunks(src, sts)
 
         out = {}
         for src in src_ids:
-            chunks = stats[src]
+            chunks = sorted(stats[src], key=lambda c: c["chunk"])
             out[src] = {
                 "tag_line": self._catalog.get(src, ""),
                 "src": src,
@@ -419,24 +576,29 @@ class Engine:
                 sizes[src] = 0
 
         if not stmt.dry_run:
-            for src, files in plans.items():
-                part_dir = os.path.join(self.logs_path, f"src={src}")
-                if files == ["*ALL*"]:
-                    shutil.rmtree(part_dir, ignore_errors=True)
-                else:
-                    for name in files:
-                        try:
-                            os.remove(os.path.join(part_dir, name))
-                        except FileNotFoundError:
-                            pass
-                if not os.path.isdir(part_dir) or not any(
-                    f.endswith(".parquet") for f in os.listdir(part_dir)
-                ):
-                    shutil.rmtree(part_dir, ignore_errors=True)
-                    self._catalog.pop(src, None)
-            with open(self._catalog_path + ".tmp", "w") as f:
-                json.dump(self._catalog, f)
-            os.replace(self._catalog_path + ".tmp", self._catalog_path)
+            with self._write_lock:
+                for src, files in plans.items():
+                    part_dir = os.path.join(self.logs_path, f"src={src}")
+                    if files == ["*ALL*"]:
+                        shutil.rmtree(part_dir, ignore_errors=True)
+                        self._chunk_stats.pop(src, None)
+                    else:
+                        for name in files:
+                            try:
+                                os.remove(os.path.join(part_dir, name))
+                            except FileNotFoundError:
+                                pass
+                            self._chunk_stats.get(src, {}).pop(name, None)
+                    if not os.path.isdir(part_dir) or not any(
+                        f.endswith(".parquet") for f in os.listdir(part_dir)
+                    ):
+                        shutil.rmtree(part_dir, ignore_errors=True)
+                        self._catalog.pop(src, None)
+                        self._chunk_stats.pop(src, None)
+                with open(self._catalog_path + ".tmp", "w") as f:
+                    json.dump(self._catalog, f)
+                os.replace(self._catalog_path + ".tmp", self._catalog_path)
+                self._save_chunk_stats()
         return report
 
     def compact(self, source: ast.Source | None = None,
@@ -475,13 +637,19 @@ class Engine:
             )
             for f in files:
                 os.remove(os.path.join(part_dir, f))
-            moved = 0
+            new_names = []
             for f in sorted(os.listdir(tmp)):
                 if f.endswith(".parquet"):
                     os.replace(os.path.join(tmp, f), os.path.join(part_dir, f))
-                    moved += 1
+                    new_names.append(f)
             shutil.rmtree(tmp, ignore_errors=True)
-            report[src] = {"files_before": len(files), "files_after": moved,
+            # the chunk catalog follows the rewrite: old entries out, new
+            # files footer-read once (bounded by this partition's output)
+            stats = [self._file_stat(part_dir, n) for n in new_names]
+            with self._write_lock:
+                self._chunk_stats.pop(src, None)
+                self._record_chunks(src, [s for s in stats if s is not None])
+            report[src] = {"files_before": len(files), "files_after": len(new_names),
                            "bytes": total}
         return report
 

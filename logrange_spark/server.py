@@ -141,18 +141,38 @@ def query_once(engine, req: dict) -> dict:
         if last_rows:
             lr = last_rows[0]
             pos = CursorToken(lr["ts"], lr["src"], lr["seq"]).encode()
-            stmt = replace(stmt, position=ast.Position(pos), offset=0)
-        else:  # empty stream: everything that ever arrives is new
-            stmt = replace(stmt, position=None, offset=0)
+        else:
+            # Empty stream: everything that ever arrives is new. Pin an
+            # explicit beginning-of-stream VALUE cursor ("0::0") — if the
+            # wait below expires empty, next_pos echoes it, so the next
+            # page still reads from the beginning. (Round-4 race: echoing
+            # the request's empty pos made the next page re-seed tail at
+            # the then-current last row, silently skipping anything
+            # written between the two requests. The reference's
+            # server-side cursor, pkg/cursor/provider.go, can't lose
+            # those; a stateless value cursor must pin the position.)
+            pos = CursorToken(0, "", 0).encode()
+        stmt = replace(stmt, position=ast.Position(pos), offset=0)
 
     def run():
         return engine.select(stmt).collect()
 
+    epoch = engine.write_epoch()  # before the scan: no lost wakeup
     rows = run()
     if not rows and wait_timeout > 0:
+        # Event-driven wait: block on the engine's write condition instead
+        # of re-running the pruned scan every 0.5 s. A filter that matches
+        # nothing costs ONE scan per landed write (zero while idle) rather
+        # than 120 re-scans per 60 s wait window.
         deadline = time.monotonic() + wait_timeout
-        while not rows and time.monotonic() < deadline:
-            time.sleep(min(0.5, max(0.0, deadline - time.monotonic())))
+        while not rows:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            new_epoch = engine.wait_for_write(epoch, remaining)
+            if new_epoch == epoch:
+                continue  # timed out with no write: deadline check exits
+            epoch = new_epoch
             rows = run()
 
     if rows:

@@ -296,3 +296,75 @@ def test_follow_tail_skips_existing(engine):
     engine.write({"name": "fol2"}, [(BASE_TS + i * NS, f"old {i}", {}) for i in range(3)])
     batches = list(engine.follow("SELECT FROM {name=fol2} POSITION tail", wait_timeout_s=1.5, poll_s=0.2))
     assert batches == []  # nothing new after end-of-stream → times out empty
+
+
+def test_show_partitions_zero_footer_reads(engine, monkeypatch):
+    """Chunk stats are recorded at write time, so the admin metadata path
+    must not open a single parquet footer in the common case — the
+    property that keeps SHOW PARTITIONS O(#partitions) driver dict work
+    at 100 TB instead of O(#files) I/O."""
+    for i in range(5):
+        engine.write({"name": f"cstat-{i}"},
+                     [(BASE_TS + j * NS, f"m{j}", {}) for j in range(4)])
+
+    def boom(part_dir, name):
+        raise AssertionError(f"footer read of {part_dir}/{name} on the fast path")
+
+    monkeypatch.setattr(engine, "_file_stat", boom)
+    out = engine.execute("SHOW PARTITIONS").collect()
+    assert len(out) == 5
+    assert all(r["records"] == 4 for r in out)
+    rep = engine.execute('TRUNCATE DRYRUN BEFORE "1970-01-02"')
+    assert rep["partitions"] == []
+
+
+def test_chunk_stats_repair_path_self_heals(engine):
+    """Files unknown to the chunk catalog (pre-catalog stores, external
+    writers) are footer-read once and recorded back."""
+    engine.write({"name": "heal"}, [(BASE_TS + i * NS, f"m{i}", {}) for i in range(6)])
+    src = engine.execute("DESCRIBE PARTITION {name=heal}")["src"]
+    # simulate a pre-catalog store: forget the stats
+    with engine._write_lock:
+        engine._chunk_stats.pop(src, None)
+        engine._save_chunk_stats()
+    info = engine.execute("DESCRIBE PARTITION {name=heal}")
+    assert info["records"] == 6
+    assert info["chunks"][0]["min_ts"] == BASE_TS
+    # healed: second call is catalog-only
+    assert src in engine._chunk_stats
+    import pytest  # noqa: F401  (style parity with module imports)
+    orig = engine._file_stat
+    try:
+        engine._file_stat = lambda *a: (_ for _ in ()).throw(AssertionError("footer read"))
+        info2 = engine.execute("DESCRIBE PARTITION {name=heal}")
+    finally:
+        engine._file_stat = orig
+    assert info2["records"] == 6
+
+
+def test_concurrent_append_df_no_seq_collisions(engine, spark):
+    """Two pipes appending to the SAME src concurrently: seq ranges are
+    reserved under the lock but the Spark writes run outside it — the
+    result must still be gap-free and duplicate-free per src."""
+    import concurrent.futures as cf
+
+    from logrange_spark.model.schema import LOG_SCHEMA, src_for_tag_line
+
+    line = "name=ccapp"
+    src = src_for_tag_line(line)
+
+    def one_batch(b):
+        rows = [
+            (BASE_TS + (b * 50 + i) * NS, f"b{b}.{i}", {}, {"name": "ccapp"},
+             line, src, i + 1)
+            for i in range(10)
+        ]
+        engine.append_df(spark.createDataFrame(rows, LOG_SCHEMA))
+
+    with cf.ThreadPoolExecutor(4) as pool:
+        list(pool.map(one_batch, range(4)))
+
+    rows = engine.query("SELECT FROM {name=ccapp} LIMIT 100").collect()
+    assert len(rows) == 40
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(1, 41))

@@ -137,6 +137,43 @@ def test_tail_query_on_empty_stream(served):
     assert r["events"] == []
 
 
+def test_empty_stream_tail_wait_expiry_loses_nothing(served):
+    """Round-4 race: tail on an EMPTY stream whose wait expires must
+    return a beginning-of-stream cursor, so events written between that
+    response and the next page are returned, not silently skipped (the
+    old code echoed the request's empty pos and re-seeded tail at the
+    then-current last row)."""
+    engine, c = served
+    r1 = c.query("SELECT FROM {name=gaps} POSITION tail", limit=5, wait_timeout=1)
+    assert r1["events"] == []
+    # written AFTER the wait expired, BEFORE the next page
+    engine.write({"name": "gaps"}, [(BASE_TS, "in the gap", {})])
+    r2 = c.query(r1["nextQueryRequest"])
+    assert [e["message"] for e in r2["events"]] == ["in the gap"]
+
+
+def test_wait_is_event_driven_not_polling(served, monkeypatch):
+    """A no-match query with waitTimeout must run ONE scan and then block
+    on the write condition — not re-run the pruned scan every 0.5 s
+    (round-4: 120 driver jobs per 60 s wait window per waiting client)."""
+    engine, c = served
+    engine.write({"name": "quiet"}, [(BASE_TS, "present", {})])
+    calls = {"n": 0}
+    orig = engine.select
+
+    def counting_select(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine, "select", counting_select)
+    t0 = time.monotonic()
+    r = c.query("SELECT FROM {name=quiet} WHERE msg CONTAINS 'absent'",
+                limit=10, wait_timeout=2)
+    assert r["events"] == []
+    assert time.monotonic() - t0 >= 2  # it did wait the window out
+    assert calls["n"] == 1  # ...without a single re-scan
+
+
 def test_limit_zero_returns_immediately_even_with_wait(served):
     _, c = served
     t0 = time.monotonic()
