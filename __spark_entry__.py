@@ -79,10 +79,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The µs→ns widening is exact (×1000), so oracle twins that use
         # DuckDB's epoch_ns()/epoch_us() agree in either layout.
         t = dict(df.dtypes).get("ts")
-        if t in ("timestamp", "timestamp_ntz"):
+        if t == "timestamp_ntz":
+            # NTZ wall-clock is UTC by the data contract. timestampdiff on
+            # NTZ values is pure wall-clock arithmetic — independent of the
+            # session timezone at execution time (a cast to timestamp would
+            # re-interpret the wall-clock in whatever tz the session has
+            # when the lazy plan finally runs).
             df = df.withColumn(
                 "ts",
-                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+                (
+                    F.expr(
+                        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                    * F.lit(1000)
+                ).cast("long"),
+            )
+        elif t == "timestamp":
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
             )
     return df
 
@@ -616,6 +630,43 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return ann.embedding_near_duplicates(emb, threshold=0.3)
+
+
+def _q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted join, oracle-checked (not in the 50-entry
+    registry — the driver report caps at 50 rows; its oracle runs in
+    tests/test_entry_contract.py::test_salted_join_skew_oracle).
+
+    event_type has only 5 values, so EVERY key is a hot key: a plain
+    shuffle join puts ~20% of the fact table on one reducer. Salting
+    spreads each key over 8 shuffle partitions; the soundness contract is
+    that the result is identical to the plain inner join, which is
+    exactly what the DuckDB twin checks.
+    """
+    from logrange_spark.ops.util import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, on="event_type", how="inner", salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC) * F.col("weight")).cast("double").alias(
+            "weighted_value"
+        ),
+    )
+
+
+SALTED_JOIN_ORACLE_SQL = f"""
+SELECT e.event_type AS event_type, count(*) AS n,
+  CAST(SUM(CAST(e.value AS {_DEC}) * d.weight) AS DOUBLE) AS weighted_value
+FROM events e
+JOIN (SELECT DISTINCT event_type, CAST(LENGTH(event_type) AS BIGINT) AS weight
+      FROM events) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type""".strip()
 
 
 # --------------------------------------------------- ingestion parsers

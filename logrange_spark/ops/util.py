@@ -51,8 +51,16 @@ def salted_join(
     AQE's skew-join split (on by default in build_session) handles most
     cases at runtime; use this when AQE can't — a stateful/streaming
     stage, or a skewed key known in advance. Result is identical to a
-    plain ``left.join(right, on, how)`` for inner/left joins.
+    plain ``left.join(right, on, how)`` for inner/left-flavored joins
+    ONLY: right/full joins would emit each unmatched right row once per
+    salt replica, so they are rejected outright.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left-flavored joins only, got {how!r}: "
+            "unmatched right rows would be replicated once per salt"
+        )
     if salts < 2:
         return left.join(right, on, how)
     l_s = left.withColumn(

@@ -49,11 +49,24 @@ def test_queries_and_oracles_align(spark):
     assert unoracled == set(), f"queries without oracle: {unoracled}"
 
 
-def test_registry_is_at_most_50_entries():
-    """The driver's correctness report holds at most 50 rows (observed in
-    round 3: the 51st registered query silently fell off the report), so
-    the registry must stay at <= 50 so every entry gets a driver row."""
-    assert len(entry.queries()) <= 50
+# NOTE: the registry-size guard lives in tests/test_entry_registry.py —
+# a module WITHOUT this file's testdata skip mark, so the <=50 invariant
+# holds even in environments with no driver testdata (ADVICE round 4).
+
+
+def test_salted_join_skew_oracle(spark):
+    """salted_join's oracle row (kept out of the 50-entry registry): the
+    salted inner join over the all-hot-keys event_type must be value-equal
+    to DuckDB's plain join — the operator's soundness contract."""
+    import duckdb
+
+    s_rows = sorted(
+        tuple(r) for r in entry._q_salted_join_skew(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    d_rows = sorted(tuple(r) for r in con.execute(entry.SALTED_JOIN_ORACLE_SQL).fetchall())
+    assert len(s_rows) == 5 and s_rows == d_rows
 
 
 def test_retired_range_relative_oracle(spark):

@@ -271,3 +271,20 @@ def test_salted_join_matches_plain_join(spark):
     # left join keeps unmatched rows exactly once too
     lj = salted_join(left.withColumn("k", F.col("k") + 1000), right, "k", how="left")
     assert lj.count() == 1000 and lj.where(F.col("name").isNotNull()).count() == 0
+
+
+def test_salted_join_rejects_right_flavored_joins(spark):
+    """right/full joins would replicate each unmatched right row once per
+    salt — the operator must refuse rather than silently multiply rows."""
+    import pytest
+
+    from logrange_spark.ops.util import salted_join
+
+    left = spark.range(3).select(F.col("id").alias("k"))
+    right = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", how=how)
+    # inner/left flavors all pass validation
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(left, right, "k", how=how)
