@@ -69,30 +69,107 @@ _FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# header-codec format ids for the feature vector
+_FMT_IDS = {"png": 1.0, "gif": 2.0, "jpeg": 3.0, "bmp": 4.0}
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from raw image bytes — pure struct-unpack,
+    no image library. Real codec work for the container formats whose
+    dimensions live in fixed header fields:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16/20.
+    - GIF: "GIF87a"/"GIF89a", logical-screen width/height little-endian
+      uint16 at offsets 6/8.
+    - JPEG: walk the segment list for a start-of-frame marker
+      (SOF0/1/2/...) — height/width big-endian uint16 after the
+      precision byte.
+    - BMP: "BM", width/height little-endian int32 at offsets 18/22.
+
+    Returns None for anything unrecognized or truncated.
+    """
+    import struct
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            # SOFn markers hold the frame dims; C4/C8/CC are not SOF
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))  # negative height = top-down DIB
+    return None
+
+
+def header_features(payload: bytes | None) -> tuple[list[float] | None, bool]:
+    """FEATURE_DIM floats from the parsed header: [fmt_id, width, height,
+    aspect, log2(size), 0...]; decode_ok=False (features None) when the
+    header doesn't parse."""
+    import math
+
+    hdr = parse_image_header(payload)
+    if hdr is None:
+        return None, False
+    fmt, w, h = hdr
+    vec = [
+        _FMT_IDS[fmt],
+        float(w),
+        float(h),
+        float(w) / float(h) if h else 0.0,
+        math.log2(len(payload)),
+    ]
+    return vec + [0.0] * (FEATURE_DIM - len(vec)), True
+
 
 def extract_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    ``real_codec=True`` raises NotImplementedError inside the UDF — the
-    codec libraries (PIL/ffmpeg/torchaudio) are not available in this
-    container. The default uses ``decode_stub``: a deterministic fake that
-    derives FEATURE_DIM floats from the payload bytes, keeping the batch
-    shape, schema, and partitioning behavior identical to a real decoder.
+    ``real_codec=True`` runs the pure-Python header codec
+    (``parse_image_header``): real dimensions from PNG/GIF/JPEG/BMP
+    header fields, no image library needed; rows whose payload isn't a
+    recognized image come back decode_ok=False. Full pixel decode (which
+    WOULD need PIL/ffmpeg, absent in this container) is not attempted.
+    The default uses ``decode_stub``: a deterministic fake deriving
+    FEATURE_DIM floats from the payload bytes, keeping the batch shape,
+    schema, and partitioning behavior identical to a real decoder.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_codec:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libraries not "
-                    "present in this environment; use the deterministic stub"
-                )
+                feats, oks = [], []
+                for p in pdf["payload"]:
+                    f, ok = header_features(p)
+                    feats.append(f)
+                    oks.append(ok)
+            else:
+                feats = [decode_stub(p) for p in pdf["payload"]]
+                oks = [p is not None for p in pdf["payload"]]
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "feature": [decode_stub(p) for p in pdf["payload"]],
-                    "decode_ok": [p is not None for p in pdf["payload"]],
-                }
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
             )
 
     return media.select("media_id", "payload").mapInPandas(_batches, _FEATURE_SCHEMA)
