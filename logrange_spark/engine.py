@@ -76,11 +76,37 @@ class Engine:
         # driver-side dict instead of O(#files) parquet footers — the
         # design that survives 100 TB. Footer reads remain as the repair
         # path for files the catalog doesn't know (see describe_many).
+        #
+        # Persistence is the Delta-log shape: chunks.json is a SNAPSHOT,
+        # chunks.jsonl an append-only delta log (one line per added or
+        # dropped chunk) — each write appends O(batch) bytes instead of
+        # re-serializing the whole catalog (O(#files) per write would
+        # itself be a scale-killer). The log compacts into a fresh
+        # snapshot when it outgrows the live set.
         self._chunk_stats: dict[str, dict[str, dict]] = {}
         self._chunk_stats_path = os.path.join(self.state_dir, "chunks.json")
+        self._chunk_log_path = os.path.join(self.state_dir, "chunks.jsonl")
+        self._chunk_log_lines = 0
         if os.path.exists(self._chunk_stats_path):
             with open(self._chunk_stats_path) as f:
                 self._chunk_stats = json.load(f)
+        if os.path.exists(self._chunk_log_path):
+            with open(self._chunk_log_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    self._chunk_log_lines += 1
+                    rec = json.loads(line)
+                    op = rec.get("op", "add")
+                    if op == "add":
+                        self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
+                            k: rec[k] for k in ("records", "size", "min_ts", "max_ts")
+                        }
+                    elif op == "drop":
+                        self._chunk_stats.get(rec["src"], {}).pop(rec["chunk"], None)
+                    elif op == "drop_src":
+                        self._chunk_stats.pop(rec["src"], None)
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
@@ -236,16 +262,49 @@ class Engine:
         if not stats:
             return
         d = self._chunk_stats.setdefault(src, {})
+        lines = []
         for st in stats:
-            d[st["chunk"]] = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
-        self._save_chunk_stats()
+            entry = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
+            d[st["chunk"]] = entry
+            lines.append(json.dumps({"src": src, "chunk": st["chunk"], **entry}))
+        self._append_chunk_log(lines)
 
-    def _save_chunk_stats(self) -> None:
-        # caller holds _write_lock
+    def _drop_chunks(self, src: str, chunks: list[str] | None) -> None:
+        """caller holds _write_lock; chunks=None drops the whole src."""
+        if chunks is None:
+            self._chunk_stats.pop(src, None)
+            self._append_chunk_log([json.dumps({"op": "drop_src", "src": src})])
+        else:
+            d = self._chunk_stats.get(src, {})
+            for name in chunks:
+                d.pop(name, None)
+            self._append_chunk_log(
+                [json.dumps({"op": "drop", "src": src, "chunk": n}) for n in chunks]
+            )
+
+    def _append_chunk_log(self, lines: list[str]) -> None:
+        # caller holds _write_lock. O(batch) per write; the log compacts
+        # into the snapshot when it outgrows the live set so replay stays
+        # bounded by ~2x the live chunk count.
+        if not lines:
+            return
+        with open(self._chunk_log_path, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        self._chunk_log_lines += len(lines)
+        live = sum(len(v) for v in self._chunk_stats.values())
+        if self._chunk_log_lines > 1024 and self._chunk_log_lines > 2 * live:
+            self._compact_chunk_log()
+
+    def _compact_chunk_log(self) -> None:
+        # caller holds _write_lock: snapshot first, then truncate the log
+        # (crash between the two replays a few redundant lines — idempotent)
         tmp = self._chunk_stats_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._chunk_stats, f)
         os.replace(tmp, self._chunk_stats_path)
+        with open(self._chunk_log_path, "w") as f:
+            pass
+        self._chunk_log_lines = 0
 
     # --------------------------------------------------- write notification
     def write_epoch(self) -> int:
@@ -581,24 +640,23 @@ class Engine:
                     part_dir = os.path.join(self.logs_path, f"src={src}")
                     if files == ["*ALL*"]:
                         shutil.rmtree(part_dir, ignore_errors=True)
-                        self._chunk_stats.pop(src, None)
+                        self._drop_chunks(src, None)
                     else:
                         for name in files:
                             try:
                                 os.remove(os.path.join(part_dir, name))
                             except FileNotFoundError:
                                 pass
-                            self._chunk_stats.get(src, {}).pop(name, None)
+                        self._drop_chunks(src, files)
                     if not os.path.isdir(part_dir) or not any(
                         f.endswith(".parquet") for f in os.listdir(part_dir)
                     ):
                         shutil.rmtree(part_dir, ignore_errors=True)
                         self._catalog.pop(src, None)
-                        self._chunk_stats.pop(src, None)
+                        self._drop_chunks(src, None)
                 with open(self._catalog_path + ".tmp", "w") as f:
                     json.dump(self._catalog, f)
                 os.replace(self._catalog_path + ".tmp", self._catalog_path)
-                self._save_chunk_stats()
         return report
 
     def compact(self, source: ast.Source | None = None,
@@ -647,7 +705,7 @@ class Engine:
             # files footer-read once (bounded by this partition's output)
             stats = [self._file_stat(part_dir, n) for n in new_names]
             with self._write_lock:
-                self._chunk_stats.pop(src, None)
+                self._drop_chunks(src, None)
                 self._record_chunks(src, [s for s in stats if s is not None])
             report[src] = {"files_before": len(files), "files_after": len(new_names),
                            "bytes": total}

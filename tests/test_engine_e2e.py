@@ -325,8 +325,7 @@ def test_chunk_stats_repair_path_self_heals(engine):
     src = engine.execute("DESCRIBE PARTITION {name=heal}")["src"]
     # simulate a pre-catalog store: forget the stats
     with engine._write_lock:
-        engine._chunk_stats.pop(src, None)
-        engine._save_chunk_stats()
+        engine._drop_chunks(src, None)
     info = engine.execute("DESCRIBE PARTITION {name=heal}")
     assert info["records"] == 6
     assert info["chunks"][0]["min_ts"] == BASE_TS
@@ -368,3 +367,36 @@ def test_concurrent_append_df_no_seq_collisions(engine, spark):
     assert len(rows) == 40
     seqs = sorted(r["seq"] for r in rows)
     assert seqs == list(range(1, 41))
+
+
+def test_chunk_log_survives_restart_and_compaction(engine, spark):
+    """The chunk catalog persists as snapshot + append-only delta log
+    (O(batch) bytes per write, never O(#files)); a fresh Engine on the
+    same root replays it and still answers with zero footer reads, before
+    and after log compaction."""
+    import os
+
+    from logrange_spark import Engine
+
+    for i in range(3):
+        engine.write({"name": "durable"},
+                     [(BASE_TS + (10 * i + j) * NS, f"m{i}.{j}", {}) for j in range(4)])
+    assert os.path.getsize(engine._chunk_log_path) > 0
+
+    def reopened():
+        e2 = Engine(spark, engine.root)
+        e2._file_stat = lambda *a: (_ for _ in ()).throw(AssertionError("footer read"))
+        return e2
+
+    info = reopened().execute("DESCRIBE PARTITION {name=durable}")
+    assert info["records"] == 12 and len(info["chunks"]) == 3
+
+    with engine._write_lock:
+        engine._compact_chunk_log()
+    assert os.path.getsize(engine._chunk_log_path) == 0
+    info = reopened().execute("DESCRIBE PARTITION {name=durable}")
+    assert info["records"] == 12 and len(info["chunks"]) == 3
+
+    # drops are logged too: truncate everything, restart, catalog is empty
+    engine.execute('TRUNCATE {name=durable} BEFORE "2100-01-01"')
+    assert reopened().execute("SHOW PARTITIONS").collect() == []
