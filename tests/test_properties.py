@@ -196,3 +196,27 @@ def test_select_roundtrip_through_parser(tags, offset, limit):
     stmt = parse_lql(f"SELECT FROM {{{line}}} OFFSET {offset} LIMIT {limit}")
     assert stmt.source is not None and stmt.source.tags == parse_tags(line) == tags
     assert stmt.offset == offset and stmt.limit == limit
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=96))
+def test_parse_image_header_total_on_arbitrary_bytes(payload):
+    """The header codec consumes untrusted bytes: for ANY input it must
+    terminate and either return (fmt, w>=0, h>=0) or None — no exceptions,
+    no hangs on malformed segment lists."""
+    from logrange_spark.ops.multimodal import parse_image_header
+
+    out = parse_image_header(payload)
+    if out is not None:
+        fmt, w, h = out
+        assert fmt in ("png", "gif", "jpeg", "bmp")
+        assert w >= 0 and h >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=2, max_size=96))
+def test_parse_image_header_jpeg_prefix_total(tail):
+    """Force the JPEG segment walker specifically (the only looping path)."""
+    from logrange_spark.ops.multimodal import parse_image_header
+
+    parse_image_header(b"\xff\xd8" + tail)
