@@ -177,7 +177,14 @@ class Engine:
             }
         )
         tmp = os.path.join(part_dir, f".{name}.tmp")
-        pq.write_table(table, tmp)
+        try:
+            pq.write_table(table, tmp)
+        except BaseException:
+            try:
+                os.remove(tmp)  # don't leave orphaned temp files behind
+            except FileNotFoundError:
+                pass
+            raise
         fpath = os.path.join(part_dir, name)
         os.replace(tmp, fpath)
         return {"chunk": name, "records": len(rows),

@@ -32,6 +32,10 @@ from .lql.parser import parse_lql
 
 PROTO_TCP = "tcp"
 PROTO_UDP = "udp"
+
+# UDP payload hard ceiling is 65507 bytes; clamp below it so an oversized
+# line truncates explicitly instead of raising EMSGSIZE mid-batch
+_UDP_MAX_BYTES = 65000
 PROTO_TLS = "tls"
 
 
@@ -128,7 +132,14 @@ class SyslogSink:
                     line = r["line"] if "line" in r else str(r[0])
                     payload = (header + _frame(line, cfg) + "\n").encode("utf-8")
                     if cfg.protocol == PROTO_UDP:
-                        sock.send(payload.rstrip(b"\n"))
+                        dgram = payload.rstrip(b"\n")
+                        if len(dgram) > _UDP_MAX_BYTES:
+                            # a >64k datagram raises EMSGSIZE and kills the
+                            # whole batch; clamp with an explicit marker
+                            # (sub-64k >MTU datagrams IP-fragment, as with
+                            # every UDP syslog sender, the reference's too)
+                            dgram = dgram[: _UDP_MAX_BYTES - 16] + b"...[truncated]"
+                        sock.send(dgram)
                     else:
                         sock.sendall(payload)
             finally:

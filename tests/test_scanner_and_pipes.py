@@ -203,6 +203,30 @@ def test_syslog_udp_sink(spark):
         srv.shutdown()
 
 
+def test_syslog_udp_oversized_line_truncates_not_raises(spark):
+    """A line that would exceed the 65507-byte UDP payload ceiling must be
+    clamped with an explicit marker, not kill the batch with EMSGSIZE."""
+    class _UdpCollector(socketserver.DatagramRequestHandler):
+        def handle(self):
+            self.server.lines.append(self.rfile.read().decode("utf-8"))
+
+    srv = socketserver.ThreadingUDPServer(("127.0.0.1", 0), _UdpCollector)
+    srv.max_packet_size = 65536
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = SyslogSink(
+            SyslogConfig(port=srv.server_address[1], protocol="udp",
+                         line_len_limit=0)  # no framing-level truncation
+        )
+        sink(_lines_df(spark, ["x" * 70_000]), 0)
+        assert _wait(lambda: len(srv.lines) >= 1), "datagram never arrived"
+        assert srv.lines[0].endswith("...[truncated]")
+        assert len(srv.lines[0].encode()) <= 65000
+    finally:
+        srv.shutdown()
+
+
 def test_syslog_tls_sink(spark, tmp_path):
     import ssl
     import subprocess
