@@ -147,7 +147,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
     sig = _signature_from_tokens(toked, id_col)
-    bb = lsh_bands(sig, id_col)
+    # merge-join hint: left to itself, AQE broadcasts one side of the
+    # self-join at test scale, which re-computes the whole signature map
+    # for that side (the expensive per-shingle md5 stage runs TWICE). A
+    # sort-merge join shuffles both sides on the band key with byte-equal
+    # exchange subtrees, so the signature map materializes once and the
+    # second side is a ReusedExchange — also exactly the plan a
+    # 100 TB input gets, where broadcast is impossible anyway.
+    bb = lsh_bands(sig, id_col).hint("merge")
     left = bb.alias("l")
     right = bb.alias("r")
     return (
@@ -301,6 +308,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    # merge-join hint: same reasoning as _lsh_pairs_from_tokens — stop
+    # AQE's local broadcast from running the per-token md5 signature
+    # stage twice; SMJ's identical-side exchanges reuse it once.
+    bands = bands.hint("merge")
     l, r = bands.alias("l"), bands.alias("r")
     # A close pair matches in SEVERAL bands (hamming 0 → all 4), so the
     # raw band join emits duplicates. Instead of a distinct() — a full
