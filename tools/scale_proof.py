@@ -32,7 +32,16 @@ from pyspark.sql import functions as F  # noqa: E402
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/lrspark-scale"
 REPLICAS = 10
-QUERIES = ["dedup_lsh_candidates", "dedup_simhash_pairs", "training_pipeline"]
+# (query, table it scales over) — documents for the text dedup path,
+# embeddings for the vector path (its sign-bucket blocked self-join is
+# the other place a quadratic could hide)
+QUERIES = [
+    ("dedup_lsh_candidates", "documents"),
+    ("dedup_simhash_pairs", "documents"),
+    ("training_pipeline", "documents"),
+    ("dedup_embedding", "embeddings"),
+    ("ann_bucketed_topk", "embeddings"),
+]
 ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 
@@ -44,14 +53,14 @@ def shifted(k: int) -> str:
 def build(spark) -> tuple[str, str]:
     x1 = os.path.join(WORK, "x1")
     x10 = os.path.join(WORK, "x10")
-    if not os.path.exists(os.path.join(x1, "documents.parquet")):
-        os.makedirs(x1, exist_ok=True)
-        os.symlink(
-            os.path.join(BASE_SF, "documents.parquet"),
-            os.path.join(x1, "documents.parquet"),
-        )
-    out = os.path.join(x10, "documents.parquet")
-    if not os.path.exists(out):
+    os.makedirs(x1, exist_ok=True)
+    for table in ("documents", "embeddings"):
+        link = os.path.join(x1, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(BASE_SF, f"{table}.parquet"), link)
+
+    docs_out = os.path.join(x10, "documents.parquet")
+    if not os.path.exists(docs_out):
         docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
         n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         parts = [
@@ -67,15 +76,49 @@ def build(spark) -> tuple[str, str]:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        u.repartition(8).write.mode("overwrite").parquet(out)
+        u.repartition(8).write.mode("overwrite").parquet(docs_out)
+
+    emb_out = os.path.join(x10, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+        n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        dim = len(emb.select("embedding").first()[0])
+        # per-replica rotation of the vector preserves norms and ALL
+        # intra-replica distances (the duplicate structure scales
+        # linearly) while cross-replica vectors land in different sign
+        # buckets; replica 0 is the identity so the fixed vec_id<10 ANN
+        # query set is untouched
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+                (
+                    F.concat(
+                        F.slice("embedding", k + 1, dim - k),
+                        F.slice("embedding", 1, k),
+                    )
+                    if k
+                    else F.col("embedding")
+                ).alias("embedding"),
+                "label",
+            )
+            for k in range(REPLICAS)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(8).write.mode("overwrite").parquet(emb_out)
     return x1, x10
 
 
 def run(spark, sf_dir: str, label: str) -> dict:
     qs = entry.queries()
-    nrows = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    res = {"scale": label, "rows": nrows, "queries": {}}
-    for name in QUERIES:
+    counts = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for t in ("documents", "embeddings")
+    }
+    res = {"scale": label, "rows": counts, "queries": {}}
+    for name, table in QUERIES:
+        nrows = counts[table]
         runs = []
         for _ in range(3):
             t0 = time.time()
