@@ -61,6 +61,15 @@ class Engine:
         # themselves run outside (unique filenames make them safe), so
         # concurrent writers don't serialize through Spark actions.
         self._write_lock = threading.Lock()
+        # per-src writer locks: a src's seq reservation and its data-file
+        # commit happen atomically, so files become VISIBLE in seq order —
+        # the invariant value-cursor tail/follow consumers rely on (a
+        # later-seq batch landing first would advance the cursor past a
+        # still-in-flight earlier batch, losing it forever). Different
+        # srcs still write fully in parallel. Lock order: src lock OUTER,
+        # _write_lock inner; multi-src holders (append_df) acquire in
+        # sorted order, so there is no cycle.
+        self._src_locks: dict[str, threading.Lock] = {}
         # write notification: tail/wait consumers block on this condition
         # instead of polling re-scans (reference analogue: the journal
         # write signal behind WaitNewData, pkg/cursor/cursor.go:316-327)
@@ -97,7 +106,13 @@ class Engine:
                     if not line:
                         continue
                     self._chunk_log_lines += 1
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # torn tail line from a crash mid-append: stop the
+                        # replay here (standard WAL tolerance) — the repair
+                        # path in describe_many re-derives anything lost
+                        break
                     op = rec.get("op", "add")
                     if op == "add":
                         self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
@@ -122,23 +137,31 @@ class Engine:
         are merged into each record. Returns {src, tag_line, first_seq,
         last_seq, records}.
 
-        Only the seq-range reservation and metadata upserts hold the write
-        lock. The rows are already driver-resident, so the chunk file is
-        written directly with pyarrow — no Spark job on the ingest hot
-        path, and the unique filename lets concurrent writers proceed in
-        parallel (the reference's chunk writer is likewise a plain
-        appender, pkg/records/chunk/chunkfs/cwriter.go).
+        The rows are already driver-resident, so the chunk file is written
+        directly with pyarrow — no Spark job on the ingest hot path.
+        Writers to DIFFERENT srcs run fully in parallel; writers to the
+        SAME src serialize on its per-src lock so seq reservation and file
+        commit stay atomic (files become visible in seq order — the
+        value-cursor tail invariant). The catalog registration happens
+        only after the data file landed, so a failed write can't leave a
+        phantom partition. (The reference's chunk writer is likewise a
+        serialized per-journal appender, pkg/records/chunk/chunkfs.)
         """
-        with self._write_lock:
-            batch = normalize_batch(tags, fields, events, self.seq_state)
-            if batch.rows:
-                self.seq_state.save()
+        from .model.schema import src_for_tag_line
+
+        tmap = parse_tags(tags) if isinstance(tags, str) else {str(k): str(v) for k, v in tags.items()}
+        src = src_for_tag_line(tag_line(tmap))
+        with self._src_lock(src):
+            with self._write_lock:
+                batch = normalize_batch(tags, fields, events, self.seq_state)
+                if batch.rows:
+                    self.seq_state.save()
+            if not batch.rows:
+                return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
+            stats = self._write_chunk_file(batch.src, batch.rows)
+            with self._write_lock:
                 self._register_partition(batch.src, batch.tag_line)
-        if not batch.rows:
-            return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
-        stats = self._write_chunk_file(batch.src, batch.rows)
-        with self._write_lock:
-            self._record_chunks(batch.src, [stats])
+                self._record_chunks(batch.src, [stats])
         self._notify_write()
         return {
             "src": batch.src,
@@ -214,45 +237,54 @@ class Engine:
         srcs = sorted(counts)
         lines = {r["src"]: r["tag_line"] for r in df.select("src", "tag_line").distinct().collect()}
 
-        with self._write_lock:
-            bases = {}
-            for s in srcs:
-                first, _last = self.seq_state.next_range(s, counts[s])
-                bases[s] = first - 1
-            self.seq_state.save()
-            for s in srcs:
-                self._register_partition(s, lines.get(s, ""))
-
-        w = Window.partitionBy("src").orderBy("ts", "seq")
-        numbered = df.withColumn("_rn", F.row_number().over(w))
-        base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
-        out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
-
-        staging = os.path.join(self.root, "staging", uuid.uuid4().hex)
-        out.select([f.name for f in LOG_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).partitionBy("src").parquet(staging)
-        moved: dict[str, list[str]] = {}
-        for d in sorted(os.listdir(staging)):
-            if not d.startswith("src="):
-                continue
-            src = d[len("src="):]
-            part_dir = os.path.join(self.logs_path, d)
-            os.makedirs(part_dir, exist_ok=True)
-            for f in sorted(os.listdir(os.path.join(staging, d))):
-                if f.endswith(".parquet"):
-                    name = f"batch-{uuid.uuid4().hex}.parquet"
-                    os.replace(os.path.join(staging, d, f), os.path.join(part_dir, name))
-                    moved.setdefault(src, []).append(name)
-        shutil.rmtree(staging, ignore_errors=True)
-
-        # seed the chunk catalog from the just-written files (footer reads
-        # bounded by THIS batch's file count, not the store size)
-        for src, names in moved.items():
-            part_dir = os.path.join(self.logs_path, f"src={src}")
-            stats = [self._file_stat(part_dir, n) for n in names]
+        # sorted acquisition of every involved src lock (no deadlock with
+        # other multi-src writers); reservation → write → commit is atomic
+        # per src, so files become visible in seq order
+        locks = [self._src_lock(s) for s in srcs]
+        for lk in locks:
+            lk.acquire()
+        try:
             with self._write_lock:
-                self._record_chunks(src, [s for s in stats if s is not None])
+                bases = {}
+                for s in srcs:
+                    first, _last = self.seq_state.next_range(s, counts[s])
+                    bases[s] = first - 1
+                self.seq_state.save()
+
+            w = Window.partitionBy("src").orderBy("ts", "seq")
+            numbered = df.withColumn("_rn", F.row_number().over(w))
+            base_map = F.create_map(*[x for s in srcs for x in (F.lit(s), F.lit(bases[s]))])
+            out = numbered.withColumn("seq", (base_map[F.col("src")] + F.col("_rn")).cast("long")).drop("_rn")
+
+            staging = os.path.join(self.root, "staging", uuid.uuid4().hex)
+            out.select([f.name for f in LOG_SCHEMA.fields]).write.mode(
+                "overwrite"
+            ).partitionBy("src").parquet(staging)
+            moved: dict[str, list[str]] = {}
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("src="):
+                    continue
+                src = d[len("src="):]
+                part_dir = os.path.join(self.logs_path, d)
+                os.makedirs(part_dir, exist_ok=True)
+                for f in sorted(os.listdir(os.path.join(staging, d))):
+                    if f.endswith(".parquet"):
+                        name = f"batch-{uuid.uuid4().hex}.parquet"
+                        os.replace(os.path.join(staging, d, f), os.path.join(part_dir, name))
+                        moved.setdefault(src, []).append(name)
+            shutil.rmtree(staging, ignore_errors=True)
+
+            # register + seed the chunk catalog AFTER the data landed
+            # (footer reads bounded by THIS batch's file count)
+            for src, names in moved.items():
+                part_dir = os.path.join(self.logs_path, f"src={src}")
+                stats = [self._file_stat(part_dir, n) for n in names]
+                with self._write_lock:
+                    self._register_partition(src, lines.get(src, ""))
+                    self._record_chunks(src, [s for s in stats if s is not None])
+        finally:
+            for lk in reversed(locks):
+                lk.release()
         self._notify_write()
 
     def _register_partition(self, src: str, line: str) -> None:
@@ -312,6 +344,15 @@ class Engine:
         with open(self._chunk_log_path, "w") as f:
             pass
         self._chunk_log_lines = 0
+
+    def _src_lock(self, src: str) -> threading.Lock:
+        """Per-src writer lock (created on first use). Always acquired
+        BEFORE _write_lock; multi-src holders acquire in sorted order."""
+        with self._write_lock:
+            lk = self._src_locks.get(src)
+            if lk is None:
+                lk = self._src_locks[src] = threading.Lock()
+            return lk
 
     # --------------------------------------------------- write notification
     def write_epoch(self) -> int:
@@ -642,8 +683,11 @@ class Engine:
                 sizes[src] = 0
 
         if not stmt.dry_run:
-            with self._write_lock:
-                for src, files in plans.items():
+            # per-src lock: an in-flight writer holds it across its file
+            # commit, so deletion never interleaves with a half-landed
+            # batch (and a dir emptied here can't eat a concurrent write)
+            for src, files in plans.items():
+                with self._src_lock(src), self._write_lock:
                     part_dir = os.path.join(self.logs_path, f"src={src}")
                     if files == ["*ALL*"]:
                         shutil.rmtree(part_dir, ignore_errors=True)
@@ -661,6 +705,7 @@ class Engine:
                         shutil.rmtree(part_dir, ignore_errors=True)
                         self._catalog.pop(src, None)
                         self._drop_chunks(src, None)
+            with self._write_lock:
                 with open(self._catalog_path + ".tmp", "w") as f:
                     json.dump(self._catalog, f)
                 os.replace(self._catalog_path + ".tmp", self._catalog_path)
@@ -680,42 +725,46 @@ class Engine:
         src_ids = self.resolve_sources(source, cap=False)
         report: dict[str, dict] = {}
         for src in src_ids:
-            part_dir = os.path.join(self.logs_path, f"src={src}")
-            if not os.path.isdir(part_dir):
-                continue
-            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
-            want = max(1, math.ceil(total / target_file_bytes))
-            if len(files) <= want:
-                continue
-            tmp = part_dir + ".compact"
-            shutil.rmtree(tmp, ignore_errors=True)
-            # files inside src=<id>/ hold every column except the src
-            # partition key; rewrite preserves the (ts, seq) order within
-            # files via sortWithinPartitions for row-group ts locality
-            (
-                self.spark.read.parquet(part_dir)
-                .coalesce(want)
-                .sortWithinPartitions("ts", "seq")
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            for f in files:
-                os.remove(os.path.join(part_dir, f))
-            new_names = []
-            for f in sorted(os.listdir(tmp)):
-                if f.endswith(".parquet"):
-                    os.replace(os.path.join(tmp, f), os.path.join(part_dir, f))
-                    new_names.append(f)
-            shutil.rmtree(tmp, ignore_errors=True)
-            # the chunk catalog follows the rewrite: old entries out, new
-            # files footer-read once (bounded by this partition's output)
-            stats = [self._file_stat(part_dir, n) for n in new_names]
-            with self._write_lock:
-                self._drop_chunks(src, None)
-                self._record_chunks(src, [s for s in stats if s is not None])
-            report[src] = {"files_before": len(files), "files_after": len(new_names),
-                           "bytes": total}
+            # per-src lock: a write landing between the listdir snapshot
+            # and the Spark read would otherwise be swept into the rewrite
+            # AND survive on disk — every one of its rows duplicated
+            with self._src_lock(src):
+                part_dir = os.path.join(self.logs_path, f"src={src}")
+                if not os.path.isdir(part_dir):
+                    continue
+                files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+                total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+                want = max(1, math.ceil(total / target_file_bytes))
+                if len(files) <= want:
+                    continue
+                tmp = part_dir + ".compact"
+                shutil.rmtree(tmp, ignore_errors=True)
+                # files inside src=<id>/ hold every column except the src
+                # partition key; rewrite preserves the (ts, seq) order within
+                # files via sortWithinPartitions for row-group ts locality
+                (
+                    self.spark.read.parquet(part_dir)
+                    .coalesce(want)
+                    .sortWithinPartitions("ts", "seq")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                for f in files:
+                    os.remove(os.path.join(part_dir, f))
+                new_names = []
+                for f in sorted(os.listdir(tmp)):
+                    if f.endswith(".parquet"):
+                        os.replace(os.path.join(tmp, f), os.path.join(part_dir, f))
+                        new_names.append(f)
+                shutil.rmtree(tmp, ignore_errors=True)
+                # the chunk catalog follows the rewrite: old entries out, new
+                # files footer-read once (bounded by this partition's output)
+                stats = [self._file_stat(part_dir, n) for n in new_names]
+                with self._write_lock:
+                    self._drop_chunks(src, None)
+                    self._record_chunks(src, [s for s in stats if s is not None])
+                report[src] = {"files_before": len(files), "files_after": len(new_names),
+                               "bytes": total}
         return report
 
     # ------------------------------------------------------------- pipes

@@ -137,8 +137,14 @@ class SyslogSink:
                             # a >64k datagram raises EMSGSIZE and kills the
                             # whole batch; clamp with an explicit marker
                             # (sub-64k >MTU datagrams IP-fragment, as with
-                            # every UDP syslog sender, the reference's too)
-                            dgram = dgram[: _UDP_MAX_BYTES - 16] + b"...[truncated]"
+                            # every UDP syslog sender, the reference's too).
+                            # decode(errors="ignore") drops a split
+                            # multi-byte sequence at the cut so the
+                            # datagram stays valid UTF-8
+                            head = dgram[: _UDP_MAX_BYTES - 16].decode(
+                                "utf-8", "ignore"
+                            ).encode("utf-8")
+                            dgram = head + b"...[truncated]"
                         sock.send(dgram)
                     else:
                         sock.sendall(payload)

@@ -106,6 +106,9 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte (ISO 10918-1 B.1.1.2): skip to marker
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

@@ -55,8 +55,11 @@ def salted_join(
     ONLY: right/full joins would emit each unmatched right row once per
     salt replica, so they are rejected outright.
     """
-    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
-                   "left_semi", "leftanti", "left_anti"):
+    # normalize like Spark's JoinType does (case-insensitive, underscores
+    # stripped) so every Spark-valid left-flavored spelling passes
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
+    ):
         raise ValueError(
             f"salted_join supports inner/left-flavored joins only, got {how!r}: "
             "unmatched right rows would be replicated once per salt"

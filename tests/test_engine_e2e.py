@@ -400,3 +400,71 @@ def test_chunk_log_survives_restart_and_compaction(engine, spark):
     # drops are logged too: truncate everything, restart, catalog is empty
     engine.execute('TRUNCATE {name=durable} BEFORE "2100-01-01"')
     assert reopened().execute("SHOW PARTITIONS").collect() == []
+
+
+def test_same_src_writes_become_visible_in_seq_order(engine):
+    """Concurrent writers to ONE src must commit their files in seq order
+    (the per-src lock holds reservation+write atomic): a later-seq batch
+    landing first would let a tail cursor advance past a still-in-flight
+    earlier batch and lose it forever."""
+    import threading
+    import time
+
+    orig = engine._write_chunk_file
+    commits = []
+
+    def instrumented(src, rows):
+        if rows[0][1].startswith("slow"):
+            time.sleep(0.6)  # first-reserved batch is slowest to write
+        st = orig(src, rows)
+        commits.append(rows[0][6])  # first seq of the batch
+        return st
+
+    engine._write_chunk_file = instrumented
+    try:
+        t1 = threading.Thread(
+            target=engine.write, args=({"name": "vis"}, [(BASE_TS, "slow a", {})])
+        )
+        t2 = threading.Thread(
+            target=engine.write,
+            args=({"name": "vis"}, [(BASE_TS + NS, "fast b", {})]),
+        )
+        t1.start()
+        time.sleep(0.15)  # t1 reserves seq 1 first, then stalls in the write
+        t2.start()
+        t1.join(timeout=30)
+        t2.join(timeout=30)
+    finally:
+        engine._write_chunk_file = orig
+    assert commits == sorted(commits) == [1, 2]
+    rows = engine.query("SELECT FROM {name=vis} LIMIT 10").collect()
+    assert [r["msg"] for r in rows] == ["slow a", "fast b"]
+
+
+def test_chunk_log_tolerates_torn_tail_line(engine, spark):
+    """A crash mid-append may persist a prefix of the last log line; the
+    replay must stop there (WAL tolerance), not fail Engine construction —
+    the repair path re-derives whatever the torn line described."""
+    from logrange_spark import Engine
+
+    engine.write({"name": "torn"}, [(BASE_TS + i * NS, f"m{i}", {}) for i in range(4)])
+    with open(engine._chunk_log_path, "a") as f:
+        f.write('{"src": "abc", "chunk": "batch-xyz.parquet", "rec')  # torn
+    e2 = Engine(spark, engine.root)
+    info = e2.execute("DESCRIBE PARTITION {name=torn}")
+    assert info["records"] == 4
+
+
+def test_failed_chunk_write_leaves_no_phantom_partition(engine, monkeypatch):
+    """If the data write fails, the partition must NOT appear in the
+    catalog (registration follows the successful file commit)."""
+    import pytest
+
+    def boom(src, rows):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(engine, "_write_chunk_file", boom)
+    with pytest.raises(OSError):
+        engine.write({"name": "phantom"}, [(BASE_TS, "m", {})])
+    monkeypatch.undo()
+    assert engine.execute("SHOW PARTITIONS").collect() == []

@@ -183,6 +183,14 @@ def test_parse_image_header_pure():
     assert p(b"not an image at all") is None
     assert p(b"\x89PNG\r\n\x1a\n1234") is None  # truncated
     assert p(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+    # 0xFF fill bytes before a marker are spec-valid (B.1.1.2)
+    import struct
+    filled = (
+        b"\xff\xd8" + b"\xff\xff"  # two fill bytes
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    assert p(filled) == ("jpeg", 640, 480)
 
 
 def test_multimodal_real_codec_reads_header_dims(spark):
@@ -352,9 +360,10 @@ def test_salted_join_rejects_right_flavored_joins(spark):
 
     left = spark.range(3).select(F.col("id").alias("k"))
     right = spark.range(3).select(F.col("id").alias("k"))
-    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+    for how in ("right", "rightouter", "full", "outer", "full_outer", "RIGHT"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, "k", how=how)
-    # inner/left flavors all pass validation
-    for how in ("inner", "left", "left_semi", "left_anti"):
+    # every Spark-valid left-flavored spelling passes validation
+    for how in ("inner", "left", "left_semi", "left_anti", "semi", "anti",
+                "LEFT", "Inner", "leftouter"):
         salted_join(left, right, "k", how=how)

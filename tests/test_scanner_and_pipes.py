@@ -365,3 +365,27 @@ def test_sessionize_streaming(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]
     assert per_user[2] == [1]
+
+
+def test_syslog_udp_truncation_keeps_valid_utf8(spark):
+    """The clamp must cut on a codepoint boundary: a multi-byte char
+    split at the byte limit would emit an invalid-UTF-8 datagram."""
+    class _UdpCollector(socketserver.DatagramRequestHandler):
+        def handle(self):
+            # strict decode: raises (and drops the line) on invalid UTF-8
+            self.server.lines.append(self.rfile.read().decode("utf-8"))
+
+    srv = socketserver.ThreadingUDPServer(("127.0.0.1", 0), _UdpCollector)
+    srv.max_packet_size = 65536
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = SyslogSink(
+            SyslogConfig(port=srv.server_address[1], protocol="udp",
+                         line_len_limit=0)
+        )
+        sink(_lines_df(spark, ["é" * 40_000]), 0)  # 80k bytes of 2-byte chars
+        assert _wait(lambda: len(srv.lines) >= 1), "datagram never arrived"
+        assert srv.lines[0].endswith("...[truncated]")
+    finally:
+        srv.shutdown()
