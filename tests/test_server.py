@@ -201,6 +201,27 @@ def test_wait_timeout_sees_new_data(served):
     assert time.monotonic() - t0 < 20  # returned as soon as data arrived
 
 
+def test_one_write_wakes_every_waiting_client(served):
+    """notify_all semantics: N clients blocked in waitTimeout reads must
+    ALL observe a single write, each via its own re-scan."""
+    import concurrent.futures as cf
+
+    engine, c = served
+    c.write("name=fanout", [(BASE_TS, "seed", {})])
+    r0 = c.query("SELECT FROM {name=fanout}", limit=100)
+
+    def waiter(_):
+        return c.query({**r0["nextQueryRequest"], "waitTimeout": 20})
+
+    with cf.ThreadPoolExecutor(5) as pool:
+        futs = [pool.submit(waiter, i) for i in range(5)]
+        time.sleep(1.5)  # let all five enter the wait
+        engine.write({"name": "fanout"}, [(BASE_TS + NS, "wakeup", {})])
+        results = [f.result(timeout=30) for f in futs]
+    for r in results:
+        assert [e["message"] for e in r["events"]] == ["wakeup"]
+
+
 def test_formatted_query_over_the_wire(served):
     engine, c = served
     c.write("name=fmtd", [(BASE_TS, "hello", {"lvl": "info"})])
