@@ -659,6 +659,58 @@ def _q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash 90/5/5 train/val/test split, oracle-checked
+    (pytest oracle — the driver registry is at its 50-row cap; see
+    tests/test_entry_contract.py::test_training_split_oracle). Pure
+    map-side md5-hex threshold compare: no RNG, no shuffle, stable under
+    corpus growth."""
+    from logrange_spark.ops.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                   salt="r5")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (50% en, 10% everything else),
+    oracle-checked in pytest alongside training_split."""
+    from logrange_spark.ops.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=0.1,
+                          salt="mix")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_id"))
+    )
+
+
+def _sampling_oracle_sql() -> dict[str, str]:
+    from logrange_spark.ops.sampling import hex_threshold
+
+    t_train, t_val = hex_threshold(0.9), hex_threshold(0.95)
+    t_en, t_def = hex_threshold(0.5), hex_threshold(0.1)
+    return {
+        "training_split": f"""
+SELECT CASE WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}' THEN 'train'
+            WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM documents GROUP BY 1, 2""".strip(),
+        "stratified_sample": f"""
+SELECT lang, count(*) AS n, min(doc_id) AS first_id
+FROM documents
+WHERE substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE WHEN lang = 'en' THEN '{t_en}' ELSE '{t_def}' END
+GROUP BY lang""".strip(),
+    }
+
+
 SALTED_JOIN_ORACLE_SQL = f"""
 SELECT e.event_type AS event_type, count(*) AS n,
   CAST(SUM(CAST(e.value AS {_DEC}) * d.weight) AS DOUBLE) AS weighted_value

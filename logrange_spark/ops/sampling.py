@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+A large-scale curation pipeline needs reproducible train/val/test splits
+and per-stratum sampling that (a) never reshuffle when the corpus grows,
+(b) are pure map-side Column expressions (no RNG state, no shuffle, no
+Python), and (c) can be re-derived by any engine for auditing.
+
+The primitive is an md5-hex bucket: ``substring(md5(salt|id), 1, 8)`` is
+uniform over the 16^8 hex space, and comparing it LEXICOGRAPHICALLY
+against a fixed hex threshold selects a fraction of rows. Staying in hex
+strings end-to-end avoids every engine-specific hash or hex→int
+conversion — the DuckDB oracle twin is the same substring+compare.
+
+Spark's built-in ``df.sample``/``sampleBy`` are RNG-seeded per
+partition-split and NOT stable under repartitioning or data growth;
+hash-based selection is the standard fix (same idea as bucketed A/B
+assignment). reference: no analogue (the reference is a log engine);
+this is part of the beyond-reference training-data toolkit (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8
+
+
+def hash_bucket_hex(col: Column, salt: str = "") -> Column:
+    """First 8 md5 hex digits of (salt|value) — uniform over [0, 16^8)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string"))), 1, 8)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 8-hex-digit string h such that P[bucket < h] == fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(_HEX_SPACE, int(round(fraction * _HEX_SPACE))), "08x")
+
+
+def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float],
+               salt: str = "") -> DataFrame:
+    """Add a ``split`` column assigning each row to one named split.
+
+    ``fractions`` maps split name → fraction; they must sum to 1 (±1e-9).
+    Assignment is a pure function of (salt, id): disjoint, exhaustive,
+    stable under corpus growth — new rows never move old rows between
+    splits, the property a training pipeline needs for incremental
+    refreshes.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("at least one split required")
+    b = hash_bucket_hex(F.col(id_col), salt)
+    names = list(fractions)
+    acc = 0.0
+    expr = None
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < F.lit(hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # the last split takes the rounding tail so assignment is exhaustive
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    keep ``default``. The selection for a given (salt, id) is independent
+    of the stratum thresholds, so raising a stratum's fraction only ADDS
+    rows (supersets — handy for data-mixture ablations).
+    """
+    b = hash_bucket_hex(F.col(id_col), salt)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        expr = F.when(cond, F.lit(hex_threshold(frac))) if expr is None else \
+            expr.when(cond, F.lit(hex_threshold(frac)))
+    thr = F.lit(hex_threshold(default)) if expr is None else \
+        expr.otherwise(F.lit(hex_threshold(default)))
+    return df.where(b < thr)

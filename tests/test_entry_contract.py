@@ -69,6 +69,25 @@ def test_salted_join_skew_oracle(spark):
     assert len(s_rows) == 5 and s_rows == d_rows
 
 
+@pytest.mark.parametrize("name,fn", [
+    ("training_split", "_q_training_split"),
+    ("stratified_sample", "_q_stratified_sample"),
+])
+def test_sampling_oracles(spark, name, fn):
+    """Deterministic split/sampling oracle rows (pytest oracle; registry
+    is at the 50-row cap): the md5-hex threshold selection must be
+    value-identical between Spark and DuckDB."""
+    import duckdb
+
+    s_rows = sorted(tuple(r) for r in getattr(entry, fn)(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    d_rows = sorted(
+        tuple(r) for r in con.execute(entry._sampling_oracle_sql()[name]).fetchall()
+    )
+    assert s_rows and s_rows == d_rows
+
+
 def test_retired_range_relative_oracle(spark):
     """`lql_range_relative` was retired from the 50-entry registry in
     round 4; this test keeps its oracle check alive: the relative "-22d"

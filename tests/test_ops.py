@@ -367,3 +367,62 @@ def test_salted_join_rejects_right_flavored_joins(spark):
     for how in ("inner", "left", "left_semi", "left_anti", "semi", "anti",
                 "LEFT", "Inner", "leftouter"):
         salted_join(left, right, "k", how=how)
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    from logrange_spark.ops import sampling
+
+    out = sampling.hash_split(docs, "doc_id",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    assert len(rows) == docs.count()  # every row assigned exactly once
+    # deterministic: a second evaluation gives the identical assignment
+    rows2 = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert rows == rows2
+    # growth-stable: assignment of an id doesn't depend on the other rows
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"]
+           for r in sampling.hash_split(half, "doc_id",
+                                        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(rows[k] == v for k, v in sub.items())
+
+
+def test_hash_split_proportions(spark):
+    from logrange_spark.ops import sampling
+
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(ids, "doc_id", {"train": 0.9, "val": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+
+
+def test_hash_split_validates_fractions(spark):
+    import pytest
+
+    from logrange_spark.ops import sampling
+
+    ids = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(ids, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_superset_property(spark):
+    """Raising a stratum's fraction only ADDS rows (the per-id bucket is
+    independent of the threshold) — the property data-mixture ablations
+    rely on."""
+    from logrange_spark.ops import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("es").alias("lang"),
+    )
+    small = {r["doc_id"] for r in
+             sampling.stratified_sample(df, "doc_id", "lang",
+                                        {"en": 0.2}, default=0.1).collect()}
+    big = {r["doc_id"] for r in
+           sampling.stratified_sample(df, "doc_id", "lang",
+                                      {"en": 0.6}, default=0.1).collect()}
+    assert small < big  # strictly more rows, and a superset
