@@ -100,19 +100,24 @@ class Engine:
             with open(self._chunk_stats_path) as f:
                 self._chunk_stats = json.load(f)
         if os.path.exists(self._chunk_log_path):
-            with open(self._chunk_log_path) as f:
-                for line in f:
-                    line = line.strip()
+            good_offset = 0
+            torn = False
+            with open(self._chunk_log_path, "rb") as f:
+                for raw in f:
+                    line = raw.decode("utf-8", errors="replace").strip()
                     if not line:
+                        good_offset += len(raw)
                         continue
-                    self._chunk_log_lines += 1
                     try:
                         rec = json.loads(line)
                     except ValueError:
                         # torn tail line from a crash mid-append: stop the
                         # replay here (standard WAL tolerance) — the repair
                         # path in describe_many re-derives anything lost
+                        torn = True
                         break
+                    good_offset += len(raw)
+                    self._chunk_log_lines += 1
                     op = rec.get("op", "add")
                     if op == "add":
                         self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
@@ -122,6 +127,14 @@ class Engine:
                         self._chunk_stats.get(rec["src"], {}).pop(rec["chunk"], None)
                     elif op == "drop_src":
                         self._chunk_stats.pop(rec["src"], None)
+            if torn:
+                # Truncate to the last fully-parsed record so the next
+                # append (mode 'a') starts on a clean line. Without this,
+                # the first record written after the crash concatenates
+                # onto the partial line — corrupting that record and hiding
+                # every later valid line from the next restart's replay.
+                with open(self._chunk_log_path, "r+b") as f:
+                    f.truncate(good_offset)
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
@@ -572,9 +585,17 @@ class Engine:
 
         stats: dict[str, list[dict]] = {src: [] for src in src_ids}
         jobs: list[tuple[str, str, str]] = []  # (src, part_dir, file) repairs
+        # Snapshot each per-src dict under the lock: writers / compact /
+        # truncate mutate the same nested dicts from other threads, and an
+        # unlocked read can observe a src mid-rewrite (compact's
+        # drop-then-record window) — transiently empty stats that trigger
+        # redundant footer-read repairs appending duplicate log lines.
+        with self._write_lock:
+            known_by_src = {src: dict(self._chunk_stats.get(src, {}))
+                            for src in src_ids}
         for src in src_ids:
             part_dir = os.path.join(self.logs_path, f"src={src}")
-            known = self._chunk_stats.get(src, {})
+            known = known_by_src[src]
             if os.path.isdir(part_dir):
                 for name in sorted(os.listdir(part_dir)):
                     if not name.endswith(".parquet"):

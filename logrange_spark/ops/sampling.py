@@ -32,10 +32,20 @@ def hash_bucket_hex(col: Column, salt: str = "") -> Column:
 
 
 def hex_threshold(fraction: float) -> str:
-    """The 8-hex-digit string h such that P[bucket < h] == fraction."""
+    """The threshold string h such that P[bucket < h] == fraction.
+
+    Buckets are 8 lowercase hex digits. For fraction == 1.0 the numeric
+    threshold 16^8 would format as the 9-char '100000000', which sorts
+    BELOW almost every 8-hex bucket lexicographically ('1' < 'f'); return
+    the sentinel 'g' instead — one char above the hex alphabet, so every
+    bucket compares strictly less than it.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(_HEX_SPACE, int(round(fraction * _HEX_SPACE))), "08x")
+    n = int(round(fraction * _HEX_SPACE))
+    if n >= _HEX_SPACE:
+        return "g"
+    return format(n, "08x")
 
 
 def hash_split(df: DataFrame, id_col: str, fractions: dict[str, float],

@@ -453,6 +453,22 @@ def test_chunk_log_tolerates_torn_tail_line(engine, spark):
     e2 = Engine(spark, engine.root)
     info = e2.execute("DESCRIBE PARTITION {name=torn}")
     assert info["records"] == 4
+    # load must have TRUNCATED the torn tail so the next append (mode 'a')
+    # starts on a clean line instead of concatenating onto the partial one
+    with open(engine._chunk_log_path, "rb") as f:
+        data = f.read()
+    assert b"batch-xyz" not in data
+    assert data == b"" or data.endswith(b"\n")
+    # a write after recovery appends a clean line that a THIRD engine
+    # replays fully — the pre-fix behavior corrupted this record
+    e2.write({"name": "torn"}, [(BASE_TS + 10 * NS, "after-crash", {})])
+    e3 = Engine(spark, engine.root)
+    info3 = e3.execute("DESCRIBE PARTITION {name=torn}")
+    assert info3["records"] == 5
+    # and the replayed catalog (not footer repair) knows every chunk:
+    # zero unknown files means zero repair log lines appended on load
+    src = next(iter(e3._catalog))
+    assert len(e3._chunk_stats.get(src, {})) == len(info3["chunks"])
 
 
 def test_failed_chunk_write_leaves_no_phantom_partition(engine, monkeypatch):

@@ -426,3 +426,30 @@ def test_stratified_sample_superset_property(spark):
            sampling.stratified_sample(df, "doc_id", "lang",
                                       {"en": 0.6}, default=0.1).collect()}
     assert small < big  # strictly more rows, and a superset
+
+
+def test_fraction_one_keeps_everything(spark):
+    """fraction == 1.0 must keep 100% of rows. The numeric threshold 16^8
+    formats as the 9-char '100000000', which sorts BELOW 8-hex buckets
+    lexicographically — hex_threshold returns the 'g' sentinel instead."""
+    from logrange_spark.ops import sampling
+
+    assert sampling.hex_threshold(1.0) == "g"
+    assert sampling.hex_threshold(0.0) == "00000000"
+    # every 8-hex bucket sorts strictly below the sentinel
+    assert "ffffffff" < "g"
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("es").alias("lang"),
+    )
+    kept = sampling.stratified_sample(df, "doc_id", "lang", {"en": 1.0},
+                                      default=0.0)
+    assert kept.count() == df.where(F.col("lang") == "en").count()
+
+    # hash_split: a non-last split whose cumulative fraction reaches 1.0
+    # takes every row; the zero-width tail split gets none
+    out = sampling.hash_split(df, "doc_id", {"all": 1.0, "none": 0.0})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"all": 1000}
