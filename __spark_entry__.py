@@ -1033,6 +1033,26 @@ FROM scored
 """.strip()
 
 
+def _ann_dims_cte(table: str = "embeddings") -> str:
+    """One-row CTE computing the occupancy-bounded sign-bit count from
+    count(*) — the exact SQL twin of ann.bucket_dims, so the oracle keeps
+    matching at ANY scale factor (no hard-coded corpus size)."""
+    return (
+        f"d AS (SELECT GREATEST({ann.ANN_BUCKET_DIMS}, LEAST({ann.ANN_MAX_BUCKET_DIMS}, "
+        f"CAST(ceil(log2(GREATEST(count(*), 1) / {ann.ANN_TARGET_OCCUPANCY}.0)) AS INT))) "
+        f"AS dims FROM {table})"
+    )
+
+
+def _ann_bucket_expr(col: str = "e.embedding") -> str:
+    """Sign-bucket sum over up to ANN_MAX_BUCKET_DIMS dims, each term
+    gated on i < d.dims (the dynamic bit count from _ann_dims_cte)."""
+    return " + ".join(
+        f"(CASE WHEN {i} < d.dims AND {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ann.ANN_MAX_BUCKET_DIMS)
+    )
+
+
 def _ann_sql(bucketed: bool) -> str:
     dims = 64
     prods = "[CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) FOR i IN range(1, 65)]"
@@ -1041,19 +1061,35 @@ def _ann_sql(bucketed: bool) -> str:
     dot = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
     qn = f"sqrt(list_reduce(list_prepend(0.0, [{qq} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
     cn = f"sqrt(list_reduce(list_prepend(0.0, [{cc} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
-    bucket = " + ".join(
-        f"(CASE WHEN e.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(ann.ANN_BUCKET_DIMS)
-    )
-    join_cond = "q.bucket = c.bucket AND " if bucketed else ""
+    if not bucketed:
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({dot} / ({qn} * {cn}), 6) AS score
+  FROM q JOIN c ON q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+""".strip()
+    # bucketed: occupancy-bounded dims + Hamming-1 multi-probe, mirroring
+    # ann.bucketed_topk (j = -1 is the self bucket, j >= 0 flips bit j)
     return f"""
-WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings e),
+WITH {_ann_dims_cte()},
+e AS (SELECT vec_id, embedding, {_ann_bucket_expr()} AS bucket FROM embeddings e CROSS JOIN d),
+js AS (SELECT unnest(range(-1, (SELECT dims FROM d))) AS j),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+qp AS (SELECT query_id, qv,
+              CASE WHEN j = -1 THEN bucket ELSE xor(bucket, (1 << j)) END AS bucket
+       FROM q CROSS JOIN js),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
 scored AS (
   SELECT query_id, neighbor_id,
          round({dot} / ({qn} * {cn}), 6) AS score
-  FROM q JOIN c ON {join_cond}q.query_id <> c.neighbor_id),
+  FROM qp q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
 ranked AS (
   SELECT query_id, neighbor_id, score,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
@@ -1135,21 +1171,25 @@ def _training_pipeline_sql(min_quality: float = 0.5, threshold: float = 0.8) -> 
 
 def _emb_neardup_sql(threshold: float) -> str:
     dims = 64
-    bucket = " + ".join(
-        f"(CASE WHEN e.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(ann.ANN_BUCKET_DIMS)
-    )
     prods = f"[CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) FOR i IN range(1, {dims + 1})]"
     aa = "CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE)"
     bb = "CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)"
     dot = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
     na = f"sqrt(list_reduce(list_prepend(0.0, [{aa} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
     nb = f"sqrt(list_reduce(list_prepend(0.0, [{bb} FOR i IN range(1, {dims + 1})]), (acc, x) -> acc + x))"
+    # mirrors ann.embedding_near_duplicates: occupancy-bounded dims, left
+    # side probes its bucket (j = -1) plus each one-bit flip — each
+    # Hamming<=1 pair matches exactly once, so no DISTINCT
     return f"""
-WITH e AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings e),
+WITH {_ann_dims_cte()},
+e AS (SELECT vec_id, embedding, {_ann_bucket_expr()} AS bucket FROM embeddings e CROSS JOIN d),
+js AS (SELECT unnest(range(-1, (SELECT dims FROM d))) AS j),
+lp AS (SELECT vec_id, embedding,
+              CASE WHEN j = -1 THEN bucket ELSE xor(bucket, (1 << j)) END AS bucket
+       FROM e CROSS JOIN js),
 pairs AS (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.embedding AS av, r.embedding AS bv
-  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+  FROM lp l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
 SELECT id_a, id_b, score FROM (
   SELECT id_a, id_b, round({dot} / ({na} * {nb}), 6) AS score FROM pairs)
 WHERE score >= {threshold}

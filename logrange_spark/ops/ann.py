@@ -20,7 +20,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-ANN_BUCKET_DIMS = 8  # sign bits of the first 8 dims → 256 buckets
+ANN_BUCKET_DIMS = 8  # floor: sign bits of the first 8 dims → 256 buckets
+ANN_MAX_BUCKET_DIMS = 24  # cap: 2^24 ≈ 16.7M buckets
+ANN_TARGET_OCCUPANCY = 8  # expected rows per bucket the blocking aims for
+
+
+def bucket_dims(
+    n_rows: int,
+    target: int = ANN_TARGET_OCCUPANCY,
+    lo: int = ANN_BUCKET_DIMS,
+    hi: int = ANN_MAX_BUCKET_DIMS,
+) -> int:
+    """Occupancy-bounded sign-bit count: ceil(log2(n / target)), clamped.
+
+    A FIXED bucket count makes within-bucket pair work grow quadratically
+    with the corpus (the round-5 scale proof measured 5.5x wall at 10x
+    rows); deriving the bit count from the corpus size keeps expected
+    occupancy ~``target`` regardless of scale, so blocked pair work grows
+    ~linearly (n * target per side). At 10^9 vectors the formula gives the
+    24-bit cap → ~60 rows/bucket. The formula is plain ceil/log2 so the
+    DuckDB oracle can compute the identical value in SQL from count(*).
+
+    Recall note: more sign bits means a single exact-bucket probe misses
+    more true neighbors, which is why every consumer below pairs this
+    with Hamming-1 multi-probe (self bucket + each one-bit flip).
+    """
+    import math
+
+    need = math.ceil(math.log2(max(1.0, n_rows / float(target))))
+    return max(lo, min(hi, need))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -81,30 +109,66 @@ def cosine_topk(
     )
 
 
+def _probe_buckets(bucket: Column, dims: int) -> Column:
+    """The Hamming-1 probe set: the bucket itself plus each one-bit flip.
+
+    Multi-probe is the standard recall repair for LSH at high bit counts
+    (probe neighboring buckets instead of growing tables): a corpus vector
+    lives in exactly ONE bucket, so the dims+1 distinct probe buckets
+    produce each (query, neighbor) candidate at most once — no dedup step
+    needed after the join.
+    """
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(dims)]
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dims: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    """Approximate top-k: candidates restricted to the query's sign bucket
+    and (multi_probe) its Hamming-1 neighbor buckets.
+
+    The bit count is occupancy-bounded (``bucket_dims``): pass ``n_rows``
+    (e.g. from table stats) to skip the count job, or ``dims`` to pin the
+    blocking exactly.
+
+    Recall bars (tests/test_ops.py): for planted near-duplicate queries —
+    the operator's use case — multi-probe recall@1 is asserted >= 0.9 at
+    default dims and >= 0.85 at dims=12. On NEAR-RANDOM vectors recall@10
+    is inherently low (per-bit collision probability ^ bit count; ~0.12
+    measured with multi-probe vs ~0.03 single) — that floor is pinned by
+    a test too; random-vector workloads should use ``ivf_topk``.
+    """
     from pyspark.sql.window import Window
 
+    if dims is None:
+        dims = bucket_dims(n_rows if n_rows is not None else corpus.count())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            sign_bucket(F.col(vec_col)).alias("bucket"),
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    if multi_probe:
+        q = q.select(
+            "query_id",
+            "qvec",
+            F.explode(_probe_buckets(F.col("bucket"), dims)).alias("bucket"),
         )
-    )
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -284,12 +348,35 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dims: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs (cosine ≥ threshold) within sign buckets."""
+    """Near-duplicate pairs (cosine ≥ threshold) within sign-LSH blocks.
+
+    Blocking is occupancy-bounded (``bucket_dims``), so blocked pair work
+    grows ~linearly with the corpus instead of quadratically; with
+    ``multi_probe`` the left side probes its bucket plus each one-bit
+    flip, so pairs whose sign signatures differ in at most ONE bit are
+    found. Each such pair is emitted exactly once: equal signatures match
+    only via the self-probe, and signatures differing in bit j match only
+    via the left row's j-flip — so no distinct is needed and the join
+    stays a plain equi-join on bucket id.
+    """
+    if dims is None:
+        dims = bucket_dims(n_rows if n_rows is not None else df.count())
     b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
     )
-    l, r = b.alias("l"), b.alias("r")
+    if multi_probe:
+        l = b.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(_probe_buckets(F.col("bucket"), dims)).alias("bucket"),
+        ).alias("l")
+    else:
+        l = b.alias("l")
+    r = b.alias("r")
     return (
         l.join(
             r,

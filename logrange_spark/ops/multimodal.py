@@ -70,7 +70,8 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 # header-codec format ids for the feature vector
-_FMT_IDS = {"png": 1.0, "gif": 2.0, "jpeg": 3.0, "bmp": 4.0}
+_FMT_IDS = {"png": 1.0, "gif": 2.0, "jpeg": 3.0, "bmp": 4.0,
+            "wav": 5.0, "mp4": 6.0}
 
 
 def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
@@ -127,34 +128,183 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
     return None
 
 
-def header_features(payload: bytes | None) -> tuple[list[float] | None, bool]:
-    """FEATURE_DIM floats from the parsed header: [fmt_id, width, height,
-    aspect, log2(size), 0...]; decode_ok=False (features None) when the
-    header doesn't parse."""
+def parse_audio_header(payload: bytes | None) -> tuple[str, int, int, int, float] | None:
+    """(format, sample_rate, channels, bits_per_sample, duration_s) from
+    raw WAV/RIFF bytes — pure struct-unpack, no audio library.
+
+    RIFF layout: "RIFF" + u32le riff_size + "WAVE", then a chunk list of
+    [4-byte id, u32le size, payload (padded to even)]. The "fmt " chunk
+    carries channels/sample_rate/byte_rate/bits; the "data" chunk size
+    divided by byte_rate gives the duration. Total on arbitrary bytes:
+    returns None for anything unrecognized or truncated (fuzz-tested).
+    """
+    import struct
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(b) and size >= 16:
+            _, channels, rate, byte_rate, _, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None:
+        return None
+    dur = data_size / byte_rate if byte_rate else 0.0
+    return ("wav", rate, channels, bits, round(dur, 6))
+
+
+def _walk_mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for ISO BMFF boxes in
+    b[start:end]; stops (rather than raises) on any malformed length."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            payload = i + 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - i
+        if size < payload - i or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def parse_video_header(payload: bytes | None) -> tuple[str, int, int, float] | None:
+    """(format, width, height, duration_s) from raw MP4/ISO-BMFF bytes —
+    pure struct-unpack, no video library.
+
+    Walks the top-level box list for "moov"; duration/timescale come from
+    its "mvhd" child (version 0: u32 pair at payload offset 12; version
+    1: timescale u32 at 20, duration u64 at 24), width/height from the
+    first "trak"/"tkhd" with nonzero dims (16.16 fixed-point at payload
+    offset 76/80, +12 for version 1). Total on arbitrary bytes: returns
+    None for anything unrecognized or truncated (fuzz-tested).
+    """
+    import struct
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    dur_s = None
+    width = height = None
+    for btype, ps, pe in _walk_mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _walk_mp4_boxes(b, ps, pe):
+            if ctype == b"mvhd" and dur_s is None:
+                if cs + 4 > ce:
+                    continue
+                version = b[cs]
+                if version == 0 and cs + 20 <= ce:
+                    ts, dur = struct.unpack(">II", b[cs + 12 : cs + 20])
+                elif version == 1 and cs + 32 <= ce:
+                    (ts,) = struct.unpack(">I", b[cs + 20 : cs + 24])
+                    (dur,) = struct.unpack(">Q", b[cs + 24 : cs + 32])
+                else:
+                    continue
+                if ts:
+                    dur_s = round(dur / ts, 6)
+            elif ctype == b"trak" and width is None:
+                for ttype, ts_, te in _walk_mp4_boxes(b, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    version = b[ts_] if ts_ < te else None
+                    off = ts_ + (88 if version == 1 else 76)
+                    if version in (0, 1) and off + 8 <= te:
+                        w_fp, h_fp = struct.unpack(">II", b[off : off + 8])
+                        if w_fp and h_fp:
+                            width, height = w_fp >> 16, h_fp >> 16
+                    break
+    if dur_s is None and width is None:
+        return None
+    return ("mp4", width or 0, height or 0, dur_s if dur_s is not None else 0.0)
+
+
+def header_features(
+    payload: bytes | None, kind: str = "image"
+) -> tuple[list[float] | None, bool]:
+    """FEATURE_DIM floats from the parsed header, dispatched on ``kind``:
+
+    - image: [fmt_id, width, height, aspect, log2(size), 0...]
+    - audio: [fmt_id, sample_rate, channels, bits, duration_s, log2(size), 0...]
+    - video: [fmt_id, width, height, aspect, duration_s, log2(size), 0...]
+
+    decode_ok=False (features None) when the header doesn't parse or the
+    kind is unknown."""
     import math
 
-    hdr = parse_image_header(payload)
-    if hdr is None:
+    vec: list[float] | None = None
+    if kind == "image":
+        hdr = parse_image_header(payload)
+        if hdr is not None:
+            fmt, w, h = hdr
+            vec = [
+                _FMT_IDS[fmt],
+                float(w),
+                float(h),
+                float(w) / float(h) if h else 0.0,
+                math.log2(len(payload)),
+            ]
+    elif kind == "audio":
+        ahdr = parse_audio_header(payload)
+        if ahdr is not None:
+            fmt, rate, channels, bits, dur = ahdr
+            vec = [
+                _FMT_IDS[fmt],
+                float(rate),
+                float(channels),
+                float(bits),
+                float(dur),
+                math.log2(len(payload)),
+            ]
+    elif kind == "video":
+        vhdr = parse_video_header(payload)
+        if vhdr is not None:
+            fmt, w, h, dur = vhdr
+            vec = [
+                _FMT_IDS[fmt],
+                float(w),
+                float(h),
+                float(w) / float(h) if h else 0.0,
+                float(dur),
+                math.log2(len(payload)),
+            ]
+    if vec is None:
         return None, False
-    fmt, w, h = hdr
-    vec = [
-        _FMT_IDS[fmt],
-        float(w),
-        float(h),
-        float(w) / float(h) if h else 0.0,
-        math.log2(len(payload)),
-    ]
     return vec + [0.0] * (FEATURE_DIM - len(vec)), True
 
 
 def extract_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    ``real_codec=True`` runs the pure-Python header codec
-    (``parse_image_header``): real dimensions from PNG/GIF/JPEG/BMP
-    header fields, no image library needed; rows whose payload isn't a
-    recognized image come back decode_ok=False. Full pixel decode (which
-    WOULD need PIL/ffmpeg, absent in this container) is not attempted.
+    ``real_codec=True`` runs the pure-Python header codecs, dispatched on
+    the row's ``kind``: image headers (``parse_image_header``,
+    PNG/GIF/JPEG/BMP dims), audio (``parse_audio_header``, WAV/RIFF
+    sample rate/channels/bits/duration) and video (``parse_video_header``,
+    MP4 mvhd duration + tkhd dims) — real metadata from fixed header
+    fields, no media library needed; rows whose payload doesn't parse
+    come back decode_ok=False. Full pixel/sample decode (which WOULD need
+    PIL/ffmpeg, absent in this container) is not attempted.
     The default uses ``decode_stub``: a deterministic fake deriving
     FEATURE_DIM floats from the payload bytes, keeping the batch shape,
     schema, and partitioning behavior identical to a real decoder.
@@ -164,8 +314,8 @@ def extract_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
         for pdf in it:
             if real_codec:
                 feats, oks = [], []
-                for p in pdf["payload"]:
-                    f, ok = header_features(p)
+                for p, kind in zip(pdf["payload"], pdf["kind"]):
+                    f, ok = header_features(p, kind)
                     feats.append(f)
                     oks.append(ok)
             else:
@@ -175,7 +325,9 @@ def extract_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
                 {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_batches, _FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _batches, _FEATURE_SCHEMA
+    )
 
 
 _RESIZE_SCHEMA = T.StructType(

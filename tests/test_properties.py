@@ -220,3 +220,48 @@ def test_parse_image_header_jpeg_prefix_total(tail):
     from logrange_spark.ops.multimodal import parse_image_header
 
     parse_image_header(b"\xff\xd8" + tail)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=128))
+def test_parse_audio_header_total_on_arbitrary_bytes(payload):
+    """WAV chunk walker: any bytes → result or None, never an exception
+    or a hang (chunk sizes come from the untrusted input)."""
+    from logrange_spark.ops.multimodal import parse_audio_header
+
+    out = parse_audio_header(payload)
+    if out is not None:
+        fmt, rate, channels, bits, dur = out
+        assert fmt == "wav" and dur >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=128))
+def test_parse_audio_header_riff_prefix_total(tail):
+    """Force the RIFF chunk walker with a valid signature prefix."""
+    from logrange_spark.ops.multimodal import parse_audio_header
+
+    parse_audio_header(b"RIFF\x10\x00\x00\x00WAVE" + tail)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=160))
+def test_parse_video_header_total_on_arbitrary_bytes(payload):
+    """MP4 box walker: any bytes → result or None, never an exception or
+    a hang (box sizes, including 64-bit largesize and size=0 run-to-end,
+    come from the untrusted input)."""
+    from logrange_spark.ops.multimodal import parse_video_header
+
+    out = parse_video_header(payload)
+    if out is not None:
+        fmt, w, h, dur = out
+        assert fmt == "mp4" and w >= 0 and h >= 0 and dur >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=160))
+def test_parse_video_header_ftyp_prefix_total(tail):
+    """Force the nested moov/trak walkers with a valid ftyp prefix."""
+    from logrange_spark.ops.multimodal import parse_video_header
+
+    parse_video_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + tail)
