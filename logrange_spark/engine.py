@@ -458,6 +458,23 @@ class Engine:
         self.logs().createOrReplaceTempView("logs")
         return self.spark.sql(query)
 
+    def tail_cursor(self, stmt: "ast.Select"):
+        """Seed a value cursor at the current end-of-stream for ``stmt``'s
+        source/range/where: a CursorToken for the last matching row, or
+        None when the stream is empty (beginning-of-stream — everything
+        that ever arrives is new). The single tail-seeding code path
+        shared by ``follow`` and the server's blocking-wait endpoint, so
+        tail-semantics fixes can't land in only one of them.
+        """
+        from .compiler.select import CursorToken
+
+        probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
+                           ast.Position("tail"), -1, 1)
+        rows = self.select(probe, None).collect()
+        if rows:
+            return CursorToken(rows[0]["ts"], rows[0]["src"], rows[0]["seq"])
+        return None
+
     def follow(self, lql: str, wait_timeout_s: float = 60.0, poll_s: float = 0.5):
         """tail -f: generator yielding batches of new matching rows.
 
@@ -486,11 +503,7 @@ class Engine:
         pos = stmt.position.pos_id.lower() if stmt.position else "head"
         if pos == "tail":
             # start at end-of-stream: seed the cursor with the last row
-            probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
-                               ast.Position("tail"), -1, 1)
-            rows = self.select(probe, None).collect()
-            if rows:
-                cursor = CursorToken(rows[0]["ts"], rows[0]["src"], rows[0]["seq"])
+            cursor = self.tail_cursor(stmt)
             stmt = ast.Select(stmt.format, stmt.source, stmt.range, stmt.where,
                               None, None, stmt.limit)
 

@@ -135,12 +135,9 @@ def query_once(engine, req: dict) -> dict:
         # later'. Seed a value cursor from the current last row (like
         # engine.follow) so the wait loop — and the returned pos — can
         # actually observe new data.
-        probe = replace(stmt, format=None, position=ast.Position("tail"),
-                        offset=-1, limit=1)
-        last_rows = engine.select(probe).collect()
-        if last_rows:
-            lr = last_rows[0]
-            pos = CursorToken(lr["ts"], lr["src"], lr["seq"]).encode()
+        ct = engine.tail_cursor(stmt)
+        if ct is not None:
+            pos = ct.encode()
         else:
             # Empty stream: everything that ever arrives is new. Pin an
             # explicit beginning-of-stream VALUE cursor ("0::0") — if the
