@@ -484,3 +484,114 @@ def test_failed_chunk_write_leaves_no_phantom_partition(engine, monkeypatch):
         engine.write({"name": "phantom"}, [(BASE_TS, "m", {})])
     monkeypatch.undo()
     assert engine.execute("SHOW PARTITIONS").collect() == []
+
+
+def test_concurrent_write_truncate_compact_stress(engine):
+    """Hammer ONE src with concurrent writer + truncator + compactor
+    threads (the lock design under test: per-src outer, _write_lock
+    inner). Invariants after the storm:
+
+    - no lost rows, no duplicate seq: surviving seqs are exactly a
+      contiguous SUFFIX of the written sequence ending at the last
+      written seq (truncate only drops whole oldest-by-min_ts files, and
+      files land in seq order; MINSIZE 1 keeps the newest file alive)
+    - the chunk catalog exactly mirrors the on-disk parquet files (no
+      orphaned entries, no unknown files) and its record counts sum to
+      the queryable row count
+    """
+    import os
+    import threading
+    import time as _time
+
+    total_batches, per = 30, 20
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            for b in range(total_batches):
+                rows = [
+                    (BASE_TS + (b * per + i) * NS, f"b{b}r{i}", {})
+                    for i in range(per)
+                ]
+                engine.write({"name": "storm"}, rows)
+                _time.sleep(0.01)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def truncator():
+        k = 0
+        try:
+            while not stop.is_set():
+                k += 1
+                # advancing watermark chases the writer through the stream
+                cut = BASE_TS + min(k * 2 * per, total_batches * per // 2) * NS
+                engine.execute(f'TRUNCATE {{name=storm}} MINSIZE 1 BEFORE "{cut}"')
+                _time.sleep(0.02)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def compactor():
+        try:
+            while not stop.is_set():
+                engine.compact(target_file_bytes=1 << 20)
+                _time.sleep(0.05)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer),
+        threading.Thread(target=truncator),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "stress thread hung"
+    assert not errors, errors
+
+    rows = engine.query("SELECT FROM {name=storm} LIMIT 10000").collect()
+    assert rows, "storm partition vanished entirely"
+    seqs = sorted(r["seq"] for r in rows)
+    assert len(set(seqs)) == len(seqs), "duplicate seq after compaction"
+    assert seqs == list(range(seqs[0], seqs[-1] + 1)), "hole in surviving seqs"
+    assert seqs[-1] == total_batches * per, "newest rows lost"
+
+    src = rows[0]["src"]
+    info = engine.execute("DESCRIBE PARTITION {name=storm}")
+    assert info["records"] == len(seqs)
+
+    def assert_catalog_mirrors_disk(expect_records: int) -> None:
+        part_dir = os.path.join(engine.logs_path, f"src={src}")
+        disk = {f for f in os.listdir(part_dir) if f.endswith(".parquet")}
+        cat = set(engine._chunk_stats.get(src, {}))
+        assert cat == disk, (
+            f"catalog/disk drift: only-cat={cat - disk} only-disk={disk - cat}"
+        )
+        assert sum(
+            st["records"] for st in engine._chunk_stats[src].values()
+        ) == expect_records
+
+    assert_catalog_mirrors_disk(len(seqs))
+
+    # the concurrent phase may or may not have hit the deletion branch
+    # (timing); force it deterministically: land 3 fresh batches, then
+    # truncate strictly before them — every storm-era file has
+    # max_ts < cut, so exactly the 3 new batches survive
+    for b in range(total_batches, total_batches + 3):
+        engine.write(
+            {"name": "storm"},
+            [(BASE_TS + (b * per + i) * NS, f"b{b}r{i}", {}) for i in range(per)],
+        )
+    cut = BASE_TS + (total_batches * per) * NS
+    rep = engine.execute(f'TRUNCATE {{name=storm}} MINSIZE 1 BEFORE "{cut}"')
+    assert rep["deleted_files"] >= 1
+    rows = engine.query("SELECT FROM {name=storm} LIMIT 10000").collect()
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(
+        range(total_batches * per + 1, (total_batches + 3) * per + 1)
+    )
+    assert_catalog_mirrors_disk(len(seqs))
