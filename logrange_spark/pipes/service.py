@@ -9,9 +9,14 @@ with the source partition's tags folded into each record's fields
 The reference's WriteEvent/notificator/worker machinery
 (pkg/pipe/service.go:270-284, worker.go:48-104) is replaced wholesale by a
 checkpointed Structured Streaming query over the logs directory — offset
-tracking, retry, and recovery are Spark's. The reference is at-least-once;
-the file-source + idempotent-append combination here keeps that contract
-(exactly-once would come with a transactional sink such as Delta).
+tracking, retry, and recovery are Spark's. The reference is at-least-once
+(pkg/pipe/worker.go:48-104 re-delivers on crash); ours is EXACTLY-ONCE
+across restarts: each piped record carries its source (src, seq) as
+reserved provenance fields, and the first batch after a (re)start
+anti-joins against the destination's existing provenance pairs, so a
+batch that landed but whose checkpoint commit didn't survive a crash is
+not appended twice. Within a running query each batch is delivered once,
+so the dedup scan costs one destination read per restart, not per batch.
 """
 
 from __future__ import annotations
@@ -30,6 +35,13 @@ from ..model.tags import tag_line
 def pipe_tags(name: str) -> dict[str, str]:
     # destination partition identity (reference: pkg/pipe/ppipe.go:224-228)
     return {"logrange.pipe": name}
+
+
+# reserved provenance field keys (the "logrange.pipe" namespace is already
+# reserved for pipe machinery): the piped record's ORIGINAL (src, seq) —
+# the idempotency key for exactly-once re-delivery
+PROV_SRC = "logrange.pipe.src"
+PROV_SEQ = "logrange.pipe.seq"
 
 
 def start_pipe(engine, defn: dict):
@@ -74,6 +86,22 @@ def start_pipe(engine, defn: dict):
                 ),
             ),
         )
+        # provenance rides along in the reserved namespace and WINS on
+        # collision — it is the exactly-once idempotency key, so a record
+        # field spoofing the name must not displace it. src/seq here are
+        # still the SOURCE values (overwritten below / in append_df).
+        .withColumn(
+            "fields",
+            F.map_concat(
+                F.create_map(
+                    F.lit(PROV_SRC), F.col("src"),
+                    F.lit(PROV_SEQ), F.col("seq").cast("string"),
+                ),
+                F.map_filter(
+                    F.col("fields"), lambda k, _: ~k.isin(PROV_SRC, PROV_SEQ)
+                ),
+            ),
+        )
         .withColumn(
             "tags",
             F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
@@ -83,11 +111,37 @@ def start_pipe(engine, defn: dict):
     )
 
     checkpoint = os.path.join(engine.pipes_dir, "checkpoints", name)
+    dest_dir = os.path.join(engine.logs_path, f"src={dest_src}")
+    # Replays only happen on the first batch after a (re)start — within a
+    # running query Spark delivers each batch once — so the dedup scan is
+    # paid once per restart, not per batch.
+    replay_guard = {"pending": True}
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        engine.append_df(batch_df)
+        out = batch_df
+        if replay_guard["pending"]:
+            replay_guard["pending"] = False
+            if os.path.isdir(dest_dir):
+                existing = (
+                    engine.spark.read.parquet(dest_dir)
+                    .select(
+                        F.col("fields").getItem(PROV_SRC).alias("_psrc"),
+                        F.col("fields").getItem(PROV_SEQ).alias("_pseq"),
+                    )
+                    .where(F.col("_psrc").isNotNull())
+                    .distinct()
+                )
+                out = (
+                    batch_df.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
+                    .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
+                    .join(existing, ["_psrc", "_pseq"], "left_anti")
+                    .drop("_psrc", "_pseq")
+                )
+                if out.isEmpty():
+                    return
+        engine.append_df(out)
 
     return (
         enriched.writeStream.outputMode("append")

@@ -154,6 +154,59 @@ def test_pipe_end_to_end(loaded_engine):
     assert loaded_engine.execute("DELETE PIPE errs")["status"] == "deleted"
 
 
+def test_pipe_restart_after_crash_is_duplicate_free(engine):
+    """Exactly-once across crash/restart (beyond the reference's
+    at-least-once, pkg/pipe/worker.go:48-104). Crash simulation: the
+    batch LANDED in the destination but the checkpoint commit marker was
+    lost — on restart Spark redelivers that batch, and the provenance
+    anti-join must drop every already-landed row."""
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC, start_pipe
+
+    engine.write(
+        {"name": "xo"}, [(BASE_TS + i * NS, f"event {i}", {}) for i in range(6)]
+    )
+    assert engine.execute("CREATE PIPE xo FROM {name=xo}")["status"] == "created"
+
+    def piped():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=xo} LIMIT 1000").collect()
+        except Exception:
+            return []
+
+    assert _wait(lambda: len(piped()) == 6), "pipe did not materialize"
+
+    # Crash simulation: rewind the checkpoint to "batch 0's offsets were
+    # written, its append landed, but its commit marker didn't". Spark
+    # only ever redelivers the LATEST offsets batch, and the pipe's own
+    # output files echo back as a trailing all-filtered empty batch — so
+    # deleting just the newest commit replays that empty echo (verified:
+    # zero appends), which is why the rewind must drop the later offsets
+    # too. Without the provenance dedup this replay lands 12 rows.
+    engine._pipe_queries.pop("xo").stop()
+    ckpt = os.path.join(engine.pipes_dir, "checkpoints", "xo")
+    for sub, keep in (("offsets", {"0"}), ("commits", set())):
+        d = os.path.join(ckpt, sub)
+        for f in list(os.listdir(d)):
+            # strip hadoop checksum sidecar decoration (".<name>.crc")
+            name = f[1:-4] if f.startswith(".") and f.endswith(".crc") else f
+            if name not in keep:
+                os.remove(os.path.join(d, f))
+
+    engine._pipe_queries["xo"] = start_pipe(engine, engine._pipes["xo"])
+    # a fresh write proves the restarted pipe is live (and gives the
+    # redelivered batch time to be processed first)
+    engine.write({"name": "xo"}, [(BASE_TS + 100 * NS, "late event", {})])
+    assert _wait(
+        lambda: any("late" in r["msg"] for r in piped())
+    ), "restarted pipe did not pick up new data"
+
+    rows = piped()
+    pairs = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate redelivery: {sorted(pairs)}"
+    assert len(pairs) == 7
+    assert engine.execute("DELETE PIPE xo")["status"] == "deleted"
+
+
 class _Collector(socketserver.StreamRequestHandler):
     def handle(self):
         for line in self.rfile:
