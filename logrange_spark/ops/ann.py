@@ -248,8 +248,57 @@ def ivf_train_centroids(
     return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
 
 
-def ivf_topk(
+def ivf_assigned_corpus(
     corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, cvec, centroid_id): the corpus inverted-listed by
+    nearest centroid — a pure map stage (literal centroids, no shuffle)."""
+    pre = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    return pre.select(
+        "neighbor_id",
+        "cvec",
+        ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
+    )
+
+
+def persist_ivf_corpus(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    n_buckets: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF-assigned corpus as a table BUCKETED by
+    centroid_id: the one shuffle is paid at write time, after which every
+    probe join on centroid_id reads co-located buckets with NO Exchange
+    on the corpus side (plan-asserted in tests/test_bucketing.py). This
+    is the 100 TB shape: the corpus table is written once, queries only
+    ever shuffle their (small) probe set.
+    """
+    assigned = ivf_assigned_corpus(corpus, centroids, id_col, vec_col)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        assigned.write.bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = IVF_CENTROIDS,
@@ -257,6 +306,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are inverted-listed by
     nearest centroid; each query probes its ``n_probe`` nearest lists.
@@ -267,7 +318,10 @@ def ivf_topk(
     shape: assignment = shuffle-free map (literal centroids), probe =
     broadcast join on centroid id, scoring = broadcast join, final top-k
     = window over the (small) candidate set. At scale the centroid id is
-    the natural partition/bucket key for the corpus table.
+    the natural partition/bucket key for the corpus table — pass
+    ``assigned`` (from ``persist_ivf_corpus``) to probe a pre-bucketed
+    corpus, and ``broadcast_queries=False`` when the probe set is too big
+    to broadcast (the bucketed corpus side still joins with no Exchange).
     """
     from pyspark.sql.window import Window
 
@@ -281,16 +335,8 @@ def ivf_topk(
         )
     ]
 
-    pre = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        _norm(F.col(vec_col)).alias("_vn"),
-    )
-    assigned = pre.select(
-        "neighbor_id",
-        "cvec",
-        ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
-    )
+    if assigned is None:
+        assigned = ivf_assigned_corpus(corpus, cents, id_col, vec_col)
 
     qpre = queries.select(
         F.col(id_col).alias("query_id"),
@@ -327,7 +373,7 @@ def ivf_topk(
     )
 
     scored = (
-        assigned.join(F.broadcast(qp), "centroid_id")
+        assigned.join(F.broadcast(qp) if broadcast_queries else qp, "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

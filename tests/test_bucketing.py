@@ -58,3 +58,65 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "aggregation on the bucket key must not shuffle"
     assert agg.count() == 50
+
+
+def test_ivf_bucketed_corpus_probe_no_corpus_exchange(spark, tmp_path_factory):
+    """The ANN analogue of write-once-shuffle-never: persist the corpus
+    inverted-listed AND bucketed by centroid_id; a probe join on
+    centroid_id then shuffles ONLY the query side — the corpus reads
+    co-located buckets with no Exchange even when the probe set is too
+    big to broadcast. Results are identical to the on-the-fly ivf_topk."""
+    import os
+
+    import pytest as _pytest
+
+    from logrange_spark.ops import ann
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.isdir(path) and not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    vecs = spark.read.parquet(path)
+    queries = vecs.where(F.col("vec_id") < 5)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in vecs.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    wh = str(tmp_path_factory.mktemp("annwh"))
+    spark.sql("DROP TABLE IF EXISTS bk_ann_corpus")
+    try:
+        table = ann.persist_ivf_corpus(
+            spark, vecs, "bk_ann_corpus", f"{wh}/bk_ann_corpus", cents
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the probe-join fragment in isolation: bucketed corpus side
+            # must contribute ZERO exchanges; the query side exactly one
+            probe = queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"),
+                ann.ivf_assign_expr(F.col("embedding"), cents).alias("centroid_id"),
+            )
+            frag = table.join(probe, "centroid_id")
+            plan = frag._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 1, plan
+            assert "Bucketed: true" in plan
+
+            got = ann.ivf_topk(
+                None, queries, k=10, centroids=cents,
+                assigned=table, broadcast_queries=False,
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        want = ann.ivf_topk(vecs, queries, k=10, centroids=cents).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(
+            [(r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in got]
+        ) == sorted(
+            [(r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in want]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_ann_corpus")
