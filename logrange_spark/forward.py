@@ -180,27 +180,37 @@ def start_forwarder(
         raise ValueError("forwarder expects a SELECT query")
     template = stmt.format or template
 
-    from .model.schema import LOG_SCHEMA
+    from .model.schema import STREAM_SCHEMA
     from .compiler.tagexpr import compile_tags
     from .compiler.whereexpr import compile_where
 
-    stream = engine.spark.readStream.schema(LOG_SCHEMA).parquet(engine.logs_path)
-    if stmt.source is not None:
-        stream = stream.where(compile_tags(stmt.source))
-    if stmt.where is not None:
-        stream = stream.where(compile_where(stmt.where))
-    if stmt.range is not None:
-        if stmt.range.min_ns is not None:
-            stream = stream.where(F.col("ts") >= stmt.range.min_ns)
-        if stmt.range.max_ns is not None:
-            stream = stream.where(F.col("ts") <= stmt.range.max_ns)
+    # The streaming side is only the raw file reader; filters and the
+    # format projection run on the batch DataFrame inside foreachBatch.
+    # Two reasons (same as pipes/service.py): compile_format uses the
+    # higher-order F.transform, which trips the Spark 4.1 empty-start
+    # IncrementalExecution re-analysis bug when put in the STREAMING
+    # plan; and the raw batch handoff renames columns positionally, so
+    # the schema must be STREAM_SCHEMA (src last) and any by-name logic
+    # must run batch-side.
+    stream = engine.spark.readStream.schema(STREAM_SCHEMA).parquet(engine.logs_path)
 
-    lines = stream.select(compile_format(template).alias("line"))
+    def to_lines(df):
+        if stmt.source is not None:
+            df = df.where(compile_tags(stmt.source))
+        if stmt.where is not None:
+            df = df.where(compile_where(stmt.where))
+        if stmt.range is not None:
+            if stmt.range.min_ns is not None:
+                df = df.where(F.col("ts") >= stmt.range.min_ns)
+            if stmt.range.max_ns is not None:
+                df = df.where(F.col("ts") <= stmt.range.max_ns)
+        return df.select(compile_format(template).alias("line"))
+
     cp = checkpoint or os.path.join(engine.root, "forwarder-checkpoints", name)
     return (
-        lines.writeStream.outputMode("append")
+        stream.writeStream.outputMode("append")
         .option("checkpointLocation", cp)
         .trigger(processingTime="1 second")
-        .foreachBatch(sink)
+        .foreachBatch(lambda batch_df, batch_id: sink(to_lines(batch_df), batch_id))
         .start()
     )

@@ -43,6 +43,20 @@ LOG_SCHEMA = T.StructType(
 
 LOG_COLUMNS = [f.name for f in LOG_SCHEMA.fields]
 
+# Schema for readStream over the logs directory. Column order matters:
+# the physical parquet files hold the data columns (everything but the
+# partition key ``src``) in LOG_SCHEMA order, and Spark's streaming file
+# source emits data columns first with partition columns appended LAST.
+# ForeachBatchSink then renames the batch's output attributes to the
+# user-provided schema POSITIONALLY — with ``src`` mid-schema the column
+# named ``src`` would carry ``seq``'s values and vice versa (observed on
+# Spark 4.1: batch_df arrived as src:bigint/seq:string with crossed
+# values). Keeping ``src`` last makes the positional rename the identity.
+STREAM_SCHEMA = T.StructType(
+    [f for f in LOG_SCHEMA.fields if f.name != "src"]
+    + [LOG_SCHEMA["src"]]
+)
+
 # stable total order for cursors/pagination
 ORDER_COLUMNS = ["ts", "src", "seq"]
 

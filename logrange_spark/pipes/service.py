@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..lql.parser import parse_source, parse_where
 from ..compiler.tagexpr import compile_tags
 from ..compiler.whereexpr import compile_where
-from ..model.schema import LOG_SCHEMA, src_for_tag_line
+from ..model.schema import STREAM_SCHEMA, src_for_tag_line
 from ..model.tags import tag_line
 
 
@@ -54,61 +54,75 @@ def start_pipe(engine, defn: dict):
     dest_line = tag_line(dest_tags)
     dest_src = src_for_tag_line(dest_line)
 
+    # The streaming side is ONLY the raw file reader (offset tracking,
+    # checkpointing, recovery). Every transformation — filters, tag
+    # enrichment, provenance — is applied to the batch DataFrame inside
+    # foreachBatch: the per-batch plan is freshly analyzed and optimized
+    # (filters still reach the parquet scan), whereas putting
+    # higher-order-function lambdas (map_filter/map_contains_key) in the
+    # STREAMING plan trips a Spark 4.1 IncrementalExecution bug when the
+    # source directory is empty at stream start — re-analysis of the first
+    # non-empty batch leaves the lambda variables unresolved and the
+    # optimizer dies with PLAN_VALIDATION_FAILED_RULE_IN_BATCH /
+    # "Invalid call to exprId on unresolved object" (reproduced with both
+    # Column-DSL and SQL-string lambdas; a pipe's source dir legitimately
+    # starts empty, so the streaming plan must stay lambda-free).
+    # STREAM_SCHEMA (src last), not LOG_SCHEMA: see model/schema.py — the
+    # raw batch handoff renames columns positionally.
     stream = (
-        engine.spark.readStream.schema(LOG_SCHEMA)
+        engine.spark.readStream.schema(STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .parquet(engine.logs_path)
     )
-    # never re-consume our own output (or other pipes' output)
-    stream = stream.where(F.coalesce(F.col("tags").getItem("logrange.pipe"), F.lit("")) == "")
-    if source is not None:
-        stream = stream.where(compile_tags(source))
-    if where is not None:
-        stream = stream.where(compile_where(where))
 
-    # source-tag enrichment: tags become fields on the piped record
-    # (reference: pkg/pipe/worker.go:67-69). On key collision the record's
-    # own field wins — the reference's field lookup is first-match and
-    # record fields are concatenated first (pkg/model/field/field.go:143-157)
-    # — so colliding tag keys are filtered out rather than letting
-    # map_concat throw DUPLICATE_MAP_KEY under the default
-    # spark.sql.mapKeyDedupPolicy=EXCEPTION.
-    enriched = (
-        stream.withColumn(
-            "fields",
-            F.map_concat(
-                F.coalesce(F.col("fields"), F.expr("map()")),
-                F.map_filter(
-                    F.coalesce(F.col("tags"), F.expr("map()")),
-                    lambda k, _: ~F.map_contains_key(
-                        F.coalesce(F.col("fields"), F.expr("map()")), k
+    def transform(df):
+        # never re-consume our own output (or other pipes' output)
+        df = df.where(
+            F.coalesce(F.col("tags").getItem("logrange.pipe"), F.lit("")) == ""
+        )
+        if source is not None:
+            df = df.where(compile_tags(source))
+        if where is not None:
+            df = df.where(compile_where(where))
+
+        # source-tag enrichment: tags become fields on the piped record
+        # (reference: pkg/pipe/worker.go:67-69). On key collision the
+        # record's own field wins — the reference's field lookup is
+        # first-match and record fields are concatenated first
+        # (pkg/model/field/field.go:143-157) — so colliding tag keys are
+        # filtered out rather than letting map_concat throw
+        # DUPLICATE_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION.
+        # The provenance pair (the exactly-once idempotency key) is
+        # prepended and WINS over any record field spoofing its name;
+        # src/seq here are still the SOURCE values (overwritten below).
+        base_fields = F.coalesce(F.col("fields"), F.expr("map()"))
+        merged_fields = F.map_concat(
+            base_fields,
+            F.map_filter(
+                F.coalesce(F.col("tags"), F.expr("map()")),
+                lambda k, _: ~F.map_contains_key(base_fields, k),
+            ),
+        )
+        return (
+            df.withColumn(
+                "fields",
+                F.map_concat(
+                    F.create_map(
+                        F.lit(PROV_SRC), F.col("src"),
+                        F.lit(PROV_SEQ), F.col("seq").cast("string"),
+                    ),
+                    F.map_filter(
+                        merged_fields, lambda k, _: ~k.isin(PROV_SRC, PROV_SEQ)
                     ),
                 ),
-            ),
+            )
+            .withColumn(
+                "tags",
+                F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
+            )
+            .withColumn("tag_line", F.lit(dest_line))
+            .withColumn("src", F.lit(dest_src))
         )
-        # provenance rides along in the reserved namespace and WINS on
-        # collision — it is the exactly-once idempotency key, so a record
-        # field spoofing the name must not displace it. src/seq here are
-        # still the SOURCE values (overwritten below / in append_df).
-        .withColumn(
-            "fields",
-            F.map_concat(
-                F.create_map(
-                    F.lit(PROV_SRC), F.col("src"),
-                    F.lit(PROV_SEQ), F.col("seq").cast("string"),
-                ),
-                F.map_filter(
-                    F.col("fields"), lambda k, _: ~k.isin(PROV_SRC, PROV_SEQ)
-                ),
-            ),
-        )
-        .withColumn(
-            "tags",
-            F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
-        )
-        .withColumn("tag_line", F.lit(dest_line))
-        .withColumn("src", F.lit(dest_src))
-    )
 
     checkpoint = os.path.join(engine.pipes_dir, "checkpoints", name)
     dest_dir = os.path.join(engine.logs_path, f"src={dest_src}")
@@ -118,9 +132,9 @@ def start_pipe(engine, defn: dict):
     replay_guard = {"pending": True}
 
     def sink(batch_df, batch_id):
-        if batch_df.isEmpty():
+        out = transform(batch_df)
+        if out.isEmpty():
             return
-        out = batch_df
         if replay_guard["pending"]:
             replay_guard["pending"] = False
             if os.path.isdir(dest_dir):
@@ -134,7 +148,7 @@ def start_pipe(engine, defn: dict):
                     .distinct()
                 )
                 out = (
-                    batch_df.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
+                    out.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
                     .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
                     .join(existing, ["_psrc", "_pseq"], "left_anti")
                     .drop("_psrc", "_pseq")
@@ -144,7 +158,7 @@ def start_pipe(engine, defn: dict):
         engine.append_df(out)
 
     return (
-        enriched.writeStream.outputMode("append")
+        stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime="1 second")
         .foreachBatch(sink)
