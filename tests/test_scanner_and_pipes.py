@@ -442,3 +442,67 @@ def test_syslog_udp_truncation_keeps_valid_utf8(spark):
         assert srv.lines[0].endswith("...[truncated]")
     finally:
         srv.shutdown()
+
+
+def test_pipe_created_before_any_data_delivers(engine):
+    """Regression: a pipe whose source directory is EMPTY at stream start
+    must still deliver once data arrives. Two distinct Spark 4.1 failure
+    modes are covered (see pipes/service.py): higher-order-function
+    lambdas in the STREAMING plan die in IncrementalExecution re-analysis
+    on the first non-empty batch after an empty start
+    (PLAN_VALIDATION_FAILED_RULE_IN_BATCH), and the raw foreachBatch
+    handoff renames columns positionally, crossing src/seq when the
+    partition column isn't last in the schema."""
+    assert (
+        engine.execute("CREATE PIPE fresh FROM {name=cold} WHERE msg CONTAINS 'hit'")[
+            "status"
+        ]
+        == "created"
+    )
+    # first write happens AFTER the stream started on an empty dir
+    engine.write(
+        {"name": "cold", "ns": "t"},
+        [(BASE_TS, "hit one", {"k": "v"}), (BASE_TS + NS, "miss", {})],
+    )
+
+    def piped():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=fresh} LIMIT 10").collect()
+        except Exception:
+            return []
+
+    assert _wait(lambda: len(piped()) == 1), "empty-start pipe never delivered"
+    (r,) = piped()
+    assert r["msg"] == "hit one"
+    # columns are not crossed: src is the destination hash (string), seq long
+    assert isinstance(r["src"], str) and r["seq"] == 1
+    # enrichment folded source tags into fields; record field preserved
+    assert r["fields"]["name"] == "cold"
+    assert r["fields"]["ns"] == "t"
+    assert r["fields"]["k"] == "v"
+
+
+def test_forwarder_started_before_any_data_delivers(engine):
+    """Same empty-start regression for the forwarder path: compile_format
+    uses the higher-order F.transform, so the format projection must not
+    sit in the streaming plan."""
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    q = start_forwarder(
+        engine,
+        "cold-fwd",
+        'SELECT "{vars:level}|{msg}" FROM {name=coldfwd}',
+        SyslogSink(SyslogConfig(port=port)),
+    )
+    try:
+        engine.write(
+            {"name": "coldfwd"},
+            [(BASE_TS + i * NS, f"fwd msg {i}", {"level": "warn"}) for i in range(3)],
+        )
+        assert _wait(lambda: len(srv.lines) >= 3), f"got {len(srv.lines)} lines"
+        assert any("warn|fwd msg 0" in l for l in srv.lines)
+    finally:
+        q.stop()
+        srv.shutdown()
