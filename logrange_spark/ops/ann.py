@@ -436,3 +436,362 @@ def embedding_near_duplicates(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (ADC scoring): the memory-side scale path for
+# vector search. Sign-LSH / IVF prune WHICH vectors a query compares
+# against; PQ compresses WHAT is stored per vector — a d-dim float32
+# embedding (d*4 bytes) becomes m small codes (m bytes at n_codes<=256),
+# e.g. 64-dim/256 B -> 8 B at the defaults below. At 100 TB of raw
+# embeddings the PQ-coded corpus is ~1.5 TB, small enough to keep the
+# entire scoring set in executor memory, and scoring drops from O(d)
+# multiplies per candidate to O(m) table lookups. IVF-PQ (``ivf_pq_topk``)
+# composes both, which is the standard billion-scale ANN architecture
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011; the FAISS IndexIVFPQ layout).
+#
+# Everything is built-in Column expressions: codebooks are driver-side
+# literal constants shipped with the plan (like IVF centroids), encoding
+# is a shuffle-free map stage, and ADC scoring is zip_with/element_at
+# lookups — no UDFs, whole-stage codegen throughout.
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def _pq_sub(vec: Column, sub: int, subdim: int) -> Column:
+    return F.slice(vec, sub * subdim + 1, subdim)
+
+
+def _pq_subdim(codebooks: list[list[list[float]]]) -> int:
+    return len(codebooks[0][0])
+
+
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: subspace slices of the ``n_codes``
+    lowest-id corpus vectors (the same seeding convention as
+    ``ivf_topk``'s default centroids, so tests and oracles are
+    reproducible without a training job). ``codebooks[sub][code]`` is the
+    code's sub-vector. Training (``pq_train_codebooks``) only changes
+    these constants, never the plan shape."""
+    rows = (
+        corpus.where(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    return [
+        [[float(x) for x in r[1][sub * subdim : (sub + 1) * subdim]] for r in rows]
+        for sub in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """K-means-trained codebooks, one independent quantizer per subspace
+    (the production path). Each fit is a distributed MLlib job over the
+    corpus' sub-vectors; deterministic for a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    books = []
+    for sub in range(m):
+        feat = corpus.select(
+            array_to_vector(
+                _pq_sub(F.col(vec_col), sub, subdim).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + sub, maxIter=max_iter).fit(feat)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of per-subspace nearest-code ids (L2; ties → smaller
+    code). Pure per-row expression — encoding 100 TB is a map stage.
+
+    argmin ||x_sub - c||² == argmax (x_sub·c - ||c||²/2): the dot against
+    each literal code plus a constant, the same array_max/struct tie-break
+    idiom as ``ivf_assign_expr`` — one fold over the sub-vector per code.
+    """
+    subdim = _pq_subdim(codebooks)
+    codes = []
+    for sub, book in enumerate(codebooks):
+        subv = _pq_sub(vec, sub, subdim)
+        entries = []
+        for code, cv in enumerate(book):
+            carr = F.array(*[F.lit(float(x)) for x in cv])
+            half_sq = 0.0
+            for x in cv:
+                half_sq += float(x) * float(x)
+            s = _dot(subv, carr) - F.lit(half_sq / 2.0)
+            entries.append(F.struct(s.alias("s"), F.lit(-code).alias("nc")))
+        best = F.array_max(F.array(*entries))
+        codes.append((-best["nc"]).cast("int"))
+    return F.array(*codes)
+
+
+def _pq_recon_sqnorms(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    # ||x̂||² decomposes over subspaces: x̂ is the concatenation of the
+    # chosen sub-centroids, so its squared norm is the sum of theirs
+    out = []
+    for book in codebooks:
+        row = []
+        for cv in book:
+            s = 0.0
+            for x in cv:
+                s += float(x) * float(x)
+            row.append(s)
+        out.append(row)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes, recon_norm): the PQ-coded corpus. This is the
+    table you PERSIST at scale — m ints + one double per vector instead
+    of the raw embedding; ``recon_norm`` (the reconstruction's norm, a
+    codebook lookup) is precomputed so cosine ADC never touches vectors.
+    """
+    sq = _pq_recon_sqnorms(codebooks)
+    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_expr(F.col(vec_col), codebooks).alias("codes"),
+    ).withColumn(
+        "recon_norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    sq_lit,
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def _pq_luts(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup tables: ``luts[sub][code] = q_sub · c`` —
+    computed ONCE per query row (m × n_codes small dots), after which
+    every candidate scores with m element_at lookups."""
+    subdim = _pq_subdim(codebooks)
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        _pq_sub(qvec, sub, subdim),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                    )
+                    for cv in book
+                ]
+            )
+            for sub, book in enumerate(codebooks)
+        ]
+    )
+
+
+def _pq_adc_score(codes: Column, luts: Column, qnorm: Column, recon_norm: Column) -> Column:
+    num = F.aggregate(
+        F.zip_with(codes, luts, lambda c, lut: F.element_at(lut, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return num / (qnorm * recon_norm)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance cosine: the query keeps
+    its exact vector, each corpus vector is replaced by its PQ
+    reconstruction. Full scan like ``cosine_topk`` but over the coded
+    corpus — O(m) lookups per candidate instead of O(d) multiplies, and
+    the scanned table is ~d*4/m times smaller. Pass ``encoded`` (from
+    ``pq_encode``, persisted) to skip encoding; use ``ivf_pq_topk`` to
+    also prune candidates."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _pq_luts(F.col(vec_col), codebooks).alias("luts"),
+            _norm(F.col(vec_col)).alias("qnorm"),
+        )
+    )
+    scored = (
+        q.crossJoin(encoded)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pq_adc_score(
+                    F.col("codes"), F.col("luts"), F.col("qnorm"), F.col("recon_norm")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: IVF pruning (each query probes its ``n_probe`` nearest
+    inverted lists) + PQ ADC scoring (candidates scored from codes, not
+    vectors). The billion-scale layout: the persisted corpus table is
+    (centroid_id, neighbor_id, codes, recon_norm) bucketed by
+    centroid_id — both the pruning join and the scoring read touch no
+    raw embedding."""
+    from pyspark.sql.window import Window
+
+    cents = centroids if centroids is not None else [
+        (int(r[0]), list(r[1]))
+        for r in (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+    ]
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+
+    # coded + inverted-listed corpus: one map stage, no shuffle
+    pre = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_vn"),
+    )
+    assigned = pre.select(
+        "neighbor_id",
+        ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
+        pq_encode_expr(F.col("cvec"), codebooks).alias("codes"),
+    )
+    sq = _pq_recon_sqnorms(codebooks)
+    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
+    assigned = assigned.withColumn(
+        "recon_norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    sq_lit,
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+    qpre = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("pscore").desc(), F.col("centroid_id")
+    )
+    qp = (
+        qpre.select(
+            "query_id",
+            _pq_luts(F.col("qvec"), codebooks).alias("luts"),
+            F.col("_qn").alias("qnorm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("centroid_id"),
+                            (
+                                _dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in cv]))
+                                / (F.col("_qn") * F.lit(_centroid_norm(cv)))
+                            ).alias("pscore"),
+                        )
+                        for cid, cv in cents
+                    ]
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "luts", "qnorm",
+                F.col("pc.centroid_id").alias("centroid_id"),
+                F.col("pc.pscore").alias("pscore"))
+        .withColumn("prank", F.row_number().over(qw))
+        .where(F.col("prank") <= n_probe)
+        .select("query_id", "luts", "qnorm", "centroid_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(qp), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pq_adc_score(
+                    F.col("codes"), F.col("luts"), F.col("qnorm"), F.col("recon_norm")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
