@@ -86,19 +86,30 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self)."""
     from pyspark.sql.window import Window
 
+    # norms are projected per ROW before the join — cosine() inline would
+    # re-fold both vector norms per candidate PAIR, tripling the dominant
+    # per-pair element work (same fold, so scores are bit-identical)
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -151,20 +162,24 @@ def bucketed_topk(
 
     if dims is None:
         dims = bucket_dims(n_rows if n_rows is not None else corpus.count())
+    # norms projected per row, not per pair (see cosine_topk)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     if multi_probe:
         q = q.select(
             "query_id",
             "qvec",
+            "_qn",
             F.explode(_probe_buckets(F.col("bucket"), dims)).alias("bucket"),
         )
     scored = (
@@ -173,7 +188,9 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -261,9 +278,12 @@ def ivf_assigned_corpus(
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("_vn"),
     )
+    # cnorm is persisted with the inverted list so probe-time scoring
+    # never re-folds the corpus vector's norm per candidate pair
     return pre.select(
         "neighbor_id",
         "cvec",
+        F.col("_vn").alias("cnorm"),
         ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
     )
 
@@ -350,6 +370,7 @@ def ivf_topk(
         qpre.select(
             "query_id",
             "qvec",
+            "_qn",
             F.explode(
                 F.array(
                     *[
@@ -365,11 +386,11 @@ def ivf_topk(
                 )
             ).alias("pc"),
         )
-        .select("query_id", "qvec", F.col("pc.centroid_id").alias("centroid_id"),
+        .select("query_id", "qvec", "_qn", F.col("pc.centroid_id").alias("centroid_id"),
                 F.col("pc.pscore").alias("pscore"))
         .withColumn("prank", F.row_number().over(qw))
         .where(F.col("prank") <= n_probe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", F.col("_qn").alias("qnorm"), "centroid_id")
     )
 
     scored = (
@@ -378,7 +399,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -411,28 +436,54 @@ def embedding_near_duplicates(
     """
     if dims is None:
         dims = bucket_dims(n_rows if n_rows is not None else df.count())
+    # norm projected per row, not per pair (see cosine_topk)
     b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), dims).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_n"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     if multi_probe:
+        # UPWARD-only probing: pair-finding is symmetric, so for a pair
+        # whose signatures differ in bit j only the side with the 0-bit
+        # needs to probe the flip (the other side is reached via its self
+        # bucket). Flipping a 0-bit always RAISES the bucket id, so
+        # "flips > own bucket" selects exactly those probes — halving
+        # probe rows (avg dims/2+1 instead of dims+1) with the identical
+        # output pair set. Match accounting: equal signatures meet only
+        # via self-probe (id< dedups); signatures differing in bit j meet
+        # only via the 0-bit side's j-flip (id!= suffices, least/greatest
+        # orders the output); Hamming>=2 pairs never meet.
         l = b.select(
             F.col(id_col),
             F.col(vec_col),
-            F.explode(_probe_buckets(F.col("bucket"), dims)).alias("bucket"),
+            F.col("_n"),
+            F.col("bucket").alias("own"),
+            F.explode(
+                F.filter(
+                    _probe_buckets(F.col("bucket"), dims),
+                    lambda p: p >= F.col("bucket"),
+                )
+            ).alias("bucket"),
         ).alias("l")
+        pair_cond = F.when(
+            F.col("l.own") == F.col("l.bucket"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ).otherwise(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
     else:
         l = b.alias("l")
+        pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     r = b.alias("r")
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("score"),
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+            F.round(
+                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (F.col("l._n") * F.col("r._n")),
+                6,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
