@@ -731,38 +731,16 @@ def pq_topk(
     )
 
 
-def ivf_pq_topk(
+def ivf_pq_assigned_corpus(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBE,
-    codebooks: list[list[list[float]]] | None = None,
-    centroids: list[tuple[int, list[float]]] | None = None,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ: IVF pruning (each query probes its ``n_probe`` nearest
-    inverted lists) + PQ ADC scoring (candidates scored from codes, not
-    vectors). The billion-scale layout: the persisted corpus table is
-    (centroid_id, neighbor_id, codes, recon_norm) bucketed by
-    centroid_id — both the pruning join and the scoring read touch no
-    raw embedding."""
-    from pyspark.sql.window import Window
-
-    cents = centroids if centroids is not None else [
-        (int(r[0]), list(r[1]))
-        for r in (
-            corpus.where(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .orderBy(id_col)
-            .collect()
-        )
-    ]
-    if codebooks is None:
-        codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
-
-    # coded + inverted-listed corpus: one map stage, no shuffle
+    """(neighbor_id, centroid_id, codes, recon_norm): the IVF-PQ corpus
+    layout — inverted-listed AND PQ-coded in one shuffle-free map stage.
+    The raw embedding is gone: m ints + one double per vector."""
     pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -775,7 +753,7 @@ def ivf_pq_topk(
     )
     sq = _pq_recon_sqnorms(codebooks)
     sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
-    assigned = assigned.withColumn(
+    return assigned.withColumn(
         "recon_norm",
         F.sqrt(
             F.aggregate(
@@ -789,6 +767,70 @@ def ivf_pq_topk(
             )
         ),
     )
+
+
+def persist_ivf_pq_corpus(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    n_buckets: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF-PQ corpus bucketed by centroid_id: one write-
+    time shuffle, after which probe joins read co-located buckets with no
+    corpus-side Exchange AND the stored table is ~d*4/m smaller than the
+    raw embeddings — the full billion-scale serving layout."""
+    assigned = ivf_pq_assigned_corpus(corpus, centroids, codebooks, id_col, vec_col)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        assigned.write.bucketBy(n_buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-PQ: IVF pruning (each query probes its ``n_probe`` nearest
+    inverted lists) + PQ ADC scoring (candidates scored from codes, not
+    vectors). Pass ``assigned`` (from ``persist_ivf_pq_corpus``) to probe
+    the pre-coded bucketed table — both the pruning join and the scoring
+    then touch no raw embedding, and with ``broadcast_queries=False`` the
+    corpus side still joins with no Exchange (plan-asserted in
+    tests/test_bucketing.py)."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+    cents = centroids if centroids is not None else [
+        (int(r[0]), list(r[1]))
+        for r in (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+    ]
+    if assigned is None:
+        assigned = ivf_pq_assigned_corpus(corpus, cents, codebooks, id_col, vec_col)
 
     qpre = queries.select(
         F.col(id_col).alias("query_id"),
@@ -827,7 +869,7 @@ def ivf_pq_topk(
     )
 
     scored = (
-        assigned.join(F.broadcast(qp), "centroid_id")
+        assigned.join(F.broadcast(qp) if broadcast_queries else qp, "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -120,3 +120,71 @@ def test_ivf_bucketed_corpus_probe_no_corpus_exchange(spark, tmp_path_factory):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_ann_corpus")
+
+
+def test_ivf_pq_bucketed_corpus_probe_no_corpus_exchange(spark, tmp_path_factory):
+    """The full billion-scale serving layout: the persisted corpus is
+    inverted-listed, PQ-coded (no raw embeddings in the table), and
+    bucketed by centroid_id. A probe join shuffles only the query side;
+    results are identical to the on-the-fly ivf_pq_topk."""
+    import os
+
+    import pytest as _pytest
+
+    from logrange_spark.ops import ann
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.isdir(path) and not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    vecs = spark.read.parquet(path)
+    queries = vecs.where(F.col("vec_id") < 5)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in vecs.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    books = ann.pq_seed_codebooks(vecs)
+    wh = str(tmp_path_factory.mktemp("annpqwh"))
+    spark.sql("DROP TABLE IF EXISTS bk_annpq_corpus")
+    try:
+        table = ann.persist_ivf_pq_corpus(
+            spark, vecs, "bk_annpq_corpus", f"{wh}/bk_annpq_corpus", cents, books
+        )
+        # the stored layout carries codes, never vectors
+        assert set(table.columns) == {"neighbor_id", "centroid_id", "codes", "recon_norm"}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # probe-join fragment in isolation: the bucketed coded corpus
+            # contributes ZERO exchanges, the query side exactly one
+            probe = queries.select(
+                F.col("vec_id").alias("query_id"),
+                ann.ivf_assign_expr(F.col("embedding"), cents).alias("centroid_id"),
+            )
+            frag = table.join(probe, "centroid_id")
+            fplan = frag._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in fplan
+            assert fplan.count("Exchange") == 1, fplan
+            assert "Bucketed: true" in fplan
+
+            got = ann.ivf_pq_topk(
+                None, queries, k=10, centroids=cents, codebooks=books,
+                assigned=table, broadcast_queries=False,
+            )
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            got_rows = got.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        want = ann.ivf_pq_topk(
+            vecs, queries, k=10, centroids=cents, codebooks=books
+        ).collect()
+        assert sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in got_rows
+        ) == sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in want
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_annpq_corpus")
