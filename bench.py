@@ -86,6 +86,8 @@ def main() -> int:
         timings[name] = best
         total += best
 
+    ingest = _bench_ingest(spark)
+
     print(
         json.dumps(
             {
@@ -96,11 +98,88 @@ def main() -> int:
                 "runs": raw_runs,
                 "n_runs": n_runs,
                 "sf": sf,
+                "ingest": ingest,
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _bench_ingest(spark) -> dict:
+    """Write-path throughput + read-after-write latency, mirroring the
+    reference's two README performance claims (reference README.md:8-10:
+    'millions of records per second', 'within milliseconds after it is
+    written'). Writes 100k records across 4 sources through the full
+    Engine.write path (normalize, seq reservation, chunk files, catalog),
+    then measures write→query visibility latency on single records."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from logrange_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="lrspark-bench-ingest-")
+    try:
+        eng = Engine(spark, root)
+        base = 1_706_745_600_000_000_000
+        batches = []
+        for b in range(20):
+            tags = {"name": f"app{b % 4}", "host": f"h{b % 2}"}
+            recs = [
+                (base + (b * 5000 + i) * 1000, f"record {b}/{i} payload xyzzy", {"n": str(i)})
+                for i in range(5000)
+            ]
+            batches.append((tags, recs))
+        t0 = time.time()
+        for tags, recs in batches:
+            eng.write(tags, recs)
+        wall = time.time() - t0
+        n = sum(len(r) for _, r in batches)
+
+        # concurrent writers (the collector-fleet shape): per-src locks
+        # serialize only same-source writers, so distinct sources land in
+        # parallel — pyarrow releases the GIL during the actual write
+        from concurrent.futures import ThreadPoolExecutor
+
+        cbatches = []
+        for b in range(20):
+            tags = {"name": f"conc{b % 4}"}
+            recs = [
+                (base + (b * 5000 + i) * 1000, f"conc {b}/{i} payload", {})
+                for i in range(5000)
+            ]
+            cbatches.append((tags, recs))
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(lambda tr: eng.write(tr[0], tr[1]), cbatches))
+        cwall = time.time() - t0
+
+        # write→query round trip on a single record. Read-your-writes is
+        # synchronous in this engine (write returns after the chunk file +
+        # catalog commit, and any later query sees it), so the latency
+        # here is dominated by the fixed cost of ONE Spark query job —
+        # amortized away at real query sizes, reported for honesty.
+        lat = []
+        for i in range(5):
+            t0 = time.time()
+            eng.write({"name": "lat"}, [(base + i * 1000, f"latency probe {i}", {})])
+            assert (
+                eng.query(
+                    f"SELECT FROM {{name=lat}} WHERE msg CONTAINS 'probe {i}' LIMIT 1"
+                ).count()
+                == 1
+            )
+            lat.append((time.time() - t0) * 1000.0)
+        return {
+            "records": n,
+            "sec": round(wall, 3),
+            "records_per_sec": round(n / wall),
+            "concurrent_records_per_sec": round(n / cwall),
+            "write_plus_query_roundtrip_ms_median": round(statistics.median(lat), 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
