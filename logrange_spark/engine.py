@@ -137,6 +137,12 @@ class Engine:
                     f.truncate(good_offset)
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
+        # per-pipe pruned src set (None = no tag condition / no pruning);
+        # maintained by pipes.service.start_pipe, compared on partition
+        # birth to decide whether a pipe must restart onto a wider glob
+        self._pipe_srcs: dict[str, set | None] = {}
+        self._pipes_lock = threading.Lock()
+        self._partitions_dirty = False
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
         if os.path.exists(self._pipes_path):
             with open(self._pipes_path) as f:
@@ -302,6 +308,10 @@ class Engine:
 
     def _register_partition(self, src: str, line: str) -> None:
         # caller holds _write_lock
+        if src not in self._catalog:
+            # partition birth: pipes pruned to a src glob may need to
+            # widen (checked post-lock, see _notify_write)
+            self._partitions_dirty = True
         if self._catalog.get(src) != line:
             self._catalog[src] = line
             tmp = self._catalog_path + ".tmp"
@@ -386,6 +396,41 @@ class Engine:
         with self._write_cv:
             self._write_epoch += 1
             self._write_cv.notify_all()
+        if self._partitions_dirty:
+            self._partitions_dirty = False
+            # partition birth is rare (once per new tag_line ever): the
+            # rescan runs Spark jobs (resolve_sources) and possibly pipe
+            # restarts, so it must not block the write path
+            threading.Thread(target=self._rescan_pipe_sources, daemon=True).start()
+
+    def _rescan_pipe_sources(self) -> None:
+        """Re-resolve every tag-pruned pipe's matching src set; restart
+        pipes whose set changed so their source glob covers the new
+        partition. Safe ordering: files under a newly matched dir were
+        never listed by the old query, so the restarted query (same
+        checkpoint) processes them from the beginning — no loss — and the
+        first-batch provenance anti-join keeps delivery exactly-once."""
+        from .lql.parser import parse_source
+        from .pipes.service import start_pipe
+
+        with self._pipes_lock:
+            for name, defn in list(self._pipes.items()):
+                current = self._pipe_srcs.get(name)
+                if current is None:  # no tag condition → no pruning
+                    continue
+                source = parse_source(defn.get("source") or "")
+                if source is None:
+                    continue
+                fresh = set(self.resolve_sources(source, cap=False))
+                if fresh == current:
+                    continue
+                q = self._pipe_queries.get(name)
+                if q is not None:
+                    try:
+                        q.stop()
+                    except Exception:
+                        pass
+                self._pipe_queries[name] = start_pipe(self, defn)
 
     # ------------------------------------------------------------- read
     def logs(self) -> DataFrame:
@@ -805,25 +850,28 @@ class Engine:
     def create_pipe(self, stmt: ast.CreatePipe) -> dict:
         from .pipes.service import start_pipe
 
-        if stmt.name in self._pipes:
-            return {"pipe": stmt.name, "status": "exists"}
-        defn = {
-            "name": stmt.name,
-            "source": _source_to_str(stmt.source),
-            "where": _expr_to_str(stmt.where),
-        }
-        self._pipes[stmt.name] = defn
-        self._save_pipes()
-        q = start_pipe(self, defn)
-        self._pipe_queries[stmt.name] = q
+        with self._pipes_lock:
+            if stmt.name in self._pipes:
+                return {"pipe": stmt.name, "status": "exists"}
+            defn = {
+                "name": stmt.name,
+                "source": _source_to_str(stmt.source),
+                "where": _expr_to_str(stmt.where),
+            }
+            self._pipes[stmt.name] = defn
+            self._save_pipes()
+            q = start_pipe(self, defn)
+            self._pipe_queries[stmt.name] = q
         return {"pipe": stmt.name, "status": "created"}
 
     def delete_pipe(self, name: str) -> dict:
-        q = self._pipe_queries.pop(name, None)
-        if q is not None:
-            q.stop()
-        existed = self._pipes.pop(name, None) is not None
-        self._save_pipes()
+        with self._pipes_lock:
+            q = self._pipe_queries.pop(name, None)
+            if q is not None:
+                q.stop()
+            self._pipe_srcs.pop(name, None)
+            existed = self._pipes.pop(name, None) is not None
+            self._save_pipes()
         return {"pipe": name, "status": "deleted" if existed else "missing"}
 
     def show_pipes(self, stmt: ast.ShowPipes) -> DataFrame:
@@ -842,12 +890,14 @@ class Engine:
         return dict(d)
 
     def stop_pipes(self) -> None:
-        for q in self._pipe_queries.values():
-            try:
-                q.stop()
-            except Exception:
-                pass
-        self._pipe_queries.clear()
+        with self._pipes_lock:
+            for q in self._pipe_queries.values():
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            self._pipe_queries.clear()
+            self._pipe_srcs.clear()
 
     def _save_pipes(self) -> None:
         os.makedirs(self.pipes_dir, exist_ok=True)

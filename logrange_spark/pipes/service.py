@@ -69,11 +69,33 @@ def start_pipe(engine, defn: dict):
     # starts empty, so the streaming plan must stay lambda-free).
     # STREAM_SCHEMA (src last), not LOG_SCHEMA: see model/schema.py — the
     # raw batch handoff renames columns positionally.
-    stream = (
-        engine.spark.readStream.schema(STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(engine.logs_path)
+    #
+    # Partition pruning at the SOURCE: a tag condition is
+    # partition-constant (records inherit their partition's tags), so the
+    # matching src set from the engine catalog restricts the stream to a
+    # brace-glob over just those directories — at 100 TB the pipe lists
+    # and reads only its partitions, not the whole store. The matching
+    # set can grow when a new partition is born; Engine.write detects
+    # that and RESTARTS the pipe with the widened glob on the same
+    # checkpoint: files under a newly matched dir were never listed by
+    # the old query, so they are processed after the restart — no loss,
+    # and the first-batch provenance anti-join keeps it exactly-once
+    # across the restart. Row-level filters in transform() are kept
+    # regardless, so pruning is purely an optimization.
+    srcs = engine.resolve_sources(source, cap=False) if source is not None else None
+    reader = engine.spark.readStream.schema(STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 64
     )
+    if srcs:
+        reader = reader.option("basePath", engine.logs_path)
+        path = f"{engine.logs_path}/src={{{','.join(srcs)}}}"
+    else:
+        # no matching partition yet (or no tag condition): listen on the
+        # whole store; rows are filtered in transform(), and the birth of
+        # a matching partition triggers a restart onto the pruned glob
+        path = engine.logs_path
+    engine._pipe_srcs[name] = set(srcs) if srcs is not None else None
+    stream = reader.parquet(path)
 
     def transform(df):
         # never re-consume our own output (or other pipes' output)

@@ -506,3 +506,38 @@ def test_forwarder_started_before_any_data_delivers(engine):
     finally:
         q.stop()
         srv.shutdown()
+
+
+def test_pipe_prunes_source_partitions_and_widens_on_birth(engine):
+    """Tag-pruned pipes read only matching partition dirs (brace-glob
+    source), and the birth of a NEW matching partition restarts the pipe
+    onto the widened glob with no records lost or duplicated."""
+    from logrange_spark.lql.parser import parse_source
+
+    engine.write({"name": "pp", "host": "h1"}, [(BASE_TS, "first part", {})])
+    engine.write({"name": "unrelated"}, [(BASE_TS, "noise", {})])
+    assert engine.execute("CREATE PIPE pp FROM {name=pp}")["status"] == "created"
+
+    want = set(engine.resolve_sources(parse_source("{name=pp}"), cap=False))
+    assert engine._pipe_srcs["pp"] == want and len(want) == 1
+
+    def msgs():
+        try:
+            return sorted(
+                r["msg"]
+                for r in engine.query("SELECT FROM {logrange.pipe=pp} LIMIT 100").collect()
+            )
+        except Exception:
+            return []
+
+    assert _wait(lambda: msgs() == ["first part"]), msgs()
+
+    # a second partition (different tag_line, same matching name tag) is
+    # born AFTER the pipe started: the rescan must widen the source glob
+    engine.write({"name": "pp", "host": "h2"}, [(BASE_TS + NS, "second part", {})])
+    assert _wait(lambda: msgs() == ["first part", "second part"], timeout=45), msgs()
+    assert len(engine._pipe_srcs["pp"]) == 2
+    # noise partition stays outside the pruned set
+    assert set(engine.resolve_sources(parse_source("{name=unrelated}"), cap=False)).isdisjoint(
+        engine._pipe_srcs["pp"]
+    )
