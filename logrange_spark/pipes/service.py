@@ -10,13 +10,14 @@ The reference's WriteEvent/notificator/worker machinery
 (pkg/pipe/service.go:270-284, worker.go:48-104) is replaced wholesale by a
 checkpointed Structured Streaming query over the logs directory — offset
 tracking, retry, and recovery are Spark's. The reference is at-least-once
-(pkg/pipe/worker.go:48-104 re-delivers on crash); ours is EXACTLY-ONCE
-across restarts: each piped record carries its source (src, seq) as
-reserved provenance fields, and the first batch after a (re)start
-anti-joins against the destination's existing provenance pairs, so a
-batch that landed but whose checkpoint commit didn't survive a crash is
-not appended twice. Within a running query each batch is delivered once,
-so the dedup scan costs one destination read per restart, not per batch.
+(pkg/pipe/worker.go:48-104 re-delivers on crash); ours is EXACTLY-ONCE:
+each piped record carries its source (src, seq) as reserved provenance
+fields, a per-source delivered-seq high-water mark fast-paths provably
+fresh batches, and every suspicious batch (restart replay, crash
+re-delivery, compact() rewriting source files under new names,
+out-of-order file pickup) goes through an exact provenance anti-join
+against the destination. The dedup scan is paid only on suspicious
+batches, not per batch.
 """
 
 from __future__ import annotations
@@ -148,18 +149,40 @@ def start_pipe(engine, defn: dict):
 
     checkpoint = os.path.join(engine.pipes_dir, "checkpoints", name)
     dest_dir = os.path.join(engine.logs_path, f"src={dest_src}")
-    # Replays only happen on the first batch after a (re)start — within a
-    # running query Spark delivers each batch once — so the dedup scan is
-    # paid once per restart, not per batch.
-    replay_guard = {"pending": True}
+    # Exactly-once bookkeeping: a per-SOURCE delivered-seq high-water mark
+    # (driver memory, O(#sources)). seq is monotonic per source, so a
+    # batch whose every source's min seq is STRICTLY ABOVE its mark is
+    # provably fresh and appends directly — the common case costs one
+    # tiny per-batch aggregation. Any other batch is "suspicious" — the
+    # first batch after a (re)start, a replay after a crash, files
+    # re-delivered under new names after compact() rewrites a source
+    # partition, or out-of-order file pickup — and goes through the exact
+    # (src, seq) anti-join against the destination's provenance pairs.
+    # The anti-join is idempotent, so the suspicious path is always safe;
+    # the high-water mark only decides when the cheap path is allowed.
+    hw: dict[str, int] = {}
+    seeded = {"done": False}
 
     def sink(batch_df, batch_id):
-        out = transform(batch_df)
-        if out.isEmpty():
-            return
-        if replay_guard["pending"]:
-            replay_guard["pending"] = False
-            if os.path.isdir(dest_dir):
+        out = transform(batch_df).persist()
+        try:
+            stats = (
+                out.select(
+                    F.col("fields").getItem(PROV_SRC).alias("psrc"),
+                    F.col("fields").getItem(PROV_SEQ).cast("long").alias("pseq"),
+                )
+                .groupBy("psrc")
+                .agg(F.min("pseq").alias("mn"), F.max("pseq").alias("mx"))
+                .collect()
+            )
+            if not stats:
+                return
+            suspicious = (not seeded["done"]) or any(
+                r["mn"] <= hw.get(r["psrc"], -1) for r in stats
+            )
+            seeded["done"] = True
+            delivery = out
+            if suspicious and os.path.isdir(dest_dir):
                 existing = (
                     engine.spark.read.parquet(dest_dir)
                     .select(
@@ -169,15 +192,18 @@ def start_pipe(engine, defn: dict):
                     .where(F.col("_psrc").isNotNull())
                     .distinct()
                 )
-                out = (
+                delivery = (
                     out.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
                     .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
                     .join(existing, ["_psrc", "_pseq"], "left_anti")
                     .drop("_psrc", "_pseq")
                 )
-                if out.isEmpty():
-                    return
-        engine.append_df(out)
+            if not delivery.isEmpty():
+                engine.append_df(delivery)
+            for r in stats:
+                hw[r["psrc"]] = max(hw.get(r["psrc"], -1), r["mx"])
+        finally:
+            out.unpersist()
 
     return (
         stream.writeStream.outputMode("append")

@@ -541,3 +541,41 @@ def test_pipe_prunes_source_partitions_and_widens_on_birth(engine):
     assert set(engine.resolve_sources(parse_source("{name=unrelated}"), cap=False)).isdisjoint(
         engine._pipe_srcs["pp"]
     )
+
+
+def test_pipe_survives_source_compaction_without_duplicates(engine):
+    """compact() rewrites a source partition's files under NEW names; a
+    running pipe's file source re-lists them as unseen and re-delivers.
+    The per-source high-water mark marks those batches suspicious and the
+    provenance anti-join drops every already-delivered record — the
+    destination must stay duplicate-free while new data keeps flowing."""
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC
+
+    for i in range(3):
+        engine.write({"name": "cc"}, [(BASE_TS + i * NS, f"pre {i}", {})])
+    assert engine.execute("CREATE PIPE cc FROM {name=cc}")["status"] == "created"
+
+    def delivered():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=cc} LIMIT 100").collect()
+        except Exception:
+            return []
+
+    assert _wait(lambda: len(delivered()) == 3), [r["msg"] for r in delivered()]
+
+    # 3 small files -> 1: every source record re-appears under a new name
+    from logrange_spark.lql.parser import parse_source
+
+    rep = engine.compact(parse_source("{name=cc}"))
+    assert rep and next(iter(rep.values()))["files_before"] == 3
+
+    engine.write({"name": "cc"}, [(BASE_TS + 10 * NS, "post compact", {})])
+    assert _wait(lambda: len(delivered()) == 4, timeout=45), [
+        r["msg"] for r in delivered()
+    ]
+    # give any pending re-delivery batches time to (incorrectly) land
+    time.sleep(4)
+    rows = delivered()
+    assert len(rows) == 4, sorted(r["msg"] for r in rows)
+    prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in rows]
+    assert len(set(prov)) == 4, prov
