@@ -143,6 +143,8 @@ class Engine:
         self._pipe_srcs: dict[str, set | None] = {}
         self._pipes_lock = threading.Lock()
         self._partitions_dirty = False
+        self._autocompact_pending: set[str] = set()
+        self._autocompact_running: set[str] = set()
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
         if os.path.exists(self._pipes_path):
             with open(self._pipes_path) as f:
@@ -324,6 +326,8 @@ class Engine:
         if not stats:
             return
         d = self._chunk_stats.setdefault(src, {})
+        if len(d) + len(stats) > self.AUTO_COMPACT_FILES:
+            self._autocompact_pending.add(src)
         lines = []
         for st in stats:
             entry = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
@@ -396,6 +400,9 @@ class Engine:
         with self._write_cv:
             self._write_epoch += 1
             self._write_cv.notify_all()
+        if self._autocompact_pending:
+            pending, self._autocompact_pending = self._autocompact_pending, set()
+            self._maybe_autocompact(sorted(pending))
         if self._partitions_dirty:
             self._partitions_dirty = False
             # partition birth is rare (once per new tag_line ever): the
@@ -791,17 +798,31 @@ class Engine:
         return report
 
     def compact(self, source: ast.Source | None = None,
-                target_file_bytes: int = 100 << 20) -> dict:
+                target_file_bytes: int = 100 << 20,
+                small_file_bytes: int | None = None) -> dict:
         """Rewrite each partition's small files into ~``target_file_bytes``
         files (default 100 MB — the reference's chunk roll size,
         server/config.go:134). The ingest path writes one file per batch,
         so partitions accumulate small files exactly like the reference
         accumulates chunks; this is the OPTIMIZE analogue. Safe to re-run;
         partitions already at one file per target size are skipped.
-        """
-        import math
 
-        src_ids = self.resolve_sources(source, cap=False)
+        ``small_file_bytes``: when set, only files SMALLER than it are
+        merged and already-rolled big files are left untouched. This
+        bounds write amplification for append-heavy partitions (the
+        auto-compact path): each byte is rewritten at most once per size
+        tier instead of on every pass over the whole partition.
+        """
+        return self._compact_src_ids(
+            self.resolve_sources(source, cap=False), target_file_bytes,
+            small_file_bytes,
+        )
+
+    def _compact_src_ids(self, src_ids: list[str], target_file_bytes: int,
+                         small_file_bytes: int | None) -> dict:
+        import math
+        import uuid
+
         report: dict[str, dict] = {}
         for src in src_ids:
             # per-src lock: a write landing between the listdir snapshot
@@ -812,9 +833,16 @@ class Engine:
                 if not os.path.isdir(part_dir):
                     continue
                 files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-                total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+                if small_file_bytes is not None:
+                    cand = [
+                        f for f in files
+                        if os.path.getsize(os.path.join(part_dir, f)) < small_file_bytes
+                    ]
+                else:
+                    cand = files
+                total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in cand)
                 want = max(1, math.ceil(total / target_file_bytes))
-                if len(files) <= want:
+                if len(cand) <= want:
                     continue
                 tmp = part_dir + ".compact"
                 shutil.rmtree(tmp, ignore_errors=True)
@@ -822,29 +850,66 @@ class Engine:
                 # partition key; rewrite preserves the (ts, seq) order within
                 # files via sortWithinPartitions for row-group ts locality
                 (
-                    self.spark.read.parquet(part_dir)
+                    self.spark.read.parquet(
+                        *[os.path.join(part_dir, f) for f in cand]
+                    )
                     .coalesce(want)
                     .sortWithinPartitions("ts", "seq")
                     .write.mode("overwrite")
                     .parquet(tmp)
                 )
-                for f in files:
+                for f in cand:
                     os.remove(os.path.join(part_dir, f))
                 new_names = []
                 for f in sorted(os.listdir(tmp)):
                     if f.endswith(".parquet"):
-                        os.replace(os.path.join(tmp, f), os.path.join(part_dir, f))
-                        new_names.append(f)
+                        name = f"compact-{uuid.uuid4().hex}.parquet"
+                        os.replace(os.path.join(tmp, f), os.path.join(part_dir, name))
+                        new_names.append(name)
                 shutil.rmtree(tmp, ignore_errors=True)
-                # the chunk catalog follows the rewrite: old entries out, new
-                # files footer-read once (bounded by this partition's output)
+                # the chunk catalog follows the rewrite: merged entries out,
+                # new files footer-read once (bounded by this pass's output)
                 stats = [self._file_stat(part_dir, n) for n in new_names]
                 with self._write_lock:
-                    self._drop_chunks(src, None)
+                    self._drop_chunks(src, cand if small_file_bytes is not None else None)
                     self._record_chunks(src, [s for s in stats if s is not None])
-                report[src] = {"files_before": len(files), "files_after": len(new_names),
+                report[src] = {"files_before": len(files),
+                               "files_after": len(files) - len(cand) + len(new_names),
                                "bytes": total}
         return report
+
+    # auto-compaction policy: when a partition's chunk count crosses the
+    # threshold after a write, a daemon thread merges its sub-16MB files
+    # toward the 100 MB roll size — the streaming small-files problem
+    # handled store-side (pipes writing one file per trigger would
+    # otherwise grow a partition's file count without bound). Pipes
+    # consuming a compacted source stay duplicate-free: re-listed files
+    # land as "suspicious" batches and hit the provenance anti-join
+    # (pipes/service.py).
+    AUTO_COMPACT_FILES = 64
+    AUTO_COMPACT_SMALL_BYTES = 16 << 20
+
+    def _maybe_autocompact(self, srcs: list[str]) -> None:
+        need = [
+            s for s in srcs
+            if len(self._chunk_stats.get(s, {})) > self.AUTO_COMPACT_FILES
+            and s not in self._autocompact_running
+        ]
+        if not need:
+            return
+        self._autocompact_running.update(need)
+
+        def run() -> None:
+            try:
+                self._compact_src_ids(
+                    need, 100 << 20, self.AUTO_COMPACT_SMALL_BYTES
+                )
+            except Exception:
+                pass  # next write over the threshold retries
+            finally:
+                self._autocompact_running.difference_update(need)
+
+        threading.Thread(target=run, daemon=True).start()
 
     # ------------------------------------------------------------- pipes
     def create_pipe(self, stmt: ast.CreatePipe) -> dict:

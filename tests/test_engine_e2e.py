@@ -595,3 +595,36 @@ def test_concurrent_write_truncate_compact_stress(engine):
         range(total_batches * per + 1, (total_batches + 3) * per + 1)
     )
     assert_catalog_mirrors_disk(len(seqs))
+
+
+def test_autocompact_merges_small_files_after_threshold(engine):
+    """Append-heavy partitions self-heal the streaming small-files
+    problem: once the chunk count crosses AUTO_COMPACT_FILES, a
+    background pass merges the small files; rows, order, and the chunk
+    catalog stay intact."""
+    import os
+    import time as _time
+
+    engine.AUTO_COMPACT_FILES = 8
+    n_batches = 12
+    for b in range(n_batches):
+        engine.write(
+            {"name": "ac"}, [(BASE_TS + (b * 4 + i) * NS, f"ac {b}/{i}", {}) for i in range(4)]
+        )
+
+    src = engine.resolve_sources(parse_lql("SELECT FROM {name=ac}").source)[0]
+
+    def n_files():
+        d = os.path.join(engine.logs_path, f"src={src}")
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    deadline = _time.time() + 30
+    while _time.time() < deadline and n_files() > 8:
+        _time.sleep(0.5)
+    assert n_files() <= 8, f"auto-compact never ran: {n_files()} files"
+    # catalog mirrors disk
+    assert len(engine._chunk_stats[src]) == n_files()
+    # all rows survive in order
+    rows = engine.query("SELECT FROM {name=ac} LIMIT 1000").collect()
+    assert len(rows) == n_batches * 4
+    assert [r["seq"] for r in rows] == sorted(r["seq"] for r in rows)
