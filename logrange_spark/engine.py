@@ -145,6 +145,10 @@ class Engine:
         self._partitions_dirty = False
         self._autocompact_pending: set[str] = set()
         self._autocompact_running: set[str] = set()
+        # forwarders register (source_ast, relaunch) for the same
+        # partition-birth glob-widening treatment as pipes (forward.py)
+        self._forwarders: dict[str, tuple] = {}
+        self._forwarder_srcs: dict[str, set | None] = {}
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
         if os.path.exists(self._pipes_path):
             with open(self._pipes_path) as f:
@@ -438,6 +442,17 @@ class Engine:
                     except Exception:
                         pass
                 self._pipe_queries[name] = start_pipe(self, defn)
+            for name, (source, relaunch) in list(self._forwarders.items()):
+                current = self._forwarder_srcs.get(name)
+                if current is None or source is None:
+                    continue
+                fresh = set(self.resolve_sources(source, cap=False))
+                if fresh == current:
+                    continue
+                try:
+                    relaunch()  # stops the old query, starts on the new glob
+                except Exception:
+                    pass
 
     # ------------------------------------------------------------- read
     def logs(self) -> DataFrame:
@@ -963,6 +978,19 @@ class Engine:
                     pass
             self._pipe_queries.clear()
             self._pipe_srcs.clear()
+            forwarders = list(self._forwarders.items())
+            self._forwarders.clear()
+            self._forwarder_srcs.clear()
+        for _name, (_source, relaunch) in forwarders:
+            # relaunch closures hold the handle; stop via the handle's
+            # current query (attribute set by forward.start_forwarder)
+            q = getattr(relaunch, "handle", None)
+            q = q.query if q is not None else None
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
 
     def _save_pipes(self) -> None:
         os.makedirs(self.pipes_dir, exist_ok=True)

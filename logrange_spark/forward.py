@@ -161,6 +161,31 @@ class ConsoleSink:
             print(r["line"] if "line" in r else str(r[0]))
 
 
+class ForwarderHandle:
+    """Caller-facing handle for a running forwarder. The engine may
+    restart the underlying streaming query (to widen the source glob
+    when a new matching partition is born), so the handle — not the
+    query object — is the stable reference. ``stop()`` unregisters the
+    forwarder and stops the current query."""
+
+    def __init__(self, engine, name: str):
+        self._engine = engine
+        self._name = name
+        self.query = None
+
+    def stop(self) -> None:
+        eng = self._engine
+        with eng._pipes_lock:
+            eng._forwarders.pop(self._name, None)
+            eng._forwarder_srcs.pop(self._name, None)
+            q = self.query
+        if q is not None:
+            q.stop()
+
+    def exception(self):
+        return self.query.exception() if self.query is not None else None
+
+
 def start_forwarder(
     engine,
     name: str,
@@ -174,6 +199,14 @@ def start_forwarder(
     The SELECT's FROM/WHERE compile onto the stream; POSITION/OFFSET/LIMIT
     are cursor concepts and are ignored in follow mode (the checkpoint IS
     the position, mirroring forwarder.go's saved cursor state).
+
+    Like pipes, the stream source is pruned to the FROM condition's
+    matching partition directories (tag conditions are partition-
+    constant), and the engine restarts the forwarder onto a widened glob
+    when a new matching partition is born — see pipes/service.py for the
+    no-loss argument. Delivery to the side-effecting sink is
+    at-least-once across restarts, matching the reference forwarder.
+    Returns a ForwarderHandle (stable across internal restarts).
     """
     stmt = parse_lql(lql)
     if not isinstance(stmt, ast.Select):
@@ -183,16 +216,6 @@ def start_forwarder(
     from .model.schema import STREAM_SCHEMA
     from .compiler.tagexpr import compile_tags
     from .compiler.whereexpr import compile_where
-
-    # The streaming side is only the raw file reader; filters and the
-    # format projection run on the batch DataFrame inside foreachBatch.
-    # Two reasons (same as pipes/service.py): compile_format uses the
-    # higher-order F.transform, which trips the Spark 4.1 empty-start
-    # IncrementalExecution re-analysis bug when put in the STREAMING
-    # plan; and the raw batch handoff renames columns positionally, so
-    # the schema must be STREAM_SCHEMA (src last) and any by-name logic
-    # must run batch-side.
-    stream = engine.spark.readStream.schema(STREAM_SCHEMA).parquet(engine.logs_path)
 
     def to_lines(df):
         if stmt.source is not None:
@@ -207,10 +230,47 @@ def start_forwarder(
         return df.select(compile_format(template).alias("line"))
 
     cp = checkpoint or os.path.join(engine.root, "forwarder-checkpoints", name)
-    return (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", cp)
-        .trigger(processingTime="1 second")
-        .foreachBatch(lambda batch_df, batch_id: sink(to_lines(batch_df), batch_id))
-        .start()
-    )
+    handle = ForwarderHandle(engine, name)
+
+    def launch():
+        # The streaming side is only the raw file reader; filters and the
+        # format projection run on the batch DataFrame inside foreachBatch.
+        # Two reasons (same as pipes/service.py): compile_format uses the
+        # higher-order F.transform, which trips the Spark 4.1 empty-start
+        # IncrementalExecution re-analysis bug when put in the STREAMING
+        # plan; and the raw batch handoff renames columns positionally, so
+        # the schema must be STREAM_SCHEMA (src last) and any by-name
+        # logic must run batch-side.
+        srcs = (
+            engine.resolve_sources(stmt.source, cap=False)
+            if stmt.source is not None
+            else None
+        )
+        reader = engine.spark.readStream.schema(STREAM_SCHEMA)
+        if srcs:
+            reader = reader.option("basePath", engine.logs_path)
+            path = f"{engine.logs_path}/src={{{','.join(srcs)}}}"
+        else:
+            path = engine.logs_path
+        engine._forwarder_srcs[name] = set(srcs) if srcs is not None else None
+        old = handle.query
+        if old is not None:
+            try:
+                old.stop()
+            except Exception:
+                pass
+        handle.query = (
+            reader.parquet(path)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="1 second")
+            .foreachBatch(lambda batch_df, batch_id: sink(to_lines(batch_df), batch_id))
+            .start()
+        )
+        return handle.query
+
+    launch.handle = handle  # lets engine.stop_pipes find the live query
+    with engine._pipes_lock:
+        engine._forwarders[name] = (stmt.source, launch)
+        launch()
+    return handle

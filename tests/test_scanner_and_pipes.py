@@ -579,3 +579,30 @@ def test_pipe_survives_source_compaction_without_duplicates(engine):
     assert len(rows) == 4, sorted(r["msg"] for r in rows)
     prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in rows]
     assert len(set(prov)) == 4, prov
+
+
+def test_forwarder_prunes_and_widens_on_partition_birth(engine):
+    """Forwarders get the same source pruning as pipes: the stream reads
+    only partitions matching the FROM condition, and the birth of a new
+    matching partition relaunches the query onto the widened glob (the
+    caller's ForwarderHandle stays valid across the internal restart)."""
+    engine.write({"name": "fw", "host": "h1"}, [(BASE_TS, "from h1", {"level": "x"})])
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    h = start_forwarder(
+        engine,
+        "fw-widen",
+        'SELECT "{msg}" FROM {name=fw}',
+        SyslogSink(SyslogConfig(port=srv.server_address[1])),
+    )
+    try:
+        assert _wait(lambda: any("from h1" in l for l in srv.lines)), srv.lines
+        assert engine._forwarder_srcs["fw-widen"] and len(engine._forwarder_srcs["fw-widen"]) == 1
+        # new matching partition born after the forwarder started
+        engine.write({"name": "fw", "host": "h2"}, [(BASE_TS + NS, "from h2", {"level": "x"})])
+        assert _wait(lambda: any("from h2" in l for l in srv.lines), timeout=45), srv.lines
+        assert len(engine._forwarder_srcs["fw-widen"]) == 2
+    finally:
+        h.stop()
+        srv.shutdown()
