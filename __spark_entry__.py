@@ -690,6 +690,69 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (ops/text.repetition_stats),
+    oracle-checked in pytest (registry is at the driver's 50-row cap;
+    tests/test_entry_contract.py::test_repetition_stats_oracle)."""
+    from logrange_spark.ops.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# DuckDB twin: lines/grams via unnest+groupBy instead of sorted-array
+# folds — an independent computation of the same integer numerators and
+# denominators, so the single double division matches bit-for-bit.
+REPETITION_ORACLE_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+lu AS (SELECT doc_id, unnest(lines) AS line FROM l),
+lg AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+       FROM lu GROUP BY doc_id, line),
+lagg AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         COUNT(*) AS n_distinct,
+         SUM(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup_chars,
+         SUM(c * ln) AS line_chars
+  FROM lg GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS grams,
+         list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
+                     (a, b) -> a + b) AS token_chars
+  FROM l
+),
+gu AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+gg AS (SELECT doc_id, gram, count(*) AS c, len(gram) AS ln
+       FROM gu GROUP BY doc_id, gram),
+gagg AS (SELECT doc_id, MAX(c * ln) AS top_chars FROM gg GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(COALESCE(lagg.n_lines, 0) AS INT) AS n_lines,
+       round(CASE WHEN COALESCE(lagg.n_lines, 0) > 0
+                  THEN 1.0 - lagg.n_distinct / CAST(lagg.n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN COALESCE(lagg.line_chars, 0) > 0
+                  THEN lagg.dup_chars / CAST(lagg.line_chars AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(LEAST(1.0, CASE WHEN COALESCE(g.token_chars, 0) > 0
+                             THEN COALESCE(gagg.top_chars, 0)
+                                  / CAST(g.token_chars AS DOUBLE)
+                             ELSE 0.0 END), 6) AS top_ngram_char_frac
+FROM l LEFT JOIN lagg USING (doc_id)
+       LEFT JOIN g USING (doc_id)
+       LEFT JOIN gagg USING (doc_id)
+""".strip()
+
+
 def _sampling_oracle_sql() -> dict[str, str]:
     from logrange_spark.ops.sampling import hex_threshold
 

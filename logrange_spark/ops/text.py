@@ -172,3 +172,131 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality, 6).alias("quality"),
         F.md5(F.array_join(w, " ")).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models", table A1 — the standard public quality filters for training
+    corpora):
+
+    - ``dup_line_frac``       — 1 − distinct(lines)/lines
+    - ``dup_line_char_frac``  — characters inside duplicated lines / all
+                                line characters
+    - ``top_ngram_char_frac`` — characters covered by all occurrences of
+                                the single most frequent word ``ngram``
+                                / all token characters
+
+    Everything is a per-row array expression — sort, neighbor compares,
+    integer folds — so the operator is a pure map stage (no shuffle, no
+    UDF) and scans 100 TB at parquet speed. Numerators/denominators are
+    computed as LONGS and divided once, so the values are independent of
+    fold order and reproducible cross-engine (DuckDB oracle in
+    tests/test_entry_contract.py).
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col),
+        lines.alias("_l"),
+        F.array_sort(lines).alias("_ls"),
+        tokens(c).alias("_w"),
+    )
+    l, ls, w = F.col("_l"), F.col("_ls"), F.col("_w")
+    n_lines = F.size(l)
+
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(l)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    # an occurrence sits in a duplicated group iff it equals a sorted
+    # neighbor; try_element_at is NULL out of bounds → coalesce(false)
+    def _dup_occurrence(i: Column) -> Column:
+        cur = F.element_at(ls, i)
+        # index 0 is structurally invalid even for try_element_at — guard
+        # the i-1 access; i+1 beyond the end returns NULL and coalesces
+        prev_eq = F.coalesce(
+            cur == F.when(i > 1, F.element_at(ls, i - F.lit(1))), F.lit(False)
+        )
+        next_eq = F.coalesce(cur == F.try_element_at(ls, i + F.lit(1)), F.lit(False))
+        return prev_eq | next_eq
+
+    dup_chars = F.aggregate(
+        F.sequence(F.lit(1), n_lines),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(_dup_occurrence(i), F.length(F.element_at(ls, i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    line_chars = F.aggregate(
+        ls, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_chars.cast("double") / line_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    m = F.size(w)
+    grams = F.when(
+        m >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(ngram - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(w, i + F.lit(k)) for k in range(ngram)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gs = F.array_sort(grams)
+    # run-length max over the sorted gram array: chars covered by the most
+    # frequent gram = max over runs of run_len * len(gram)
+    zero = F.lit(0).cast("long")
+    top_gram_chars = F.aggregate(
+        gs,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc["prev"], acc["run"]).otherwise(zero) + F.lit(1)).cast(
+                "long"
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                (F.when(x == acc["prev"], acc["run"]).otherwise(zero) + F.lit(1))
+                * F.length(x).cast("long"),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # denominator: total token characters (spaces excluded) — documented
+    # convention; the oracle uses the identical definition. The gram
+    # itself embeds ngram-1 joining spaces, counted in the numerator via
+    # len(gram) — also part of the documented convention.
+    token_chars = F.aggregate(w, zero, lambda acc, x: acc + F.length(x).cast("long"))
+    # occurrence-weighted coverage: each occurrence of the top gram
+    # contributes its full length (incl. the embedded joining space), so
+    # overlapping occurrences can push the raw ratio above 1 — capped to
+    # keep the signal a bounded fraction (quality thresholds sit ~0.2)
+    top_ngram_char_frac = F.least(
+        F.lit(1.0),
+        F.when(
+            token_chars > 0, top_gram_chars.cast("double") / token_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+    )
+
+    return base.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(top_ngram_char_frac, 6).alias("top_ngram_char_frac"),
+    )

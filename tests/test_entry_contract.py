@@ -118,3 +118,17 @@ def test_approx_users_within_bound(spark):
     assert out, "no rows"
     assert all(r["hll_within_bound"] for r in out)
     assert all(r["exact_users"] > 0 for r in out)
+
+
+def test_repetition_stats_oracle(spark):
+    """Gopher repetition signals (pytest oracle; registry at the 50-row
+    cap): sorted-array folds on the Spark side must value-match DuckDB's
+    unnest+groupBy recomputation of the same integer numerators."""
+    import duckdb
+
+    s_rows = sorted(tuple(r) for r in entry._q_repetition_stats(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    d_rows = sorted(tuple(r) for r in con.execute(entry.REPETITION_ORACLE_SQL).fetchall())
+    assert len(s_rows) == len(d_rows) > 0
+    assert s_rows == d_rows

@@ -771,3 +771,32 @@ def test_ivf_pq_topk_recall_and_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals on a hand-checked fixture."""
+    from logrange_spark.ops.text import repetition_stats
+
+    rows = [
+        (0, "a b c\na b c\nd e f"),    # 'a b c' twice: 2/3 lines dup, 10/15 chars
+        (1, "x y x y x y"),             # 'x y' 3x -> 9 chars over 6 token chars, capped
+        (2, "unique line one\nunique line two"),
+        (3, ""),
+        (4, "solo"),                    # no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[0]["n_lines"] == 3
+    assert out[0]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert out[0]["dup_line_char_frac"] == round(10 / 15, 6)
+    # tokens a,b,c,a,b,c,d,e,f: top 2-gram 'a b' x2, 2*3 chars over 9
+    assert out[0]["top_ngram_char_frac"] == round(6 / 9, 6)
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["top_ngram_char_frac"] == 1.0  # overlap-weighted, capped
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_line_char_frac"] == 0.0
+    assert out[3]["n_lines"] == 0 and out[3]["top_ngram_char_frac"] == 0.0
+    assert out[4]["top_ngram_char_frac"] == 0.0
+    # pure map stage: no shuffle, no Python
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
