@@ -699,6 +699,52 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ops/text.redact) over synthesized PII-bearing text:
+    the documents table's text is decorated with a deterministic email /
+    IPv4 / long number per doc so every pattern exercises on real data.
+    Oracle-checked in pytest (registry at the 50-row cap)."""
+    from logrange_spark.ops.text import redact
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ref 90000000"), (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact(decorated)
+
+
+REDACT_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' ref 90000000' || CAST(doc_id % 10 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+           '[0-9]{9,}', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_longnums
+FROM d
+""".strip()
+
+
 # DuckDB twin: lines/grams via unnest+groupBy instead of sorted-array
 # folds — an independent computation of the same integer numerators and
 # denominators, so the single double division matches bit-for-bit.

@@ -300,3 +300,40 @@ def repetition_stats(
         F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
         F.round(top_ngram_char_frac, 6).alias("top_ngram_char_frac"),
     )
+
+
+# PII redaction patterns — restricted to syntax Java regex and RE2 (the
+# DuckDB oracle engine) interpret identically: no lookarounds, no \p
+# classes, explicit char classes. Applied in a fixed order (emails first:
+# an address contains digit runs that must not double-redact).
+REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+REDACT_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+REDACT_LONGNUM = r"[0-9]{9,}"
+
+
+def redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub for training corpora: emails → ``<EMAIL>``, IPv4
+    addresses → ``<IP>``, 9+-digit runs (phone/SSN/account-shaped) →
+    ``<NUM>``, plus per-document match counts (counted on the ORIGINAL
+    text, before any replacement). Pure regexp_replace/regexp_count
+    chain — shuffle-free, UDF-free, and oracle-checkable because the
+    patterns are Java-regex/RE2 portable."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, REDACT_EMAIL, "<EMAIL>"),
+            REDACT_IPV4,
+            "<IP>",
+        ),
+        REDACT_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.regexp_count(c, F.lit(REDACT_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(REDACT_IPV4)).alias("n_ips"),
+        F.regexp_count(c, F.lit(REDACT_LONGNUM)).alias("n_longnums"),
+    )

@@ -132,3 +132,20 @@ def test_repetition_stats_oracle(spark):
     d_rows = sorted(tuple(r) for r in con.execute(entry.REPETITION_ORACLE_SQL).fetchall())
     assert len(s_rows) == len(d_rows) > 0
     assert s_rows == d_rows
+
+
+def test_redact_oracle(spark):
+    """PII redaction (pytest oracle; registry at the 50-row cap):
+    sequential regexp_replace + pre-replacement counts must value-match
+    DuckDB's RE2 evaluation of the identical portable patterns."""
+    import duckdb
+
+    s_rows = sorted(tuple(r) for r in entry._q_redact(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    d_rows = sorted(tuple(r) for r in con.execute(entry.REDACT_ORACLE_SQL).fetchall())
+    assert len(s_rows) == len(d_rows) > 0
+    assert s_rows == d_rows
+    # every decorated doc had its synthetic PII found and removed
+    assert all(r[2] >= 1 and r[3] >= 1 and r[4] >= 1 for r in s_rows)
+    assert all("<EMAIL>" in r[1] and "<IP>" in r[1] and "<NUM>" in r[1] for r in s_rows)

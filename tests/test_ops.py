@@ -800,3 +800,22 @@ def test_repetition_stats_hand_computed(spark):
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redact_hand_cases(spark):
+    from logrange_spark.ops.text import redact
+
+    rows = [
+        (0, "mail a.b+c@foo-bar.co.uk and 192.168.1.255 then 123456789 done"),
+        (1, "no pii here, short 12345678 number stays"),
+        (2, "two mails x@y.io z@w.ai; bad ip 999.999.999.999 still matches shape"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact(df).collect()}
+    assert out[0]["redacted"] == "mail <EMAIL> and <IP> then <NUM> done"
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_longnums"]) == (1, 1, 1)
+    # 8-digit run is below the 9-digit bar and survives
+    assert out[1]["redacted"] == rows[1][1]
+    assert out[2]["n_emails"] == 2 and out[2]["n_ips"] == 1
+    plan = redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
