@@ -799,6 +799,126 @@ FROM l LEFT JOIN lagg USING (doc_id)
 """.strip()
 
 
+def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the complete training-data curation flow in
+    one DataFrame program (pytest oracle; registry at the 50-row cap):
+
+      1. gate: quality >= 0.5 AND Gopher repetition rules
+         (dup_line_frac <= 0.3, top_ngram_char_frac <= 0.2)
+      2. near-dup removal: MinHash-LSH candidates + token-Jaccard >= 0.8,
+         keep-first (drop the higher doc_id of each pair)
+      3. PII redaction counts on the survivors
+      4. deterministic 90/5/5 split assignment (hash-threshold)
+
+    Every stage is the already-oracle-checked operator; this row checks
+    their COMPOSITION end-to-end against one DuckDB twin."""
+    from logrange_spark.ops.sampling import hash_split
+    from logrange_spark.ops.text import redact, repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep_ok = (
+        repetition_stats(docs)
+        .where((F.col("dup_line_frac") <= 0.3) & (F.col("top_ngram_char_frac") <= 0.2))
+        .select("doc_id")
+    )
+    qdocs = docs.join(rep_ok, "doc_id").where(
+        F.round(text.quality_score(F.col("text")), 6) >= 0.5
+    )
+    drop = (
+        dedup.near_duplicates(qdocs, "doc_id", "text", threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = qdocs.join(drop, "doc_id", "left_anti")
+    red = redact(kept).withColumnRenamed("doc_id", "doc_id")
+    split = hash_split(kept.select("doc_id"), "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r5")
+    return (
+        red.select("doc_id", "n_emails", "n_ips", "n_longnums")
+        .join(split.select("doc_id", "split"), "doc_id")
+    )
+
+
+def _curation_full_sql() -> str:
+    from logrange_spark.ops.sampling import hex_threshold
+
+    t_train, t_val = hex_threshold(0.9), hex_threshold(0.95)
+    rep_gate = """
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS wname
+  FROM documents
+),
+lu AS (SELECT doc_id, unnest(lines) AS line FROM l),
+lg AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+       FROM lu GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct
+         FROM lg GROUP BY doc_id),
+gx AS (
+  SELECT doc_id,
+         CASE WHEN len(wname) >= 2
+              THEN list_transform(range(1, len(wname)),
+                                  i -> wname[i] || ' ' || wname[i+1])
+              ELSE [] END AS grams,
+         list_reduce(list_prepend(0, list_transform(wname, x -> len(x))),
+                     (a, b) -> a + b) AS token_chars
+  FROM l
+),
+gu AS (SELECT doc_id, unnest(grams) AS gram FROM gx),
+gg AS (SELECT doc_id, gram, count(*) AS c, len(gram) AS ln
+       FROM gu GROUP BY doc_id, gram),
+gagg AS (SELECT doc_id, MAX(c * ln) AS top_chars FROM gg GROUP BY doc_id),
+repok AS (
+  SELECT l.doc_id FROM l
+    LEFT JOIN lagg USING (doc_id)
+    LEFT JOIN gx USING (doc_id)
+    LEFT JOIN gagg USING (doc_id)
+  WHERE round(CASE WHEN COALESCE(lagg.n_lines, 0) > 0
+                   THEN 1.0 - lagg.n_distinct / CAST(lagg.n_lines AS DOUBLE)
+                   ELSE 0.0 END, 6) <= 0.3
+    AND round(LEAST(1.0, CASE WHEN COALESCE(gx.token_chars, 0) > 0
+                              THEN COALESCE(gagg.top_chars, 0)
+                                   / CAST(gx.token_chars AS DOUBLE)
+                              ELSE 0.0 END), 6) <= 0.2
+)""".strip()
+    return (
+        f"WITH {rep_gate}, "
+        f"stats AS ({_text_stats_sql()}), "
+        "q AS (SELECT s.doc_id FROM stats s JOIN repok USING (doc_id) "
+        "      WHERE s.quality >= 0.5), "
+        "qdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)), "
+        f"{_tok_cte('qdocs')}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        "pairs AS (SELECT DISTINCT lb.doc_id AS id_a, rb.doc_id AS id_b "
+        "  FROM bands lb JOIN bands rb "
+        "  ON lb.band = rb.band AND lb.band_hash = rb.band_hash AND lb.doc_id < rb.doc_id), "
+        "dtok AS (SELECT doc_id, list_distinct(w) AS tok FROM toks), "
+        "nd AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) "
+        "        / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard "
+        "  FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id "
+        "  JOIN dtok b ON pairs.id_b = b.doc_id) "
+        "WHERE jaccard >= 0.8), "
+        "kept AS (SELECT doc_id, text FROM qdocs "
+        "         WHERE doc_id NOT IN (SELECT id_b FROM nd)) "
+        "SELECT doc_id, "
+        "  CAST(len(regexp_extract_all(text, "
+        "      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, "
+        "  CAST(len(regexp_extract_all(text, "
+        "      '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips, "
+        "  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS INT) AS n_longnums, "
+        "  CASE WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"            < '{t_train}' THEN 'train' "
+        "       WHEN substring(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"            < '{t_val}' THEN 'val' "
+        "       ELSE 'test' END AS split "
+        "FROM kept"
+    )
+
+
 def _sampling_oracle_sql() -> dict[str, str]:
     from logrange_spark.ops.sampling import hex_threshold
 

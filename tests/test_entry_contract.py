@@ -149,3 +149,24 @@ def test_redact_oracle(spark):
     # every decorated doc had its synthetic PII found and removed
     assert all(r[2] >= 1 and r[3] >= 1 and r[4] >= 1 for r in s_rows)
     assert all("<EMAIL>" in r[1] and "<IP>" in r[1] and "<NUM>" in r[1] for r in s_rows)
+
+
+def test_curation_full_oracle(spark):
+    """End-to-end curation composition (pytest oracle; registry at the
+    50-row cap): quality + repetition gates, LSH near-dup removal, PII
+    counts, and deterministic split must value-match a single DuckDB
+    recomputation of the whole flow."""
+    import duckdb
+
+    s_rows = sorted(tuple(r) for r in entry._q_curation_full(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    d_rows = sorted(tuple(r) for r in con.execute(entry._curation_full_sql()).fetchall())
+    assert len(s_rows) == len(d_rows) > 0
+    assert s_rows == d_rows
+    # the pipeline actually gates and splits: fewer rows than the corpus,
+    # more than half of them train
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(s_rows) < n_docs
+    splits = [r[-1] for r in s_rows]
+    assert splits.count("train") > len(splits) // 2
