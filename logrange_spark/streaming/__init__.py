@@ -86,3 +86,44 @@ def windowed_counts(
         F.col("n"),
     ]
     return out.select(*cols)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "t",
+    right_ts: str = "rt",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events of the same key whose time lies in
+    ``[left_ts - lower, left_ts + upper]``.
+
+    Both sides carry a watermark, which is what makes this runnable as a
+    STREAMING query in append mode: the event-time range constraint plus
+    the watermarks let Spark bound the join state (buffered rows are
+    evicted once the watermark passes their possible-match interval),
+    instead of holding both streams forever — the state-bounding contract
+    batch ``ops/joins.range_join`` doesn't need but a continuous pipeline
+    must have. The same plan runs in batch (watermarks are no-ops), so
+    the join semantics are oracle-checkable.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("__sl")
+    r = right.withWatermark(right_ts, watermark).alias("__sr")
+    cond = (
+        (F.col(f"__sl.{key}") == F.col(f"__sr.{key}"))
+        & (
+            F.col(f"__sr.{right_ts}")
+            >= F.col(f"__sl.{left_ts}") - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"__sr.{right_ts}")
+            <= F.col(f"__sl.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    # drop the right-side key so the joined frame exposes one
+    # unambiguous key column
+    return l.join(r, cond).drop(F.col(f"__sr.{key}"))

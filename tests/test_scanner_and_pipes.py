@@ -606,3 +606,104 @@ def test_forwarder_prunes_and_widens_on_partition_birth(engine):
     finally:
         h.stop()
         srv.shutdown()
+
+
+def test_stream_interval_join_bounded_state(spark, tmp_path):
+    """Watermarked stream-stream interval join in append mode: matches
+    within the interval are emitted; a right event arriving after the
+    watermark passed its interval is dropped (bounded state), and the
+    same code gives identical pairs in batch (the oracle)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.streaming import stream_interval_join
+
+    ldir, rdir = tmp_path / "sj_l", tmp_path / "sj_r"
+    ldir.mkdir(), rdir.mkdir()
+    ckpt = str(tmp_path / "sj_ckpt")
+
+    def emit(d, name, rows):
+        (d / name).write_text("\n".join(_json.dumps(x) for x in rows))
+
+    def streams():
+        ls = (
+            spark.readStream.schema("k long, t string").json(str(ldir))
+            .select("k", F.to_timestamp("t").alias("t"))
+        )
+        rs = (
+            spark.readStream.schema("k long, rt string").json(str(rdir))
+            .select("k", F.to_timestamp("rt").alias("rt"))
+        )
+        return stream_interval_join(
+            ls, rs, key="k", lower="0 seconds", upper="10 minutes",
+            watermark="10 minutes",
+        ).select("k", "t", "rt")
+
+    got: list = []
+
+    def run_wave():
+        q = (
+            streams()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, _id: got.extend(b.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: one in-interval match (k=1), one out-of-interval right (k=2)
+    emit(ldir, "l1.json", [
+        {"k": 1, "t": "2024-01-01 10:00:00"},
+        {"k": 2, "t": "2024-01-01 10:00:00"},
+    ])
+    emit(rdir, "r1.json", [
+        {"k": 1, "rt": "2024-01-01 10:05:00"},   # within 10 min → match
+        {"k": 2, "rt": "2024-01-01 11:00:00"},   # outside interval → no match
+    ])
+    run_wave()
+    # wave 2: advance both watermarks well past wave 1
+    emit(ldir, "l2.json", [{"k": 9, "t": "2024-01-01 13:00:00"}])
+    emit(rdir, "r2.json", [{"k": 9, "rt": "2024-01-01 13:01:00"}])
+    run_wave()
+    # wave 3: a right event for k=1 arriving AFTER the watermark passed
+    # its interval — bounded state means the left row is gone: no match
+    emit(rdir, "r3.json", [{"k": 1, "rt": "2024-01-01 10:06:00"}])
+    run_wave()
+
+    pairs = sorted((r["k"], str(r["t"]), str(r["rt"])) for r in got)
+    assert pairs == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+        (9, "2024-01-01 13:00:00", "2024-01-01 13:01:00"),
+    ], pairs
+
+    # batch twin: the same function over static frames matches DuckDB
+    import duckdb
+
+    lb = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")], "k long, t string"
+    ).select("k", F.to_timestamp("t").alias("t"))
+    rb = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 11:00:00")], "k long, rt string"
+    ).select("k", F.to_timestamp("rt").alias("rt"))
+    s_rows = sorted(
+        (r["k"], str(r["t"]), str(r["rt"]))
+        for r in stream_interval_join(
+            lb, rb, key="k", lower="0 seconds", upper="10 minutes"
+        ).select("k", "t", "rt").collect()
+    )
+    d_rows = sorted(
+        (k, str(t), str(rt))
+        for k, t, rt in duckdb.sql(
+            """
+            SELECT l.k, l.t, r.rt
+            FROM (VALUES (1, TIMESTAMP '2024-01-01 10:00:00'),
+                         (2, TIMESTAMP '2024-01-01 10:00:00')) l(k, t)
+            JOIN (VALUES (1, TIMESTAMP '2024-01-01 10:05:00'),
+                         (2, TIMESTAMP '2024-01-01 11:00:00')) r(k, rt)
+            ON l.k = r.k AND r.rt >= l.t AND r.rt <= l.t + INTERVAL 10 MINUTE
+            """
+        ).fetchall()
+    )
+    assert s_rows == d_rows == [(1, "2024-01-01 10:00:00", "2024-01-01 10:05:00")]
