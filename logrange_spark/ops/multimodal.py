@@ -351,14 +351,19 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize(media: DataFrame, width: int, height: int,
+           real_codec: bool = False) -> DataFrame:
     """Image resize over mapInPandas (Arrow-batched).
 
-    STUB codec: a real implementation would decode, resample, and
-    re-encode with PIL/opencv (not present in this container). The stub
-    deterministically truncates/pads the payload to width*height bytes so
-    the batch shape, output schema, and metadata recomputation are the
-    real thing; swap ``_resize_stub`` for a codec where libraries exist.
+    ``real_codec=True``: uncompressed 24-bit BMP payloads are REALLY
+    decoded, nearest-neighbor resampled, and re-encoded
+    (``resize_nearest_bmp24`` — pure struct+numpy, end-to-end pixels);
+    payloads the BMP codec can't decode fall back to the stub. The stub
+    (also the ``real_codec=False`` path) deterministically truncates/pads
+    the payload to width*height bytes so the batch shape, output schema,
+    and metadata recomputation stay exercised for formats whose decoders
+    need absent libraries (JPEG/PNG entropy coding — PIL/opencv not in
+    this container).
     """
     import hashlib
 
@@ -367,9 +372,16 @@ def resize(media: DataFrame, width: int, height: int) -> DataFrame:
             return None
         return bytes(p[: width * height]).ljust(width * height, b"\0")
 
+    def _one(p: bytes | None) -> bytes | None:
+        if real_codec:
+            out = resize_nearest_bmp24(p, width, height)
+            if out is not None:
+                return out
+        return _resize_stub(p)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = [_resize_stub(p) for p in pdf["payload"]]
+            out = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -435,3 +447,72 @@ def decode_stub(payload: bytes | None) -> list[float] | None:
         return None
     buf = bytes(payload[:FEATURE_DIM]).ljust(FEATURE_DIM, b"\0")
     return [b / 255.0 for b in buf]
+
+
+# ---------------------------------------------------------------- BMP codec
+# REAL pixel codec for one format: uncompressed 24-bit BMP (BI_RGB) is
+# fully decodable with struct + numpy — no image library needed — so the
+# resize path below is a working end-to-end pixel pipeline for BMP
+# payloads and the documented stub only for formats whose decoders
+# genuinely need absent libraries (JPEG/PNG entropy coding).
+
+
+def decode_bmp24(payload: bytes | None):
+    """(height x width x 3 uint8 BGR array) for an uncompressed 24-bit
+    bottom-up BMP; None for anything else (other depths, compression,
+    top-down, truncation)."""
+    import struct
+
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", b[14:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    comp = struct.unpack("<I", b[30:34])[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1].copy()  # bottom-up → top-down
+
+
+def encode_bmp24(arr) -> bytes:
+    """Inverse of decode_bmp24: uint8 HxWx3 BGR → uncompressed BMP."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    file_size = 54 + len(data)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def resize_nearest_bmp24(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """Nearest-neighbor resample of a 24-bit BMP; None if not decodable."""
+    import numpy as np
+
+    arr = decode_bmp24(payload)
+    if arr is None:
+        return None
+    h, w, _ = arr.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp24(arr[yi][:, xi])
