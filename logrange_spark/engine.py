@@ -967,7 +967,17 @@ class Engine:
         d = self._pipes.get(stmt.name)
         if d is None:
             raise ValueError(f"pipe {stmt.name!r} does not exist")
-        return dict(d)
+        out = dict(d)
+        # operational state beyond the reference's static definition
+        # (pkg/pipe/service.go DescribePipe returns the stored config):
+        # whether the streaming query is live, and which source
+        # partitions the stream is currently pruned to (None = whole
+        # store / no tag condition)
+        q = self._pipe_queries.get(stmt.name)
+        out["active"] = bool(q is not None and q.isActive)
+        srcs = self._pipe_srcs.get(stmt.name)
+        out["source_srcs"] = sorted(srcs) if srcs is not None else None
+        return out
 
     def stop_pipes(self) -> None:
         with self._pipes_lock:

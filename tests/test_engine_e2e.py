@@ -628,3 +628,15 @@ def test_autocompact_merges_small_files_after_threshold(engine):
     rows = engine.query("SELECT FROM {name=ac} LIMIT 1000").collect()
     assert len(rows) == n_batches * 4
     assert [r["seq"] for r in rows] == sorted(r["seq"] for r in rows)
+
+
+def test_describe_pipe_reports_live_state(engine):
+    engine.write({"name": "dp"}, [(BASE_TS, "x", {})])
+    engine.execute("CREATE PIPE dp FROM {name=dp}")
+    info = engine.execute("DESCRIBE PIPE dp")
+    assert info["active"] is True
+    assert info["source"] and "name=dp" in info["source"]
+    assert info["source_srcs"] == engine.resolve_sources(
+        parse_lql("SELECT FROM {name=dp}").source
+    )
+    engine.execute("DELETE PIPE dp")
