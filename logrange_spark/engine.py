@@ -149,6 +149,7 @@ class Engine:
         # partition-birth glob-widening treatment as pipes (forward.py)
         self._forwarders: dict[str, tuple] = {}
         self._forwarder_srcs: dict[str, set | None] = {}
+        self._pipe_supervisor: threading.Thread | None = None
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
         if os.path.exists(self._pipes_path):
             with open(self._pipes_path) as f:
@@ -942,6 +943,7 @@ class Engine:
             self._save_pipes()
             q = start_pipe(self, defn)
             self._pipe_queries[stmt.name] = q
+        self._ensure_pipe_supervisor()
         return {"pipe": stmt.name, "status": "created"}
 
     def delete_pipe(self, name: str) -> dict:
@@ -978,6 +980,47 @@ class Engine:
         srcs = self._pipe_srcs.get(stmt.name)
         out["source_srcs"] = sorted(srcs) if srcs is not None else None
         return out
+
+    def _ensure_pipe_supervisor(self) -> None:
+        if self._pipe_supervisor is not None and self._pipe_supervisor.is_alive():
+            return
+        self._pipe_supervisor = threading.Thread(
+            target=self._supervise_pipes, daemon=True
+        )
+        self._pipe_supervisor.start()
+
+    def _supervise_pipes(self) -> None:
+        """Restart pipe queries that terminated with an error (the
+        reference's worker is likewise restarted by its service loop,
+        pkg/pipe/service.go). A streaming query can die on transient
+        races a batch retry can't fix from inside — e.g. a source file
+        deleted by compact/TRUNCATE between the batch's listing and its
+        read. The failed batch never committed, so the restarted query
+        (same checkpoint) replays it, and the per-source high-water /
+        provenance anti-join keeps delivery exactly-once."""
+        import time as _time
+
+        from .pipes.service import start_pipe
+
+        while True:
+            _time.sleep(2.0)
+            try:
+                with self._pipes_lock:
+                    for name, defn in list(self._pipes.items()):
+                        q = self._pipe_queries.get(name)
+                        if q is None or q.isActive:
+                            continue
+                        if q.exception() is None:
+                            continue  # stopped deliberately
+                        try:
+                            q.stop()
+                        except Exception:
+                            pass
+                        self._pipe_queries[name] = start_pipe(self, defn)
+            except Exception:
+                # engine/session shutting down — keep the daemon alive;
+                # it exits with the process
+                pass
 
     def stop_pipes(self) -> None:
         with self._pipes_lock:

@@ -707,3 +707,88 @@ def test_stream_interval_join_bounded_state(spark, tmp_path):
         ).fetchall()
     )
     assert s_rows == d_rows == [(1, "2024-01-01 10:00:00", "2024-01-01 10:05:00")]
+
+
+def test_pipe_duplicate_free_under_write_compact_truncate_storm(engine):
+    """A live pipe consumes a source hammered by concurrent writer,
+    compactor (small-file mode), and truncator threads. Invariants when
+    the dust settles: the pipe never crashed, the destination holds ZERO
+    duplicate provenance pairs (compaction re-lists files under new
+    names; truncation deletes them mid-listing), and every source row
+    that SURVIVED the storm was delivered at least once (rows truncated
+    before the 1s trigger could list them may legitimately be absent)."""
+    import threading as _th
+    import time as _t
+
+    from logrange_spark.lql.parser import parse_source
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC
+
+    assert engine.execute("CREATE PIPE storm FROM {name=ps}")["status"] == "created"
+
+    total_batches, per = 12, 10
+    stop = _th.Event()
+    errors: list = []
+
+    def writer():
+        try:
+            for b in range(total_batches):
+                engine.write(
+                    {"name": "ps"},
+                    [(BASE_TS + (b * per + i) * NS, f"s{b}.{i}", {}) for i in range(per)],
+                )
+                _t.sleep(0.15)
+        except Exception as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def compactor():
+        try:
+            while not stop.is_set():
+                engine.compact(parse_source("{name=ps}"), target_file_bytes=1 << 20,
+                               small_file_bytes=1 << 20)
+                _t.sleep(0.3)
+        except Exception as e:
+            errors.append(e)
+
+    def truncator():
+        k = 0
+        try:
+            while not stop.is_set():
+                k += 1
+                cut = BASE_TS + min(k * per, total_batches * per // 2) * NS
+                engine.execute(f'TRUNCATE {{name=ps}} MINSIZE 1 BEFORE "{cut}"')
+                _t.sleep(0.25)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [_th.Thread(target=writer), _th.Thread(target=compactor), _th.Thread(target=truncator)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads) and not errors, errors
+
+    surviving = {
+        r["seq"] for r in engine.query("SELECT FROM {name=ps} LIMIT 10000").collect()
+    }
+    assert surviving, "source vanished"
+
+    def delivered():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=storm} LIMIT 10000").collect()
+        except Exception:
+            return []
+
+    # every surviving source row eventually delivered
+    assert _wait(
+        lambda: {int(r["fields"][PROV_SEQ]) for r in delivered()} >= surviving,
+        timeout=60,
+    ), (sorted(surviving - {int(r["fields"][PROV_SEQ]) for r in delivered()})[:10])
+    # and exactly once, storm-wide
+    _t.sleep(3)  # let any trailing re-delivery batches land (wrongly)
+    prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in delivered()]
+    assert len(prov) == len(set(prov)), "duplicate delivery under storm"
+    # the supervisor left a live query behind (transient mid-storm read
+    # races may have killed earlier incarnations — that's its job)
+    assert engine._pipe_queries["storm"].isActive
