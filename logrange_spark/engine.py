@@ -1017,6 +1017,15 @@ class Engine:
                         except Exception:
                             pass
                         self._pipe_queries[name] = start_pipe(self, defn)
+                    for name, (_source, relaunch) in list(self._forwarders.items()):
+                        h = getattr(relaunch, "handle", None)
+                        q = h.query if h is not None else None
+                        if q is None or q.isActive or q.exception() is None:
+                            continue
+                        try:
+                            relaunch()  # stops the dead query, relaunches
+                        except Exception:
+                            pass
             except Exception:
                 # engine/session shutting down — keep the daemon alive;
                 # it exits with the process

@@ -273,4 +273,5 @@ def start_forwarder(
     with engine._pipes_lock:
         engine._forwarders[name] = (stmt.source, launch)
         launch()
+    engine._ensure_pipe_supervisor()  # restart-on-error covers forwarders too
     return handle
