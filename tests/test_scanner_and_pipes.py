@@ -792,3 +792,55 @@ def test_pipe_duplicate_free_under_write_compact_truncate_storm(engine):
     # the supervisor left a live query behind (transient mid-storm read
     # races may have killed earlier incarnations — that's its job)
     assert engine._pipe_queries["storm"].isActive
+
+
+def test_supervisor_restarts_pipe_after_induced_failure(engine):
+    """Deterministic supervisor check (the storm test covers the organic
+    race): swap the live query entry for a stub that reports a crash;
+    the supervisor must replace it with a live query on the same
+    checkpoint, and delivery must resume without duplicating anything
+    delivered before the "crash"."""
+    import time as _t
+
+    engine.write({"name": "sv"}, [(BASE_TS, "before", {})])
+    assert engine.execute("CREATE PIPE sv FROM {name=sv}")["status"] == "created"
+
+    def delivered():
+        try:
+            return sorted(
+                r["msg"]
+                for r in engine.query("SELECT FROM {logrange.pipe=sv} LIMIT 100").collect()
+            )
+        except Exception:
+            return []
+
+    assert _wait(lambda: delivered() == ["before"]), delivered()
+
+    real = engine._pipe_queries["sv"]
+    real.stop()
+
+    class _DeadQuery:
+        isActive = False
+
+        @staticmethod
+        def exception():
+            return RuntimeError("induced crash")
+
+        @staticmethod
+        def stop():
+            pass
+
+    with engine._pipes_lock:
+        engine._pipe_queries["sv"] = _DeadQuery()
+
+    # the supervisor polls every ~2s; it must swap in a live query
+    assert _wait(
+        lambda: engine._pipe_queries["sv"] is not None
+        and not isinstance(engine._pipe_queries["sv"], _DeadQuery)
+        and engine._pipe_queries["sv"].isActive,
+        timeout=20,
+    ), "supervisor never replaced the dead query"
+
+    # and delivery resumes, exactly-once (no duplicate of 'before')
+    engine.write({"name": "sv"}, [(BASE_TS + NS, "after", {})])
+    assert _wait(lambda: delivered() == ["after", "before"], timeout=45), delivered()
