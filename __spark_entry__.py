@@ -830,7 +830,7 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept = qdocs.join(drop, "doc_id", "left_anti")
-    red = redact(kept).withColumnRenamed("doc_id", "doc_id")
+    red = redact(kept)
     split = hash_split(kept.select("doc_id"), "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r5")
     return (

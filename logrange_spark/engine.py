@@ -150,6 +150,7 @@ class Engine:
         self._forwarders: dict[str, tuple] = {}
         self._forwarder_srcs: dict[str, set | None] = {}
         self._pipe_supervisor: threading.Thread | None = None
+        self._supervisor_stop = threading.Event()
         self._pipes_path = os.path.join(self.pipes_dir, "defs.json")
         if os.path.exists(self._pipes_path):
             with open(self._pipes_path) as f:
@@ -906,14 +907,17 @@ class Engine:
     AUTO_COMPACT_SMALL_BYTES = 16 << 20
 
     def _maybe_autocompact(self, srcs: list[str]) -> None:
-        need = [
-            s for s in srcs
-            if len(self._chunk_stats.get(s, {})) > self.AUTO_COMPACT_FILES
-            and s not in self._autocompact_running
-        ]
-        if not need:
-            return
-        self._autocompact_running.update(need)
+        # check-and-claim under _write_lock: concurrent _notify_write
+        # callers must not spawn duplicate compactions for the same src
+        with self._write_lock:
+            need = [
+                s for s in srcs
+                if len(self._chunk_stats.get(s, {})) > self.AUTO_COMPACT_FILES
+                and s not in self._autocompact_running
+            ]
+            if not need:
+                return
+            self._autocompact_running.update(need)
 
         def run() -> None:
             try:
@@ -982,12 +986,16 @@ class Engine:
         return out
 
     def _ensure_pipe_supervisor(self) -> None:
-        if self._pipe_supervisor is not None and self._pipe_supervisor.is_alive():
-            return
-        self._pipe_supervisor = threading.Thread(
-            target=self._supervise_pipes, daemon=True
-        )
-        self._pipe_supervisor.start()
+        # under _pipes_lock: two concurrent create_pipe/start_forwarder
+        # calls must not spawn two supervisors
+        with self._pipes_lock:
+            if self._pipe_supervisor is not None and self._pipe_supervisor.is_alive():
+                return
+            self._supervisor_stop.clear()
+            self._pipe_supervisor = threading.Thread(
+                target=self._supervise_pipes, daemon=True
+            )
+            self._pipe_supervisor.start()
 
     def _supervise_pipes(self) -> None:
         """Restart pipe queries that terminated with an error (the
@@ -998,12 +1006,11 @@ class Engine:
         read. The failed batch never committed, so the restarted query
         (same checkpoint) replays it, and the per-source high-water /
         provenance anti-join keeps delivery exactly-once."""
-        import time as _time
-
         from .pipes.service import start_pipe
 
-        while True:
-            _time.sleep(2.0)
+        backoff = 2.0
+        while not self._supervisor_stop.wait(backoff):
+            had_failure = False
             try:
                 with self._pipes_lock:
                     for name, defn in list(self._pipes.items()):
@@ -1012,6 +1019,7 @@ class Engine:
                             continue
                         if q.exception() is None:
                             continue  # stopped deliberately
+                        had_failure = True
                         try:
                             q.stop()
                         except Exception:
@@ -1022,16 +1030,20 @@ class Engine:
                         q = h.query if h is not None else None
                         if q is None or q.isActive or q.exception() is None:
                             continue
+                        had_failure = True
                         try:
                             relaunch()  # stops the dead query, relaunches
                         except Exception:
                             pass
             except Exception:
-                # engine/session shutting down — keep the daemon alive;
-                # it exits with the process
-                pass
+                had_failure = True
+            # a permanently failing pipe (deleted store, stopped session)
+            # must not hot-loop restart attempts with their Spark jobs:
+            # back off while failures repeat, snap back once healthy
+            backoff = min(30.0, backoff * 2) if had_failure else 2.0
 
     def stop_pipes(self) -> None:
+        self._supervisor_stop.set()  # the daemon exits at its next tick
         with self._pipes_lock:
             for q in self._pipe_queries.values():
                 try:

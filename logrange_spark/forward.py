@@ -185,6 +185,30 @@ class ForwarderHandle:
     def exception(self):
         return self.query.exception() if self.query is not None else None
 
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        """Block while the forwarder runs. Polls the CURRENT query so an
+        engine-driven relaunch (glob widening, supervisor restart) does
+        not unblock the caller — only stop() or a terminal failure does."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            q = self.query
+            if q is None:
+                return True
+            if not q.isActive and q.exception() is None and self.query is q:
+                return True  # stopped deliberately and not relaunched
+            step = 1.0
+            if deadline is not None:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    return False
+                step = min(step, left)
+            try:
+                q.awaitTermination(step)
+            except Exception:
+                _time.sleep(step)
+
 
 def start_forwarder(
     engine,

@@ -306,15 +306,7 @@ def persist_ivf_corpus(
     ever shuffle their (small) probe set.
     """
     assigned = ivf_assigned_corpus(corpus, centroids, id_col, vec_col)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        assigned.write.bucketBy(n_buckets, "centroid_id")
-        .sortBy("centroid_id")
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable(name)
-    )
-    return spark.table(name)
+    return _persist_bucketed(spark, assigned, name, path, n_buckets)
 
 
 def ivf_topk(
@@ -618,6 +610,43 @@ def _pq_recon_sqnorms(codebooks: list[list[list[float]]]) -> list[list[float]]:
     return out
 
 
+def _with_recon_norm(df: DataFrame, codebooks: list[list[list[float]]],
+                     codes_col: str = "codes") -> DataFrame:
+    """Attach ``recon_norm`` (the PQ reconstruction's norm) from the
+    codes column alone — a per-subspace squared-norm table lookup."""
+    sq = _pq_recon_sqnorms(codebooks)
+    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
+    return df.withColumn(
+        "recon_norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(codes_col),
+                    sq_lit,
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def _persist_bucketed(spark, df: DataFrame, name: str, path: str,
+                      n_buckets: int, key: str = "centroid_id") -> DataFrame:
+    """One write-time shuffle into a ``key``-bucketed catalog table; probe
+    joins on ``key`` then read co-located buckets with no Exchange."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -629,24 +658,12 @@ def pq_encode(
     of the raw embedding; ``recon_norm`` (the reconstruction's norm, a
     codebook lookup) is precomputed so cosine ADC never touches vectors.
     """
-    sq = _pq_recon_sqnorms(codebooks)
-    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode_expr(F.col(vec_col), codebooks).alias("codes"),
-    ).withColumn(
-        "recon_norm",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    sq_lit,
-                    lambda c, row: F.element_at(row, c + F.lit(1)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    return _with_recon_norm(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_encode_expr(F.col(vec_col), codebooks).alias("codes"),
         ),
+        codebooks,
     )
 
 
@@ -746,26 +763,13 @@ def ivf_pq_assigned_corpus(
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("_vn"),
     )
-    assigned = pre.select(
-        "neighbor_id",
-        ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
-        pq_encode_expr(F.col("cvec"), codebooks).alias("codes"),
-    )
-    sq = _pq_recon_sqnorms(codebooks)
-    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sq])
-    return assigned.withColumn(
-        "recon_norm",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    sq_lit,
-                    lambda c, row: F.element_at(row, c + F.lit(1)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    return _with_recon_norm(
+        pre.select(
+            "neighbor_id",
+            ivf_assign_expr(F.col("cvec"), cents, norm=F.col("_vn")).alias("centroid_id"),
+            pq_encode_expr(F.col("cvec"), codebooks).alias("codes"),
         ),
+        codebooks,
     )
 
 
@@ -785,15 +789,7 @@ def persist_ivf_pq_corpus(
     corpus-side Exchange AND the stored table is ~d*4/m smaller than the
     raw embeddings — the full billion-scale serving layout."""
     assigned = ivf_pq_assigned_corpus(corpus, centroids, codebooks, id_col, vec_col)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        assigned.write.bucketBy(n_buckets, "centroid_id")
-        .sortBy("centroid_id")
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable(name)
-    )
-    return spark.table(name)
+    return _persist_bucketed(spark, assigned, name, path, n_buckets)
 
 
 def ivf_pq_topk(

@@ -177,8 +177,14 @@ def start_pipe(engine, defn: dict):
             )
             if not stats:
                 return
+            # a source ABSENT from hw is suspicious too: after a restart
+            # the first batch seeds only the sources it happened to
+            # contain, and a later batch may carry REDELIVERED rows of a
+            # source never seen by this incarnation — treating it as
+            # fresh would deliver those rows twice. (A genuinely new
+            # source pays one redundant dest scan; correctness first.)
             suspicious = (not seeded["done"]) or any(
-                r["mn"] <= hw.get(r["psrc"], -1) for r in stats
+                r["psrc"] not in hw or r["mn"] <= hw[r["psrc"]] for r in stats
             )
             seeded["done"] = True
             delivery = out
