@@ -44,6 +44,10 @@ def pipe_tags(name: str) -> dict[str, str]:
 PROV_SRC = "logrange.pipe.src"
 PROV_SEQ = "logrange.pipe.seq"
 
+# files per micro-batch; module-level so tests can force one-file batches
+# to exercise multi-batch redelivery orderings
+MAX_FILES_PER_TRIGGER = 64
+
 
 def start_pipe(engine, defn: dict):
     """Start the streaming query for a pipe definition {name, source, where}."""
@@ -85,7 +89,7 @@ def start_pipe(engine, defn: dict):
     # regardless, so pruning is purely an optimization.
     srcs = engine.resolve_sources(source, cap=False) if source is not None else None
     reader = engine.spark.readStream.schema(STREAM_SCHEMA).option(
-        "maxFilesPerTrigger", 64
+        "maxFilesPerTrigger", MAX_FILES_PER_TRIGGER
     )
     if srcs:
         reader = reader.option("basePath", engine.logs_path)

@@ -844,3 +844,52 @@ def test_supervisor_restarts_pipe_after_induced_failure(engine):
     # and delivery resumes, exactly-once (no duplicate of 'before')
     engine.write({"name": "sv"}, [(BASE_TS + NS, "after", {})])
     assert _wait(lambda: delivered() == ["after", "before"], timeout=45), delivered()
+
+
+def test_redelivery_of_source_first_seen_in_later_batch_is_deduped(
+    engine, monkeypatch
+):
+    """Regression for the per-source seeding hole: after a restart, the
+    first batch seeds the high-water map only with the sources it
+    contains; a LATER batch carrying redelivered rows of a different
+    source must still be treated as suspicious (source absent from the
+    map), not fast-pathed into duplicate delivery. One-file batches force
+    the two sources' redeliveries into separate batches."""
+    import time as _t
+
+    from logrange_spark.pipes import service as psvc
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC
+
+    monkeypatch.setattr(psvc, "MAX_FILES_PER_TRIGGER", 1)
+
+    engine.write({"name": "ra", "g": "1"}, [(BASE_TS, "a0", {})])
+    engine.write({"name": "ra", "g": "2"}, [(BASE_TS + NS, "b0", {})])
+    assert engine.execute("CREATE PIPE ra FROM {name=ra}")["status"] == "created"
+
+    def delivered():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=ra} LIMIT 100").collect()
+        except Exception:
+            return []
+
+    assert _wait(lambda: len(delivered()) == 2), [r["msg"] for r in delivered()]
+
+    # force FULL redelivery of both sources in separate one-file batches:
+    # stop the pipe, wipe its checkpoint, restart — everything re-lists
+    import shutil as _sh
+
+    with engine._pipes_lock:
+        engine._pipe_queries.pop("ra").stop()
+    _sh.rmtree(engine.pipes_dir + "/checkpoints/ra", ignore_errors=True)
+    with engine._pipes_lock:
+        engine._pipe_queries["ra"] = psvc.start_pipe(engine, engine._pipes["ra"])
+
+    # add a fresh record so we can detect the restarted pipe caught up
+    engine.write({"name": "ra", "g": "2"}, [(BASE_TS + 2 * NS, "b1", {})])
+    assert _wait(
+        lambda: sorted(r["msg"] for r in delivered()) == ["a0", "b0", "b1"],
+        timeout=45,
+    ), sorted(r["msg"] for r in delivered())
+    _t.sleep(3)  # window for any wrongly fast-pathed duplicate to land
+    prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in delivered()]
+    assert len(prov) == len(set(prov)) == 3, prov
