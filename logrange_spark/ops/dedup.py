@@ -342,3 +342,97 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -------------------------------------------------- incremental dedup
+# Deduplicating a NEW shard against an EXISTING corpus without re-pairing
+# the corpus against itself — the shape continuous ingestion needs at
+# 100 TB: the corpus' LSH state is persisted ONCE (signatures banded and
+# bucketed by band_hash; distinct token sets for verification), and each
+# incoming shard computes its own bands in a map stage and probes the
+# bucketed table with no corpus-side shuffle.
+
+
+def _band_key() -> Column:
+    return F.concat_ws(":", F.col("band").cast("string"), F.col("band_hash"))
+
+
+def persist_corpus_lsh(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the corpus' near-dup probe state as two catalog
+    tables: ``<name>_bands`` (id, band, band_hash) bucketed by
+    band_hash — probe joins on (band, band_hash) read co-located buckets
+    with no corpus-side Exchange (HashPartitioning on a subset of the
+    join keys satisfies the join's clustering) — and ``<name>_toks``
+    (id, tok) for exact-Jaccard verification of candidates. One shuffle
+    each at write time; probing pays none."""
+    toked = _token_frame(corpus, id_col, text_col)
+    # single combined band key: Spark co-partitions a bucketed side only
+    # when the bucket spec covers ALL join keys (requireAllClusterKeysFor-
+    # CoPartition, default since 3.3), so (band, band_hash) collapse into
+    # one join/bucket column
+    bands = lsh_bands(_signature_from_tokens(toked, id_col), id_col).select(
+        F.col(id_col), _band_key().alias("bkey")
+    )
+    toks = toked.select(F.col(id_col), F.array_distinct("_tok").alias("tok"))
+    out = []
+    for suffix, df, key in (("bands", bands, "bkey"), ("toks", toks, id_col)):
+        tname = f"{name}_{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", f"{path}_{suffix}")
+            .mode("overwrite")
+            .saveAsTable(tname)
+        )
+        out.append(spark.table(tname))
+    return out[0], out[1]
+
+
+def near_duplicates_against(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_toks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard) for every NEW document whose token
+    Jaccard against some persisted-corpus document reaches ``threshold``.
+    The new shard's bands are a shuffle-free map stage; candidates come
+    from the equi-join on (band, band_hash) against the bucketed corpus
+    table; only candidates pay the exact-Jaccard verification. Anti-join
+    the result's ``new_id`` against the shard to keep only novel
+    documents."""
+    toked = _token_frame(new_df, id_col, text_col)
+    nb = lsh_bands(_signature_from_tokens(toked, id_col), id_col).select(
+        F.col(id_col).alias("new_id"), _band_key().alias("bkey")
+    )
+    cb = corpus_bands.select(F.col(id_col).alias("corpus_id"), "bkey")
+    cand = nb.join(cb, "bkey").select("new_id", "corpus_id").distinct()
+    ntoks = toked.select(
+        F.col(id_col).alias("new_id"), F.array_distinct("_tok").alias("_ntok")
+    )
+    ctoks = corpus_toks.select(
+        F.col(id_col).alias("corpus_id"), F.col("tok").alias("_ctok")
+    )
+    inter = F.size(F.array_intersect("_ntok", "_ctok"))
+    union = F.size(F.array_union("_ntok", "_ctok"))
+    return (
+        cand.join(ntoks, "new_id")
+        .join(ctoks, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

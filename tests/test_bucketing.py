@@ -188,3 +188,96 @@ def test_ivf_pq_bucketed_corpus_probe_no_corpus_exchange(spark, tmp_path_factory
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_annpq_corpus")
+
+
+def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
+    """Continuous-ingestion dedup: the corpus' LSH bands persist ONCE
+    bucketed by band_hash; a new shard's probe join reads co-located
+    buckets with no corpus-side Exchange, and the found (new, corpus)
+    near-dup pairs match a direct python Jaccard computation."""
+    from logrange_spark.ops import dedup
+
+    corpus_rows = [
+        (i, f"the quick brown fox jumps over dog number {i} in field {i % 3}")
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    wh = str(tmp_path_factory.mktemp("incdedup"))
+    for t in ("inc_corpus_bands", "inc_corpus_toks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        bands_t, toks_t = dedup.persist_corpus_lsh(
+            spark, corpus, "inc_corpus", f"{wh}/inc_corpus"
+        )
+        # new shard: 100+i is a near-copy of corpus doc i (one word edit),
+        # 200+ are novel
+        new_rows = [
+            (100 + i, corpus_rows[i][1].replace("jumps", "leaps")) for i in range(5)
+        ] + [
+            (200 + i, f"completely unrelated document about topic {i} alpha beta gamma delta")
+            for i in range(5)
+        ]
+        new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            found = dedup.near_duplicates_against(
+                new_df, bands_t, toks_t, threshold=0.7
+            )
+            plan = found._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            rows = found.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        # python reference: token-set jaccard for every (new, corpus) pair
+        def toks(s):
+            return set(s.lower().split())
+
+        expect = set()
+        for nid, ntext in new_rows:
+            for cid, ctext in corpus_rows:
+                a, b = toks(ntext), toks(ctext)
+                if len(a & b) / len(a | b) >= 0.7:
+                    expect.add((nid, cid))
+        got = {(r["new_id"], r["corpus_id"]) for r in rows}
+        # contract: PRECISION is exact (verification is exact token
+        # Jaccard, so nothing below threshold may appear) and recall
+        # covers the planted one-word near-copies (their shingle overlap
+        # is high, so LSH banding finds them); incidental cross pairs
+        # whose TOKEN jaccard clears the bar on low SHINGLE similarity
+        # may legitimately be missed — that is MinHash-LSH's documented
+        # probabilistic blocking, identical to self-dedup
+        assert got <= expect, sorted(got - expect)
+        assert all(r["jaccard"] >= 0.7 for r in rows)
+        planted = {(100 + i, i) for i in range(5)}
+        assert planted <= got, sorted(planted - got)
+        # novel docs never match anything
+        assert all(nid < 200 for nid, _ in got)
+
+        # isolated probe fragment: corpus side contributes no Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            from logrange_spark.ops.dedup import (
+                _signature_from_tokens, _token_frame, lsh_bands,
+            )
+
+            from logrange_spark.ops.dedup import _band_key
+
+            nb = lsh_bands(
+                _signature_from_tokens(_token_frame(new_df, "doc_id", "text"), "doc_id"),
+                "doc_id",
+            ).select(F.col("doc_id").alias("nid"), _band_key().alias("bkey"))
+            frag = bands_t.join(nb, "bkey")
+            fplan = frag._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in fplan
+            # both exchanges belong to the PROBE side (the shard's spread()
+            # repartition + its join shuffle); the bucketed corpus scan
+            # feeds the join directly
+            assert fplan.count("Exchange") == 2, fplan
+            assert "Bucketed: true" in fplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    finally:
+        for t in ("inc_corpus_bands", "inc_corpus_toks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
