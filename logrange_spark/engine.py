@@ -987,11 +987,15 @@ class Engine:
 
     def _ensure_pipe_supervisor(self) -> None:
         # under _pipes_lock: two concurrent create_pipe/start_forwarder
-        # calls must not spawn two supervisors
+        # calls must not spawn two supervisors, and a supervisor winding
+        # down after stop_pipes() must either be revived (stop event
+        # cleared before its under-lock exit check) or observed as gone
+        # (_pipe_supervisor reset to None in that same exit check) — the
+        # shared lock makes those the only two outcomes
         with self._pipes_lock:
-            if self._pipe_supervisor is not None and self._pipe_supervisor.is_alive():
-                return
             self._supervisor_stop.clear()
+            if self._pipe_supervisor is not None:
+                return  # alive, or about to re-check the cleared event
             self._pipe_supervisor = threading.Thread(
                 target=self._supervise_pipes, daemon=True
             )
@@ -1009,7 +1013,16 @@ class Engine:
         from .pipes.service import start_pipe
 
         backoff = 2.0
-        while not self._supervisor_stop.wait(backoff):
+        while True:
+            if self._supervisor_stop.wait(backoff):
+                # exit handshake: only quit if the stop is still in force
+                # under the lock — _ensure_pipe_supervisor clears it
+                # under the same lock to revive a winding-down thread
+                with self._pipes_lock:
+                    if self._supervisor_stop.is_set():
+                        self._pipe_supervisor = None
+                        return
+                continue
             had_failure = False
             try:
                 with self._pipes_lock:
@@ -1024,7 +1037,12 @@ class Engine:
                             q.stop()
                         except Exception:
                             pass
-                        self._pipe_queries[name] = start_pipe(self, defn)
+                        # per-pipe isolation: one pipe whose restart keeps
+                        # throwing must not starve later pipes/forwarders
+                        try:
+                            self._pipe_queries[name] = start_pipe(self, defn)
+                        except Exception:
+                            pass
                     for name, (_source, relaunch) in list(self._forwarders.items()):
                         h = getattr(relaunch, "handle", None)
                         q = h.query if h is not None else None

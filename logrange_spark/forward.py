@@ -172,6 +172,7 @@ class ForwarderHandle:
         self._engine = engine
         self._name = name
         self.query = None
+        self._stopped = __import__("threading").Event()
 
     def stop(self) -> None:
         eng = self._engine
@@ -179,6 +180,7 @@ class ForwarderHandle:
             eng._forwarders.pop(self._name, None)
             eng._forwarder_srcs.pop(self._name, None)
             q = self.query
+        self._stopped.set()
         if q is not None:
             q.stop()
 
@@ -186,28 +188,15 @@ class ForwarderHandle:
         return self.query.exception() if self.query is not None else None
 
     def awaitTermination(self, timeout: float | None = None) -> bool:
-        """Block while the forwarder runs. Polls the CURRENT query so an
-        engine-driven relaunch (glob widening, supervisor restart) does
-        not unblock the caller — only stop() or a terminal failure does."""
-        import time as _time
-
-        deadline = None if timeout is None else _time.monotonic() + timeout
-        while True:
-            q = self.query
-            if q is None:
-                return True
-            if not q.isActive and q.exception() is None and self.query is q:
-                return True  # stopped deliberately and not relaunched
-            step = 1.0
-            if deadline is not None:
-                left = deadline - _time.monotonic()
-                if left <= 0:
-                    return False
-                step = min(step, left)
-            try:
-                q.awaitTermination(step)
-            except Exception:
-                _time.sleep(step)
+        """Block while the forwarder is registered. Unblocks ONLY when
+        ``stop()`` is called on this handle (True) or the timeout expires
+        (False) — not during engine-driven relaunches (glob widening,
+        supervisor restart-on-error), and not on a query failure either,
+        because under supervision a failure is transient: the supervisor
+        relaunches it. Probing query state here would race the relaunch
+        window where the old query is stopped but the new one hasn't been
+        assigned yet."""
+        return self._stopped.wait(timeout)
 
 
 def start_forwarder(

@@ -634,17 +634,9 @@ def _with_recon_norm(df: DataFrame, codebooks: list[list[list[float]]],
 
 def _persist_bucketed(spark, df: DataFrame, name: str, path: str,
                       n_buckets: int, key: str = "centroid_id") -> DataFrame:
-    """One write-time shuffle into a ``key``-bucketed catalog table; probe
-    joins on ``key`` then read co-located buckets with no Exchange."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        df.write.bucketBy(n_buckets, key)
-        .sortBy(key)
-        .option("path", path)
-        .mode("overwrite")
-        .saveAsTable(name)
-    )
-    return spark.table(name)
+    from .util import persist_bucketed
+
+    return persist_bucketed(spark, df, name, path, n_buckets, key)
 
 
 def pq_encode(

@@ -382,18 +382,13 @@ def persist_corpus_lsh(
         F.col(id_col), _band_key().alias("bkey")
     )
     toks = toked.select(F.col(id_col), F.array_distinct("_tok").alias("tok"))
-    out = []
-    for suffix, df, key in (("bands", bands, "bkey"), ("toks", toks, id_col)):
-        tname = f"{name}_{suffix}"
-        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-        (
-            df.write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .option("path", f"{path}_{suffix}")
-            .mode("overwrite")
-            .saveAsTable(tname)
-        )
-        out.append(spark.table(tname))
+    from .util import persist_bucketed
+
+    out = [
+        persist_bucketed(spark, df, f"{name}_{suffix}", f"{path}_{suffix}",
+                         n_buckets, key)
+        for suffix, df, key in (("bands", bands, "bkey"), ("toks", toks, id_col))
+    ]
     return out[0], out[1]
 
 

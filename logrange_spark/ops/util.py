@@ -73,3 +73,20 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return l_s.join(r_s, [on, "__salt"], how).drop("__salt")
+
+
+def persist_bucketed(spark, df, name: str, path: str, n_buckets: int, key: str):
+    """One write-time shuffle into a ``key``-bucketed catalog table;
+    subsequent joins on ``key`` read co-located buckets with no Exchange
+    (the write-once-shuffle-never pattern, plan-asserted in
+    tests/test_bucketing.py). Shared by the ANN corpus tables and the
+    incremental-dedup LSH tables."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
