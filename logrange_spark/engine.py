@@ -426,35 +426,59 @@ class Engine:
         from .lql.parser import parse_source
         from .pipes.service import start_pipe
 
+        retry = False
         with self._pipes_lock:
             for name, defn in list(self._pipes.items()):
-                current = self._pipe_srcs.get(name)
-                if current is None:  # no tag condition → no pruning
-                    continue
-                source = parse_source(defn.get("source") or "")
-                if source is None:
-                    continue
-                fresh = set(self.resolve_sources(source, cap=False))
-                if fresh == current:
-                    continue
-                q = self._pipe_queries.get(name)
-                if q is not None:
-                    try:
-                        q.stop()
-                    except Exception:
-                        pass
-                self._pipe_queries[name] = start_pipe(self, defn)
-            for name, (source, relaunch) in list(self._forwarders.items()):
-                current = self._forwarder_srcs.get(name)
-                if current is None or source is None:
-                    continue
-                fresh = set(self.resolve_sources(source, cap=False))
-                if fresh == current:
-                    continue
+                # per-pipe isolation: a transient failure on one pipe
+                # (resolve or restart) must not skip the remaining pipes
+                # or the forwarder loop below
                 try:
-                    relaunch()  # stops the old query, starts on the new glob
+                    current = self._pipe_srcs.get(name)
+                    if current is None:  # no tag condition → no pruning
+                        continue
+                    source = parse_source(defn.get("source") or "")
+                    if source is None:
+                        continue
+                    fresh = set(self.resolve_sources(source, cap=False))
+                    if fresh == current:
+                        continue
+                    q = self._pipe_queries.get(name)
+                    if q is not None:
+                        try:
+                            q.stop()
+                        except Exception:
+                            pass
+                    try:
+                        self._pipe_queries[name] = start_pipe(self, defn)
+                    except Exception:
+                        # start_pipe widens _pipe_srcs BEFORE the query
+                        # starts; roll it back so the set still reads as
+                        # stale and the retry below actually restarts
+                        self._pipe_srcs[name] = current
+                        retry = True
                 except Exception:
-                    pass
+                    retry = True
+            for name, (source, relaunch) in list(self._forwarders.items()):
+                try:
+                    current = self._forwarder_srcs.get(name)
+                    if current is None or source is None:
+                        continue
+                    fresh = set(self.resolve_sources(source, cap=False))
+                    if fresh == current:
+                        continue
+                    try:
+                        relaunch()  # stops the old query, starts on the new glob
+                    except Exception:
+                        self._forwarder_srcs[name] = current
+                        retry = True
+                except Exception:
+                    retry = True
+        if retry:
+            # a failed restart left the pipe stopped with exception()==None,
+            # which the supervisor treats as deliberate — re-arm the dirty
+            # flag so the next write triggers another rescan (a pipe with
+            # no incoming writes has nothing to miss in the meantime)
+            self._partitions_dirty = True
 
     # ------------------------------------------------------------- read
     def logs(self) -> DataFrame:
@@ -1074,13 +1098,14 @@ class Engine:
             self._forwarders.clear()
             self._forwarder_srcs.clear()
         for _name, (_source, relaunch) in forwarders:
-            # relaunch closures hold the handle; stop via the handle's
-            # current query (attribute set by forward.start_forwarder)
-            q = getattr(relaunch, "handle", None)
-            q = q.query if q is not None else None
-            if q is not None:
+            # relaunch closures hold the handle; stop via the HANDLE so
+            # its _stopped event fires — a thread blocked in
+            # handle.awaitTermination() with no timeout must unblock on
+            # engine shutdown, not hang forever
+            h = getattr(relaunch, "handle", None)
+            if h is not None:
                 try:
-                    q.stop()
+                    h.stop()
                 except Exception:
                     pass
 

@@ -524,12 +524,25 @@ def pq_seed_codebooks(
     reproducible without a training job). ``codebooks[sub][code]`` is the
     code's sub-vector. Training (``pq_train_codebooks``) only changes
     these constants, never the plan shape."""
+    if corpus is None:
+        raise ValueError(
+            "pq_seed_codebooks needs a corpus — pass codebooks explicitly "
+            "when calling pq_topk/ivf_pq_topk without one"
+        )
     rows = (
         corpus.where(F.col(id_col) < n_codes)
         .select(id_col, vec_col)
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) != n_codes:
+        # the id < n_codes slice assumes dense integer ids 0..n_codes-1;
+        # a sparse/short corpus would silently produce a short codebook
+        raise ValueError(
+            f"pq_seed_codebooks expected {n_codes} seed rows with "
+            f"{id_col} in [0, {n_codes}), got {len(rows)} — pass trained "
+            "codebooks (pq_train_codebooks) for corpora without dense ids"
+        )
     dim = len(rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -690,7 +703,7 @@ def _pq_adc_score(codes: Column, luts: Column, qnorm: Column, recon_norm: Column
 
 
 def pq_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     codebooks: list[list[list[float]]] | None = None,
@@ -707,6 +720,10 @@ def pq_topk(
     also prune candidates."""
     from pyspark.sql.window import Window
 
+    if corpus is None and (codebooks is None or encoded is None):
+        raise ValueError(
+            "pq_topk: corpus=None requires both codebooks and encoded"
+        )
     if codebooks is None:
         codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
     if encoded is None:
@@ -806,6 +823,13 @@ def ivf_pq_topk(
     tests/test_bucketing.py)."""
     from pyspark.sql.window import Window
 
+    if corpus is None and (
+        codebooks is None or centroids is None or assigned is None
+    ):
+        raise ValueError(
+            "ivf_pq_topk: corpus=None requires codebooks, centroids and "
+            "assigned (from persist_ivf_pq_corpus)"
+        )
     if codebooks is None:
         codebooks = pq_seed_codebooks(corpus, id_col=id_col, vec_col=vec_col)
     cents = centroids if centroids is not None else [

@@ -192,6 +192,16 @@ def start_pipe(engine, defn: dict):
             )
             seeded["done"] = True
             delivery = out
+            # On the suspicious path the high-water marks must come from
+            # the DESTINATION, not the batch: a redelivered batch whose
+            # rows are all anti-joined away says nothing about what has
+            # been delivered beyond it. Seeding hw from the batch's own
+            # mx would under-estimate (e.g. redelivered seqs 1..50 seed
+            # hw=50 while dest already holds 1..100, letting the next
+            # redelivered batch 51..100 fast-path in twice). dest_marks
+            # covers every source in dest, so unrelated sources get
+            # fast-pathable marks too.
+            dest_marks: dict[str, int] = {}
             if suspicious and os.path.isdir(dest_dir):
                 existing = (
                     engine.spark.read.parquet(dest_dir)
@@ -201,17 +211,38 @@ def start_pipe(engine, defn: dict):
                     )
                     .where(F.col("_psrc").isNotNull())
                     .distinct()
+                    .persist()
                 )
-                delivery = (
-                    out.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
-                    .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
-                    .join(existing, ["_psrc", "_pseq"], "left_anti")
-                    .drop("_psrc", "_pseq")
-                )
-            if not delivery.isEmpty():
+                try:
+                    dest_marks = {
+                        r["_psrc"]: r["dmx"]
+                        for r in existing.groupBy("_psrc")
+                        .agg(F.max(F.col("_pseq").cast("long")).alias("dmx"))
+                        .collect()
+                        if r["dmx"] is not None
+                    }
+                    delivery = (
+                        out.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
+                        .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
+                        .join(existing, ["_psrc", "_pseq"], "left_anti")
+                        .drop("_psrc", "_pseq")
+                    )
+                    if not delivery.isEmpty():
+                        engine.append_df(delivery)
+                finally:
+                    existing.unpersist()
+            elif not delivery.isEmpty():
                 engine.append_df(delivery)
+            # After append_df every (src, seq) in this batch is in dest
+            # (appended now or anti-joined as already present), so the
+            # batch mx is a valid mark — but on the suspicious path dest
+            # may be ahead of the batch, so take the max with dest_marks.
             for r in stats:
-                hw[r["psrc"]] = max(hw.get(r["psrc"], -1), r["mx"])
+                hw[r["psrc"]] = max(
+                    hw.get(r["psrc"], -1), r["mx"], dest_marks.get(r["psrc"], -1)
+                )
+            for psrc, dmx in dest_marks.items():
+                hw[psrc] = max(hw.get(psrc, -1), dmx)
         finally:
             out.unpersist()
 

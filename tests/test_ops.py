@@ -849,3 +849,19 @@ def test_bmp_resize_real_codec_end_to_end(spark):
     # codec totality on hostile bytes
     for junk in (b"", b"BM", b"BM" + bytes(60), bmp[:30], bmp[:-5], bytes(200)):
         assert mm.resize_nearest_bmp24(junk, 2, 2) is None
+
+
+def test_pq_entry_points_validate_missing_corpus(spark):
+    """corpus=None without precomputed artifacts must raise a clear
+    ValueError, not AttributeError; pq_seed_codebooks must reject a
+    corpus whose ids don't densely cover [0, n_codes)."""
+    corpus, _ = _pq_corpus(spark)
+    queries = corpus.limit(2)
+    with pytest.raises(ValueError, match="corpus"):
+        ann.pq_topk(None, queries)
+    with pytest.raises(ValueError, match="corpus"):
+        ann.ivf_pq_topk(None, queries)
+    with pytest.raises(ValueError, match="seed rows"):
+        ann.pq_seed_codebooks(corpus.where(F.col("vec_id") % 2 == 0))
+    with pytest.raises(ValueError, match="corpus"):
+        ann.pq_seed_codebooks(None)

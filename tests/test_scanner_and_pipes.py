@@ -893,3 +893,54 @@ def test_redelivery_of_source_first_seen_in_later_batch_is_deduped(
     _t.sleep(3)  # window for any wrongly fast-pathed duplicate to land
     prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in delivered()]
     assert len(prov) == len(set(prov)) == 3, prov
+
+
+def test_same_source_redelivery_split_across_batches_is_deduped(
+    engine, monkeypatch
+):
+    """Regression for the suspicious-path seeding hole: when an
+    anti-join drops EVERY row of a redelivered batch, the high-water
+    mark must be seeded from the DESTINATION's max delivered seq, not
+    the batch's own max. Otherwise redelivered seqs 0..k seed hw=k
+    while dest already holds 0..N, and the next redelivered batch
+    (seqs k+1.., min > k) fast-paths into duplicate delivery. One-file
+    batches split one source's redelivery across ascending-seq batches."""
+    import shutil as _sh
+    import time as _t
+
+    from logrange_spark.pipes import service as psvc
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC
+
+    monkeypatch.setattr(psvc, "MAX_FILES_PER_TRIGGER", 1)
+
+    # three writes → three parquet files in ONE source, ascending seqs
+    for i in range(3):
+        engine.write({"name": "rs"}, [(BASE_TS + i * NS, f"m{i}", {})])
+    assert engine.execute("CREATE PIPE rs FROM {name=rs}")["status"] == "created"
+
+    def delivered():
+        try:
+            return engine.query("SELECT FROM {logrange.pipe=rs} LIMIT 100").collect()
+        except Exception:
+            return []
+
+    assert _wait(lambda: len(delivered()) == 3), [r["msg"] for r in delivered()]
+
+    # full redelivery: wipe the checkpoint so every file re-lists, one
+    # file per batch — batch1 (seq 0) all-dropped, batch2 (seq 1) has
+    # min seq 1 > a batch-seeded hw of 0 and would fast-path pre-fix
+    with engine._pipes_lock:
+        engine._pipe_queries.pop("rs").stop()
+    _sh.rmtree(engine.pipes_dir + "/checkpoints/rs", ignore_errors=True)
+    with engine._pipes_lock:
+        engine._pipe_queries["rs"] = psvc.start_pipe(engine, engine._pipes["rs"])
+
+    engine.write({"name": "rs"}, [(BASE_TS + 10 * NS, "fresh", {})])
+    assert _wait(
+        lambda: sorted(r["msg"] for r in delivered()) == ["fresh", "m0", "m1", "m2"],
+        timeout=45,
+    ), sorted(r["msg"] for r in delivered())
+    _t.sleep(3)  # window for any wrongly fast-pathed duplicate to land
+    prov = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in delivered()]
+    assert len(prov) == len(set(prov)) == 4, prov
+    assert engine.execute("DELETE PIPE rs")["status"] == "deleted"
