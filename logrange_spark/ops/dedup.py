@@ -44,6 +44,93 @@ LSH_BANDS = 6  # 2 seeds per band
 SIMHASH_BITS = 16
 SIMHASH_BANDS = 4  # 4 bits per band → guarantees hamming ≤ 3 recall
 
+# Skew bound for pair-generating self-joins: no task cell compares more
+# than SKEW_CAP × SKEW_CAP rows of one join-key bucket (see
+# _salted_self_sides). 512² ≈ 260k comparisons per cell — small enough
+# that even a pathological bucket is spread across many ordinary tasks.
+SKEW_CAP = 512
+
+
+def _salted_self_sides(
+    df: DataFrame, keys: list[str], hash_col: str, cap: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Grid-salted sides for a self-equi-join on ``keys`` with bounded
+    per-task work.
+
+    A self-join on data-dependent keys (LSH band buckets, duplicate-
+    cluster keys) has unbounded task size: a bucket of k rows puts all
+    O(k²) pair comparisons in ONE task. This splits each bucket into an
+    s×s grid, s = ceil(k / cap): every row learns its bucket size via a
+    window count, takes grid coordinate c = hash(id) mod s, and each side
+    replicates across one grid axis (left row (c, j) for all j; right row
+    (i, c) for all i). Joining on keys + (gi, gj) lands every unordered
+    row pair in exactly ONE cell of ≤ cap × cap comparisons — same output
+    as the plain join, stragglers gone. Buckets at or under ``cap`` get a
+    1×1 grid: zero replication, so unskewed data pays only the window
+    count (which shuffles on the same keys the join needed anyway; the
+    window exchange is shared by both sides via ReusedExchange).
+    """
+    from pyspark.sql.window import Window
+
+    cap = cap or SKEW_CAP  # late-bound so tests/tools can patch the module var
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    base = df.withColumn(
+        "_s", F.greatest(F.lit(1), F.ceil(n / F.lit(float(cap)))).cast("int")
+    ).withColumn(
+        "_c", F.pmod(F.xxhash64(F.col(hash_col)), F.col("_s")).cast("int")
+    )
+    grid = F.explode(F.sequence(F.lit(0), F.col("_s") - F.lit(1)))
+    left = base.withColumn("_gj", grid).withColumnRenamed("_c", "_gi").drop("_s")
+    right = base.withColumn("_gi", grid).withColumnRenamed("_c", "_gj").drop("_s")
+    return left, right
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    within: dict[str, Column],
+) -> DataFrame:
+    """All-member pairs from representative pairs.
+
+    ``members`` is (_tkey, id); ``rep_pairs`` is (id_a, id_b, _ka, _kb,
+    extra...) over cluster representatives. Exact duplicates have
+    identical token streams, hence identical signatures/band buckets and
+    identical similarity to every third document — so cross-cluster
+    member pairs inherit the rep pair's extra columns verbatim, and
+    within-cluster pairs take the ``within`` literals (jaccard 1.0,
+    hamming 0, ...). The result is exactly the pair set a non-collapsed
+    run would produce, but the expensive band self-join only ever saw one
+    row per distinct content. The within-cluster self-join is grid-salted
+    too: its O(k²) output is inherent, but no single task emits it alone.
+    """
+    extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b", "_ka", "_kb")]
+    ma = members.select(F.col("_tkey").alias("_ka"), F.col(id_col).alias("_fa"))
+    mb = members.select(F.col("_tkey").alias("_kb"), F.col(id_col).alias("_fb"))
+    cross = (
+        rep_pairs.join(ma, "_ka")
+        .join(mb, "_kb")
+        .select(
+            F.least("_fa", "_fb").alias("id_a"),
+            F.greatest("_fa", "_fb").alias("id_b"),
+            *extra,
+        )
+    )
+    l, r = _salted_self_sides(members.hint("merge"), ["_tkey"], id_col)
+    la, ra = l.alias("wl"), r.alias("wr")
+    within_pairs = la.join(
+        ra,
+        (F.col("wl._tkey") == F.col("wr._tkey"))
+        & (F.col("wl._gi") == F.col("wr._gi"))
+        & (F.col("wl._gj") == F.col("wr._gj"))
+        & (F.col(f"wl.{id_col}") < F.col(f"wr.{id_col}")),
+    ).select(
+        F.col(f"wl.{id_col}").alias("id_a"),
+        F.col(f"wr.{id_col}").alias("id_b"),
+        *[v.alias(k) for k, v in within.items()],
+    )
+    return cross.unionByName(within_pairs)
+
 
 def _shingles_of(toks: Column, n: int = SHINGLE_N) -> Column:
     """Distinct word n-grams (space-joined) of an already-projected token
@@ -87,15 +174,23 @@ def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _signature_from_tokens(toked: DataFrame, id_col: str,
-                           seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(id, mh0..mh{k-1}) from an (id, _tok) frame — per-seed
-    lexicographic min of md5(seed|shingle).
+def _sig_keyed(toked: DataFrame, id_col: str,
+               seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(id, _tkey, mh0..mh{k-1}) from an (id, _tok) frame — per-seed
+    lexicographic min of md5(seed|shingle), plus the exact-content key
+    ``_tkey`` = md5 of the token stream (tokens contain no whitespace, so
+    the space join is unambiguous). Identical token streams → identical
+    _tkey AND identical signature — the invariant the exact-collapse in
+    ``_rep_pairs_and_members`` rests on.
 
     Pure array expressions per row (no explode, no groupBy): the signature
     stage is a narrow map that scales linearly with no shuffle.
     """
-    shingled = toked.select(F.col(id_col), _shingles_of(F.col("_tok")).alias("_sh"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", "_tok")).alias("_tkey"),
+        _shingles_of(F.col("_tok")).alias("_sh"),
+    )
     def seeded(s: int):
         # NB: the lambda must take exactly one arg — F.transform treats a
         # two-arg lambda as (element, index)
@@ -106,7 +201,13 @@ def _signature_from_tokens(toked: DataFrame, id_col: str,
         F.array_min(F.transform(F.col("_sh"), seeded(s))).alias(f"mh{s}")
         for s in range(seeds)
     ]
-    return shingled.select(F.col(id_col), *mins)
+    return shingled.select(F.col(id_col), "_tkey", *mins)
+
+
+def _signature_from_tokens(toked: DataFrame, id_col: str,
+                           seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(id, mh0..mh{k-1}) — see ``_sig_keyed``."""
+    return _sig_keyed(toked, id_col, seeds).drop("_tkey")
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -126,8 +227,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 
 
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
-              seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(id, band, band_hash) — md5 over the concatenated band rows."""
+              seeds: int = MINHASH_SEEDS, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep, band, band_hash) — md5 over the concatenated band rows."""
     per_band = seeds // bands
     rows = []
     for b in range(bands):
@@ -136,8 +237,8 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
         )
     return sig.select(
-        F.col(id_col), F.explode(F.array(*rows)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        F.col(id_col), *keep, F.explode(F.array(*rows)).alias("bb")
+    ).select(id_col, *keep, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -145,30 +246,68 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _lsh_pairs_from_tokens(_token_frame(df, id_col, text_col), id_col)
 
 
-def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
-    sig = _signature_from_tokens(toked, id_col)
-    # merge-join hint: left to itself, AQE broadcasts one side of the
-    # self-join at test scale, which re-computes the whole signature map
-    # for that side (the expensive per-shingle md5 stage runs TWICE). A
-    # sort-merge join shuffles both sides on the band key with byte-equal
-    # exchange subtrees, so the signature map materializes once and the
-    # second side is a ReusedExchange — also exactly the plan a
-    # 100 TB input gets, where broadcast is impossible anyway.
-    bb = lsh_bands(sig, id_col).hint("merge")
-    left = bb.alias("l")
-    right = bb.alias("r")
-    return (
-        left.join(
-            right,
+def _rep_pairs_and_members(
+    toked: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs over CLUSTER REPRESENTATIVES plus the
+    (_tkey, id) membership frame for expansion.
+
+    Skew hardening, both layers (the 100 TB web-corpus reality is
+    boilerplate clusters of thousands of identical documents):
+
+    1. Exact collapse — identical token streams share _tkey, and one
+       representative (min id) per _tkey enters the band join. A
+       k-duplicate cluster contributes ONE row per band bucket instead of
+       k, so identical-content clusters cannot inflate any bucket at all.
+       Signatures are computed per document map-side (embarrassingly
+       parallel) and collapsed by a groupBy over 12 small hashes — the
+       heavy token arrays never shuffle through the collapse.
+    2. Occupancy-bounded grid salting (``_salted_self_sides``) — distinct
+       but near-identical contents can still share a band bucket; the
+       window count splits any bucket over SKEW_CAP across an s×s task
+       grid with identical output.
+
+    merge-join hint: left to itself, AQE broadcasts one side of the
+    self-join at test scale, which re-computes the whole signature map
+    for that side (the expensive per-shingle md5 stage runs TWICE). A
+    sort-merge join shuffles both sides with byte-equal exchange
+    subtrees, so the signature map materializes once and the second side
+    is a ReusedExchange — also exactly the plan a 100 TB input gets,
+    where broadcast is impossible anyway.
+    """
+    sigk = _sig_keyed(toked, id_col)
+    reps = sigk.groupBy("_tkey").agg(
+        F.min(id_col).alias(id_col),
+        # all rows of a _tkey group carry identical signatures, so
+        # any_value is deterministic here
+        *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
+    )
+    bb = lsh_bands(reps, id_col, keep=("_tkey",)).hint("merge")
+    left, right = _salted_self_sides(bb, ["band", "band_hash"], id_col)
+    l, r = left.alias("l"), right.alias("r")
+    rep_pairs = (
+        l.join(
+            r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._gi") == F.col("r._gi"))
+            & (F.col("l._gj") == F.col("r._gj"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._tkey").alias("_ka"),
+            F.col("r._tkey").alias("_kb"),
         )
         .distinct()
     )
+    return rep_pairs, sigk.select("_tkey", F.col(id_col))
+
+
+def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
+    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    return _expand_rep_pairs(rep_pairs, members, id_col, within={})
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -189,6 +328,9 @@ def _jaccard_from_tokens(toked: DataFrame, pairs: DataFrame, id_col: str) -> Dat
 
 
 def _jaccard_join(toks: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    # extra pair columns (e.g. the _ka/_kb cluster keys on rep pairs)
+    # pass through untouched
+    extra = [c for c in pairs.columns if c not in ("id_a", "id_b")]
     return (
         pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("tok", "tok_a"), "id_a")
         .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("tok", "tok_b"), "id_b")
@@ -200,6 +342,7 @@ def _jaccard_join(toks: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
                 / F.size(F.array_union("tok_a", "tok_b")),
                 6,
             ).alias("jaccard"),
+            *extra,
         )
     )
 
@@ -212,10 +355,22 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
     Restricting the Jaccard token lookup to docs with ≥ SHINGLE_N tokens
     is lossless here — every candidate id comes from the signature stage,
     which already requires that.
+
+    Verification runs on REPRESENTATIVE pairs only (one per distinct
+    content pair — see ``_rep_pairs_and_members``), then expands to
+    member pairs: cross-cluster pairs inherit the rep Jaccard (equal
+    token sets ⇒ equal similarity to any third set) and within-cluster
+    pairs are 1.0 by construction. Same rows as verifying every pair,
+    with the expensive array_intersect paid once per content pair.
     """
     toked = _token_frame(df, id_col, text_col)
-    cand = _lsh_pairs_from_tokens(toked, id_col)
-    return _jaccard_from_tokens(toked, cand, id_col).where(F.col("jaccard") >= threshold)
+    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    return _expand_rep_pairs(
+        verified, members, id_col, within={"jaccard": F.lit(1.0)}
+    ).where(F.col("jaccard") >= threshold)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:
@@ -243,6 +398,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     matching the unnest oracle. Documents with zero tokens are dropped
     (as in the groupBy oracle).
     """
+    return _simhash_keyed(df, id_col, text_col, bits).drop("_tkey")
+
+
+def _simhash_keyed(df: DataFrame, id_col: str, text_col: str,
+                   bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, _tkey, simhash) — ``simhash`` plus the exact-content key
+    (md5 of the token stream), for the exact-collapse in
+    ``simhash_near_pairs``. Identical token streams → identical _tkey and
+    identical simhash."""
     assert bits == 16, "mask layout below is hardwired to 16 bits"
 
     def token_mask(tok: Column) -> Column:
@@ -264,6 +428,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         .where(F.size("_w") > 0)
         .select(
             F.col(id_col),
+            F.md5(F.concat_ws(" ", "_w")).alias("_tkey"),
             F.size("_w").alias("_n"),
             F.transform(F.col("_w"), token_mask).alias("_m"),
         )
@@ -278,23 +443,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         )
         return F.lit(2) * ones - F.col("_n")
 
-    votes = masked.select(F.col(id_col), *[vote(j).alias(f"v{j}") for j in range(bits)])
+    votes = masked.select(
+        F.col(id_col), "_tkey", *[vote(j).alias(f"v{j}") for j in range(bits)]
+    )
     h = None
     for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         h = bit if h is None else h + bit
-    return votes.select(F.col(id_col), h.cast("long").alias("simhash"))
+    return votes.select(F.col(id_col), "_tkey", h.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                        max_hamming: int = 3) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming, found via 4-bit band
-    blocking (equi-join on band value — no cross join)."""
-    sh = simhash(spread(df), id_col, text_col)
+    blocking (equi-join on band value — no cross join).
+
+    Skew-hardened the same way as the MinHash path (see
+    ``_rep_pairs_and_members``): the band join runs over one
+    representative per distinct token stream (identical streams →
+    identical simhash → hamming 0 within the cluster, and identical
+    hamming to any third document), residual hot buckets are split by
+    occupancy-bounded grid salting, and member pairs are expanded
+    afterward — byte-identical output to the direct join.
+    """
+    sk = _simhash_keyed(spread(df), id_col, text_col)
+    reps = sk.groupBy("_tkey").agg(
+        F.min(id_col).alias(id_col), F.first("simhash").alias("simhash")
+    )
     per_band = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << per_band) - 1
-    bands = sh.select(
+    bands = reps.select(
         F.col(id_col),
+        F.col("_tkey"),
         F.col("simhash"),
         F.explode(
             F.array(
@@ -307,12 +487,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
-    # merge-join hint: same reasoning as _lsh_pairs_from_tokens — stop
+    ).select(id_col, "_tkey", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    # merge-join hint: same reasoning as _rep_pairs_and_members — stop
     # AQE's local broadcast from running the per-token md5 signature
     # stage twice; SMJ's identical-side exchanges reuse it once.
-    bands = bands.hint("merge")
-    l, r = bands.alias("l"), bands.alias("r")
+    left, right = _salted_self_sides(bands.hint("merge"), ["band", "bv"], id_col)
+    l, r = left.alias("l"), right.alias("r")
     # A close pair matches in SEVERAL bands (hamming 0 → all 4), so the
     # raw band join emits duplicates. Instead of a distinct() — a full
     # shuffle of every surviving pair — keep only the FIRST matching
@@ -327,20 +507,28 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         first_zero_nibble = first_zero_nibble.when(
             F.shiftright(x, b * per).bitwiseAND(F.lit(nib)) == 0, b
         )
-    return (
+    rep_pairs = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l._gi") == F.col("r._gi"))
+            & (F.col("l._gj") == F.col("r._gj"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             & (F.col("l.band") == first_zero_nibble),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._tkey").alias("_ka"),
+            F.col("r._tkey").alias("_kb"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+    return _expand_rep_pairs(
+        rep_pairs, sk.select("_tkey", F.col(id_col)), id_col,
+        within={"hamming": F.bit_count(F.lit(0))},
     )
 
 

@@ -865,3 +865,59 @@ def test_pq_entry_points_validate_missing_corpus(spark):
         ann.pq_seed_codebooks(corpus.where(F.col("vec_id") % 2 == 0))
     with pytest.raises(ValueError, match="corpus"):
         ann.pq_seed_codebooks(None)
+
+
+def test_skew_hardened_dedup_output_invariant(spark, monkeypatch):
+    """The exact-collapse + grid-salting machinery must be output-
+    invariant: a planted duplicate cluster plus near-identical variants
+    produce the same candidate/near-dup/simhash pair sets whether the
+    salting grid is 1x1 (huge cap) or heavily split (cap=2), and the
+    within/cross expansion must agree with a brute-force reference."""
+    base = [
+        (i, f"the quick brown fox jumps over the lazy dog number {i} "
+            f"with extra words {i * 7} and {i * 13}")
+        for i in range(20)
+    ]
+    # exact cluster: 15 copies of doc 100's text
+    cluster = [(100 + j, "copy copy cluster text shared by many documents here")
+               for j in range(15)]
+    # near-identical cluster: one token differs per doc
+    near = [(200 + j, f"almost identical long document body text varies v{j}")
+            for j in range(10)]
+    df = spark.createDataFrame(base + cluster + near, "doc_id long, text string")
+
+    def snap():
+        cand = sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(df, "doc_id", "text").collect()
+        )
+        nd = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.near_duplicates(df, "doc_id", "text", 0.5).collect()
+        )
+        sh = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_pairs(df, "doc_id", "text").collect()
+        )
+        return cand, nd, sh
+
+    monkeypatch.setattr(dedup, "SKEW_CAP", 10**9)
+    plain = snap()
+    monkeypatch.setattr(dedup, "SKEW_CAP", 2)
+    salted = snap()
+    assert plain == salted
+
+    cand, nd, sh = plain
+    # every within-cluster pair of the 15-copy cluster is a candidate and
+    # a near-duplicate with jaccard exactly 1.0
+    cluster_ids = [100 + j for j in range(15)]
+    for i, a in enumerate(cluster_ids):
+        for b in cluster_ids[i + 1:]:
+            assert (a, b) in cand
+            assert (a, b, 1.0) in nd
+            assert (a, b, 0) in sh
+    assert len(set(cand)) == len(cand)  # expansion introduced no dupes
+    assert len(set((a, b) for a, b, _ in nd)) == len(nd)
+    assert len(set((a, b) for a, b, _ in sh)) == len(sh)
+    # the near cluster: one-token deltas are near-dups at 0.5
+    assert (200, 201) in [(a, b) for a, b, _ in nd]
