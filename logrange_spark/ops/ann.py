@@ -51,6 +51,38 @@ def bucket_dims(
     return max(lo, min(hi, need))
 
 
+def _default_nrows(df: DataFrame) -> int:
+    """Corpus row count for occupancy sizing, WITHOUT a Spark job when
+    the frame is file-backed: sums the parquet footer counts of the
+    frame's input files — exact for a bare table scan (the only shape the
+    registered queries use), an upper bound if the caller filtered the
+    frame (occupancy sizing tolerates an upper bound; pass ``n_rows``
+    explicitly for heavily filtered corpora, or when the file listing
+    itself is large enough to matter — at catalog scale the table stats
+    belong to the caller anyway). Falls back to ``count()`` for
+    in-memory frames and non-local filesystems."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.split("?")[0].endswith(".parquet") for f in files):
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import pyarrow.parquet as papq
+
+            total = 0
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("file", ""):
+                    raise ValueError(f"non-local file {f}")
+                total += papq.ParquetFile(unquote(p.path)).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -161,7 +193,7 @@ def bucketed_topk(
     from pyspark.sql.window import Window
 
     if dims is None:
-        dims = bucket_dims(n_rows if n_rows is not None else corpus.count())
+        dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(corpus))
     # norms projected per row, not per pair (see cosine_topk)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -228,14 +260,17 @@ def ivf_assign_expr(
     ``norm`` column to avoid re-inlining the vector norm per centroid.
     """
     norm = norm if norm is not None else _norm(vec)
-    entries = []
-    for cid, cv in cents:
-        carr = F.array(*[F.lit(float(x)) for x in cv])
-        score = _dot(vec, carr) / (norm * F.lit(_centroid_norm(cv)))
-        # array_max picks (max score, max -cid) → ties resolve to smaller cid
-        entries.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
-    best = F.array_max(F.array(*entries))
-    return (-best["nc"]).cast("int")
+    # one dot expression in the plan, applied to every centroid inside a
+    # zip_with lambda over the literal centroid array (vs n_centroids
+    # unrolled copies — the PQ compile-wall fix, see pq_encode_expr).
+    # Sorted by cid so first-max-position == smallest tied cid, matching
+    # the struct-max idiom this replaces.
+    cs = sorted(cents)
+    cvecs = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cs])
+    cnorms = F.array(*[F.lit(_centroid_norm(cv)) for _, cv in cs])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cs])
+    scores = F.zip_with(cvecs, cnorms, lambda cv, cn: _dot(vec, cv) / (norm * cn))
+    return F.element_at(cids, F.array_position(scores, F.array_max(scores)).cast("int")).cast("int")
 
 
 def ivf_train_centroids(
@@ -427,7 +462,7 @@ def embedding_near_duplicates(
     stays a plain equi-join on bucket id.
     """
     if dims is None:
-        dims = bucket_dims(n_rows if n_rows is not None else df.count())
+        dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(df))
     # norm projected per row, not per pair (see cosine_topk)
     b = df.select(
         F.col(id_col),
@@ -583,28 +618,37 @@ def pq_train_codebooks(
     return books
 
 
+def _book_lit(book: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book])
+
+
 def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """``array<int>`` of per-subspace nearest-code ids (L2; ties → smaller
     code). Pure per-row expression — encoding 100 TB is a map stage.
 
-    argmin ||x_sub - c||² == argmax (x_sub·c - ||c||²/2): the dot against
-    each literal code plus a constant, the same array_max/struct tie-break
-    idiom as ``ivf_assign_expr`` — one fold over the sub-vector per code.
+    argmin ||x_sub - c||² == argmax (x_sub·c - ||c||²/2). The per-code
+    dot runs INSIDE one higher-order-function lambda over the literal
+    codebook array — one dot expression per subspace in the plan instead
+    of ``n_codes`` unrolled copies. Round 6 unrolled all 8×16 dot trees
+    into the plan and paid a 7–10 s fixed analysis/codegen wall per query
+    submission (SCALE.md round-6 note); this form compiles in well under
+    a second with bit-identical results (same fold order per code).
+    Ties: ``array_position`` returns the FIRST index of the max score —
+    the smallest code, matching the struct-max idiom it replaces.
     """
     subdim = _pq_subdim(codebooks)
     codes = []
     for sub, book in enumerate(codebooks):
         subv = _pq_sub(vec, sub, subdim)
-        entries = []
-        for code, cv in enumerate(book):
-            carr = F.array(*[F.lit(float(x)) for x in cv])
-            half_sq = 0.0
-            for x in cv:
-                half_sq += float(x) * float(x)
-            s = _dot(subv, carr) - F.lit(half_sq / 2.0)
-            entries.append(F.struct(s.alias("s"), F.lit(-code).alias("nc")))
-        best = F.array_max(F.array(*entries))
-        codes.append((-best["nc"]).cast("int"))
+        half = F.array(
+            *[F.lit(sum(float(x) * float(x) for x in cv) / 2.0) for cv in book]
+        )
+        scores = F.zip_with(
+            _book_lit(book), half, lambda carr, h: _dot(subv, carr) - h
+        )
+        codes.append(
+            (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
+        )
     return F.array(*codes)
 
 
@@ -675,18 +719,18 @@ def pq_encode(
 def _pq_luts(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
     """Per-query ADC lookup tables: ``luts[sub][code] = q_sub · c`` —
     computed ONCE per query row (m × n_codes small dots), after which
-    every candidate scores with m element_at lookups."""
+    every candidate scores with m element_at lookups. The per-code dot
+    runs inside one ``transform`` lambda over the literal codebook (same
+    compile-cost argument as ``pq_encode_expr``)."""
     subdim = _pq_subdim(codebooks)
     return F.array(
         *[
-            F.array(
-                *[
-                    _dot(
-                        _pq_sub(qvec, sub, subdim),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                    )
-                    for cv in book
-                ]
+            # NB: one-arg lambda (two args would mean (element, index));
+            # capturing the loop vars is safe — pyspark invokes the
+            # lambda synchronously while building the expression
+            F.transform(
+                _book_lit(book),
+                lambda carr: _dot(_pq_sub(qvec, sub, subdim), carr),
             )
             for sub, book in enumerate(codebooks)
         ]
@@ -852,23 +896,34 @@ def ivf_pq_topk(
     qw = Window.partitionBy("query_id").orderBy(
         F.col("pscore").desc(), F.col("centroid_id")
     )
+    # per-centroid probe scores inside one zip_with lambda (PQ
+    # compile-wall fix — see pq_encode_expr) instead of unrolled dots
+    _cs = sorted(cents)
+    _cvecs = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in _cs])
+    _cmeta = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("centroid_id"),
+                F.lit(_centroid_norm(cv)).alias("cn"),
+            )
+            for cid, cv in _cs
+        ]
+    )
     qp = (
         qpre.select(
             "query_id",
             _pq_luts(F.col("qvec"), codebooks).alias("luts"),
             F.col("_qn").alias("qnorm"),
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(cid).alias("centroid_id"),
-                            (
-                                _dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in cv]))
-                                / (F.col("_qn") * F.lit(_centroid_norm(cv)))
-                            ).alias("pscore"),
-                        )
-                        for cid, cv in cents
-                    ]
+                F.zip_with(
+                    _cmeta,
+                    _cvecs,
+                    lambda meta, cv: F.struct(
+                        meta["centroid_id"].alias("centroid_id"),
+                        (
+                            _dot(F.col("qvec"), cv) / (F.col("_qn") * meta["cn"])
+                        ).alias("pscore"),
+                    ),
                 )
             ).alias("pc"),
         )

@@ -921,3 +921,33 @@ def test_skew_hardened_dedup_output_invariant(spark, monkeypatch):
     assert len(set((a, b) for a, b, _ in sh)) == len(sh)
     # the near cluster: one-token deltas are near-dups at 0.5
     assert (200, 201) in [(a, b) for a, b, _ in nd]
+
+
+def test_ann_default_nrows_reads_parquet_footers_not_a_count_job(
+    spark, tmp_path, monkeypatch
+):
+    """Omitting n_rows must not launch a count() job for a file-backed
+    corpus: occupancy sizing reads the parquet footers driver-side. The
+    footer sum must equal the real count for a bare scan."""
+    import numpy as np
+    from pyspark.sql import DataFrame as _DF
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(
+        3
+    ).write.parquet(str(tmp_path / "emb.parquet"))
+    corpus = spark.read.parquet(str(tmp_path / "emb.parquet"))
+    assert ann._default_nrows(corpus) == 300
+
+    def _no_count(self):
+        raise AssertionError("count() job launched for a file-backed corpus")
+
+    monkeypatch.setattr(_DF, "count", _no_count)
+    # building both operators without n_rows must not trigger count()
+    ann.bucketed_topk(corpus, corpus.limit(2), k=3)
+    ann.embedding_near_duplicates(corpus, threshold=0.9)
+    monkeypatch.undo()
+    # in-memory frames (no input files) still fall back to count()
+    mem = spark.createDataFrame(rows[:50], "vec_id long, embedding array<float>")
+    assert ann._default_nrows(mem) == 50
