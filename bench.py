@@ -155,6 +155,56 @@ def _bench_ingest(spark) -> dict:
             list(ex.map(lambda tr: eng.write(tr[0], tr[1]), cbatches))
         cwall = time.time() - t0
 
+        # sustained multi-writer run: 4 writer threads, 80 batches each
+        # into their own source — enough files per source to cross the
+        # auto-compaction threshold (AUTO_COMPACT_FILES=64) several
+        # times, so steady-state throughput includes live background
+        # compaction, catalog upserts and chunk-log appends — the shape
+        # a long-running collector fleet produces, vs the single burst
+        # above. Also reports the post-settle file count: bounded by
+        # compaction, not linear in batches written.
+        sus_batches = []
+        for w in range(4):
+            for b in range(80):
+                tags = {"name": f"sus{w}"}
+                recs = [
+                    (base + (b * 2500 + i) * 1000, f"sus {w}/{b}/{i} payload", {})
+                    for i in range(2500)
+                ]
+                sus_batches.append((tags, recs))
+        per_writer = [sus_batches[w * 80:(w + 1) * 80] for w in range(4)]
+
+        def drain(batches):
+            for tags, recs in batches:
+                eng.write(tags, recs)
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(drain, per_writer))
+        swall = time.time() - t0
+        sus_n = sum(len(r) for _, r in sus_batches)
+        # drain compaction fully (claim any still-pending srcs, then wait
+        # for running ones) so the latency probes below measure a quiet
+        # engine, not a probe racing a just-triggered background compact
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with eng._write_lock:
+                pending, eng._autocompact_pending = (
+                    set(eng._autocompact_pending),
+                    set(),
+                )
+            if pending:
+                eng._maybe_autocompact(sorted(pending))
+            if not pending and not eng._autocompact_running:
+                break
+            time.sleep(0.2)
+        sus_files = sum(
+            1
+            for _, _, files in os.walk(os.path.join(root, "logs"))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
         # write→query round trip on a single record. Read-your-writes is
         # synchronous in this engine (write returns after the chunk file +
         # catalog commit, and any later query sees it), so the latency
@@ -176,6 +226,10 @@ def _bench_ingest(spark) -> dict:
             "sec": round(wall, 3),
             "records_per_sec": round(n / wall),
             "concurrent_records_per_sec": round(n / cwall),
+            "sustained_records": sus_n,
+            "sustained_records_per_sec": round(sus_n / swall),
+            "sustained_files_after_autocompact": sus_files,
+            "sustained_batches_written": len(sus_batches),
             "write_plus_query_roundtrip_ms_median": round(statistics.median(lat), 1),
         }
     finally:

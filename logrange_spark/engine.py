@@ -54,6 +54,32 @@ class Engine:
         self.max_sources = max_sources
         os.makedirs(self.logs_path, exist_ok=True)
         os.makedirs(self.state_dir, exist_ok=True)
+        # Single-writer-process contract (the reference is likewise a
+        # single daemon owning its store, cmd/logrange): the chunk
+        # catalog, seq state and per-src locks are in-process, so two
+        # Engines on one store root could interleave write/compact/
+        # truncate and corrupt metadata. An advisory flock on the store
+        # root enforces the contract: held for the Engine's lifetime,
+        # released by close() or automatically when the process dies
+        # (crash-safe — no stale pid files). Also refuses a second
+        # Engine INSTANCE on the same root within one process: flock is
+        # per open-file-description.
+        self._store_lock = None
+        try:
+            import fcntl
+
+            lock_file = open(os.path.join(self.state_dir, "LOCK"), "w")
+            try:
+                fcntl.flock(lock_file, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                lock_file.close()
+                raise RuntimeError(
+                    f"store {root!r} is already owned by a running Engine "
+                    "(single-writer-process contract); close() it first"
+                )
+            self._store_lock = lock_file
+        except ImportError:  # non-POSIX: contract documented, not enforced
+            pass
         self.seq_state = SeqState(os.path.join(self.state_dir, "seq.json"))
         # serializes seq-range reservation + catalog/stat upserts: writes
         # arrive concurrently from HTTP handler threads and pipe streaming
@@ -1108,6 +1134,17 @@ class Engine:
                     h.stop()
                 except Exception:
                     pass
+
+    def close(self) -> None:
+        """Stop streaming work and release the store ownership lock so
+        another Engine (this process or another) may open the root."""
+        self.stop_pipes()
+        if self._store_lock is not None:
+            try:
+                self._store_lock.close()  # closing the fd drops the flock
+            except Exception:
+                pass
+            self._store_lock = None
 
     def _save_pipes(self) -> None:
         os.makedirs(self.pipes_dir, exist_ok=True)

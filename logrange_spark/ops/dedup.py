@@ -167,10 +167,14 @@ def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     how many stages read the tokens (round-4 finding: tokenize+spread ran
     twice, doubling both the regex work and the shuffle).
     """
+    # the explicit isnotnull matches the constraint the downstream
+    # expansion joins infer and push below the exchange — without it one
+    # branch's exchange subtree gains a join-inferred isnotnull the
+    # others lack, breaking ReusedExchange (two tokenize+shuffle passes)
     return spread(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).where(
             F.size("_tok") >= SHINGLE_N
-        )
+        ).where(F.col(id_col).isNotNull())
     )
 
 

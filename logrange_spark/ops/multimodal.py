@@ -355,17 +355,21 @@ def resize(media: DataFrame, width: int, height: int,
            real_codec: bool = False) -> DataFrame:
     """Image resize over mapInPandas (Arrow-batched).
 
-    ``real_codec=True``: uncompressed 24-bit BMP payloads are REALLY
-    decoded, nearest-neighbor resampled, and re-encoded
-    (``resize_nearest_bmp24`` — pure struct+numpy, end-to-end pixels);
-    payloads the BMP codec can't decode fall back to the stub. The stub
-    (also the ``real_codec=False`` path) deterministically truncates/pads
-    the payload to width*height bytes so the batch shape, output schema,
-    and metadata recomputation stay exercised for formats whose decoders
-    need absent libraries (JPEG/PNG entropy coding — PIL/opencv not in
-    this container).
+    ``real_codec=True``: uncompressed 24-bit BMP payloads AND baseline
+    JPEG payloads are REALLY decoded, nearest-neighbor resampled, and
+    re-encoded in their own format (``resize_nearest_bmp24`` — pure
+    struct+numpy; ``ops.jpeg.resize_nearest_jpeg`` — a full pure-Python
+    baseline T.81 Huffman/DCT codec, see ops/jpeg.py); payloads neither
+    codec can decode fall back to the stub. The stub (also the
+    ``real_codec=False`` path) deterministically truncates/pads the
+    payload to width*height bytes so the batch shape, output schema, and
+    metadata recomputation stay exercised for formats whose decoders
+    need absent libraries (PNG/DEFLATE, progressive JPEG, video — PIL/
+    opencv/ffmpeg not in this container).
     """
     import hashlib
+
+    from .jpeg import resize_nearest_jpeg
 
     def _resize_stub(p: bytes | None) -> bytes | None:
         if p is None:
@@ -375,6 +379,8 @@ def resize(media: DataFrame, width: int, height: int,
     def _one(p: bytes | None) -> bytes | None:
         if real_codec:
             out = resize_nearest_bmp24(p, width, height)
+            if out is None:
+                out = resize_nearest_jpeg(p, width, height)
             if out is not None:
                 return out
         return _resize_stub(p)

@@ -25,7 +25,7 @@ def engine(spark):
     root = tempfile.mkdtemp(prefix="lrspark-")
     e = Engine(spark, root)
     yield e
-    e.stop_pipes()
+    e.close()
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -640,3 +640,48 @@ def test_describe_pipe_reports_live_state(engine):
         parse_lql("SELECT FROM {name=dp}").source
     )
     engine.execute("DELETE PIPE dp")
+
+
+def test_store_lock_enforces_single_writer_process(spark, tmp_path):
+    """The chunk catalog / seq state are in-process, so two Engines on
+    one store root would interleave write/compact. The advisory flock
+    must refuse a second Engine (same or other process) and be released
+    by close() — and by process death, with no stale-lock residue."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    from logrange_spark import Engine
+
+    root = str(tmp_path / "store")
+    e1 = Engine(spark, root)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        Engine(spark, root)
+    e1.close()
+
+    # a foreign PROCESS holding the flock must also be refused
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, sys, time; f = open(sys.argv[1], 'w'); "
+            "fcntl.flock(f, fcntl.LOCK_EX); print('held', flush=True); "
+            "time.sleep(30)",
+            str(tmp_path / "store" / "state" / "LOCK"),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        with pytest.raises(RuntimeError, match="single-writer"):
+            Engine(spark, root)
+    finally:
+        holder.kill()
+        holder.wait()
+    # holder death released the lock — reopening works, no stale state
+    e3 = Engine(spark, root)
+    e3.write({"name": "lk"}, [(BASE_TS, "after lock", {})])
+    assert e3.query("SELECT FROM {name=lk} LIMIT 10").count() == 1
+    e3.close()
