@@ -170,3 +170,30 @@ def test_curation_full_oracle(spark):
     assert len(s_rows) < n_docs
     splits = [r[-1] for r in s_rows]
     assert splits.count("train") > len(splits) // 2
+
+
+@pytest.mark.parametrize("name", ["lql_cursor_back", "lql_upper_func", "lql_format_full"])
+def test_retired_lql_oracles(spark, name):
+    """Rows rotated out of the 50-entry registry in round 7 (to make room
+    for ann_pq_topk / repetition_stats / curation_full) keep their DuckDB
+    oracle checks alive here — rotation must never lose coverage.
+
+    Runs at sf0.01 — the scale the driver checked these oracles at. (At
+    sf0.001 fewer than 400 records precede the cursor_back position, and
+    the reference's clamp-at-head semantics — back up as far as possible,
+    then read LIMIT forward, picking up post-position rows — correctly
+    diverge from the plain "last 400 before the cursor" SQL twin.)"""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    q = entry.retired_queries()[name]
+    s_df = q(spark, sf)
+    s_rows = sorted(tuple(r) for r in s_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    res = con.execute(entry._RETIRED_LQL_ORACLES[name])
+    assert [d[0] for d in res.description] == s_df.columns
+    d_rows = sorted(tuple(r) for r in res.fetchall())
+    assert len(s_rows) > 0 and s_rows == d_rows
