@@ -549,6 +549,33 @@ def _band_key() -> Column:
     return F.concat_ws(":", F.col("band").cast("string"), F.col("band_hash"))
 
 
+def _collapsed_probe_state(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bands, toks, members) keyed by the exact-content key ``_tkey``:
+    one band/token row per DISTINCT content, plus the (tkey → id)
+    membership map. The same exact-collapse skew hardening as
+    ``_rep_pairs_and_members``: a k-copy boilerplate cluster contributes
+    ONE probe row per band instead of k, on both the corpus and the
+    shard side."""
+    toked = _token_frame(df, id_col, text_col)
+    sigk = _sig_keyed(toked, id_col)
+    reps = sigk.groupBy("_tkey").agg(
+        F.min(id_col).alias(id_col),
+        *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
+    )
+    bands = lsh_bands(reps, id_col, keep=("_tkey",)).select(
+        F.col("_tkey").alias("tkey"), _band_key().alias("bkey")
+    )
+    toks = (
+        reps.select(F.col("_tkey"), F.col(id_col))
+        .join(toked, id_col)
+        .select(F.col("_tkey").alias("tkey"), F.array_distinct("_tok").alias("tok"))
+    )
+    members = sigk.select(F.col("_tkey").alias("tkey"), F.col(id_col))
+    return bands, toks, members
+
+
 def persist_corpus_lsh(
     spark,
     corpus: DataFrame,
@@ -557,69 +584,95 @@ def persist_corpus_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
-) -> tuple[DataFrame, DataFrame]:
-    """Materialize the corpus' near-dup probe state as two catalog
-    tables: ``<name>_bands`` (id, band, band_hash) bucketed by
-    band_hash — probe joins on (band, band_hash) read co-located buckets
-    with no corpus-side Exchange (HashPartitioning on a subset of the
-    join keys satisfies the join's clustering) — and ``<name>_toks``
-    (id, tok) for exact-Jaccard verification of candidates. One shuffle
-    each at write time; probing pays none."""
-    toked = _token_frame(corpus, id_col, text_col)
-    # single combined band key: Spark co-partitions a bucketed side only
-    # when the bucket spec covers ALL join keys (requireAllClusterKeysFor-
-    # CoPartition, default since 3.3), so (band, band_hash) collapse into
-    # one join/bucket column
-    bands = lsh_bands(_signature_from_tokens(toked, id_col), id_col).select(
-        F.col(id_col), _band_key().alias("bkey")
-    )
-    toks = toked.select(F.col(id_col), F.array_distinct("_tok").alias("tok"))
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the corpus' near-dup probe state as three catalog
+    tables, all keyed by the exact-content key ``tkey`` (one row per
+    DISTINCT content — see ``_collapsed_probe_state``):
+
+    - ``<name>_bands`` (tkey, bkey) bucketed by bkey — probe joins read
+      co-located buckets with no corpus-side Exchange (HashPartitioning
+      on a subset of the join keys satisfies the join's clustering; the
+      single combined band key exists because Spark co-partitions a
+      bucketed side only when the bucket spec covers ALL join keys —
+      requireAllClusterKeysForCoPartition, default since 3.3);
+    - ``<name>_toks`` (tkey, tok) bucketed by tkey for exact-Jaccard
+      verification with no corpus-side Exchange either;
+    - ``<name>_members`` (tkey, id) bucketed by tkey for expanding rep
+      matches back to every duplicate member.
+
+    One shuffle each at write time; probing pays none."""
     from .util import persist_bucketed
 
+    bands, toks, members = _collapsed_probe_state(corpus, id_col, text_col)
     out = [
         persist_bucketed(spark, df, f"{name}_{suffix}", f"{path}_{suffix}",
                          n_buckets, key)
-        for suffix, df, key in (("bands", bands, "bkey"), ("toks", toks, id_col))
+        for suffix, df, key in (
+            ("bands", bands, "bkey"),
+            ("toks", toks, "tkey"),
+            ("members", members, "tkey"),
+        )
     ]
-    return out[0], out[1]
+    return out[0], out[1], out[2]
 
 
 def near_duplicates_against(
     new_df: DataFrame,
     corpus_bands: DataFrame,
     corpus_toks: DataFrame,
+    corpus_members: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard) for every NEW document whose token
     Jaccard against some persisted-corpus document reaches ``threshold``.
-    The new shard's bands are a shuffle-free map stage; candidates come
-    from the equi-join on (band, band_hash) against the bucketed corpus
-    table; only candidates pay the exact-Jaccard verification. Anti-join
-    the result's ``new_id`` against the shard to keep only novel
-    documents."""
-    toked = _token_frame(new_df, id_col, text_col)
-    nb = lsh_bands(_signature_from_tokens(toked, id_col), id_col).select(
-        F.col(id_col).alias("new_id"), _band_key().alias("bkey")
-    )
-    cb = corpus_bands.select(F.col(id_col).alias("corpus_id"), "bkey")
-    cand = nb.join(cb, "bkey").select("new_id", "corpus_id").distinct()
-    ntoks = toked.select(
-        F.col(id_col).alias("new_id"), F.array_distinct("_tok").alias("_ntok")
-    )
-    ctoks = corpus_toks.select(
-        F.col(id_col).alias("corpus_id"), F.col("tok").alias("_ctok")
+
+    The new shard collapses to distinct contents in a map+groupBy stage;
+    candidate CONTENT pairs come from the equi-join on bkey against the
+    bucketed corpus table; only distinct content pairs pay the
+    exact-Jaccard verification, and matches expand to member (new_id,
+    corpus_id) pairs through the two membership maps — identical output
+    to the uncollapsed join, with boilerplate clusters contributing one
+    probe row instead of one per copy. Anti-join the result's ``new_id``
+    against the shard to keep only novel documents."""
+    nbands, ntoks, nmembers = _collapsed_probe_state(new_df, id_col, text_col)
+    cand = (
+        nbands.select(F.col("tkey").alias("ntkey"), "bkey")
+        .join(corpus_bands.select(F.col("tkey").alias("ctkey"), "bkey"), "bkey")
+        .select("ntkey", "ctkey")
+        .distinct()
     )
     inter = F.size(F.array_intersect("_ntok", "_ctok"))
     union = F.size(F.array_union("_ntok", "_ctok"))
-    return (
-        cand.join(ntoks, "new_id")
-        .join(ctoks, "corpus_id")
+    rep_pairs = (
+        cand.join(
+            ntoks.select(F.col("tkey").alias("ntkey"), F.col("tok").alias("_ntok")),
+            "ntkey",
+        )
+        .join(
+            corpus_toks.select(
+                F.col("tkey").alias("ctkey"), F.col("tok").alias("_ctok")
+            ),
+            "ctkey",
+        )
         .select(
-            "new_id",
-            "corpus_id",
+            "ntkey",
+            "ctkey",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    return (
+        rep_pairs.join(
+            nmembers.select(F.col("tkey").alias("ntkey"), F.col(id_col).alias("new_id")),
+            "ntkey",
+        )
+        .join(
+            corpus_members.select(
+                F.col("tkey").alias("ctkey"), F.col(id_col).alias("corpus_id")
+            ),
+            "ctkey",
+        )
+        .select("new_id", "corpus_id", "jaccard")
     )

@@ -355,21 +355,22 @@ def resize(media: DataFrame, width: int, height: int,
            real_codec: bool = False) -> DataFrame:
     """Image resize over mapInPandas (Arrow-batched).
 
-    ``real_codec=True``: uncompressed 24-bit BMP payloads AND baseline
-    JPEG payloads are REALLY decoded, nearest-neighbor resampled, and
+    ``real_codec=True``: 24-bit BMP, 8-bit PNG, and baseline JPEG
+    payloads are REALLY decoded, nearest-neighbor resampled, and
     re-encoded in their own format (``resize_nearest_bmp24`` — pure
-    struct+numpy; ``ops.jpeg.resize_nearest_jpeg`` — a full pure-Python
-    baseline T.81 Huffman/DCT codec, see ops/jpeg.py); payloads neither
-    codec can decode fall back to the stub. The stub (also the
-    ``real_codec=False`` path) deterministically truncates/pads the
-    payload to width*height bytes so the batch shape, output schema, and
-    metadata recomputation stay exercised for formats whose decoders
-    need absent libraries (PNG/DEFLATE, progressive JPEG, video — PIL/
-    opencv/ffmpeg not in this container).
+    struct+numpy; ``ops.png`` — stdlib-zlib DEFLATE + scanline
+    unfiltering; ``ops.jpeg`` — a full pure-Python baseline T.81
+    Huffman/DCT codec); payloads no codec can decode fall back to the
+    stub. The stub (also the ``real_codec=False`` path) deterministically
+    truncates/pads the payload to width*height bytes so the batch shape,
+    output schema, and metadata recomputation stay exercised for formats
+    whose decoders genuinely need absent libraries (progressive JPEG,
+    video frames — PIL/opencv/ffmpeg not in this container).
     """
     import hashlib
 
     from .jpeg import resize_nearest_jpeg
+    from .png import resize_nearest_png
 
     def _resize_stub(p: bytes | None) -> bytes | None:
         if p is None:
@@ -378,11 +379,11 @@ def resize(media: DataFrame, width: int, height: int,
 
     def _one(p: bytes | None) -> bytes | None:
         if real_codec:
-            out = resize_nearest_bmp24(p, width, height)
-            if out is None:
-                out = resize_nearest_jpeg(p, width, height)
-            if out is not None:
-                return out
+            for codec in (resize_nearest_bmp24, resize_nearest_png,
+                          resize_nearest_jpeg):
+                out = codec(p, width, height)
+                if out is not None:
+                    return out
         return _resize_stub(p)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,173 @@
+"""PNG codec in pure Python + numpy (stdlib zlib for DEFLATE).
+
+PNG's entropy coding is DEFLATE — which ships in the Python standard
+library — so unlike the original stub rationale, no absent image
+library is needed: the only real work is chunk parsing and scanline
+unfiltering. Same contract as the BMP/JPEG codecs (ops/multimodal.py,
+ops/jpeg.py): ``decode_png`` is TOTAL (HxWx3 uint8 RGB or None, never
+raises), ``encode_png`` synthesizes valid files for tests and the
+resize re-encode path.
+
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+(gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
+Average/Paeth). Alpha is composited over white to produce RGB —
+deterministic and matches how training-data pipelines flatten
+transparency. Adam7 interlacing and 16-bit depth return None
+(documented, rare in web corpora).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes | None):
+    """HxWx3 uint8 RGB for an 8-bit non-interlaced PNG; None otherwise."""
+    try:
+        return _decode_png(payload)
+    except Exception:
+        return None
+
+
+def _decode_png(payload):
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < len(_SIG) + 12 or not b.startswith(_SIG):
+        return None
+    i = len(_SIG)
+    w = h = None
+    depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[i : i + 8])
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) != ln:
+            return None
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + CRC (CRC not verified)
+    if w is None or not w or not h or depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f == 1:  # Sub — sequential in x
+            cur = out[y]
+            cur[:bpp] = line[:bpp]
+            for x in range(bpp, stride):
+                cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            return None
+
+    px = out.reshape(h, w, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if idx.max() >= len(pal):
+            return None
+        return pal[idx]
+    # alpha types: composite over white (deterministic flattening)
+    if ctype == 4:
+        g, a = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64) / 255.0
+        flat = np.round(g * a + 255.0 * (1.0 - a)).astype(np.uint8)
+        return np.dstack([flat, flat, flat])
+    rgb, a = px[..., :3].astype(np.float64), px[..., 3:4].astype(np.float64) / 255.0
+    return np.round(rgb * a + 255.0 * (1.0 - a)).astype(np.uint8)
+
+
+def encode_png(arr) -> bytes:
+    """uint8 HxWx3 RGB → non-interlaced color-type-2 PNG (filter 0)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest_png(payload: bytes | None, width: int, height: int) -> bytes | None:
+    """Nearest-neighbor resample of a PNG, re-encoded as PNG; None if
+    not decodable."""
+    import numpy as np
+
+    arr = decode_png(payload)
+    if arr is None:
+        return None
+    h, w, _ = arr.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(arr[yi][:, xi])

@@ -200,13 +200,18 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
     corpus_rows = [
         (i, f"the quick brown fox jumps over dog number {i} in field {i % 3}")
         for i in range(30)
+    ] + [
+        # boilerplate cluster: 4 identical copies — collapses to ONE
+        # probe row per band, and matches must expand to every copy
+        (50 + j, "standard legal boilerplate footer text shared verbatim")
+        for j in range(4)
     ]
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     wh = str(tmp_path_factory.mktemp("incdedup"))
-    for t in ("inc_corpus_bands", "inc_corpus_toks"):
+    for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        bands_t, toks_t = dedup.persist_corpus_lsh(
+        bands_t, toks_t, members_t = dedup.persist_corpus_lsh(
             spark, corpus, "inc_corpus", f"{wh}/inc_corpus"
         )
         # new shard: 100+i is a near-copy of corpus doc i (one word edit),
@@ -216,13 +221,16 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
         ] + [
             (200 + i, f"completely unrelated document about topic {i} alpha beta gamma delta")
             for i in range(5)
+        ] + [
+            # an exact copy of the corpus boilerplate: must match all 4
+            (300, "standard legal boilerplate footer text shared verbatim"),
         ]
         new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
 
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             found = dedup.near_duplicates_against(
-                new_df, bands_t, toks_t, threshold=0.7
+                new_df, bands_t, toks_t, members_t, threshold=0.7
             )
             plan = found._jdf.queryExecution().executedPlan().toString()
             assert "Bucketed: true" in plan
@@ -252,8 +260,10 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
         assert all(r["jaccard"] >= 0.7 for r in rows)
         planted = {(100 + i, i) for i in range(5)}
         assert planted <= got, sorted(planted - got)
+        # the boilerplate copy expands to every cluster member, jaccard 1.0
+        assert {(300, 50 + j) for j in range(4)} <= got
         # novel docs never match anything
-        assert all(nid < 200 for nid, _ in got)
+        assert all(nid < 200 or nid == 300 for nid, _ in got)
 
         # isolated probe fragment: corpus side contributes no Exchange
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -279,5 +289,5 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     finally:
-        for t in ("inc_corpus_bands", "inc_corpus_toks"):
+        for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -383,23 +383,29 @@ def test_chunk_log_survives_restart_and_compaction(engine, spark):
                      [(BASE_TS + (10 * i + j) * NS, f"m{i}.{j}", {}) for j in range(4)])
     assert os.path.getsize(engine._chunk_log_path) > 0
 
-    def reopened():
+    def reopened(run):
+        # each restart releases the previous incarnation's store flock
+        # (a real restart releases it by process exit)
         e2 = Engine(spark, engine.root)
         e2._file_stat = lambda *a: (_ for _ in ()).throw(AssertionError("footer read"))
-        return e2
+        try:
+            return run(e2)
+        finally:
+            e2.close()
 
-    info = reopened().execute("DESCRIBE PARTITION {name=durable}")
+    engine.close()  # the "old process" exits; metadata helpers below still work
+    info = reopened(lambda e: e.execute("DESCRIBE PARTITION {name=durable}"))
     assert info["records"] == 12 and len(info["chunks"]) == 3
 
     with engine._write_lock:
         engine._compact_chunk_log()
     assert os.path.getsize(engine._chunk_log_path) == 0
-    info = reopened().execute("DESCRIBE PARTITION {name=durable}")
+    info = reopened(lambda e: e.execute("DESCRIBE PARTITION {name=durable}"))
     assert info["records"] == 12 and len(info["chunks"]) == 3
 
     # drops are logged too: truncate everything, restart, catalog is empty
     engine.execute('TRUNCATE {name=durable} BEFORE "2100-01-01"')
-    assert reopened().execute("SHOW PARTITIONS").collect() == []
+    assert reopened(lambda e: e.execute("SHOW PARTITIONS").collect()) == []
 
 
 def test_same_src_writes_become_visible_in_seq_order(engine):
@@ -450,6 +456,7 @@ def test_chunk_log_tolerates_torn_tail_line(engine, spark):
     engine.write({"name": "torn"}, [(BASE_TS + i * NS, f"m{i}", {}) for i in range(4)])
     with open(engine._chunk_log_path, "a") as f:
         f.write('{"src": "abc", "chunk": "batch-xyz.parquet", "rec')  # torn
+    engine.close()  # crash simulation: the old process's flock is gone
     e2 = Engine(spark, engine.root)
     info = e2.execute("DESCRIBE PARTITION {name=torn}")
     assert info["records"] == 4
@@ -462,6 +469,7 @@ def test_chunk_log_tolerates_torn_tail_line(engine, spark):
     # a write after recovery appends a clean line that a THIRD engine
     # replays fully — the pre-fix behavior corrupted this record
     e2.write({"name": "torn"}, [(BASE_TS + 10 * NS, "after-crash", {})])
+    e2.close()
     e3 = Engine(spark, engine.root)
     info3 = e3.execute("DESCRIBE PARTITION {name=torn}")
     assert info3["records"] == 5

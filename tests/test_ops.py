@@ -1031,3 +1031,100 @@ def test_jpeg_resize_real_codec_matches_bmp_reference(spark):
     # two near-lossless JPEG trips (decode + re-encode) vs exact BMP path
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 4
     assert len(out[3]["payload"]) == 8 * 6  # stub fallback intact
+
+
+def _png_with_filters(arr, filters):
+    """Build a valid PNG whose row y uses filters[y % len] — reference
+    filter computation straight from the PNG spec, so the decoder's
+    Sub/Up/Average/Paeth reconstruction is tested against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    a = arr.astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = a[y].reshape(-1)
+        prev = a[y - 1].reshape(-1) if y else np.zeros(w * c, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, dtype=np.int32), row[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]])
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = row - left
+        elif f == 2:
+            out = row - prev
+        elif f == 3:
+            out = row - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            out = row - pred
+        raw.append(f)
+        raw += bytes((out % 256).astype(np.uint8))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_codec_all_filters_and_color_types():
+    """decode_png reconstructs every scanline filter (None/Sub/Up/
+    Average/Paeth) exactly, handles RGBA (white-composite), and the
+    encode→decode roundtrip is lossless; hostile bytes return None."""
+    import numpy as np
+
+    from logrange_spark.ops import png
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        dec = png.decode_png(_png_with_filters(arr, filters))
+        assert dec is not None and (dec == arr).all(), f"filters {filters}"
+
+    # lossless roundtrip through our own encoder
+    dec = png.decode_png(png.encode_png(arr))
+    assert dec is not None and (dec == arr).all()
+
+    # RGBA composites over white: alpha 0 → 255, alpha 255 → own value
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., :3] = 10
+    rgba[0, :, 3] = 255
+    rgba[1, :, 3] = 0
+    dec = png.decode_png(_png_with_filters(rgba, [0]))
+    assert (dec[0] == 10).all() and (dec[1] == 255).all()
+
+    # totality (a truncation that only drops the trailing IEND CRC still
+    # decodes — tolerant-decoder behavior; cutting into IDAT must not)
+    enc = png.encode_png(arr)
+    for junk in (None, b"", b"\x89PNG", bytes(80), enc[:20],
+                 enc[: len(enc) // 2], bytes(reversed(enc))):
+        assert png.decode_png(junk) is None
+    for cut in range(0, len(enc), 11):
+        png.decode_png(enc[:cut])  # must not raise
+
+
+def test_png_resize_real_codec_matches_bmp_reference(spark):
+    """Same-pixels PNG and BMP through the Spark resize operator agree
+    EXACTLY — PNG is lossless, so unlike JPEG there is no tolerance."""
+    import numpy as np
+
+    from logrange_spark.ops import multimodal as mm
+    from logrange_spark.ops import png
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    rows = [(1, mm.encode_bmp24(arr[..., ::-1])), (2, png.encode_png(arr))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.resize(media, 7, 5, real_codec=True).collect()}
+    ref = mm.decode_bmp24(bytes(out[1]["payload"]))[..., ::-1]
+    got = png.decode_png(bytes(out[2]["payload"]))
+    assert got is not None and (got == ref).all()
