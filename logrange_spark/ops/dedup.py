@@ -286,6 +286,13 @@ def _rep_pairs_and_members(
         # any_value is deterministic here
         *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
     )
+    # NB: a close pair matches several bands, so the join output needs a
+    # distinct(). The simhash first-matching-band residual was tried
+    # here too (carry all band hashes, keep band == first equal) — it
+    # removes the distinct shuffle but drags a 6×md5 array through the
+    # window and both join shuffles, measuring strictly slower at sf0.1;
+    # post-collapse the distinct's input is band-match volume over
+    # DISTINCT contents, already grid-distributed, so it stays.
     bb = lsh_bands(reps, id_col, keep=("_tkey",)).hint("merge")
     left, right = _salted_self_sides(bb, ["band", "band_hash"], id_col)
     l, r = left.alias("l"), right.alias("r")
