@@ -808,6 +808,41 @@ FROM l LEFT JOIN lagg USING (doc_id)
 """.strip()
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/text.contamination): per-document
+    8-gram overlap against an eval set — here a deterministic slice of
+    the corpus itself (doc_id % 97 == 0) so the DuckDB twin can rebuild
+    the identical benchmark. Oracle-checked in pytest
+    (tests/test_entry_contract.py::test_contamination_oracle; registry
+    at the driver's 50-row cap)."""
+    from logrange_spark.ops.text import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination(docs, bench, n=8)
+
+
+def _contamination_sql(n: int = 8) -> str:
+    return f"""
+WITH {_tok_cte()},
+sh AS (SELECT doc_id, list_distinct(
+  [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, greatest(len(w)-{n - 2}, 1))]) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+du AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+hits AS (SELECT doc_id, count(*) AS n_contaminated
+         FROM du JOIN bench USING (gram) GROUP BY doc_id),
+totals AS (SELECT doc_id, len(g) AS n_grams FROM sh)
+SELECT t.doc_id,
+       CAST(t.n_grams AS INT) AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CASE WHEN t.n_grams > 0
+                  THEN coalesce(h.n_contaminated, 0) / CAST(t.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS contamination
+FROM totals t LEFT JOIN hits h USING (doc_id)
+""".strip()
+
+
 def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the complete training-data curation flow in
     one DataFrame program (pytest oracle; registry at the 50-row cap):

@@ -337,3 +337,64 @@ def redact(
         F.regexp_count(c, F.lit(REDACT_IPV4)).alias("n_ips"),
         F.regexp_count(c, F.lit(REDACT_LONGNUM)).alias("n_longnums"),
     )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination signal: per-document overlap with an
+    evaluation set's word n-grams (the standard pre-training hygiene
+    step — drop or flag training documents that quote eval data).
+
+    Returns (id, n_grams, n_contaminated, contamination) where
+    ``n_grams`` is the document's distinct n-gram count (0 for
+    documents shorter than n tokens — contamination 0.0) and
+    ``contamination`` = n_contaminated / n_grams.
+
+    Plan shape for 100 TB: the benchmark side is aggregated to DISTINCT
+    n-grams and broadcast (eval sets are tiny next to a corpus), the
+    corpus side is a map-stage explode of its own n-grams, and the
+    overlap count is a map-side-combined groupBy on the document id —
+    one shuffle of (id, count) pairs, no shuffle of text. Left join
+    keeps clean documents in the output (count 0), so the result can
+    anti-drive a filter without a second pass.
+    """
+    from ..ops.dedup import shingles
+
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("_g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
+    )
+    hits = (
+        doc_grams.join(bench_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_grams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.greatest(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )

@@ -197,3 +197,27 @@ def test_retired_lql_oracles(spark, name):
     assert [d[0] for d in res.description] == s_df.columns
     d_rows = sorted(tuple(r) for r in res.fetchall())
     assert len(s_rows) > 0 and s_rows == d_rows
+
+
+def test_contamination_oracle(spark):
+    """Benchmark decontamination (pytest oracle; registry at the 50-row
+    cap): per-document 8-gram overlap against a deterministic eval slice
+    must value-match the DuckDB recomputation, every corpus document
+    present (clean docs with 0 overlap included), and benchmark members
+    fully self-contaminated."""
+    import duckdb
+
+    s_df = entry._q_contamination(spark, SF_DIR)
+    s_rows = sorted(tuple(r) for r in s_df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    res = con.execute(entry._contamination_sql())
+    assert [d[0] for d in res.description] == s_df.columns
+    d_rows = sorted(tuple(r) for r in res.fetchall())
+    assert len(s_rows) == len(d_rows) > 0
+    assert s_rows == d_rows
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(s_rows) == n_docs
+    by_id = {r[0]: r for r in s_rows}
+    bench_ids = [i for i in by_id if i % 97 == 0 and by_id[i][1] > 0]
+    assert bench_ids and all(by_id[i][3] == 1.0 for i in bench_ids)
