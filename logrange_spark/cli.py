@@ -50,7 +50,7 @@ def cmd_serve(args) -> int:
         return 0
     finally:
         srv.stop()
-        engine.stop_pipes()
+        engine.close()
         spark.stop()
 
 
