@@ -626,11 +626,9 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round like text_stats does so the threshold matches the oracle's
     # rounded quality column.
     qdocs = docs.where(F.round(text.quality_score(F.col("text")), 6) >= 0.5)
-    drop = (
-        dedup.near_duplicates(qdocs, "doc_id", "text", threshold=0.8)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    # O(n)-output drop set: provably equal to materializing all near-dup
+    # pairs and dropping id_b, without the within-cluster pair volume
+    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8)
     return text.text_stats(qdocs).select("doc_id", "quality", "fingerprint").join(
         drop, "doc_id", "left_anti"
     )
@@ -868,11 +866,7 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = docs.join(rep_ok, "doc_id").where(
         F.round(text.quality_score(F.col("text")), 6) >= 0.5
     )
-    drop = (
-        dedup.near_duplicates(qdocs, "doc_id", "text", threshold=0.8)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8)
     kept = qdocs.join(drop, "doc_id", "left_anti")
     red = redact(kept)
     split = hash_split(kept.select("doc_id"), "doc_id",

@@ -384,6 +384,41 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
     ).where(F.col("jaccard") >= threshold)
 
 
+def near_duplicate_drops(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """The documents to DROP under keep-first near-dedup — one id per
+    dropped document, equal by construction to
+    ``near_duplicates(...).select(id_b).distinct()`` but with O(n)
+    output: the within-cluster O(k²) pair set is never materialized.
+
+    This is the 100 TB curation primitive: a doc is dropped iff some
+    SIMILAR doc has a smaller id. Any member smaller than doc d implies
+    that member's cluster representative (the cluster min) is also
+    smaller than d, so the drop set decomposes exactly into (a) every
+    non-representative member (its rep is a smaller exact duplicate;
+    requires threshold ≤ 1, which Jaccard guarantees) and (b) every
+    member of a cluster whose rep appears as the LARGER side of a
+    verified representative pair. Both are id-per-row joins over the
+    membership map — pair volume never appears. Equality with the
+    pair-based path is pinned by tests and by the curation oracle rows.
+    """
+    toked = _token_frame(df, id_col, text_col)
+    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    dropped_clusters = verified.select(F.col("_kb").alias("_tkey")).distinct()
+    reps_min = members.groupBy("_tkey").agg(F.min(id_col).alias("_rep"))
+    non_reps = (
+        members.join(reps_min, "_tkey")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+    )
+    cluster_members = members.join(dropped_clusters, "_tkey").select(id_col)
+    return non_reps.unionByName(cluster_members).distinct()
+
+
 def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:
     """Groups of exact duplicates by md5 of ``key_col``: returns
     (content_hash, keep_id, dup_count) for groups with >1 member."""

@@ -1128,3 +1128,33 @@ def test_png_resize_real_codec_matches_bmp_reference(spark):
     ref = mm.decode_bmp24(bytes(out[1]["payload"]))[..., ::-1]
     got = png.decode_png(bytes(out[2]["payload"]))
     assert got is not None and (got == ref).all()
+
+
+def test_near_duplicate_drops_equals_pair_based_dropset(spark):
+    """The O(n)-output drop set must equal the pair-materializing path's
+    id_b set exactly — including duplicate clusters and chained
+    similarity — at a tiny salting cap too."""
+    rows = (
+        [(i, f"base document number {i} with several tokens {i * 3} {i * 7}")
+         for i in range(15)]
+        + [(100 + j, "identical boilerplate cluster text body") for j in range(6)]
+        + [(200 + j, f"almost identical drifting text version v{j}") for j in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (10**9, 2):
+        import logrange_spark.ops.dedup as dd
+
+        old = dd.SKEW_CAP
+        dd.SKEW_CAP = cap
+        try:
+            via_pairs = {
+                r["id_b"]
+                for r in dd.near_duplicates(df, "doc_id", "text", 0.5).collect()
+            }
+            direct = {
+                r["doc_id"]
+                for r in dd.near_duplicate_drops(df, "doc_id", "text", 0.5).collect()
+            }
+        finally:
+            dd.SKEW_CAP = old
+        assert direct == via_pairs
