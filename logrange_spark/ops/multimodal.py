@@ -523,3 +523,72 @@ def resize_nearest_bmp24(payload: bytes | None, width: int, height: int) -> byte
     yi = (np.arange(height) * h // height).clip(0, h - 1)
     xi = (np.arange(width) * w // width).clip(0, w - 1)
     return encode_bmp24(arr[yi][:, xi])
+
+
+def decode_pixels(payload: bytes | None):
+    """HxWx3 uint8 RGB via whichever real codec recognizes the payload
+    (24-bit BMP, 8-bit PNG, baseline JPEG); None otherwise. The one
+    dispatch point for pixel-level ops."""
+    from .jpeg import decode_jpeg
+    from .png import decode_png
+
+    arr = decode_bmp24(payload)
+    if arr is not None:
+        return arr[..., ::-1]  # BMP decodes BGR; normalize to RGB
+    arr = decode_png(payload)
+    if arr is not None:
+        return arr
+    return decode_jpeg(payload)
+
+
+def pixel_feature_vec(payload: bytes | None) -> list[float] | None:
+    """FEATURE_DIM floats computed from REAL pixels:
+    [mean R, mean G, mean B, std(luma), mean(luma), edge_energy,
+    aspect, log2(n_pixels)] — None when no codec decodes the payload.
+    Deterministic numpy; numpy-reference-tested."""
+    import math
+
+    import numpy as np
+
+    arr = decode_pixels(payload)
+    if arr is None:
+        return None
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    h, w = luma.shape
+    # mean absolute horizontal gradient — a cheap sharpness/edge proxy
+    edge = float(np.abs(np.diff(luma, axis=1)).mean()) if w > 1 else 0.0
+    vec = [
+        float(f[..., 0].mean()),
+        float(f[..., 1].mean()),
+        float(f[..., 2].mean()),
+        float(luma.std()),
+        float(luma.mean()),
+        edge,
+        float(w) / float(h) if h else 0.0,
+        math.log2(float(h * w)) if h * w else 0.0,
+    ]
+    return vec[:FEATURE_DIM] + [0.0] * (FEATURE_DIM - len(vec))
+
+
+def pixel_features(media: DataFrame) -> DataFrame:
+    """(media_id, feature, decode_ok) with features computed from REAL
+    decoded pixels (BMP/PNG/baseline-JPEG — see ``decode_pixels``);
+    payloads no codec decodes come back decode_ok=False. Arrow-batched
+    ``mapInPandas`` like every multimodal op — the Python codec runs
+    per-row inside the batch, the plan stays a single map stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [pixel_feature_vec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "decode_ok": [v is not None for v in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, _FEATURE_SCHEMA
+    )

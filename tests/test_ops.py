@@ -1158,3 +1158,38 @@ def test_near_duplicate_drops_equals_pair_based_dropset(spark):
         finally:
             dd.SKEW_CAP = old
         assert direct == via_pairs
+
+
+def test_pixel_features_real_decode_all_formats(spark):
+    """pixel_features computes features from REAL decoded pixels for
+    BMP, PNG and baseline JPEG — numpy-verified on a known image; a
+    non-decodable payload comes back decode_ok=False."""
+    import numpy as np
+
+    from logrange_spark.ops import jpeg, png
+    from logrange_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    rows = [
+        (1, mm.encode_bmp24(arr[..., ::-1])),
+        (2, png.encode_png(arr)),
+        (3, bytes(jpeg.encode_jpeg(arr, quant=1))),
+        (4, b"not an image"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.pixel_features(media).collect()}
+
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    want = [f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean(),
+            luma.std(), luma.mean(), np.abs(np.diff(luma, axis=1)).mean(),
+            12 / 9, np.log2(9 * 12)]
+    # BMP and PNG are lossless → exact (to float32 storage); JPEG within
+    # its quant=1 rounding
+    for mid, tol in ((1, 1e-4), (2, 1e-4), (3, 1.5)):
+        assert out[mid]["decode_ok"], mid
+        got = out[mid]["feature"]
+        assert len(got) == mm.FEATURE_DIM
+        assert all(abs(g - w) <= tol for g, w in zip(got, want)), (mid, got, want)
+    assert not out[4]["decode_ok"] and out[4]["feature"] is None
