@@ -555,12 +555,57 @@ class Engine:
             return self.truncate(stmt)
         raise ValueError(f"unsupported statement: {stmt!r}")
 
+    def _range_pruned_logs(
+        self, src_ids: list[str], min_ns: int | None, max_ns: int | None
+    ) -> DataFrame | None:
+        """Time-index file pruning: build the scan from the EXPLICIT list
+        of chunk files whose catalog [min_ts, max_ts] overlaps the RANGE
+        — the reference's chunk time index (pkg/chunk), re-expressed as
+        driver-side pruning over the write-time chunk-stats catalog. At
+        100 TB a narrow RANGE then never lists or footer-reads the
+        partition's full chunk history. Returns None (caller falls back
+        to the directory scan) when any matching src is missing from the
+        catalog — e.g. a store whose state dir was rebuilt — so pruning
+        is strictly an optimization, never a correctness dependency. A
+        chunk deleted between planning and execution (concurrent
+        TRUNCATE/compact) is covered by ignoreMissingFiles, the same
+        contract as the directory scan."""
+        files: list[str] = []
+        with self._write_lock:
+            for src in src_ids:
+                chunks = self._chunk_stats.get(src)
+                if chunks is None:
+                    return None
+                for chunk, st in chunks.items():
+                    if (max_ns is None or st["min_ts"] <= max_ns) and (
+                        min_ns is None or st["max_ts"] >= min_ns
+                    ):
+                        files.append(
+                            os.path.join(self.logs_path, f"src={src}", chunk)
+                        )
+        if not files:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        return (
+            self.spark.read.schema(LOG_SCHEMA)
+            .option("basePath", self.logs_path)
+            .parquet(*files)
+        )
+
     def select(self, sel: ast.Select, now_ns: int | None = None) -> DataFrame:
         src_ids = self.resolve_sources(sel.source)
         limit = min(sel.limit, self.max_limit) if sel.limit is not None else self.max_limit
         sel = ast.Select(sel.format, sel.source, sel.range, sel.where,
                          sel.position, sel.offset, limit)
-        return compile_select(self.logs(), sel, now_ns, src_ids=src_ids)
+        logs = None
+        if sel.range is not None and (
+            sel.range.min_ns is not None or sel.range.max_ns is not None
+        ):
+            logs = self._range_pruned_logs(
+                src_ids, sel.range.min_ns, sel.range.max_ns
+            )
+        if logs is None:
+            logs = self.logs()
+        return compile_select(logs, sel, now_ns, src_ids=src_ids)
 
     def query(self, lql: str, now_ns: int | None = None) -> DataFrame:
         stmt = parse_lql(lql, now_ns)

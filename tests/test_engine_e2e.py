@@ -693,3 +693,46 @@ def test_store_lock_enforces_single_writer_process(spark, tmp_path):
     e3.write({"name": "lk"}, [(BASE_TS, "after lock", {})])
     assert e3.query("SELECT FROM {name=lk} LIMIT 10").count() == 1
     e3.close()
+
+
+def test_range_query_prunes_chunk_files_from_catalog(engine):
+    """A RANGE query's scan is built from the explicit chunk files whose
+    catalog [min_ts, max_ts] overlaps the range — the reference's chunk
+    time index as driver-side pruning. Results must equal the full-scan
+    path; a src missing from the chunk catalog falls back to the
+    directory scan losslessly."""
+    day = 86_400 * NS
+    for d in range(3):
+        engine.write(
+            {"name": "tix"},
+            [(BASE_TS + d * day + i * NS, f"d{d}.{i}", {}) for i in range(4)],
+        )
+    lo, hi = BASE_TS + day - NS, BASE_TS + day + 10 * NS  # middle day only
+    q = engine.query(f'SELECT FROM {{name=tix}} RANGE ["{lo}":"{hi}"] LIMIT 100')
+    assert len(q.inputFiles()) == 1, q.inputFiles()
+    rows = [r["msg"] for r in q.collect()]
+    assert rows == [f"d1.{i}" for i in range(4)]
+
+    # no-overlap range → empty frame, zero files
+    q0 = engine.query(
+        f'SELECT FROM {{name=tix}} RANGE ["{BASE_TS + 10 * day}":"{BASE_TS + 11 * day}"] LIMIT 100'
+    )
+    assert q0.inputFiles() == [] and q0.count() == 0
+
+    # catalog amnesia (rebuilt state dir): fall back to the full scan,
+    # same answer, more files
+    src = next(iter(engine._catalog))
+    saved = engine._chunk_stats.pop(src)
+    try:
+        q2 = engine.query(f'SELECT FROM {{name=tix}} RANGE ["{lo}":"{hi}"] LIMIT 100')
+        assert len(q2.inputFiles()) >= 3
+        assert [r["msg"] for r in q2.collect()] == rows
+    finally:
+        engine._chunk_stats[src] = saved
+
+    # a range clipping only the tail still prunes to the last chunk
+    q3 = engine.query(
+        f'SELECT FROM {{name=tix}} RANGE ["{BASE_TS + 2 * day}":"{BASE_TS + 9 * day}"] LIMIT 100'
+    )
+    assert len(q3.inputFiles()) == 1
+    assert [r["msg"] for r in q3.collect()] == [f"d2.{i}" for i in range(4)]
