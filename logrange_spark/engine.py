@@ -555,22 +555,60 @@ class Engine:
             return self.truncate(stmt)
         raise ValueError(f"unsupported statement: {stmt!r}")
 
-    def _range_pruned_logs(
-        self, src_ids: list[str], min_ns: int | None, max_ns: int | None
-    ) -> DataFrame | None:
+    def _pruned_logs(self, src_ids: list[str], sel: ast.Select) -> DataFrame | None:
         """Time-index file pruning: build the scan from the EXPLICIT list
-        of chunk files whose catalog [min_ts, max_ts] overlaps the RANGE
-        — the reference's chunk time index (pkg/chunk), re-expressed as
-        driver-side pruning over the write-time chunk-stats catalog. At
-        100 TB a narrow RANGE then never lists or footer-reads the
+        of chunk files the query can possibly touch — the reference's
+        chunk time index (pkg/chunk), re-expressed as driver-side pruning
+        over the write-time chunk-stats catalog. Three prunable shapes:
+
+        - RANGE: keep chunks whose [min_ts, max_ts] overlaps the range.
+        - forward cursor (POSITION 'ts:src:seq', offset ≥ 0): matching
+          rows have ts ≥ token ts, so chunks with max_ts below it are
+          skipped — the hot paging/follow path stops re-listing history.
+        - tail with negative offset and NO row predicates: walking chunks
+          by max_ts descending, accumulate catalog record counts until
+          ≥ n, then keep every chunk whose max_ts ≥ the smallest kept
+          min_ts τ (all kept rows have ts ≥ τ, so the global last-n rows
+          do too; an excluded chunk is entirely below τ). Row predicates
+          disable this shape — catalog counts are unfiltered.
+
+        At 100 TB a narrow query then never lists or footer-reads a
         partition's full chunk history. Returns None (caller falls back
-        to the directory scan) when any matching src is missing from the
-        catalog — e.g. a store whose state dir was rebuilt — so pruning
-        is strictly an optimization, never a correctness dependency. A
-        chunk deleted between planning and execution (concurrent
-        TRUNCATE/compact) is covered by ignoreMissingFiles, the same
-        contract as the directory scan."""
-        files: list[str] = []
+        to the directory scan) when nothing is prunable or any matching
+        src is missing from the catalog (e.g. a rebuilt state dir) —
+        pruning is strictly an optimization, never a correctness
+        dependency. A chunk deleted between planning and execution
+        (concurrent TRUNCATE/compact) is covered by ignoreMissingFiles,
+        the same contract as the directory scan."""
+        from .compiler.select import CursorToken
+
+        min_ns = sel.range.min_ns if sel.range is not None else None
+        max_ns = sel.range.max_ns if sel.range is not None else None
+        tail_k = None
+        pos = sel.position.pos_id.lower() if sel.position else "head"
+        if pos == "tail":
+            if (
+                (sel.offset or 0) < 0
+                and sel.where is None
+                and sel.range is None
+            ):
+                tail_k = -sel.offset
+            elif sel.where is not None or sel.range is not None:
+                pass  # predicates present: only RANGE pruning (below) applies
+        elif pos != "head":
+            try:
+                tok = CursorToken.decode(sel.position.pos_id)
+            except Exception:
+                return None  # malformed token: let compile_select report it
+            if (sel.offset or 0) >= 0:
+                # rows satisfy (ts,src,seq) > token ⇒ ts ≥ token.ts
+                min_ns = tok.ts if min_ns is None else max(min_ns, tok.ts)
+            # negative offset reads backward past the token AND forward —
+            # no safe time bound either side; only RANGE pruning applies
+        if min_ns is None and max_ns is None and tail_k is None:
+            return None
+
+        cands: list[tuple[int, int, int, str]] = []  # (max_ts, min_ts, recs, path)
         with self._write_lock:
             for src in src_ids:
                 chunks = self._chunk_stats.get(src)
@@ -580,9 +618,20 @@ class Engine:
                     if (max_ns is None or st["min_ts"] <= max_ns) and (
                         min_ns is None or st["max_ts"] >= min_ns
                     ):
-                        files.append(
-                            os.path.join(self.logs_path, f"src={src}", chunk)
+                        cands.append(
+                            (st["max_ts"], st["min_ts"], st["records"],
+                             os.path.join(self.logs_path, f"src={src}", chunk))
                         )
+        if tail_k is not None and cands:
+            cands.sort(reverse=True)
+            total, tau = 0, cands[0][1]
+            for mx, mn, recs, _ in cands:
+                tau = min(tau, mn)
+                total += recs
+                if total >= tail_k:
+                    break
+            cands = [c for c in cands if c[0] >= tau]
+        files = [c[3] for c in cands]
         if not files:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         return (
@@ -596,13 +645,7 @@ class Engine:
         limit = min(sel.limit, self.max_limit) if sel.limit is not None else self.max_limit
         sel = ast.Select(sel.format, sel.source, sel.range, sel.where,
                          sel.position, sel.offset, limit)
-        logs = None
-        if sel.range is not None and (
-            sel.range.min_ns is not None or sel.range.max_ns is not None
-        ):
-            logs = self._range_pruned_logs(
-                src_ids, sel.range.min_ns, sel.range.max_ns
-            )
+        logs = self._pruned_logs(src_ids, sel)
         if logs is None:
             logs = self.logs()
         return compile_select(logs, sel, now_ns, src_ids=src_ids)

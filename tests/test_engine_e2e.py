@@ -736,3 +736,41 @@ def test_range_query_prunes_chunk_files_from_catalog(engine):
     )
     assert len(q3.inputFiles()) == 1
     assert [r["msg"] for r in q3.collect()] == [f"d2.{i}" for i in range(4)]
+
+
+def test_tail_and_cursor_queries_prune_chunks(engine):
+    """tail -n with no row predicates reads only the newest chunks whose
+    catalog record counts cover n; a forward cursor skips every chunk
+    entirely below the token's ts; predicates disable tail pruning (the
+    catalog counts are unfiltered) so filtered tails stay correct."""
+    day = 86_400 * NS
+    for d in range(4):
+        engine.write(
+            {"name": "tp"},
+            [(BASE_TS + d * day + i * NS, f"d{d}.{i}", {"k": str(d)}) for i in range(5)],
+        )
+
+    # tail -7 needs the last two chunks (5 records each)
+    q = engine.query("SELECT FROM {name=tp} POSITION tail OFFSET -7 LIMIT 7")
+    assert len(q.inputFiles()) == 2, q.inputFiles()
+    assert [r["msg"] for r in q.collect()] == [
+        "d2.3", "d2.4", "d3.0", "d3.1", "d3.2", "d3.3", "d3.4"
+    ]
+
+    # forward cursor at day-2 start: days 0-1 chunks skipped
+    from logrange_spark.compiler.select import CursorToken
+
+    tok = CursorToken(BASE_TS + 2 * day, "", 0).encode()
+    q2 = engine.query(f"SELECT FROM {{name=tp}} POSITION '{tok}' LIMIT 100")
+    assert len(q2.inputFiles()) == 2, q2.inputFiles()
+    assert [r["msg"] for r in q2.collect()] == [
+        f"d{d}.{i}" for d in (2, 3) for i in range(5)
+    ]
+
+    # WHERE-filtered tail: the matching rows live in the OLDEST chunk —
+    # tail pruning must be disabled, answer correct
+    q3 = engine.query(
+        "SELECT FROM {name=tp} WHERE fields:k = '0' POSITION tail OFFSET -3 LIMIT 3"
+    )
+    assert len(q3.inputFiles()) == 4  # full scan
+    assert [r["msg"] for r in q3.collect()] == ["d0.2", "d0.3", "d0.4"]
