@@ -592,3 +592,99 @@ def pixel_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _batches, _FEATURE_SCHEMA
     )
+
+
+def decode_wav_pcm(payload: bytes | None):
+    """(samples float64 [-1, 1] mono-mixed, sample_rate) for PCM WAV
+    (8/16/32-bit integer); None otherwise. Pure struct+numpy — WAV PCM
+    needs no audio library."""
+    import struct
+
+    import numpy as np
+
+    hdr = parse_audio_header(payload)
+    if hdr is None:
+        return None
+    _, rate, channels, bits, _ = hdr
+    if not rate or not channels or bits not in (8, 16, 32):
+        return None
+    b = bytes(payload)
+    i = 12
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+            break
+        i += 8 + size + (size & 1)
+    if data is None:
+        return None
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    width = np.dtype(dt).itemsize
+    n = len(data) // (width * channels) * channels
+    if n == 0:
+        return None
+    x = np.frombuffer(data, dtype=dt, count=n).astype(np.float64)
+    if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(1 << (bits - 1))
+    return x.reshape(-1, channels).mean(axis=1), rate
+
+
+def audio_feature_vec(payload: bytes | None) -> list[float] | None:
+    """FEATURE_DIM floats from REAL decoded PCM samples:
+    [rms, zero_crossing_rate, dominant_freq_hz, spectral_centroid_hz,
+    peak_abs, duration_s, sample_rate, log2(n_samples)] — None when the
+    payload isn't decodable PCM WAV. Deterministic numpy (rfft)."""
+    import math
+
+    import numpy as np
+
+    dec = decode_wav_pcm(payload)
+    if dec is None:
+        return None
+    x, rate = dec
+    n = len(x)
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    if len(mag) > 1:
+        dom = float(freqs[1:][mag[1:].argmax()])  # skip DC
+        centroid = float((freqs * mag).sum() / mag.sum()) if mag.sum() else 0.0
+    else:
+        dom = centroid = 0.0
+    vec = [
+        rms,
+        zcr,
+        dom,
+        centroid,
+        float(np.abs(x).max()),
+        n / rate,
+        float(rate),
+        math.log2(n) if n else 0.0,
+    ]
+    return vec[:FEATURE_DIM] + [0.0] * (FEATURE_DIM - len(vec))
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(media_id, feature, decode_ok) from REAL decoded PCM WAV samples
+    (``audio_feature_vec``); non-PCM payloads come back decode_ok=False.
+    Arrow-batched ``mapInPandas``, single map stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [audio_feature_vec(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "decode_ok": [v is not None for v in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, _FEATURE_SCHEMA
+    )

@@ -1193,3 +1193,55 @@ def test_pixel_features_real_decode_all_formats(spark):
         assert len(got) == mm.FEATURE_DIM
         assert all(abs(g - w) <= tol for g, w in zip(got, want)), (mid, got, want)
     assert not out[4]["decode_ok"] and out[4]["feature"] is None
+
+
+def _wav_pcm16(samples, rate=8000, channels=1):
+    import struct
+
+    import numpy as np
+
+    x = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    if channels > 1:
+        x = np.repeat(x[:, None], channels, axis=1)
+    data = x.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_features_real_pcm_decode(spark):
+    """audio_features computes rms/zcr/dominant-frequency from REAL
+    decoded PCM: a 440 Hz sine must report ~440 Hz dominant frequency
+    and the analytic rms; stereo mixes down; junk is decode_ok=False."""
+    import numpy as np
+
+    from logrange_spark.ops import multimodal as mm
+
+    rate, dur = 8000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [
+        (1, _wav_pcm16(sine, rate)),
+        (2, _wav_pcm16(sine, rate, channels=2)),
+        (3, b"RIFF junk not a wav"),
+        (4, b"\x00" * 64),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+
+    for mid in (1, 2):
+        assert out[mid]["decode_ok"], mid
+        f = out[mid]["feature"]
+        rms, zcr, dom, centroid, peak, dur_s, srate, _ = f
+        assert abs(rms - 0.5 / np.sqrt(2)) < 0.01      # sine rms = A/√2
+        assert abs(dom - 440.0) < 2.0                  # dominant bin
+        assert abs(zcr - 2 * 440 / rate) < 0.01        # 2 crossings/cycle
+        assert abs(dur_s - 1.0) < 1e-6 and srate == rate
+        assert abs(peak - 0.5) < 0.01
+    assert not out[3]["decode_ok"] and not out[4]["decode_ok"]
+
+    # direct numpy check of the mono mixdown path
+    x, r = mm.decode_wav_pcm(_wav_pcm16(sine, rate, channels=2))
+    assert r == rate and abs(float(np.abs(x - sine[: len(x)]).max())) < 1e-3
