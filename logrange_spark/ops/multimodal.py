@@ -369,6 +369,7 @@ def resize(media: DataFrame, width: int, height: int,
     """
     import hashlib
 
+    from .gif import resize_nearest_gif
     from .jpeg import resize_nearest_jpeg
     from .png import resize_nearest_png
 
@@ -380,7 +381,7 @@ def resize(media: DataFrame, width: int, height: int,
     def _one(p: bytes | None) -> bytes | None:
         if real_codec:
             for codec in (resize_nearest_bmp24, resize_nearest_png,
-                          resize_nearest_jpeg):
+                          resize_nearest_jpeg, resize_nearest_gif):
                 out = codec(p, width, height)
                 if out is not None:
                     return out
@@ -420,25 +421,44 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling over mapInPandas — 1 row in, N frame rows out.
+def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8,
+                 real_codec: bool = False) -> DataFrame:
+    """Video/animation frame sampling over mapInPandas — 1 row in, N
+    frame rows out.
 
-    STUB codec: a real implementation seeks keyframes with ffmpeg; the
-    stub slices the payload every ``every_n_bytes`` so the fan-out shape
-    (one input row → up to ``max_frames`` output rows inside the same
-    Arrow batch) and schema are exercised end-to-end.
+    ``real_codec=True``: animated GIFs are REALLY decoded — each
+    composited frame (ops/gif.py: full LZW + canvas compositing) is
+    re-encoded as a lossless PNG and emitted as its own row, up to
+    ``max_frames``. Payloads the GIF codec can't decode fall back to
+    the stub, which slices the payload every ``every_n_bytes`` — an
+    honest placeholder for container formats whose frame decode needs
+    absent libraries (H.264/ffmpeg), keeping the fan-out shape (one
+    input row → up to ``max_frames`` output rows inside the same Arrow
+    batch) and schema exercised end-to-end either way.
     """
+    from .gif import decode_gif_frames
+    from .png import encode_png
+
+    def _rows(mid, p):
+        if p is None:
+            return
+        if real_codec:
+            frames = decode_gif_frames(p, max_frames=max_frames)
+            if frames is not None:
+                for k, f in enumerate(frames):
+                    yield mid, k, encode_png(f)
+                return
+        for k in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+            yield mid, k, bytes(p[k * every_n_bytes : (k + 1) * every_n_bytes])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None:
-                    continue
-                for k in range(min(max_frames, max(1, len(p) // every_n_bytes))):
-                    ids.append(mid)
-                    idxs.append(k)
-                    frames.append(bytes(p[k * every_n_bytes : (k + 1) * every_n_bytes]))
+                for rid, ridx, rframe in _rows(mid, p):
+                    ids.append(rid)
+                    idxs.append(ridx)
+                    frames.append(rframe)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(_batches, _FRAME_SCHEMA)
@@ -529,6 +549,7 @@ def decode_pixels(payload: bytes | None):
     """HxWx3 uint8 RGB via whichever real codec recognizes the payload
     (24-bit BMP, 8-bit PNG, baseline JPEG); None otherwise. The one
     dispatch point for pixel-level ops."""
+    from .gif import decode_gif
     from .jpeg import decode_jpeg
     from .png import decode_png
 
@@ -536,6 +557,9 @@ def decode_pixels(payload: bytes | None):
     if arr is not None:
         return arr[..., ::-1]  # BMP decodes BGR; normalize to RGB
     arr = decode_png(payload)
+    if arr is not None:
+        return arr
+    arr = decode_gif(payload)
     if arr is not None:
         return arr
     return decode_jpeg(payload)
