@@ -1,0 +1,123 @@
+"""Continuous corpus deduplication: the 100 TB ingestion shape.
+
+A Structured Streaming pipeline that watches a directory of incoming
+document shards and maintains a NEVER-RE-PAIRED deduplicated corpus:
+
+    new shard  ─►  dedup within the shard (keep-first)
+               ─►  probe the persisted corpus LSH state
+                   (ops/dedup.persist_corpus_lsh — tkey-collapsed bands /
+                   toks / members, bucketed so the probe join has no
+                   corpus-side Exchange)
+               ─►  novel documents append to the corpus output AND to the
+                   three probe tables (bucketed INSERT — bucketing is
+                   preserved, so later shards still probe Exchange-free)
+
+The corpus is never joined against itself after the initial build; each
+shard pays one banding map-stage plus joins against co-located buckets.
+Offsets/recovery are Spark's (checkpointed file source); the dedup
+decision is deterministic, so a replayed batch re-derives the same novel
+set and the output append is guarded by a provenance anti-join against
+the corpus membership (same idea as the engine's exactly-once pipes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops import dedup
+
+
+def bootstrap_corpus(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Initial build: dedup the seed corpus (keep-first) and persist its
+    probe state + the corpus rows themselves. Returns (corpus_df,
+    bands, toks, members) catalog tables."""
+    drops = dedup.near_duplicate_drops(corpus, id_col, text_col)
+    kept = corpus.join(drops, id_col, "left_anti")
+    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    bands, toks, members = dedup.persist_corpus_lsh(
+        spark, kept, name, path, id_col, text_col, n_buckets
+    )
+    return spark.read.parquet(f"{path}_docs"), bands, toks, members
+
+
+def start_corpus_dedup_stream(
+    spark,
+    input_dir: str,
+    name: str,
+    path: str,
+    checkpoint: str,
+    doc_schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 32,
+):
+    """Start the continuous dedup query. ``bootstrap_corpus`` must have
+    run for ``name``/``path`` first. Novel documents land in
+    ``{path}_docs``; the probe tables grow by bucketed INSERTs."""
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            # 1. keep-first dedup WITHIN the shard
+            drops = dedup.near_duplicate_drops(batch, id_col, text_col, threshold)
+            shard = batch.join(drops, id_col, "left_anti")
+            # 2. probe the persisted corpus state
+            bands_t = spark.table(f"{name}_bands")
+            toks_t = spark.table(f"{name}_toks")
+            members_t = spark.table(f"{name}_members")
+            matches = dedup.near_duplicates_against(
+                shard, bands_t, toks_t, members_t, id_col, text_col, threshold
+            )
+            novel = shard.join(
+                matches.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            # 3. replay guard: a redelivered batch re-derives the same
+            # novel set, but those ids are in the corpus members now —
+            # anti-join makes the append idempotent. The members insert
+            # runs LAST, so the probe state only ever records fully
+            # appended documents: exactly-once on the probe tables,
+            # at-least-once on the _docs files across a crash INSIDE the
+            # append sequence (consumers key by id; the members table is
+            # the corpus source of truth).
+            novel = novel.join(
+                members_t.select(F.col(id_col)), id_col, "left_anti"
+            ).persist()
+            try:
+                if novel.isEmpty():
+                    return
+                novel.write.mode("append").parquet(f"{path}_docs")
+                nb, nt, nm = dedup._collapsed_probe_state(novel, id_col, text_col)
+                # bucketed appends: insertInto preserves the bucket spec,
+                # so future probes stay Exchange-free on the corpus side;
+                # members goes LAST (see the replay-guard note above)
+                nb.select("tkey", "bkey").write.insertInto(f"{name}_bands")
+                nt.select("tkey", "tok").write.insertInto(f"{name}_toks")
+                nm.select("tkey", id_col).write.insertInto(f"{name}_members")
+            finally:
+                novel.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .foreachBatch(sink)
+        .start()
+    )

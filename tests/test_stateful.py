@@ -45,3 +45,81 @@ def test_stateful_dedupe_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
     assert got == {"a": 1, "b": 3, "c": 5}
+
+
+def test_continuous_corpus_dedup_stream(spark, tmp_path):
+    """End-to-end continuous dedup: bootstrap a corpus (with an internal
+    near-dup that must collapse), stream two shards — duplicates of the
+    corpus and of each other are dropped, novel docs append to both the
+    corpus files and the probe tables, and a doc duplicating a
+    FIRST-shard novel doc is caught by the incrementally-updated state."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_corpus,
+        start_corpus_dedup_stream,
+    )
+
+    name, root = "ccd", str(tmp_path)
+    for t in ("bands", "toks", "members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    seed_rows = [
+        (1, "alpha document about spark engines and large scale shuffles"),
+        (2, "alpha document about spark engines and large scale shuffles"),  # dup of 1
+        (3, "beta document describing parquet file layouts and row groups"),
+    ]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    docs, *_ = bootstrap_corpus(spark, seed, name, f"{root}/{name}")
+    assert sorted(r["doc_id"] for r in docs.collect()) == [1, 3]
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    q = start_corpus_dedup_stream(
+        spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+        "doc_id long, text string", threshold=0.7,
+    )
+    try:
+        # shard 1: one corpus dup, one novel (+ its in-shard dup)
+        spark.createDataFrame(
+            [
+                (10, "alpha document about spark engines and large scale shuffles"),
+                (11, "gamma text with entirely fresh content tokens one two three"),
+                (12, "gamma text with entirely fresh content tokens one two three"),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        def corpus_ids():
+            try:
+                return sorted(
+                    r["doc_id"]
+                    for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+                )
+            except Exception:
+                return []
+
+        deadline = time.time() + 60
+        while corpus_ids() != [1, 3, 11] and time.time() < deadline:
+            time.sleep(0.5)
+        assert corpus_ids() == [1, 3, 11], corpus_ids()
+
+        # shard 2: a near-dup of shard-1's novel doc (caught by the
+        # UPDATED probe state) and one more novel doc
+        spark.createDataFrame(
+            [
+                (20, "gamma text with entirely fresh content tokens one two four"),
+                (21, "delta payload completely unlike anything else whatsoever here"),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 60
+        while corpus_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+        assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
+    finally:
+        q.stop()
+        for t in ("bands", "toks", "members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
