@@ -265,3 +265,81 @@ def test_parse_video_header_ftyp_prefix_total(tail):
     from logrange_spark.ops.multimodal import parse_video_header
 
     parse_video_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + tail)
+
+
+# ---------------------------------------------------------------- codecs
+# Property tests for the pure-Python image codecs: roundtrip invariants
+# over arbitrary small images, and totality over arbitrary byte noise.
+# No Spark involved — these run at the numpy level.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_bmp_roundtrip_lossless_property(w, h, seed):
+    import numpy as np
+
+    from logrange_spark.ops import multimodal as mm
+    from logrange_spark.ops import png
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (png.decode_png(png.encode_png(arr)) == arr).all()
+    assert (mm.decode_bmp24(mm.encode_bmp24(arr)) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+def test_jpeg_roundtrip_bounded_property(w, h, seed, subsample):
+    import numpy as np
+
+    from logrange_spark.ops import jpeg
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quant=1, subsample=subsample))
+    assert dec is not None and dec.shape == arr.shape
+    if not subsample:
+        # 4:4:4 at quant=1: only DCT rounding
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip_exact_property(w, h, seed):
+    import numpy as np
+
+    from logrange_spark.ops import gif
+
+    # <= 256 distinct colors by construction (4 levels per channel)
+    arr = (np.random.default_rng(seed).integers(0, 4, (h, w, 3)) * 85).astype(
+        np.uint8
+    )
+    dec = gif.decode_gif(gif.encode_gif(arr))
+    assert dec is not None and (dec == arr).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_codecs_total_on_noise_property(blob):
+    from logrange_spark.ops import gif, jpeg, png
+    from logrange_spark.ops import multimodal as mm
+
+    # none of the decoders may raise on arbitrary bytes
+    png.decode_png(blob)
+    jpeg.decode_jpeg(blob)
+    gif.decode_gif(blob)
+    mm.decode_bmp24(blob)
+    mm.decode_wav_pcm(blob)
+    mm.pixel_feature_vec(blob)
+    mm.audio_feature_vec(blob)
