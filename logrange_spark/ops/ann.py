@@ -463,9 +463,29 @@ def embedding_near_duplicates(
     """
     if dims is None:
         dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(df))
+    # Exact-collapse skew hardening (mirrors ops/dedup._rep_pairs_and_
+    # members): BYTE-identical vectors — duplicate documents produce
+    # duplicate embeddings — all land in the same sign bucket no matter
+    # how many occupancy bits `bucket_dims` adds, so a k-copy cluster
+    # would put k rows in one bucket and O(k²) pair work in one task.
+    # One representative (min id) per distinct vector enters the bucket
+    # join; member pairs are re-expanded afterward with the IDENTICAL
+    # output: identical vectors share the signature (same matches), the
+    # norm, and every pairwise dot, and the within-cluster score is the
+    # rep's own self-score expression (not a literal 1.0 — the float
+    # fold of dot(v,v)/(‖v‖·‖v‖) is reproduced exactly).
+    vkey = F.md5(
+        F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string")))
+    )
+    keyed = df.select(F.col(id_col), F.col(vec_col), vkey.alias("_vkey"))
+    reps = keyed.groupBy("_vkey").agg(
+        F.min(id_col).alias(id_col), F.first(vec_col).alias(vec_col)
+    )
+    members = keyed.select("_vkey", F.col(id_col))
     # norm projected per row, not per pair (see cosine_topk)
-    b = df.select(
+    b = reps.select(
         F.col(id_col),
+        F.col("_vkey"),
         F.col(vec_col),
         _norm(F.col(vec_col)).alias("_n"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
@@ -483,6 +503,7 @@ def embedding_near_duplicates(
         # orders the output); Hamming>=2 pairs never meet.
         l = b.select(
             F.col(id_col),
+            F.col("_vkey"),
             F.col(vec_col),
             F.col("_n"),
             F.col("bucket").alias("own"),
@@ -501,11 +522,18 @@ def embedding_near_duplicates(
         l = b.alias("l")
         pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     r = b.alias("r")
-    return (
+    rep_pairs = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
         .select(
             F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+            # the cluster keys follow their ids through least/greatest
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("l._vkey")
+            ).otherwise(F.col("r._vkey")).alias("_ka"),
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("r._vkey")
+            ).otherwise(F.col("l._vkey")).alias("_kb"),
             F.round(
                 _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
                 / (F.col("l._n") * F.col("r._n")),
@@ -514,6 +542,51 @@ def embedding_near_duplicates(
         )
         .where(F.col("score") >= threshold)
     )
+    # expansion: cross-cluster member pairs inherit the rep score; the
+    # within-cluster pairs use the rep's self-score (same fold as the
+    # direct pair would compute) and are generated by the same grid-
+    # salted self-join as the token dedup path — output-inherent O(k²),
+    # never one task
+    from .dedup import _salted_self_sides
+
+    ma = members.select(F.col("_vkey").alias("_ka"), F.col(id_col).alias("_fa"))
+    mb = members.select(F.col("_vkey").alias("_kb"), F.col(id_col).alias("_fb"))
+    cross = (
+        rep_pairs.join(ma, "_ka")
+        .join(mb, "_kb")
+        .select(
+            F.least("_fa", "_fb").alias("id_a"),
+            F.greatest("_fa", "_fb").alias("id_b"),
+            "score",
+        )
+    )
+    selfscore = reps.select(
+        F.col("_vkey"),
+        F.round(
+            _dot(F.col(vec_col), F.col(vec_col))
+            / (_norm(F.col(vec_col)) * _norm(F.col(vec_col))),
+            6,
+        ).alias("_selfscore"),
+    ).where(F.col("_selfscore") >= threshold)
+    wl, wr = _salted_self_sides(members.hint("merge"), ["_vkey"], id_col)
+    within = (
+        wl.alias("wl")
+        .join(
+            wr.alias("wr"),
+            (F.col("wl._vkey") == F.col("wr._vkey"))
+            & (F.col("wl._gi") == F.col("wr._gi"))
+            & (F.col("wl._gj") == F.col("wr._gj"))
+            & (F.col(f"wl.{id_col}") < F.col(f"wr.{id_col}")),
+        )
+        .join(selfscore.withColumnRenamed("_vkey", "_wk"),
+              F.col("wl._vkey") == F.col("_wk"))
+        .select(
+            F.col(f"wl.{id_col}").alias("id_a"),
+            F.col(f"wr.{id_col}").alias("id_b"),
+            F.col("_selfscore").alias("score"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ------------------------------------------------------------------ PQ

@@ -1292,3 +1292,43 @@ def test_gif_codec_and_real_frame_sample(spark):
     xi = (np.arange(7) * 14 // 7).clip(0, 13)
     assert (rz == f1[yi][:, xi]).all()
     assert (mm.decode_pixels(bytes(anim)) == f1).all()
+
+
+def test_embedding_near_duplicates_duplicate_vector_cluster(spark, monkeypatch):
+    """Byte-identical embeddings (duplicate documents) collapse to one
+    bucket-join row and expand back: every within-cluster pair appears
+    with the exact self-score, cross pairs match the uncollapsed
+    semantics, and the output is invariant under a tiny salting cap."""
+    import numpy as np
+
+    import logrange_spark.ops.dedup as dd
+
+    rng = np.random.default_rng(17)
+    base = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    dupvec = [float(x) for x in rng.normal(size=16)]
+    cluster = [(100 + j, list(dupvec)) for j in range(8)]
+    near = (np.array(dupvec) + 1e-4).tolist()  # near but not identical
+    rows = base + cluster + [(200, [float(x) for x in near])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def snap():
+        return sorted(
+            (r["id_a"], r["id_b"], r["score"])
+            for r in ann.embedding_near_duplicates(df, threshold=0.95).collect()
+        )
+
+    out = snap()
+    monkeypatch.setattr(dd, "SKEW_CAP", 2)
+    assert snap() == out
+    monkeypatch.undo()
+
+    pairs = {(a, b) for a, b, _ in out}
+    scores = {(a, b): s for a, b, s in out}
+    cluster_ids = [100 + j for j in range(8)]
+    for i, a in enumerate(cluster_ids):
+        for b in cluster_ids[i + 1:]:
+            assert (a, b) in pairs
+            assert scores[(a, b)] == scores[(100, 101)]  # one self-score
+    # the near-identical outsider pairs with every cluster member
+    assert all((m, 200) in pairs for m in cluster_ids)
+    assert len(pairs) == len(out)  # no duplicate emissions
