@@ -95,3 +95,104 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     thr = F.lit(hex_threshold(default)) if expr is None else \
         expr.otherwise(F.lit(hex_threshold(default)))
     return df.where(b < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: assign documents to bins of at most
+    ``max_tokens`` total tokens — the standard pre-training batch-prep
+    step (short documents share a context window instead of wasting
+    padding). Documents longer than ``max_tokens`` get a bin of their
+    own (the caller chunks or drops them; packing never splits).
+
+    Returns (id, n_tokens, bin_id, bin_offset) with ``bin_id`` globally
+    unique and ``bin_offset`` the document's token start within its bin.
+
+    100 TB shape: exact first-fit-decreasing is inherently sequential,
+    so the distributed form packs INDEPENDENTLY per partition — one
+    shuffle to spread documents deterministically (hash of id), then an
+    Arrow-batched per-partition FFD pass; bins never span partitions, so
+    partition count scales freedom, not correctness. The waste bound is
+    local-FFD's (≤ ~22% over optimal per partition, usually ~1-3% for
+    heavy-tailed document lengths); deterministic for a fixed partition
+    count because both the assignment hash and the within-partition
+    order are value-derived.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(count_col).cast("long").alias("_n"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int").alias("_p"),
+        )
+        .repartition(n_parts, "_p")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("bin_id", T.LongType(), False),
+            T.StructField("bin_offset", T.LongType(), False),
+        ]
+    )
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
+        rows: list[tuple[int, int, int]] = []  # (n, id, part)
+        for pdf in it:
+            rows.extend(
+                zip(pdf["_n"].tolist(), pdf[id_col].tolist(), pdf["_p"].tolist())
+            )
+        if not rows:
+            return
+        part = rows[0][2]
+        # first-fit-decreasing with a best-fit heap: largest docs first,
+        # each into the fullest bin that still fits (heap keyed by free
+        # space); ties broken by id for determinism
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        used: list[int] = []
+        assign: list[tuple[int, int, int, int]] = []
+        free_heap: list[tuple[int, int]] = []  # (free, bin_idx) — best fit
+        for n, i, _ in rows:
+            placed = None
+            # scan the best-fit candidates: smallest free ≥ n
+            kept = []
+            while free_heap:
+                free, b = heapq.heappop(free_heap)
+                if free >= n:
+                    placed = b
+                    break
+                kept.append((free, b))
+            for kv in kept:
+                heapq.heappush(free_heap, kv)
+            if placed is None:
+                placed = len(used)
+                used.append(0)
+            assign.append((i, n, placed, used[placed]))
+            used[placed] += n
+            cap = max(max_tokens, n)  # oversized doc: dedicated bin, full
+            if cap - used[placed] > 0 and used[placed] < max_tokens:
+                heapq.heappush(free_heap, (max_tokens - used[placed], placed))
+        # globally unique bin ids: partition index in the high bits
+        yield pd.DataFrame(
+            {
+                id_col: [a[0] for a in assign],
+                "n_tokens": [a[1] for a in assign],
+                "bin_id": [(part << 32) | a[2] for a in assign],
+                "bin_offset": [a[3] for a in assign],
+            }
+        )
+
+    return base.mapInPandas(_pack, out_schema)

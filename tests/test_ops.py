@@ -1332,3 +1332,38 @@ def test_embedding_near_duplicates_duplicate_vector_cluster(spark, monkeypatch):
     # the near-identical outsider pairs with every cluster member
     assert all((m, 200) in pairs for m in cluster_ids)
     assert len(pairs) == len(out)  # no duplicate emissions
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    """Sequence packing: every document lands in exactly one bin, no bin
+    exceeds the token budget (except a dedicated bin for an oversized
+    document), offsets are contiguous prefix sums within each bin, the
+    result is deterministic, and utilization is high on packable data."""
+    from collections import defaultdict
+
+    from logrange_spark.ops.sampling import pack_sequences
+
+    rows = [(i, 50 + (i * 37) % 900) for i in range(400)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, max_tokens=2048, partitions=4).collect()
+    out2 = pack_sequences(df, max_tokens=2048, partitions=4).collect()
+    key = lambda r: (r["doc_id"], r["bin_id"], r["bin_offset"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))  # deterministic
+
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    bins = defaultdict(list)
+    for r in out:
+        bins[r["bin_id"]].append((r["bin_offset"], r["n_tokens"], r["doc_id"]))
+    for bid, docs in bins.items():
+        docs.sort()
+        total = sum(n for _, n, _ in docs)
+        if total > 2048:  # only the oversized doc's dedicated bin
+            assert len(docs) == 1 and docs[0][2] == 999
+        # offsets are the prefix sums of the bin's documents
+        off = 0
+        for o, n, _ in docs:
+            assert o == off
+            off += n
+    # utilization: non-oversized bins should average well above half full
+    fills = [sum(n for _, n, _ in d) for b, d in bins.items() if len(d) > 1 or d[0][2] != 999]
+    assert sum(fills) / (len(fills) * 2048) > 0.7, sum(fills) / (len(fills) * 2048)
