@@ -571,6 +571,15 @@ class Engine:
           min_ts τ (all kept rows have ts ≥ τ, so the global last-n rows
           do too; an excluded chunk is entirely below τ). Row predicates
           disable this shape — catalog counts are unfiltered.
+        - backward cursor (negative offset from an explicit token, no row
+          predicates): the window is ≤ n rows at-or-before the token plus
+          ≤ limit rows after it. Both sides use the tail-style
+          accumulation with one twist: a chunk STRADDLING the token
+          (min_ts ≤ tok.ts < max_ts) is always kept but never counted —
+          its records split across the boundary in unknown proportion,
+          so counting only fully-below (resp. fully-above) chunks keeps
+          each accumulated total a lower bound on the rows available on
+          that side, making the kept set a superset of the window.
 
         At 100 TB a narrow query then never lists or footer-reads a
         partition's full chunk history. Returns None (caller falls back
@@ -585,6 +594,7 @@ class Engine:
         min_ns = sel.range.min_ns if sel.range is not None else None
         max_ns = sel.range.max_ns if sel.range is not None else None
         tail_k = None
+        back_tok = back_k = None
         pos = sel.position.pos_id.lower() if sel.position else "head"
         if pos == "tail":
             if (
@@ -603,9 +613,15 @@ class Engine:
             if (sel.offset or 0) >= 0:
                 # rows satisfy (ts,src,seq) > token ⇒ ts ≥ token.ts
                 min_ns = tok.ts if min_ns is None else max(min_ns, tok.ts)
-            # negative offset reads backward past the token AND forward —
-            # no safe time bound either side; only RANGE pruning applies
-        if min_ns is None and max_ns is None and tail_k is None:
+            elif sel.where is None and sel.range is None:
+                back_tok, back_k = tok.ts, -sel.offset
+            # (with predicates a backward cursor gets RANGE pruning only)
+        if (
+            min_ns is None
+            and max_ns is None
+            and tail_k is None
+            and back_tok is None
+        ):
             return None
 
         cands: list[tuple[int, int, int, str]] = []  # (max_ts, min_ts, recs, path)
@@ -631,6 +647,27 @@ class Engine:
                 if total >= tail_k:
                     break
             cands = [c for c in cands if c[0] >= tau]
+        elif back_tok is not None and cands:
+            straddle = [c for c in cands if c[1] <= back_tok < c[0]]
+            below = sorted((c for c in cands if c[0] <= back_tok), reverse=True)
+            above = sorted(c for c in cands if c[1] > back_tok)
+            keep = {c[3] for c in straddle}
+            total, tau = 0, None
+            for mx, mn, recs, _ in below:  # last back_k rows ≤ token
+                tau = mn if tau is None else min(tau, mn)
+                total += recs
+                if total >= back_k:
+                    break
+            keep.update(c[3] for c in below if tau is not None and c[0] >= tau)
+            fwd_limit = sel.limit if sel.limit is not None else self.max_limit
+            total, rho = 0, None
+            for mx, mn, recs, _ in above:  # first fwd_limit rows > token
+                rho = mx if rho is None else max(rho, mx)
+                total += recs
+                if total >= fwd_limit:
+                    break
+            keep.update(c[3] for c in above if rho is not None and c[1] <= rho)
+            cands = [c for c in cands if c[3] in keep]
         files = [c[3] for c in cands]
         if not files:
             return self.spark.createDataFrame([], LOG_SCHEMA)

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from logrange_spark.compiler.select import CursorToken
+from logrange_spark.compiler.select import CursorToken, compile_select
 from logrange_spark.lql import ast
 from logrange_spark.lql.parser import parse_lql
 
@@ -758,7 +758,7 @@ def test_tail_and_cursor_queries_prune_chunks(engine):
     ]
 
     # forward cursor at day-2 start: days 0-1 chunks skipped
-    from logrange_spark.compiler.select import CursorToken
+    from logrange_spark.compiler.select import CursorToken, compile_select
 
     tok = CursorToken(BASE_TS + 2 * day, "", 0).encode()
     q2 = engine.query(f"SELECT FROM {{name=tp}} POSITION '{tok}' LIMIT 100")
@@ -774,3 +774,42 @@ def test_tail_and_cursor_queries_prune_chunks(engine):
     )
     assert len(q3.inputFiles()) == 4  # full scan
     assert [r["msg"] for r in q3.collect()] == ["d0.2", "d0.3", "d0.4"]
+
+
+def test_backward_cursor_pruning_differential(engine):
+    """Backward-cursor pruning must be a strict superset of the window:
+    sweep cursor positions (chunk-interior, chunk-boundary, straddling),
+    back-offsets and limits, and compare row-for-row against the
+    unpruned scan; interior cases must actually drop files."""
+    day = 86_400 * NS
+    for d in range(5):
+        engine.write(
+            {"name": "bp"},
+            [(BASE_TS + d * day + i * NS, f"d{d}.{i}", {}) for i in range(6)],
+        )
+    pruned_fewer = 0
+    for anchor_ts in (
+        BASE_TS + 2 * day + 3 * NS,  # interior of chunk 2
+        BASE_TS + 2 * day,           # exact chunk-2 start
+        BASE_TS + 2 * day - NS // 2, # between chunks
+        BASE_TS,                     # very first record
+        BASE_TS + 4 * day + 5 * NS,  # last record
+    ):
+        tok = CursorToken(anchor_ts, "", 10**9).encode()
+        for off, lim in ((-3, 3), (-7, 7), (-4, 12), (-100, 5), (-2, 30)):
+            q = engine.query(
+                f"SELECT FROM {{name=bp}} POSITION '{tok}' OFFSET {off} LIMIT {lim}"
+            )
+            got = [(r["ts"], r["seq"]) for r in q.collect()]
+            full = compile_select(
+                engine.logs(),
+                parse_lql(
+                    f"SELECT FROM {{name=bp}} POSITION '{tok}' OFFSET {off} LIMIT {lim}"
+                ),
+                src_ids=engine.resolve_sources(None),
+            )
+            want = [(r["ts"], r["seq"]) for r in full.collect()]
+            assert got == want, (anchor_ts, off, lim)
+            if len(q.inputFiles()) < 5:
+                pruned_fewer += 1
+    assert pruned_fewer >= 10, pruned_fewer  # pruning actually engages
