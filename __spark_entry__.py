@@ -508,6 +508,11 @@ def _q_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicates(docs, "doc_id", "text", threshold=0.8)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_duplicate_clusters(docs, "doc_id", "text", threshold=0.8)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
@@ -1099,15 +1104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (relative "-22d" literal folding) was retired from the registry in
         # round 4; `lql_cursor_back`, `lql_upper_func` and `lql_format_full`
         # were rotated out in round 7 to make room for the newest operators
-        # (ann_pq_topk, repetition_stats, curation_full). Every retired row
-        # is still oracle-checked against DuckDB in
+        # (ann_pq_topk, repetition_stats, curation_full), and
+        # `lql_offset_limit` later in round 7 for dedup_clusters (OFFSET/
+        # LIMIT mechanics stay covered by lql_tail and lql_cursor_page).
+        # Every retired row is still oracle-checked against DuckDB in
         # tests/test_entry_contract.py (test_retired_range_relative_oracle,
         # test_retired_lql_oracles) via `retired_queries` /
         # `_RETIRED_LQL_ORACLES` below.
         "lql_range_special": _lql_at(
             'SELECT FROM {name=signup} RANGE "week"', 1_705_487_400_000_000_000
         ),  # now = Wed 2024-01-17 10:30 UTC → week starts Sun 2024-01-14
-        "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
         "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
@@ -1134,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_candidates": _q_lsh_candidates,
         "dedup_near_duplicates": _q_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_simhash_pairs,
         # training-data pipeline: text analysis
         "text_stats": _q_text_stats,
@@ -1170,6 +1177,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_cursor_back": _lql(
             f"SELECT POSITION '{RANGE_LO}::0' OFFSET -400 LIMIT 400"
         ),
+        "lql_offset_limit": _lql("SELECT OFFSET 2000 LIMIT 1000"),
         "lql_upper_func": _lql("SELECT WHERE UPPER(msg) CONTAINS '\"K\": 9'"),
         "lql_format_full": _lql_fmt(
             'SELECT "{ts.format(2006/01/02 15:04)} {vars} [{msg.json()}]" FROM {name=click}'
@@ -1237,6 +1245,35 @@ def _near_dup_sql(threshold: float) -> str:
         "  FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id "
         "  JOIN dtok b ON pairs.id_b = b.doc_id) "
         f"WHERE jaccard >= {threshold}"
+    )
+
+
+def _clusters_sql(threshold: float) -> str:
+    # transitive closure of the verified near-dup pair graph via a
+    # recursive CTE: reach(id, r) enumerates every node reachable from
+    # each doc, min(r) per doc is the cluster id — the same fixed point
+    # the Spark side's star-contraction connected components converges to
+    return (
+        f"WITH RECURSIVE {_tok_cte()}, {_shingle_cte()}, {_sig_cte()}, "
+        f"{_bands_cte()}, "
+        "cpairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        "  FROM bands l JOIN bands r "
+        "  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id), "
+        "dtok AS (SELECT doc_id, list_distinct(w) AS tok FROM toks), "
+        "vpairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT id_a, id_b, "
+        "    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) "
+        "        / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS j "
+        "  FROM cpairs JOIN dtok a ON cpairs.id_a = a.doc_id "
+        "  JOIN dtok b ON cpairs.id_b = b.doc_id) "
+        f"  WHERE j >= {threshold}), "
+        "bi AS (SELECT id_a AS a, id_b AS b FROM vpairs "
+        "  UNION ALL SELECT id_b, id_a FROM vpairs), "
+        "reach(id, r) AS ("
+        "  SELECT doc_id, doc_id FROM documents "
+        "  UNION "
+        "  SELECT bi.a, reach.r FROM bi JOIN reach ON bi.b = reach.id) "
+        "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
     )
 
 
@@ -1624,6 +1661,8 @@ _RETIRED_LQL_ORACLES = {
     f"WHERE (ts, src, seq) <= ({RANGE_LO // 1000}, '', 0) "
     "ORDER BY ts DESC, src DESC, seq DESC LIMIT 400) "
     "ORDER BY ts, src, seq",
+    "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
+    "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
     "lql_upper_func": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
     "WHERE contains(upper(msg), '\"K\": 9') "
     "ORDER BY ts, src, seq LIMIT 10000",
@@ -1662,8 +1701,6 @@ def oracle_sql() -> dict[str, str]:
         "lql_range_special": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         f"WHERE tag_line = 'name=signup' AND ts >= {1_705_190_400 * 10**6} "
         "ORDER BY ts, src, seq LIMIT 10000",
-        "lql_offset_limit": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
-        "ORDER BY ts, src, seq OFFSET 2000 LIMIT 1000",
         "lql_tail": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "ORDER BY ts DESC, src DESC, seq DESC LIMIT 300",
         # cursor token (ts=RANGE_LO ns, src='', seq=0); all event ts are
@@ -1814,6 +1851,7 @@ SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
 FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dedup_lsh_candidates": _lsh_pairs_sql(),
         "dedup_near_duplicates": _near_dup_sql(0.8),
+        "dedup_clusters": _clusters_sql(0.8),
         "dedup_simhash_pairs": _simhash_sql(3),
         "text_stats": _text_stats_sql(),
         "text_lang_dist": f"""

@@ -419,6 +419,153 @@ def near_duplicate_drops(
     return non_reps.unionByName(cluster_members).distinct()
 
 
+CC_MAX_ITERS = 30
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = CC_MAX_ITERS,
+    checkpoint=None,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable from it.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    re-attaches nodes to the minimum of their neighborhood, converging in
+    O(log n) rounds regardless of graph diameter — plain min-label
+    propagation needs O(diameter) rounds and a chain of duplicates (doc A
+    ~ B ~ C ... with no direct A~Z pair) is exactly the shape that
+    produces long diameters. Every step is relational (two groupBy-mins
+    and two joins per round, no collect, no explode of neighbor lists),
+    so a hub node with k neighbors contributes k ROWS to a join, never an
+    O(k²) task.
+
+    ``checkpoint`` is a ``DataFrame -> DataFrame`` lineage cut applied
+    once per round; the default eager ``localCheckpoint`` is right for
+    single-process use. On a cluster with executor churn pass
+    ``lambda d: d.checkpoint()`` with a fault-tolerant checkpoint dir
+    (localCheckpoint blocks survive only as long as their executors).
+
+    Convergence is detected by a (count, xxhash64-sum) fingerprint of the
+    canonical edge set — one cheap aggregate per round instead of a full
+    except-join. Raises ``RuntimeError`` if ``max_iter`` rounds don't
+    reach the fixed point (log₂-bounded: 30 rounds covers any real graph).
+    """
+    if checkpoint is None:
+        def checkpoint(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        nbrs = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        o = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def fingerprint(cur: DataFrame) -> tuple:
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode would overflow a long sum of hashes
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    e = checkpoint(e)
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        e = checkpoint(small_star(large_star(e)))
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixed point = star graphs: every edge is (member, component-min);
+    # the roots themselves appear only on the v side
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def near_duplicate_clusters(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """(id, cluster_id) for EVERY document — the transitive closure of the
+    verified near-duplicate pair graph, cluster_id = min doc id of the
+    component. Keep-one-per-cluster dedup needs the TRANSITIVE cluster,
+    not direct pairs: A~B and B~C must put A, C in one cluster even when
+    A and C themselves fall under the threshold. Singletons (including
+    docs shorter than SHINGLE_N tokens, which produce no pairs) are their
+    own cluster.
+
+    Scale shape: the O(k²) within-cluster pair set is never materialized.
+    CC runs over an O(n + |rep pairs|) edge skeleton with identical
+    connectivity to the full expanded pair graph — member→representative
+    star edges (identical token streams) plus Jaccard-verified
+    representative-level pairs.
+    """
+    toked = _token_frame(df, id_col, text_col)
+    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+    reps_min = members.groupBy("_tkey").agg(F.min(id_col).alias("_rep"))
+    star = (
+        members.join(reps_min, "_tkey")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("src"), F.col(id_col).alias("dst"))
+    )
+    edges = verified.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(star)
+    labels = connected_components(edges, "src", "dst").withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:
     """Groups of exact duplicates by md5 of ``key_col``: returns
     (content_hash, keep_id, dup_count) for groups with >1 member."""

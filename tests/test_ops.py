@@ -1367,3 +1367,142 @@ def test_pack_sequences_bins_respect_budget(spark):
     # utilization: non-oversized bins should average well above half full
     fills = [sum(n for _, n, _ in d) for b, d in bins.items() if len(d) > 1 or d[0][2] != 999]
     assert sum(fills) / (len(fills) * 2048) > 0.7, sum(fills) / (len(fills) * 2048)
+
+
+# ------------------------------------------------- duplicate clustering (CC)
+def _uf_components(edges):
+    """Python union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for node in {x for e in edges for x in e}:
+        out[node] = find(node)
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        # chain: worst case for O(diameter) label propagation — the star
+        # contraction must still converge inside CC_MAX_ITERS rounds
+        ("chain", [(i, i + 1) for i in range(60)]),
+        ("clique", [(i, j) for i in range(12) for j in range(i + 1, 12)]),
+        (
+            "bridged-cliques",
+            [(i, j) for i in range(6) for j in range(i + 1, 6)]
+            + [(10 + i, 10 + j) for i in range(6) for j in range(i + 1, 6)]
+            + [(5, 10)],
+        ),
+        ("self-loops-and-dups", [(3, 3), (1, 2), (2, 1), (1, 2), (7, 9)]),
+    ],
+)
+def test_connected_components_vs_union_find(spark, name, edges):
+    ref = _uf_components([(a, b) for a, b in edges if a != b])
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(e).collect()
+    }
+    assert got == ref, name
+
+
+def test_connected_components_random_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for _ in range(3):
+        edges = [
+            (rng.randrange(150), rng.randrange(150)) for _ in range(120)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        ref = _uf_components(edges)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(e).collect()
+        }
+        assert got == ref
+
+
+def test_connected_components_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    out = dedup.connected_components(e)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_near_duplicate_clusters_on_fixture(docs):
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_duplicate_clusters(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # 1,2,3 are one near-dup cluster (1-3 exact, 1-2 near); 4, 5 distinct
+    # content; 6 is empty (below SHINGLE_N tokens) → singleton cluster
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+
+
+def test_near_duplicate_clusters_transitive_chain(spark):
+    """A~B and B~C above threshold, A~C below: transitive closure must
+    still put all three in ONE cluster — the semantics direct pair
+    filtering cannot express."""
+    base = [f"tok{i}" for i in range(20)]
+    b = ["alt0", "alt1", "alt2"] + base[3:]
+    c = ["alt0", "alt1", "alt2", "alt3", "alt4", "alt5"] + base[6:]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(b)),
+        (3, " ".join(c)),
+        (4, "unrelated text about completely other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # pin the premise: direct pairs hold A~B, B~C but NOT A~C at 0.7
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.near_duplicates(df, "doc_id", "text", 0.7).collect()
+    }
+    assert (1, 2) in j and (2, 3) in j and (1, 3) not in j, j
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_duplicate_clusters(
+            df, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_near_duplicate_clusters_drops_invariant(spark):
+    """Keep-first drops are always a subset of the clusters' non-min
+    members (transitivity can only merge clusters, never split), and the
+    cluster id is the component minimum."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    rows = dedup.near_duplicate_clusters(docs, "doc_id", "text", 0.8).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["cluster_id"]].append(r["doc_id"])
+    assert all(cid == min(mem) for cid, mem in groups.items())
+    non_min = {x for mem in groups.values() for x in mem if x != min(mem)}
+    drops = {
+        r[0]
+        for r in dedup.near_duplicate_drops(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert drops <= non_min
+    assert len(rows) == docs.count()  # every doc labeled, singletons included
