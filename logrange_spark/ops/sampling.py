@@ -97,6 +97,77 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.where(b < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int | None = None,
+    salt: str = "",
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministically resample the corpus to a target DOMAIN MIXTURE —
+    the "mix web/code/books at 70/20/10" step of training-data prep.
+
+    ``weights`` maps domain value → relative mixture weight (normalized
+    internally); domains not listed are dropped. ``total`` is the target
+    output row count (default: the input row count, i.e. remix at
+    constant size). Each domain's resampling rate r = target_n / n may
+    exceed 1: rows are replicated floor(r) times ("epochs") plus one
+    fractional copy selected by the same md5-hex threshold as the other
+    samplers — so the output is an exact deterministic function of
+    (salt, id) and E[output per domain] = total·w. The ``copy`` column
+    (0-based epoch index) keeps replicas distinct downstream.
+
+    100 TB shape: per-domain counts are ONE tiny groupBy-count collect
+    (domains are few; pass ``counts`` from catalog stats to skip the
+    job), then everything is a map-side CASE + sequence-explode — no
+    shuffle, linear output even for heavily up-sampled domains.
+    """
+    if not weights:
+        raise ValueError("at least one domain weight required")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    if counts is None:
+        counts = {
+            r["d"]: r["n"]
+            for r in df.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    if total is None:
+        total = sum(counts.values())
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    wsum = sum(weights.values())
+    rates = {
+        d: (total * w / wsum) / counts[d]
+        for d, w in weights.items()
+        if counts.get(d)
+    }
+    if not rates:
+        return df.withColumn("copy", F.lit(0)).where(F.lit(False))
+    b = hash_bucket_hex(F.col(id_col), salt)
+    whole = None
+    frac_thr = None
+    for d, r in rates.items():
+        cond = F.col(domain_col) == d
+        w_lit, t_lit = F.lit(int(r)), F.lit(hex_threshold(r - int(r)))
+        whole = F.when(cond, w_lit) if whole is None else whole.when(cond, w_lit)
+        frac_thr = (
+            F.when(cond, t_lit) if frac_thr is None else frac_thr.when(cond, t_lit)
+        )
+    k = whole.otherwise(F.lit(-1)) + F.when(b < frac_thr.otherwise("0"), 1).otherwise(0)
+    # sequence(0, k-1) would COUNT DOWN for k == 0 (Spark infers step -1),
+    # so rows with no copies are filtered before the explode
+    return (
+        df.withColumn("_k", k)
+        .where(F.col("_k") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_k") - 1)))
+        .drop("_k")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -1506,3 +1506,77 @@ def test_near_duplicate_clusters_drops_invariant(spark):
     }
     assert drops <= non_min
     assert len(rows) == docs.count()  # every doc labeled, singletons included
+
+
+# ------------------------------------------------------- mixture resampling
+def _mix_reference(rows, weights, total, salt=""):
+    """Python twin of mixture_sample: (id, domain, copy) triples."""
+    import hashlib
+    from collections import Counter
+
+    from logrange_spark.ops import sampling
+
+    counts = Counter(d for _, d in rows)
+    wsum = sum(weights.values())
+    out = []
+    for i, d in rows:
+        if d not in weights or not counts[d]:
+            continue
+        r = (total * weights[d] / wsum) / counts[d]
+        b = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8]
+        thr = sampling.hex_threshold(r - int(r))
+        k = int(r) + (1 if b < thr else 0)
+        out.extend((i, d, c) for c in range(k))
+    return sorted(out)
+
+
+def test_mixture_sample_matches_reference(spark):
+    from logrange_spark.ops import sampling
+
+    rows = [(i, ["web", "code", "books"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    weights = {"web": 0.7, "code": 0.2, "books": 0.1}
+    out = sampling.mixture_sample(df, "doc_id", "domain", weights, total=600)
+    got = sorted(
+        (r["doc_id"], r["domain"], r["copy"]) for r in out.collect()
+    )
+    assert got == _mix_reference(rows, weights, 600)
+    # the 0.7-weight domain has only 200 of the 420 target rows available
+    # → rate 2.1: every web row appears 2 or 3 times (up-sampling epochs)
+    from collections import Counter
+
+    per_doc = Counter((i, d) for i, d, _ in got)
+    web_counts = {v for (i, d), v in per_doc.items() if d == "web"}
+    assert web_counts <= {2, 3} and 3 in web_counts
+    # down-sampled domain: 0 or 1 copies only
+    books_counts = {v for (i, d), v in per_doc.items() if d == "books"}
+    assert books_counts == {1}
+    # realized mixture tracks the target within sampling noise
+    n_by = Counter(d for _, d, _ in got)
+    assert abs(n_by["web"] - 420) <= 25 and abs(n_by["code"] - 120) <= 25
+
+
+def test_mixture_sample_drops_unlisted_and_validates(spark):
+    from logrange_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "spam"), (3, "web")], "doc_id long, domain string"
+    )
+    out = sampling.mixture_sample(df, "doc_id", "domain", {"web": 1.0}, total=2)
+    assert {r["domain"] for r in out.collect()} == {"web"}
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, "doc_id", "domain", {})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, "doc_id", "domain", {"web": -1.0})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, "doc_id", "domain", {"web": 1.0}, total=0)
+    # counts= skips the count job and gives identical output
+    a = sampling.mixture_sample(
+        df, "doc_id", "domain", {"web": 1.0}, total=4,
+        counts={"web": 2, "spam": 1},
+    ).collect()
+    b = sampling.mixture_sample(
+        df, "doc_id", "domain", {"web": 1.0}, total=4
+    ).collect()
+    key = lambda r: (r["doc_id"], r["copy"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
