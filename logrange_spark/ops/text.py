@@ -398,3 +398,93 @@ def contamination(
             ).alias("contamination"),
         )
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style LM
+    quality signal (Wenzek et al., "CCNet", LREC 2020 use a wiki-trained
+    KenLM; the self-trained unigram form needs no external model and
+    ranks the same pathologies): documents whose tokens are improbable
+    under the corpus distribution score low (gibberish, encoding noise),
+    pathologically repetitive common-token documents score high. Filter
+    on both tails.
+
+    Returns (id, n_tokens, avg_logprob, ppl) for EVERY input document;
+    empty documents carry null score. ``vocab`` (token, logp) may be
+    passed to score against a fixed reference model (and to skip the
+    training aggregate); otherwise it is trained on ``docs`` itself:
+    top ``vocab_size`` tokens by count with add-alpha smoothing, OOV
+    mass = alpha / (total + alpha*(V+1)).
+
+    100 TB shape: vocabulary training is one explode + groupBy-count
+    (map-side partial aggregation collapses each partition to its
+    distinct tokens before the shuffle); scoring joins the exploded
+    tokens against the ≤50k-row vocab BROADCAST (plan keeps the corpus
+    side shuffle-free) and the per-doc average partial-aggregates to one
+    row per doc before its only shuffle. No Python, no collect.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    exploded = toks.select(id_col, F.explode("_tok").alias("_w"))
+    if vocab is None:
+        counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+        # total + V must be computed before the top-k cut so OOV mass is
+        # the true tail mass; both are tiny aggregate scalars
+        tot = counts.agg(
+            F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
+        )
+        vocab = (
+            counts.orderBy(F.desc("_c"), "_w")
+            .limit(vocab_size)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("_w").alias("token"),
+                F.log(
+                    (F.col("_c") + F.lit(alpha))
+                    / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
+                ).alias("logp"),
+                F.log(
+                    F.lit(alpha)
+                    / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
+                ).alias("_oov"),
+            )
+        )
+    if "_oov" in vocab.columns:
+        oov_col = "_oov"
+    else:
+        oov_col = None
+    scored = exploded.join(
+        F.broadcast(vocab.withColumnRenamed("token", "_w")), "_w", "left"
+    )
+    if oov_col is None:
+        # externally supplied vocab without an OOV column: fall back to
+        # the vocab's own minimum log-prob for unknown tokens
+        mn = vocab.agg(F.min("logp").alias("m"))
+        scored = scored.crossJoin(F.broadcast(mn)).withColumn(
+            "_lp", F.coalesce("logp", F.col("m"))
+        )
+    else:
+        mn_oov = vocab.agg(F.min(oov_col).alias("m"))
+        scored = scored.crossJoin(F.broadcast(mn_oov)).withColumn(
+            "_lp", F.coalesce("logp", F.col("m"))
+        )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+        )
+    )

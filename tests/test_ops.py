@@ -1580,3 +1580,66 @@ def test_mixture_sample_drops_unlisted_and_validates(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["copy"])  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# ------------------------------------------------------ unigram LM scoring
+def test_unigram_lm_score_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zq xv qq zz vx"),  # gibberish: every token is rare
+        (4, "the the the the the the"),  # degenerate: most common token
+        (5, ""),  # empty → null score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+        for r in text.unigram_lm_score(df, "doc_id", "text").collect()
+    }
+    # python twin (vocab_size large enough that nothing is OOV)
+    alpha = 0.5
+    toks = {i: t.lower().split() for i, t in rows}
+    counts = Counter(w for ws in toks.values() for w in ws)
+    total, v = sum(counts.values()), len(counts)
+    denom = total + alpha * (v + 1)
+    lp = {w: math.log((c + alpha) / denom) for w, c in counts.items()}
+    for i, ws in toks.items():
+        if not ws:
+            assert got[i] == (0, None, None)
+            continue
+        avg = round(sum(lp[w] for w in ws) / len(ws), 6)
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - avg) < 1e-6, (i, got[i], avg)
+        assert abs(got[i][2] - round(math.exp(-avg), 4)) < 1e-3
+    # the quality ordering the signal exists for
+    assert got[3][1] < got[1][1] < got[4][1]
+
+
+def test_unigram_lm_score_vocab_cut_and_external(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b b b c c rare1"), (2, "a b c rare2 rare3")],
+        "doc_id long, text string",
+    )
+    # vocab_size=3 keeps a/b/c; rare* fall to the OOV mass and must score
+    # strictly below every in-vocab token
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.unigram_lm_score(df, "doc_id", "text", vocab_size=3).collect()
+    }
+    assert out[2] < out[1]
+    # external vocab without _oov: unknowns take the vocab's min logp
+    import math
+
+    vocab = spark.createDataFrame(
+        [("a", math.log(0.5)), ("b", math.log(0.25))], "token string, logp double"
+    )
+    ext = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.unigram_lm_score(df, "doc_id", "text", vocab=vocab).collect()
+    }
+    # doc1: 4*log.5 + 3*log.25 + 3*log.25 (c,rare1 → min=log.25) over 10
+    exp1 = round((4 * math.log(0.5) + 6 * math.log(0.25)) / 10, 6)
+    assert abs(ext[1] - exp1) < 1e-6
