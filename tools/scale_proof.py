@@ -111,15 +111,46 @@ def _q_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from logrange_spark.ops import dedup
+
+    return dedup.near_duplicate_clusters(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", 0.8
+    )
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from logrange_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # remix the 20 synthetic sources to a skewed target at constant size:
+    # the first three domains up-sample ~3x, the rest down-sample
+    weights = {f"src{i}": (2.0 if i < 3 else 0.5) for i in range(20)}
+    return sampling.mixture_sample(docs, "doc_id", "source", weights)
+
+
+def _q_unigram_lm(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    return t.unigram_lm_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
 # beyond-registry operators whose scaling behavior is worth proving:
-# both are ~linear in corpus rows — encode/assign is a full map stage in
-# this on-the-fly form, and pruning only cuts the scoring fan-out. The
+# PQ encode/assign is a full map stage in this on-the-fly form, and
+# pruning only cuts the scoring fan-out — ~linear in corpus rows; the
 # near-flat serving path is probing the PERSISTED centroid-bucketed
 # coded table (plan-asserted in tests/test_bucketing.py), which pays the
-# encode once at write time.
+# encode once at write time. dedup_clusters adds O(log n) contraction
+# rounds over the pair skeleton; mixture/unigram are map-side + one
+# aggregate — all three should track rows ~linearly.
 EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
+    "dedup_clusters": (_q_dedup_clusters, "documents"),
+    "mixture_sample": (_q_mixture_sample, "documents"),
+    "text_unigram_ppl": (_q_unigram_lm, "documents"),
 }
 
 
@@ -295,8 +326,11 @@ def run(spark, sf_dir: str, label: str) -> dict:
         # scan) broadcast the tiny fixed query set and score the whole
         # corpus — a BroadcastNestedLoopJoin by construction, linear in
         # corpus rows (cost = corpus x |queries|, |queries| constant).
-        # Every other plan must be blocked/bucketed, never a BNLJ.
-        if name not in ("ann_cosine_topk", "ann_pq_topk"):
+        # text_unigram_ppl attaches two ONE-ROW aggregate scalars
+        # (vocab total, OOV mass) via broadcast crossJoin — also BNLJ by
+        # construction, cost = corpus x 1. Every other plan must be
+        # blocked/bucketed, never a BNLJ.
+        if name not in ("ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl"):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
 
