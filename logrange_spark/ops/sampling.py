@@ -267,3 +267,53 @@ def pack_sequences(
         )
 
     return base.mapInPandas(_pack, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into chunks of at most ``max_tokens`` whitespace
+    tokens with ``overlap`` tokens of context carried between consecutive
+    chunks — the complement of ``pack_sequences`` (which never splits):
+    chunk long documents first, then pack the pieces.
+
+    Returns (id, chunk_id, n_tokens, text); ``chunk_id`` is the 0-based
+    window index and chunk text is the token slice re-joined with single
+    spaces (tokenization is whitespace-based, so re-tokenizing a chunk
+    yields exactly its token slice). Trailing windows that would contain
+    no NEW tokens (possible when ``overlap`` > 0) are not emitted;
+    documents with zero tokens produce zero chunks. Map-side only:
+    token split → start sequence → explode → slice — no shuffle, no
+    Python.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    from .text import tokens
+
+    stride = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    ).withColumn("_n", F.size("_tok"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest("_n", F.lit(1)), F.lit(stride)),
+        # keep the window iff it is the first or reaches past the
+        # previous window's end (start-1-stride+max_tokens < n)
+        lambda s: (s == 1) | (s + F.lit(max_tokens - stride) <= F.col("_n")),
+    )
+    chunk = F.slice("_tok", F.col("_start"), max_tokens)
+    return (
+        toks.where(F.col("_n") > 0)
+        .withColumn("_start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            ((F.col("_start") - 1) / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias(text_col),
+        )
+    )

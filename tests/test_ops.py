@@ -1643,3 +1643,65 @@ def test_unigram_lm_score_vocab_cut_and_external(spark):
     # doc1: 4*log.5 + 3*log.25 + 3*log.25 (c,rare1 → min=log.25) over 10
     exp1 = round((4 * math.log(0.5) + 6 * math.log(0.25)) / 10, 6)
     assert abs(ext[1] - exp1) < 1e-6
+
+
+# --------------------------------------------------------- document chunking
+def _chunk_reference(text, max_tokens, overlap):
+    ws = text.lower().split()
+    if not ws:
+        return []
+    stride = max_tokens - overlap
+    out = []
+    for k, start in enumerate(range(0, len(ws), stride)):
+        if start > 0 and start + overlap >= len(ws):
+            break  # previous window already ended at start+overlap ≥ n:
+            # this window would contain no new tokens
+        piece = ws[start : start + max_tokens]
+        out.append((k, len(piece), " ".join(piece)))
+    return out
+
+
+def test_chunk_documents_matches_reference(spark):
+    from logrange_spark.ops import sampling
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(25))),
+        (2, " ".join(f"u{i}" for i in range(8))),   # exactly one window
+        (3, "a b"),                                  # shorter than overlap
+        (4, ""),                                     # no tokens → no chunks
+        (5, " ".join(f"v{i}" for i in range(16))),  # boundary: n = 2*stride
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for max_tokens, overlap in ((8, 0), (8, 3), (10, 9), (25, 0)):
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["n_tokens"], r["text"])
+            for r in sampling.chunk_documents(
+                df, max_tokens, overlap=overlap
+            ).collect()
+        )
+        want = sorted(
+            (i, k, n, t)
+            for i, txt in texts
+            for k, n, t in _chunk_reference(txt, max_tokens, overlap)
+        )
+        assert got == want, (max_tokens, overlap)
+
+
+def test_chunk_documents_roundtrip_and_validation(spark):
+    from logrange_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    # non-overlapping chunks reassemble to the original token stream
+    rows = sorted(
+        (r["chunk_id"], r["text"])
+        for r in sampling.chunk_documents(df, 7, overlap=0).collect()
+    )
+    joined = " ".join(t for _, t in rows).split()
+    assert joined == [f"w{i}" for i in range(100)]
+    assert all(len(t.split()) <= 7 for _, t in rows)
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, 5, overlap=5)
