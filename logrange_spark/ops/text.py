@@ -488,3 +488,74 @@ def unigram_lm_score(
             F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to a free-text query — the
+    classic lexical retrieval scorer (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", 2009),
+    complementing the embedding-side ANN search with keyword search.
+
+    Query text goes through the same whitespace tokenizer as documents;
+    duplicate query terms count once (standard bag-of-query-terms BM25).
+    Returns (id, score) for the k highest-scoring documents, score
+    rounded to 6 places, ties broken by id for determinism.
+
+    100 TB shape: the token explode is FILTERED to the ≤|Q| query terms
+    map-side before any shuffle, so shuffled volume is matching-term
+    occurrences, not the corpus; per-(doc, term) term frequencies
+    partial-aggregate; the per-term document frequencies and the
+    (N, avgdl) corpus constants are tiny one-row/|Q|-row broadcast
+    frames; the final top-k is TakeOrdered, never a full sort.
+    """
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    ).withColumn("_dl", F.size("_tok"))
+    consts = toked.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+    hits = toked.select(
+        id_col, "_dl", F.explode("_tok").alias("_w")
+    ).where(F.col("_w").isin(q_terms))
+    tf = hits.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_w")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("_tf")
+            * (k1 + 1)
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -1705,3 +1705,60 @@ def test_chunk_documents_roundtrip_and_validation(spark):
         sampling.chunk_documents(df, 0)
     with pytest.raises(ValueError):
         sampling.chunk_documents(df, 5, overlap=5)
+
+
+# ----------------------------------------------------------------- BM25
+def test_bm25_search_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "spark shuffles data between executors during wide stages"),
+        (2, "spark spark spark tuning spark partitions"),
+        (3, "the cat sat on the mat and ignored the dog"),
+        (4, "wide transformations in spark cause shuffles of data"),
+        (5, "a very long document about gardens " + "filler " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    query, k1, b = "Spark shuffles", 1.2, 0.75
+    got = [
+        (r["doc_id"], r["score"])
+        for r in text.bm25_search(df, query, k=5, k1=k1, b=b).collect()
+    ]
+    # python twin
+    toks = {i: t.lower().split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    terms = sorted(set(query.lower().split()))
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = {}
+    for i, ws in toks.items():
+        tf = Counter(ws)
+        s = 0.0
+        for t in terms:
+            if not tf[t]:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf[t] * (k1 + 1) / (
+                tf[t] + k1 * (1 - b + b * len(ws) / avgdl)
+            )
+        if s:
+            want[i] = round(s, 6)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(i, pytest.approx(s, abs=2e-6)) for i, s in expect] == got
+    # the doc matching BOTH terms must outrank the term-spam doc
+    order = [i for i, _ in got]
+    assert order.index(1) < order.index(2) and order.index(4) < order.index(2)
+    assert 3 not in order and 5 not in order  # no query term → no score
+
+
+def test_bm25_search_validates_and_topk(spark):
+    df = spark.createDataFrame(
+        [(i, f"common word doc{i}") for i in range(20)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        text.bm25_search(df, "   ")
+    out = text.bm25_search(df, "common", k=7).collect()
+    assert len(out) == 7
+    # deterministic tie-break by id (all docs tie on 'common')
+    assert [r["doc_id"] for r in out] == list(range(7))
