@@ -137,6 +137,16 @@ def _q_unigram_lm(spark, sf_dir):
     )
 
 
+def _q_bm25(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    return t.bm25_search(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "data model spark",
+        k=10,
+    )
+
+
 # beyond-registry operators whose scaling behavior is worth proving:
 # PQ encode/assign is a full map stage in this on-the-fly form, and
 # pruning only cuts the scoring fan-out — ~linear in corpus rows; the
@@ -151,6 +161,7 @@ EXTRA_QUERIES = {
     "dedup_clusters": (_q_dedup_clusters, "documents"),
     "mixture_sample": (_q_mixture_sample, "documents"),
     "text_unigram_ppl": (_q_unigram_lm, "documents"),
+    "text_bm25_topk": (_q_bm25, "documents"),
 }
 
 
@@ -326,11 +337,13 @@ def run(spark, sf_dir: str, label: str) -> dict:
         # scan) broadcast the tiny fixed query set and score the whole
         # corpus — a BroadcastNestedLoopJoin by construction, linear in
         # corpus rows (cost = corpus x |queries|, |queries| constant).
-        # text_unigram_ppl attaches two ONE-ROW aggregate scalars
-        # (vocab total, OOV mass) via broadcast crossJoin — also BNLJ by
-        # construction, cost = corpus x 1. Every other plan must be
-        # blocked/bucketed, never a BNLJ.
-        if name not in ("ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl"):
+        # text_unigram_ppl and text_bm25_topk attach ONE-ROW aggregate
+        # scalars (vocab total / OOV mass; N and avgdl) via broadcast
+        # crossJoin — also BNLJ by construction, cost = rows x 1. Every
+        # other plan must be blocked/bucketed, never a BNLJ.
+        if name not in (
+            "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl", "text_bm25_topk"
+        ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
 
