@@ -385,7 +385,11 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
 
 
 def near_duplicate_drops(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """The documents to DROP under keep-first near-dedup — one id per
     dropped document, equal by construction to
@@ -402,7 +406,18 @@ def near_duplicate_drops(
     verified representative pair. Both are id-per-row joins over the
     membership map — pair volume never appears. Equality with the
     pair-based path is pinned by tests and by the curation oracle rows.
+
+    ``transitive=True`` switches to keep-one-per-TRANSITIVE-cluster
+    (``near_duplicate_clusters``): drop every non-minimum member of each
+    connected component. The direct-pair rule provably keeps extra
+    documents in hub-shaped clusters — with A~B and B~C but A≁C and
+    ids A < C < B, direct keep-first retains both A and C even though
+    they share B's cluster; the transitive rule keeps only A. Costs the
+    O(log n) contraction rounds on top of the shared verify stage.
     """
+    if transitive:
+        cl = near_duplicate_clusters(df, id_col, text_col, threshold)
+        return cl.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
     toked = _token_frame(df, id_col, text_col)
     rep_pairs, members = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(

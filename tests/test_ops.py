@@ -1762,3 +1762,35 @@ def test_bm25_search_validates_and_topk(spark):
     assert len(out) == 7
     # deterministic tie-break by id (all docs tie on 'common')
     assert [r["doc_id"] for r in out] == list(range(7))
+
+
+def test_near_duplicate_drops_transitive_hub(spark):
+    """Hub cluster where direct-pair and transitive drop sets DIFFER:
+    B(3) is similar to both A(1) and C(2), A and C are not similar. The
+    direct rule keeps A and C (C has no smaller direct neighbor); the
+    transitive rule keeps only the cluster minimum A."""
+    base = [f"tok{i}" for i in range(20)]
+    a = base
+    c = ["alt0", "alt1", "alt2", "alt3", "alt4", "alt5"] + base[6:]
+    hub = ["alt0", "alt1", "alt2"] + base[3:]  # 17 shared with each
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(c)), (3, " ".join(hub)),
+         (4, "entirely unrelated content about other things")],
+        "doc_id long, text string",
+    )
+    j = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_duplicates(df, "doc_id", "text", 0.7).collect()
+    }
+    assert (1, 3) in j and (2, 3) in j and (1, 2) not in j, j
+    direct = {
+        r[0] for r in dedup.near_duplicate_drops(df, "doc_id", "text", 0.7).collect()
+    }
+    trans = {
+        r[0]
+        for r in dedup.near_duplicate_drops(
+            df, "doc_id", "text", 0.7, transitive=True
+        ).collect()
+    }
+    assert direct == {3}
+    assert trans == {2, 3}
