@@ -559,3 +559,58 @@ def bm25_search(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 10,
+) -> DataFrame:
+    """Top-m characteristic terms per document by smoothed tf-idf —
+    (tf/dl) · (ln((N+1)/(df+1)) + 1), the standard keyword-extraction
+    signal for corpus exploration, topic tagging and near-dup triage.
+
+    Returns (id, token, score, rank) with rank 1..m per document, ties
+    broken lexicographically for determinism; documents with no tokens
+    produce no rows.
+
+    100 TB shape: per-(doc, term) term frequencies partial-aggregate
+    before their shuffle; document frequencies are a second partial
+    aggregate joined back ON TERM (a key-partitioned shuffle join — the
+    idf table is corpus-vocabulary sized, deliberately NOT broadcast);
+    the per-doc top-m is a window over the doc key, whose partition
+    sizes are bounded by document length, not corpus size.
+    """
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    from pyspark.sql.window import Window
+
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    ).withColumn("_dl", F.size("_tok"))
+    n_docs = toked.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        toked.select(id_col, "_dl", F.explode("_tok").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("_tf") / F.col("_dl"))
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(id_col, "token", "score", "rank")
+    )

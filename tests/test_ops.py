@@ -1794,3 +1794,46 @@ def test_near_duplicate_drops_transitive_hub(spark):
     }
     assert direct == {3}
     assert trans == {2, 3}
+
+
+# ---------------------------------------------------------------- tf-idf
+def test_tfidf_keywords_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "apples and oranges and apples again"),
+        (2, "oranges are orange and apples are red"),
+        (3, "a treatise on gradient descent and apples"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["token"], r["score"], r["rank"])
+        for r in text.tfidf_keywords(df, m=3).collect()
+    )
+    toks = {i: t.lower().split() for i, t in rows}
+    n = sum(1 for w in toks.values())
+    dfreq = Counter(t for ws in toks.values() for t in set(ws))
+    want = []
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        tf = Counter(ws)
+        scores = sorted(
+            (
+                round((c / len(ws)) * (math.log((n + 1) / (dfreq[t] + 1)) + 1), 6),
+                t,
+            )
+            for t, c in tf.items()
+        )
+        scores = sorted(scores, key=lambda st: (-st[0], st[1]))[:3]
+        want.extend((i, t, s, r + 1) for r, (s, t) in enumerate(scores))
+    assert got == sorted(want)
+    # corpus-common glue ('and', 'apples': df=3) never tops doc 3; its
+    # df=1 terms all tie and the lexicographic tie-break is deterministic
+    top1 = {i: t for i, t, s, r in got if r == 1}
+    assert top1[3] == "a"
+    assert {t for i, t, s, r in got if i == 3} & {"and", "apples"} == set()
+    with pytest.raises(ValueError):
+        text.tfidf_keywords(df, m=0)
