@@ -880,3 +880,75 @@ def near_duplicates_against(
         )
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """All pairs whose integer hashes differ in at most ``max_hamming``
+    of the low ``bits`` bits — generic banded Hamming blocking for any
+    fixed-width signature (perceptual image hashes, external simhashes).
+
+    Recall is GUARANTEED by pigeonhole: the bits split into
+    ``max_hamming + 1`` disjoint bands, so ≤ max_hamming differing bits
+    leave at least one band equal, and that pair meets in that band's
+    bucket. Each qualifying pair is emitted exactly once via the
+    first-matching-band residual (same idiom as ``simhash_near_pairs``,
+    no distinct). The band self-join is grid-salted
+    (``_salted_self_sides``) so a cluster of identical hashes cannot
+    concentrate its O(k²) pair work in one task.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits must be in (0, 64], got {bits}")
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, bits), got {max_hamming}")
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(bits, n_bands)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
+    h = F.col(hash_col).cast("long")
+    bvs = F.array(
+        *[
+            F.shiftrightunsigned(h, s).bitwiseAND(F.lit((1 << w) - 1))
+            for s, w in zip(starts, widths)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), h.alias("_h"), bvs.alias("_bvs")
+    ).select(
+        id_col, "_h", "_bvs", F.posexplode("_bvs").alias("band", "_bv")
+    )
+    left, right = _salted_self_sides(
+        keyed.hint("merge"), ["band", "_bv"], id_col
+    )
+    l, r = left.alias("hl"), right.alias("hr")
+    first_eq = F.array_position(
+        F.zip_with(F.col("hl._bvs"), F.col("hr._bvs"), lambda a, b: a == b),
+        True,
+    )
+    ham = F.bit_count(F.col("hl._h").bitwiseXOR(F.col("hr._h")))
+    return (
+        l.join(
+            r,
+            (F.col("hl.band") == F.col("hr.band"))
+            & (F.col("hl._bv") == F.col("hr._bv"))
+            & (F.col("hl._gi") == F.col("hr._gi"))
+            & (F.col("hl._gj") == F.col("hr._gj"))
+            & (F.col(f"hl.{id_col}") < F.col(f"hr.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        # each qualifying pair matches in possibly several bands; keep
+        # only the FIRST equal band so the output needs no distinct
+        .where(first_eq == F.col("hl.band") + 1)
+        .select(
+            F.col(f"hl.{id_col}").alias("id_a"),
+            F.col(f"hr.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )

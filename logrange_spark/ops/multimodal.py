@@ -712,3 +712,81 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _batches, _FEATURE_SCHEMA
     )
+
+
+def dhash64(payload: bytes | None) -> int | None:
+    """64-bit difference hash (dHash) from REAL decoded pixels: luma is
+    box-averaged onto a 9x8 grid and bit (r, c) is set iff
+    grid[r, c] > grid[r, c+1] — the standard perceptual hash for
+    near-duplicate IMAGE detection (robust to re-encoding, scaling and
+    small edits; Hamming distance ≈ perceptual difference). Returns a
+    SIGNED 64-bit int (Spark long two's complement); None when no codec
+    decodes the payload."""
+    import numpy as np
+
+    arr = decode_pixels(payload)
+    if arr is None:
+        return None
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    h, w = luma.shape
+    # box-average onto 8 rows x 9 cols: split indices evenly (bins may
+    # differ by one source pixel; deterministic)
+    row_bins = np.array_split(np.arange(h), 8)
+    col_bins = np.array_split(np.arange(w), 9)
+    grid = np.empty((8, 9))
+    for ri, rb in enumerate(row_bins):
+        for ci, cb in enumerate(col_bins):
+            block = luma[rb[0] : rb[-1] + 1, cb[0] : cb[-1] + 1]
+            grid[ri, ci] = block.mean() if block.size else 0.0
+    bits = (grid[:, :-1] > grid[:, 1:]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, dhash, decode_ok) — Arrow-batched ``mapInPandas`` over
+    the payload column like every multimodal op; one map stage, the
+    Python codec runs per row inside the batch."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = [dhash64(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hs, dtype="Int64"),
+                    "decode_ok": [v is not None for v in hs],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, _DHASH_SCHEMA
+    )
+
+
+def image_near_duplicates(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash the decodable payloads, then
+    banded Hamming blocking (``dedup.hamming_near_pairs`` — pigeonhole-
+    guaranteed recall, grid-salted band join). Returns
+    (id_a, id_b, hamming) with id_a < id_b. The hash pass is one map
+    stage over the binary column; the pair search never compares images
+    pixel-to-pixel."""
+    from . import dedup
+
+    hashes = perceptual_hashes(media).where(F.col("decode_ok"))
+    return dedup.hamming_near_pairs(
+        hashes, "media_id", "dhash", bits=64, max_hamming=max_hamming
+    )

@@ -1837,3 +1837,105 @@ def test_tfidf_keywords_matches_reference(spark):
     assert {t for i, t, s, r in got if i == 3} & {"and", "apples"} == set()
     with pytest.raises(ValueError):
         text.tfidf_keywords(df, m=0)
+
+
+# ------------------------------------------------- perceptual image hashing
+def _grad_bmp(w, h, reverse=False, bump=None):
+    """Smooth horizontal gradient BMP; optional brightness bump square."""
+    import numpy as np
+
+    from logrange_spark.ops.multimodal import encode_bmp24
+
+    x = np.linspace(30, 220, w, dtype=np.float64)
+    arr = np.repeat(x[None, :], h, axis=0)
+    if reverse:
+        arr = arr[:, ::-1]
+    img = np.stack([arr, arr, arr], axis=-1).astype(np.uint8)
+    if bump:
+        r, c, s = bump
+        img[r : r + s, c : c + s] = np.minimum(
+            img[r : r + s, c : c + s].astype(int) + 90, 255
+        ).astype(np.uint8)
+    return encode_bmp24(img)
+
+
+def test_dhash64_reference_8x9(spark):
+    """On an exactly 8x9 image the box-average grid IS the luma plane, so
+    the expected hash is computable by an independent path."""
+    import numpy as np
+
+    from logrange_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    payload = mm.encode_bmp24(img)
+    got = mm.dhash64(payload)
+    # independent expectation: BMP stores BGR, decode_pixels flips to RGB
+    f = img[..., ::-1].astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    want = 0
+    i = 0
+    for r in range(8):
+        for c in range(8):
+            if luma[r, c] > luma[r, c + 1]:
+                want |= 1 << i
+            i += 1
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert got == want
+    assert mm.dhash64(payload) == got  # deterministic
+    assert mm.dhash64(b"not an image") is None
+
+
+def test_image_near_duplicates(spark):
+    from logrange_spark.ops import multimodal as mm
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = _grad_bmp(60, 40)
+    near = _grad_bmp(60, 40, bump=(4, 10, 6))   # small local edit
+    far = _grad_bmp(60, 40, reverse=True)       # reversed gradient
+    h_base, h_near, h_far = (mm.dhash64(p) for p in (base, near, far))
+    assert 0 < ham(h_base, h_near) <= 6
+    assert ham(h_base, h_far) > 40
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(near)),
+        (3, bytearray(far)),
+        (4, bytearray(b"junk payload")),        # undecodable → excluded
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_duplicates(df, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2): ham(h_base, h_near)}
+
+
+def test_hamming_near_pairs_brute_force(spark):
+    import itertools
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.getrandbits(64) for _ in range(80)]
+    vals += [vals[0] ^ 0b1011, vals[1] ^ (1 << 63), vals[2]]  # ham 3, 1, 0
+    rows = [
+        (i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "vid long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_pairs(df, "vid", "h", 64, 4).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        if ham(a, b) <= 4:
+            want[(i, j)] = ham(a, b)
+    assert got == want
+    with pytest.raises(ValueError):
+        dedup.hamming_near_pairs(df, "vid", "h", 65, 4)
+    with pytest.raises(ValueError):
+        dedup.hamming_near_pairs(df, "vid", "h", 64, 64)
