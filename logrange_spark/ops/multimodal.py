@@ -790,3 +790,65 @@ def image_near_duplicates(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     return dedup.hamming_near_pairs(
         hashes, "media_id", "dhash", bits=64, max_hamming=max_hamming
     )
+
+
+def audio_fingerprint64(payload: bytes | None) -> int | None:
+    """64-bit energy-delta fingerprint from REAL decoded PCM: samples are
+    split into 65 equal frames and bit i is set iff RMS(frame i+1) >
+    RMS(frame i) — the energy-difference idea behind audio fingerprint
+    systems, duration-invariant (frames are relative) and robust to
+    volume scaling (comparisons, not magnitudes). Returns a SIGNED
+    64-bit int; None when the payload is not decodable PCM WAV."""
+    import numpy as np
+
+    dec = decode_wav_pcm(payload)
+    if dec is None:
+        return None
+    samples, _ = dec
+    if samples.size < 65:
+        return None
+    frames = np.array_split(samples, 65)
+    rms = np.array([float(np.sqrt(np.mean(f * f))) for f in frames])
+    bits = rms[1:] > rms[:-1]
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, fp, decode_ok) — Arrow-batched like every multimodal
+    op."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("fp", T.LongType(), True),
+            T.StructField("decode_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = [audio_fingerprint64(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fp": pd.array(hs, dtype="Int64"),
+                    "decode_ok": [v is not None for v in hs],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_batches, schema)
+
+
+def audio_near_duplicates(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate AUDIO pairs via the energy fingerprint + the same
+    banded-Hamming blocking as images (``dedup.hamming_near_pairs``).
+    Returns (id_a, id_b, hamming), id_a < id_b."""
+    from . import dedup
+
+    fps = audio_fingerprints(media).where(F.col("decode_ok"))
+    return dedup.hamming_near_pairs(
+        fps, "media_id", "fp", bits=64, max_hamming=max_hamming
+    )

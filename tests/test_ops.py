@@ -1939,3 +1939,47 @@ def test_hamming_near_pairs_brute_force(spark):
         dedup.hamming_near_pairs(df, "vid", "h", 65, 4)
     with pytest.raises(ValueError):
         dedup.hamming_near_pairs(df, "vid", "h", 64, 64)
+
+
+def test_audio_near_duplicates(spark):
+    import struct
+
+    import numpy as np
+
+    from logrange_spark.ops import multimodal as mm
+
+    def wav(samples):
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"[:0] + body
+
+    rng = np.random.default_rng(9)
+    t = np.arange(8000) / 8000.0
+    envelope = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t))  # energy shape
+    base = envelope * np.sin(2 * np.pi * 440 * t)
+    quiet = 0.4 * base                       # volume-scaled → same shape
+    noisy = base + rng.normal(0, 0.01, base.shape)  # tiny noise
+    other = (0.2 + 0.8 * np.abs(np.cos(2 * np.pi * 7 * t))) * np.sin(
+        2 * np.pi * 440 * t
+    )
+    h = {k: mm.audio_fingerprint64(wav(v)) for k, v in
+         [("base", base), ("quiet", quiet), ("noisy", noisy), ("other", other)]}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert h["base"] == h["quiet"]           # volume invariance: exact
+    assert ham(h["base"], h["noisy"]) <= 6
+    assert ham(h["base"], h["other"]) > 12
+    assert mm.audio_fingerprint64(b"not audio") is None
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(base))), (2, bytearray(wav(quiet))),
+         (3, bytearray(wav(noisy))), (4, bytearray(wav(other))),
+         (5, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.audio_near_duplicates(df, max_hamming=6).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs and not any(4 in p or 5 in p for p in pairs)
