@@ -575,11 +575,14 @@ class Engine:
           predicates): the window is ≤ n rows at-or-before the token plus
           ≤ limit rows after it. Both sides use the tail-style
           accumulation with one twist: a chunk STRADDLING the token
-          (min_ts ≤ tok.ts < max_ts) is always kept but never counted —
+          (min_ts ≤ tok.ts ≤ max_ts) is always kept but never counted —
           its records split across the boundary in unknown proportion,
-          so counting only fully-below (resp. fully-above) chunks keeps
-          each accumulated total a lower bound on the rows available on
-          that side, making the kept set a superset of the window.
+          so counting only fully-below (max_ts strictly < tok.ts: a
+          chunk with max_ts == tok.ts may hold rows AT tok.ts whose
+          (src,seq) sorts after the token, so it straddles) resp.
+          fully-above chunks keeps each accumulated total a lower bound
+          on the rows available on that side, making the kept set a
+          superset of the window.
 
         At 100 TB a narrow query then never lists or footer-reads a
         partition's full chunk history. Returns None (caller falls back
@@ -648,8 +651,8 @@ class Engine:
                     break
             cands = [c for c in cands if c[0] >= tau]
         elif back_tok is not None and cands:
-            straddle = [c for c in cands if c[1] <= back_tok < c[0]]
-            below = sorted((c for c in cands if c[0] <= back_tok), reverse=True)
+            straddle = [c for c in cands if c[1] <= back_tok <= c[0]]
+            below = sorted((c for c in cands if c[0] < back_tok), reverse=True)
             above = sorted(c for c in cands if c[1] > back_tok)
             keep = {c[3] for c in straddle}
             total, tau = 0, None

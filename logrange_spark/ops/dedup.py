@@ -913,6 +913,11 @@ def hamming_near_pairs(
     widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
     starts = [sum(widths[:i]) for i in range(n_bands)]
     h = F.col(hash_col).cast("long")
+    if bits < 64:
+        # mask to the low bits: the distance contract (and the pigeonhole
+        # guarantee) is over the low `bits` bits only — stray high bits
+        # must not inflate the hamming residual past max_hamming.
+        h = h.bitwiseAND(F.lit((1 << bits) - 1))
     bvs = F.array(
         *[
             F.shiftrightunsigned(h, s).bitwiseAND(F.lit((1 << w) - 1))

@@ -76,9 +76,16 @@ def _decode_png(payload):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         return None
-    raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    # bound dimensions BEFORE inflating so a hostile deflate bomb cannot
+    # allocate past the declared image size (+1 byte detects overlong
+    # streams); 1 GiB raster ceiling rejects absurd declared dims too.
+    need = h * (stride + 1)
+    if need > 1 << 30:
+        return None
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), need + 1)
+    if len(raw) != need:  # short stream, or overlong (need+1 cap hit)
         return None
 
     out = np.zeros((h, stride), dtype=np.uint8)

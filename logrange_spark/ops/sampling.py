@@ -228,7 +228,12 @@ def pack_sequences(
             )
         if not rows:
             return
-        part = rows[0][2]
+        # hash-partitioning can co-locate several distinct _p values in
+        # one physical partition; label bins with the MINIMUM _p present
+        # so bin_id is value-derived (deterministic across runs/retries),
+        # not arrival-order-derived. Uniqueness holds because the _p sets
+        # of different physical partitions are disjoint.
+        part = min(r[2] for r in rows)
         # first-fit-decreasing with a best-fit heap: largest docs first,
         # each into the fullest bin that still fits (heap keyed by free
         # space); ties broken by id for determinism

@@ -813,3 +813,36 @@ def test_backward_cursor_pruning_differential(engine):
             if len(q.inputFiles()) < 5:
                 pruned_fewer += 1
     assert pruned_fewer >= 10, pruned_fewer  # pruning actually engages
+
+
+def test_backward_cursor_boundary_ts_chunk(engine):
+    """A chunk whose rows ALL share the token's timestamp must be treated
+    as straddling, never as fully-below: with token 'T::0' (src='',
+    seq=0) every row at ts==T sorts AFTER the token, so none of that
+    chunk's records belong to the backward window — counting them would
+    satisfy back_k spuriously and prune the real below-side chunks
+    (driver ADVICE r7, engine.py backward-cursor pruning)."""
+    day = 86_400 * NS
+    T = BASE_TS + 2 * day
+    # chunk 0: 4 rows well below T; chunk 1: 6 rows ALL exactly at T;
+    # chunk 2: 4 rows above T.
+    engine.write({"name": "bb"}, [(BASE_TS + i * NS, f"lo.{i}", {}) for i in range(4)])
+    engine.write({"name": "bb"}, [(T, f"at.{i}", {}) for i in range(6)])
+    engine.write({"name": "bb"}, [(T + day + i * NS, f"hi.{i}", {}) for i in range(4)])
+    tok = CursorToken(T, "", 0).encode()
+    for off, lim in ((-3, 3), (-1, 8), (-4, 2), (-10, 14)):
+        q = engine.query(
+            f"SELECT FROM {{name=bb}} POSITION '{tok}' OFFSET {off} LIMIT {lim}"
+        )
+        got = [(r["ts"], r["msg"]) for r in q.collect()]
+        full = compile_select(
+            engine.logs(),
+            parse_lql(
+                f"SELECT FROM {{name=bb}} POSITION '{tok}' OFFSET {off} LIMIT {lim}"
+            ),
+            src_ids=engine.resolve_sources(None),
+        )
+        want = [(r["ts"], r["msg"]) for r in full.collect()]
+        assert got == want, (off, lim)
+        # the window reaches below T, so the below chunk must survive pruning
+        assert any(m.startswith("lo.") for _, m in got), (off, lim, got)

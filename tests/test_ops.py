@@ -1112,6 +1112,48 @@ def test_png_codec_all_filters_and_color_types():
         png.decode_png(enc[:cut])  # must not raise
 
 
+def test_png_deflate_bomb_rejected():
+    """A PNG declaring tiny dimensions but carrying a huge deflate stream
+    must be rejected without inflating past the declared raster size
+    (driver ADVICE r7: zlib.decompress had no output cap). Absurd
+    declared dimensions (> 1 GiB raster) are rejected before inflate."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from logrange_spark.ops import png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # declares 2x2 RGB (need = 2*(6+1)=14 bytes) but IDAT inflates to 64 MiB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(bytes(64 * 1024 * 1024), 9)
+    ) + chunk(b"IEND", b"")
+    tracemalloc.start()
+    assert png.decode_png(bomb) is None
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, peak  # never materialized the 64 MiB
+
+    # declared-dimension ceiling: 1 GiB+ raster rejected outright
+    huge = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    big = sig + chunk(b"IHDR", huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 100)
+    ) + chunk(b"IEND", b"")
+    assert png.decode_png(big) is None
+
+    # a correct stream that merely has TRAILING garbage output is overlong
+    raw = b"\x00" * 14  # 2 rows of (filter byte + 6 RGB bytes)
+    over = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(raw + b"X")
+    ) + chunk(b"IEND", b"")
+    assert png.decode_png(over) is None
+
+
 def test_png_resize_real_codec_matches_bmp_reference(spark):
     """Same-pixels PNG and BMP through the Spark resize operator agree
     EXACTLY — PNG is lossless, so unlike JPEG there is no tolerance."""
@@ -1939,6 +1981,35 @@ def test_hamming_near_pairs_brute_force(spark):
         dedup.hamming_near_pairs(df, "vid", "h", 65, 4)
     with pytest.raises(ValueError):
         dedup.hamming_near_pairs(df, "vid", "h", 64, 64)
+
+
+def test_hamming_near_pairs_low_bits_ignores_high(spark):
+    """bits < 64: distance is over the LOW bits only — stray high bits
+    must neither inflate the residual nor break the pigeonhole recall
+    guarantee (driver ADVICE r7: the residual used the full 64-bit XOR).
+    Verified against a 32-bit brute force with randomized high garbage."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.getrandbits(32) for _ in range(60)]
+    vals += [vals[0] ^ 0b101, vals[1], vals[2] ^ (1 << 31)]  # low-ham 2, 0, 1
+    # pollute high 32 bits arbitrarily (incl. the sign bit)
+    full = [(v | (rng.getrandbits(32) << 32)) for v in vals]
+    rows = [
+        (i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in enumerate(full)
+    ]
+    df = spark.createDataFrame(rows, "vid long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_pairs(df, "vid", "h", 32, 3).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        d = bin((a ^ b) & 0xFFFFFFFF).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want
 
 
 def test_audio_near_duplicates(spark):
