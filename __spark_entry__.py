@@ -846,6 +846,160 @@ FROM totals t LEFT JOIN hits h USING (doc_id)
 """.strip()
 
 
+# round-8 rotation: the round-7 LLM-pipeline operators enter the 50-row
+# registry with DuckDB twins (VERDICT r7 next-round #2)
+
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (ops/sampling.mixture_sample): remix the
+    corpus to a fixed language mixture at constant size. Deterministic
+    md5-threshold fractional epochs, so the DuckDB twin recomputes the
+    identical (doc_id, lang, copy) multiset."""
+    from logrange_spark.ops.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, "doc_id", "lang", MIXTURE_WEIGHTS)
+
+
+def _mixture_sql() -> str:
+    wsum = sum(MIXTURE_WEIGHTS.values())
+    vals = ", ".join(f"('{d}', {w!r})" for d, w in MIXTURE_WEIGHTS.items())
+    # rate arithmetic mirrors mixture_sample's driver-side Python
+    # expression shape exactly: ((total * w) / wsum) / n, IEEE doubles
+    return f"""
+WITH w(d, wt) AS (VALUES {vals}),
+c AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+r AS (SELECT c.d, ((CAST(t.total AS DOUBLE) * w.wt) / {wsum!r}) / CAST(c.n AS DOUBLE) AS rate
+      FROM c JOIN w USING (d) CROSS JOIN t),
+k AS (SELECT d.doc_id, d.lang,
+             CAST(trunc(r.rate) AS INT)
+             + CASE WHEN substr(md5('|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                         < printf('%08x', CAST(round((r.rate - trunc(r.rate)) * 4294967296.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS k
+      FROM documents d JOIN r ON d.lang = r.d)
+SELECT doc_id, lang, CAST(unnest(range(k)) AS INT) AS "copy" FROM k WHERE k > 0
+""".strip()
+
+
+def _q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring (ops/text.unigram_lm_score),
+    corpus-trained vocabulary with add-alpha smoothing."""
+    from logrange_spark.ops.text import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _unigram_sql(alpha: float = 0.5) -> str:
+    # sf0.01's synthetic vocabulary (~31 tokens) is far below the 50k
+    # vocab cut, so every token is in-vocab and the OOV path is dormant
+    # (it stays covered by tests/test_ops.py::test_unigram_lm_score_*)
+    return f"""
+WITH {_tok_cte()},
+ex AS (SELECT doc_id, unnest(w) AS t FROM toks),
+cnt AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM cnt),
+vocab AS (SELECT t, ln((c + {alpha!r}) / (tt + {alpha!r} * (v + 1))) AS logp
+          FROM cnt CROSS JOIN tot),
+perdoc AS (SELECT doc_id, count(*) AS n_tokens,
+                  round(avg(logp), 6) AS avg_logprob
+           FROM ex JOIN vocab USING (t) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.avg_logprob, round(exp(-p.avg_logprob), 4) AS ppl
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+""".strip()
+
+
+BM25_QUERY = "join hash scan"
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical search (ops/text.bm25_search), top-10 for a fixed
+    3-term query over the documents table."""
+    from logrange_spark.ops.text import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
+def _bm25_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = sorted({t for t in BM25_QUERY.lower().split() if t})
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    # constant folding mirrors bm25_search's Python-side arithmetic:
+    # (k1+1), (1-b) and b are embedded as the exact doubles Spark uses
+    return f"""
+WITH {_tok_cte()},
+dl AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+consts AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl
+       FROM (SELECT doc_id, dl, unnest(w) AS t FROM dl)
+       WHERE t IN ({inlist}) GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+sc AS (SELECT tf.doc_id,
+              ln(1.0 + (consts.nd - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {k1 + 1!r}
+              / (tf.tf + {k1!r} * ({1 - b!r} + ({b!r} * tf.dl) / consts.avgdl)) AS s
+       FROM tf JOIN dfreq USING (t) CROSS JOIN consts)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document smoothed tf-idf keywords (ops/text.tfidf_keywords),
+    top-10 terms per document."""
+    from logrange_spark.ops.text import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), m=10)
+
+
+def _tfidf_sql(m: int = 10) -> str:
+    return f"""
+WITH {_tok_cte()},
+dl AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+tf AS (SELECT doc_id, t AS token, count(*) AS tf, max(dl) AS dl
+       FROM (SELECT doc_id, dl, unnest(w) AS t FROM dl) GROUP BY doc_id, t),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT count(*) AS n FROM toks),
+sc AS (SELECT tf.doc_id, tf.token,
+              round((tf.tf / CAST(tf.dl AS DOUBLE))
+                    * (ln((nd.n + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1), 6) AS score
+       FROM tf JOIN dfreq USING (token) CROSS JOIN nd)
+SELECT doc_id, token, score, CAST(rnk AS INT) AS "rank" FROM (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM sc) WHERE rnk <= {m}
+""".strip()
+
+
+def _q_hamming_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic banded-Hamming pair operator
+    (ops/dedup.hamming_near_pairs — the engine behind the perceptual
+    image-dHash and audio-fingerprint near-dup paths) over a
+    SQL-reproducible 64-bit fingerprint (the document's n_chars), so the
+    DuckDB twin is a plain brute-force bit_count(xor) join. The banding,
+    grid salting and first-matching-band residual are exactly what the
+    image/audio paths execute; the media DECODE stages keep their pytest
+    oracles (tests/test_ops.py::test_image_near_duplicates et al.)."""
+    from logrange_spark.ops.dedup import hamming_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("fp")
+    )
+    return hamming_near_pairs(docs, "doc_id", "fp", bits=64, max_hamming=2)
+
+
+def _hamming_fp_sql(max_hamming: int = 2) -> str:
+    return f"""
+WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS fp FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+""".strip()
+
+
 def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the complete training-data curation flow in
     one DataFrame program (pytest oracle; registry at the 50-row cap):
@@ -1102,36 +1256,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NB: the driver's correctness report holds at most 50 rows, so the
         # registry is capped at exactly 50 entries. `lql_range_relative`
         # (relative "-22d" literal folding) was retired from the registry in
-        # round 4; `lql_cursor_back`, `lql_upper_func` and `lql_format_full`
-        # were rotated out in round 7 to make room for the newest operators
-        # (ann_pq_topk, repetition_stats, curation_full), and
-        # `lql_offset_limit` later in round 7 for dedup_clusters (OFFSET/
-        # LIMIT mechanics stay covered by lql_tail and lql_cursor_page).
-        # Every retired row is still oracle-checked against DuckDB in
-        # tests/test_entry_contract.py (test_retired_range_relative_oracle,
-        # test_retired_lql_oracles) via `retired_queries` /
-        # `_RETIRED_LQL_ORACLES` below.
+        # round 4; `lql_cursor_back`, `lql_upper_func`, `lql_format_full`
+        # and `lql_offset_limit` in round 7 (for ann_pq_topk,
+        # repetition_stats, curation_full, dedup_clusters); and in round 8
+        # `lql_format`, `distinct_customers`, `nations_with_both`,
+        # `events_daily_pivot`, `text_rolling_hash` and
+        # `top_orders_per_customer` (redundant with remaining rows: format
+        # stays covered by the retired lql_format/lql_format_full oracles,
+        # window top-k by tfidf_keywords' rank window, semi/anti joins by
+        # nations_without_suppliers, pivots by events_hourly) to make room
+        # for the round-7 LLM-pipeline operators (contamination,
+        # mixture_sample, text_unigram_ppl, text_bm25_topk, tfidf_keywords,
+        # hamming_fp_pairs). Every retired row is still oracle-checked
+        # against DuckDB in tests/test_entry_contract.py
+        # (test_retired_range_relative_oracle, test_retired_lql_oracles,
+        # test_retired_general_oracles) via `retired_queries` /
+        # `_RETIRED_LQL_ORACLES` / `_RETIRED_ORACLES` below.
         "lql_range_special": _lql_at(
             'SELECT FROM {name=signup} RANGE "week"', 1_705_487_400_000_000_000
         ),  # now = Wed 2024-01-17 10:30 UTC → week starts Sun 2024-01-14
         "lql_tail": _lql("SELECT POSITION tail OFFSET -300 LIMIT 300"),
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
-        "lql_format": _lql_fmt('SELECT "{ts} {vars:name} {msg}" FROM {name=signup}'),
         "show_partitions": _q_show_partitions,
         # SQL analytics (beyond-reference surface, SURVEY §2.8)
         "pricing_summary": _q_pricing_summary,
         "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_nation": _q_revenue_by_nation,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "distinct_customers": _q_distinct_customers,
         "events_hourly": _q_events_hourly,
-        "nations_with_both": _q_nations_with_both,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "revenue_rollup": _q_revenue_rollup,
         "events_corr_window": _q_events_corr_window,
-        "events_daily_pivot": _q_events_daily_pivot,
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
         "events_funnel": _q_events_funnel,
@@ -1147,7 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_dist": _q_text_lang_dist,
         "text_top_words": _q_top_words,
         "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_rolling_hash": _q_text_rolling_hash,
         # event-time streaming ops (batch-checkable session/tumbling windows)
         "events_sessions": _q_events_sessions,
         "events_tumbling": _q_events_tumbling,
@@ -1161,6 +1316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: quality + curation (rotated IN round 7)
         "repetition_stats": _q_repetition_stats,
         "curation_full": _q_curation_full,
+        # training-data pipeline: round-7 ops rotated IN round 8
+        "contamination": _q_contamination,
+        "mixture_sample": _q_mixture_sample,
+        "text_unigram_ppl": _q_unigram_ppl,
+        "text_bm25_topk": _q_bm25_topk,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "hamming_fp_pairs": _q_hamming_fp_pairs,
         # ingestion parsers (SURVEY §2.1 S5-S8)
         "parse_k8json": _q_parse_k8json,
         "parse_logfmt": _q_parse_logfmt,
@@ -1182,6 +1344,15 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_format_full": _lql_fmt(
             'SELECT "{ts.format(2006/01/02 15:04)} {vars} [{msg.json()}]" FROM {name=click}'
         ),
+        # round-8 rotation (general rows; oracles in _RETIRED_ORACLES)
+        "lql_format": _lql_fmt(
+            'SELECT "{ts} {vars:name} {msg}" FROM {name=signup}'
+        ),
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "distinct_customers": _q_distinct_customers,
+        "nations_with_both": _q_nations_with_both,
+        "events_daily_pivot": _q_events_daily_pivot,
+        "text_rolling_hash": _q_text_rolling_hash,
     }
 
 
@@ -1679,6 +1850,41 @@ _RETIRED_LQL_ORACLES = {
     "ORDER BY ts, src, seq LIMIT 10000",
 }
 
+# Rows rotated out in round 8 — oracles preserved verbatim; checked by
+# tests/test_entry_contract.py::test_retired_general_oracles with every
+# table registered as a view (mirrors the driver's setup).
+_RETIRED_ORACLES = {
+    "lql_format": f"WITH {_LOGS_CTE} "
+    "SELECT ts, src, seq, "
+    "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || 'Z' "
+    "|| ' ' || src || ' ' || msg AS line "
+    "FROM logs WHERE tag_line = 'name=signup' "
+    "ORDER BY ts, src, seq LIMIT 10000",
+    "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3""".strip(),
+    "distinct_customers": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority""".strip(),
+    "nations_with_both": """
+SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey""".strip(),
+    "events_daily_pivot": f"""
+SELECT epoch_ns(ts) // {NS_PER_DAY} AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1""".strip(),
+    "text_rolling_hash": _rolling_hash_sql(),
+}
+
 
 def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(12,2)"
@@ -1711,12 +1917,6 @@ def oracle_sql() -> dict[str, str]:
         "lql_not_expr": f"WITH {_LOGS_CTE} SELECT {_STD} FROM logs "
         "WHERE (src = 'click' OR src = 'view') AND NOT (f_user LIKE '1%') "
         "ORDER BY ts, src, seq LIMIT 10000",
-        "lql_format": f"WITH {_LOGS_CTE} "
-        "SELECT ts, src, seq, "
-        "strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S') || 'Z' "
-        "|| ' ' || src || ' ' || msg AS line "
-        "FROM logs WHERE tag_line = 'name=signup' "
-        "ORDER BY ts, src, seq LIMIT 10000",
         "show_partitions": f"WITH {_LOGS_CTE} SELECT tag_line, "
         "count(*) AS records, CAST(sum(octet_length(encode(msg))) AS BIGINT) AS size "
         "FROM logs GROUP BY tag_line",
@@ -1742,16 +1942,6 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""".strip(),
-        "top_orders_per_customer": """
-SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders) WHERE rn <= 3""".strip(),
-        "distinct_customers": """
-SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
-       count(*) AS n_orders
-FROM orders GROUP BY o_orderpriority""".strip(),
         # exact column checked directly; hll_within_bound asserts the Spark
         # HLL++ estimate (rsd=0.02) is within the documented 5% bound
         "events_approx_users": """
@@ -1763,10 +1953,6 @@ SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS hour_bucket,
   count(*) AS n, count(DISTINCT user_id) AS n_users,
   CAST(SUM(CAST(value AS {dec})) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2""".strip(),
-        "nations_with_both": """
-SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
-INTERSECT
-SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey""".strip(),
         "events_asof": """
 WITH u AS (
   SELECT user_id, epoch_us(ts) AS ts, 0 AS side, event_id AS tie,
@@ -1800,14 +1986,6 @@ n AS (SELECT e.event_id, count(*) AS n_nearby
       GROUP BY 1)
 SELECT e.event_id, e.ts, COALESCE(n.n_nearby, 0) AS n_nearby
 FROM e LEFT JOIN n USING (event_id)""".strip(),
-        "events_daily_pivot": f"""
-SELECT epoch_ns(ts) // {NS_PER_DAY} AS day,
-       count(*) FILTER (event_type = 'click') AS click,
-       count(*) FILTER (event_type = 'error') AS error,
-       count(*) FILTER (event_type = 'purchase') AS purchase,
-       count(*) FILTER (event_type = 'signup') AS signup,
-       count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1""".strip(),
         "order_price_percentiles": """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -1872,7 +2050,12 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
         "repetition_stats": REPETITION_ORACLE_SQL,
         "curation_full": _curation_full_sql(),
         "text_bpe_tokens": _bpe_tokens_sql(),
-        "text_rolling_hash": _rolling_hash_sql(),
+        "contamination": _contamination_sql(),
+        "mixture_sample": _mixture_sql(),
+        "text_unigram_ppl": _unigram_sql(),
+        "text_bm25_topk": _bm25_sql(),
+        "tfidf_keywords": _tfidf_sql(),
+        "hamming_fp_pairs": _hamming_fp_sql(),
         "events_sessions": _SESSIONS_SQL,
         # Spark F.window aligns to the epoch, so 6-hour tumbling windows
         # are epoch floor division (µs columns; events ts are µs-aligned)

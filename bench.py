@@ -25,6 +25,39 @@ import sys
 import time
 
 
+# Pinned driver-measured per-query seconds from the previous rounds'
+# BENCH_r{N}.json (min-of-3 warm, sf0.1, local[32]) — emitted as a delta
+# column so a hardening round can't silently re-inflate a query family
+# (the round-7 dedup regression was only visible by diffing two files).
+PREV_ROUNDS = {
+    "r06": {
+        "lql_contains": 0.411, "lql_tail": 0.451, "lql_format": 0.404,
+        "show_partitions": 0.29, "pricing_summary": 1.23,
+        "revenue_by_segment": 1.278, "revenue_by_nation": 1.386,
+        "top_orders_per_customer": 0.348, "events_hourly": 0.52,
+        "dedup_exact": 0.251, "dedup_lsh_candidates": 1.433,
+        "dedup_near_duplicates": 1.591, "dedup_simhash_pairs": 2.324,
+        "text_stats": 0.819, "text_top_words": 0.294,
+        "ann_cosine_topk": 0.535, "ann_bucketed_topk": 0.611,
+        "dedup_embedding": 0.997, "parse_k8json": 1.49,
+        "events_sessions": 0.459, "events_asof": 0.397,
+        "events_range_join": 0.356, "training_pipeline": 1.743,
+    },
+    "r07": {
+        "lql_contains": 0.401, "lql_tail": 0.391, "lql_format": 0.402,
+        "show_partitions": 0.295, "pricing_summary": 1.122,
+        "revenue_by_segment": 1.187, "revenue_by_nation": 1.382,
+        "top_orders_per_customer": 0.35, "events_hourly": 0.472,
+        "dedup_exact": 0.242, "dedup_lsh_candidates": 2.452,
+        "dedup_near_duplicates": 2.169, "dedup_simhash_pairs": 3.158,
+        "text_stats": 0.823, "text_top_words": 0.301,
+        "ann_cosine_topk": 0.56, "ann_bucketed_topk": 0.604,
+        "dedup_embedding": 1.711, "parse_k8json": 1.761,
+        "events_sessions": 0.47, "events_asof": 0.466,
+        "events_range_join": 0.443, "training_pipeline": 2.97,
+    },
+}
+
 HEADLINE = [
     "lql_contains",
     "lql_tail",
@@ -70,7 +103,10 @@ def main() -> int:
     warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    qs = entry_mod.queries()
+    # headline membership is stable across rounds for comparability —
+    # rows rotated out of the 50-entry ORACLE registry (lql_format,
+    # top_orders_per_customer in round 8) still bench here
+    qs = {**entry_mod.retired_queries(), **entry_mod.queries()}
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -88,6 +124,18 @@ def main() -> int:
 
     ingest = _bench_ingest(spark)
 
+    # per-query delta vs the pinned prior-round driver numbers (negative
+    # = faster than that round); regressions are visible in-file instead
+    # of requiring a diff of two BENCH_r{N}.json files
+    deltas = {
+        rnd: {
+            name: round((timings[name] - prev[name]) / prev[name], 3)
+            for name in HEADLINE
+            if name in prev and prev[name] > 0
+        }
+        for rnd, prev in PREV_ROUNDS.items()
+    }
+
     print(
         json.dumps(
             {
@@ -98,6 +146,7 @@ def main() -> int:
                 "runs": raw_runs,
                 "n_runs": n_runs,
                 "sf": sf,
+                "delta_vs_prev": deltas,
                 "ingest": ingest,
             }
         )

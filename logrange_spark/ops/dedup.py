@@ -52,7 +52,11 @@ SKEW_CAP = 512
 
 
 def _salted_self_sides(
-    df: DataFrame, keys: list[str], hash_col: str, cap: int | None = None
+    df: DataFrame,
+    keys: list[str],
+    hash_col: str,
+    cap: int | None = None,
+    size_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Grid-salted sides for a self-equi-join on ``keys`` with bounded
     per-task work.
@@ -69,11 +73,19 @@ def _salted_self_sides(
     1×1 grid: zero replication, so unskewed data pays only the window
     count (which shuffles on the same keys the join needed anyway; the
     window exchange is shared by both sides via ReusedExchange).
+
+    ``size_col`` skips the window entirely when the caller already
+    carries the per-bucket row count (e.g. attached by the collapse
+    aggregation that produced the frame) — the salting then adds no
+    shuffle at all.
     """
     from pyspark.sql.window import Window
 
     cap = cap or SKEW_CAP  # late-bound so tests/tools can patch the module var
-    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    if size_col is not None:
+        n = F.col(size_col)
+    else:
+        n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     base = df.withColumn(
         "_s", F.greatest(F.lit(1), F.ceil(n / F.lit(float(cap)))).cast("int")
     ).withColumn(
@@ -90,6 +102,7 @@ def _expand_rep_pairs(
     members: DataFrame,
     id_col: str,
     within: dict[str, Column],
+    dup_keys: DataFrame | None = None,
 ) -> DataFrame:
     """All-member pairs from representative pairs.
 
@@ -103,6 +116,13 @@ def _expand_rep_pairs(
     run would produce, but the expensive band self-join only ever saw one
     row per distinct content. The within-cluster self-join is grid-salted
     too: its O(k²) output is inherent, but no single task emits it alone.
+
+    ``dup_keys`` (one ``_tkey`` row per MULTI-member cluster, produced
+    for free by the collapse aggregation's count) pre-filters the within
+    self-join's input to actual duplicates: on duplicate-light data the
+    salting window and the self-join see ~zero rows instead of the whole
+    membership frame, and on duplicate-heavy data the filter join is an
+    equi-join on the exchange the window needed anyway.
     """
     extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b", "_ka", "_kb")]
     ma = members.select(F.col("_tkey").alias("_ka"), F.col(id_col).alias("_fa"))
@@ -116,7 +136,8 @@ def _expand_rep_pairs(
             *extra,
         )
     )
-    l, r = _salted_self_sides(members.hint("merge"), ["_tkey"], id_col)
+    wmembers = members if dup_keys is None else members.join(dup_keys, "_tkey")
+    l, r = _salted_self_sides(wmembers.hint("merge"), ["_tkey"], id_col)
     la, ra = l.alias("wl"), r.alias("wr")
     within_pairs = la.join(
         ra,
@@ -252,9 +273,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _rep_pairs_and_members(
     toked: DataFrame, id_col: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """LSH candidate pairs over CLUSTER REPRESENTATIVES plus the
-    (_tkey, id) membership frame for expansion.
+    (_tkey, id) membership frame for expansion, plus the (_tkey) frame
+    of multi-member clusters (for the within-cluster prefilter in
+    ``_expand_rep_pairs`` — the count falls out of the collapse
+    aggregation for free).
 
     Skew hardening, both layers (the 100 TB web-corpus reality is
     boilerplate clusters of thousands of identical documents):
@@ -282,10 +306,12 @@ def _rep_pairs_and_members(
     sigk = _sig_keyed(toked, id_col)
     reps = sigk.groupBy("_tkey").agg(
         F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("_csz"),
         # all rows of a _tkey group carry identical signatures, so
         # any_value is deterministic here
         *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
     )
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey")
     # NB: a close pair matches several bands, so the join output needs a
     # distinct(). The simhash first-matching-band residual was tried
     # here too (carry all band hashes, keep band == first equal) — it
@@ -313,12 +339,13 @@ def _rep_pairs_and_members(
         )
         .distinct()
     )
-    return rep_pairs, sigk.select("_tkey", F.col(id_col))
+    return rep_pairs, sigk.select("_tkey", F.col(id_col)), dup_keys
 
 
 def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
-    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
-    return _expand_rep_pairs(rep_pairs, members, id_col, within={})
+    rep_pairs, members, dup_keys = _rep_pairs_and_members(toked, id_col)
+    return _expand_rep_pairs(rep_pairs, members, id_col, within={},
+                             dup_keys=dup_keys)
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -375,12 +402,13 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
     with the expensive array_intersect paid once per content pair.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, dup_keys = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
     return _expand_rep_pairs(
-        verified, members, id_col, within={"jaccard": F.lit(1.0)}
+        verified, members, id_col, within={"jaccard": F.lit(1.0)},
+        dup_keys=dup_keys,
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -419,7 +447,7 @@ def near_duplicate_drops(
         cl = near_duplicate_clusters(df, id_col, text_col, threshold)
         return cl.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, _dup_keys = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -555,7 +583,7 @@ def near_duplicate_clusters(
     representative-level pairs.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, _dup_keys = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -676,8 +704,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sk = _simhash_keyed(spread(df), id_col, text_col)
     reps = sk.groupBy("_tkey").agg(
-        F.min(id_col).alias(id_col), F.first("simhash").alias("simhash")
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("_csz"),
+        F.first("simhash").alias("simhash"),
     )
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey")
     per_band = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << per_band) - 1
     bands = reps.select(
@@ -737,6 +768,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     return _expand_rep_pairs(
         rep_pairs, sk.select("_tkey", F.col(id_col)), id_col,
         within={"hamming": F.bit_count(F.lit(0))},
+        dup_keys=dup_keys,
     )
 
 

@@ -199,6 +199,30 @@ def test_retired_lql_oracles(spark, name):
     assert len(s_rows) > 0 and s_rows == d_rows
 
 
+@pytest.mark.parametrize("name", sorted(entry._RETIRED_ORACLES))
+def test_retired_general_oracles(spark, name):
+    """Rows rotated out of the 50-entry registry in round 8 (to make room
+    for contamination / mixture_sample / text_unigram_ppl /
+    text_bm25_topk / tfidf_keywords / hamming_fp_pairs) keep their DuckDB
+    oracle checks alive here — rotation must never lose coverage."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    q = entry.retired_queries()[name]
+    s_df = q(spark, sf)
+    s_rows = sorted(tuple(r) for r in s_df.collect())
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    res = con.execute(entry._RETIRED_ORACLES[name])
+    assert [d[0] for d in res.description] == s_df.columns
+    d_rows = sorted(tuple(r) for r in res.fetchall())
+    assert len(s_rows) > 0 and s_rows == d_rows
+
+
 def test_contamination_oracle(spark):
     """Benchmark decontamination (pytest oracle; registry at the 50-row
     cap): per-document 8-gram overlap against a deterministic eval slice
