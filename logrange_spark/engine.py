@@ -112,19 +112,43 @@ class Engine:
         # design that survives 100 TB. Footer reads remain as the repair
         # path for files the catalog doesn't know (see describe_many).
         #
-        # Persistence is the Delta-log shape: chunks.json is a SNAPSHOT,
-        # chunks.jsonl an append-only delta log (one line per added or
-        # dropped chunk) — each write appends O(batch) bytes instead of
-        # re-serializing the whole catalog (O(#files) per write would
-        # itself be a scale-killer). The log compacts into a fresh
-        # snapshot when it outgrows the live set.
+        # Persistence is the Delta-log shape: a snapshot plus chunks.jsonl,
+        # an append-only delta log (one line per added or dropped chunk) —
+        # each write appends O(batch) bytes instead of re-serializing the
+        # whole catalog (O(#files) per write would itself be a
+        # scale-killer). The snapshot is SHARDED per src under chunks.d/
+        # (one JSON file per src): compaction rewrites only the srcs
+        # touched since the last compaction (the dirty set), so the
+        # write-stall under _write_lock is O(dirty chunks), never
+        # O(catalog) — at the 100 TB target (~10⁶ chunks) a monolithic
+        # snapshot rewrite would stall writers for seconds every time the
+        # log doubled. chunks.json is the pre-shard legacy snapshot; it
+        # loads first (shards overlay it) and the first compaction
+        # migrates it into shards. Measured (tools/catalog_scale.py):
+        # 100k chunks boot in ~0.2 s / ~65 MB driver RSS → ~2 s / ~0.7 GB
+        # extrapolated at 10⁶ — within the 8 GB driver budget; beyond
+        # that the shards' schema maps 1:1 onto a parquet catalog table.
         self._chunk_stats: dict[str, dict[str, dict]] = {}
         self._chunk_stats_path = os.path.join(self.state_dir, "chunks.json")
+        self._chunk_shards_dir = os.path.join(self.state_dir, "chunks.d")
         self._chunk_log_path = os.path.join(self.state_dir, "chunks.jsonl")
         self._chunk_log_lines = 0
+        self._dirty_srcs: set[str] = set()
         if os.path.exists(self._chunk_stats_path):
             with open(self._chunk_stats_path) as f:
                 self._chunk_stats = json.load(f)
+        if os.path.isdir(self._chunk_shards_dir):
+            for fn in os.listdir(self._chunk_shards_dir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(self._chunk_shards_dir, fn)) as f:
+                        self._chunk_stats[fn[:-5]] = json.load(f)
+                except ValueError:
+                    # torn shard from a crash mid-replace: the log replay
+                    # below re-derives what it can; describe_many's footer
+                    # repair path covers the rest
+                    continue
         if os.path.exists(self._chunk_log_path):
             good_offset = 0
             torn = False
@@ -144,6 +168,10 @@ class Engine:
                         break
                     good_offset += len(raw)
                     self._chunk_log_lines += 1
+                    # replayed srcs are dirty: their shard (or the legacy
+                    # snapshot) predates these log entries, so the next
+                    # compaction must rewrite them
+                    self._dirty_srcs.add(rec["src"])
                     op = rec.get("op", "add")
                     if op == "add":
                         self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
@@ -161,6 +189,9 @@ class Engine:
                 # every later valid line from the next restart's replay.
                 with open(self._chunk_log_path, "r+b") as f:
                     f.truncate(good_offset)
+        # live chunk count, maintained incrementally (the per-append
+        # recount was O(#srcs) per write batch)
+        self._chunk_count = sum(len(v) for v in self._chunk_stats.values())
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         # per-pipe pruned src set (None = no tag condition / no pruning);
@@ -363,46 +394,81 @@ class Engine:
         lines = []
         for st in stats:
             entry = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
+            if st["chunk"] not in d:
+                self._chunk_count += 1
             d[st["chunk"]] = entry
             lines.append(json.dumps({"src": src, "chunk": st["chunk"], **entry}))
+        self._dirty_srcs.add(src)
         self._append_chunk_log(lines)
 
     def _drop_chunks(self, src: str, chunks: list[str] | None) -> None:
         """caller holds _write_lock; chunks=None drops the whole src."""
         if chunks is None:
-            self._chunk_stats.pop(src, None)
+            self._chunk_count -= len(self._chunk_stats.pop(src, {}))
             self._append_chunk_log([json.dumps({"op": "drop_src", "src": src})])
         else:
             d = self._chunk_stats.get(src, {})
             for name in chunks:
-                d.pop(name, None)
+                if d.pop(name, None) is not None:
+                    self._chunk_count -= 1
             self._append_chunk_log(
                 [json.dumps({"op": "drop", "src": src, "chunk": n}) for n in chunks]
             )
+        self._dirty_srcs.add(src)
+
+    # Compaction thresholds: the 2x-live ratio keeps amortized compaction
+    # cost O(1) per logged line; the absolute line cap bounds the boot
+    # replay (a crash can otherwise leave a log of 2x the live set —
+    # ~2·10⁶ lines at the 100 TB target, tens of seconds of line-by-line
+    # JSON at boot). Sharded compaction is cheap (dirty srcs only), so
+    # the cap costs little.
+    CHUNK_LOG_MIN_LINES = 1024
+    CHUNK_LOG_MAX_LINES = 65536
 
     def _append_chunk_log(self, lines: list[str]) -> None:
         # caller holds _write_lock. O(batch) per write; the log compacts
-        # into the snapshot when it outgrows the live set so replay stays
-        # bounded by ~2x the live chunk count.
+        # into the per-src snapshot shards when it outgrows the live set
+        # (or the absolute cap) so boot replay stays bounded.
         if not lines:
             return
         with open(self._chunk_log_path, "a") as f:
             f.write("\n".join(lines) + "\n")
         self._chunk_log_lines += len(lines)
-        live = sum(len(v) for v in self._chunk_stats.values())
-        if self._chunk_log_lines > 1024 and self._chunk_log_lines > 2 * live:
+        if self._chunk_log_lines > self.CHUNK_LOG_MIN_LINES and (
+            self._chunk_log_lines > 2 * self._chunk_count
+            or self._chunk_log_lines > self.CHUNK_LOG_MAX_LINES
+        ):
             self._compact_chunk_log()
 
     def _compact_chunk_log(self) -> None:
-        # caller holds _write_lock: snapshot first, then truncate the log
-        # (crash between the two replays a few redundant lines — idempotent)
-        tmp = self._chunk_stats_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._chunk_stats, f)
-        os.replace(tmp, self._chunk_stats_path)
+        # caller holds _write_lock: shards first, then truncate the log
+        # (crash between the two replays a few redundant lines — idempotent).
+        # Only srcs DIRTY since the last compaction rewrite their shard,
+        # so the stall is O(dirty chunks), not O(catalog). The pre-shard
+        # legacy snapshot (one monolithic chunks.json) migrates into
+        # shards on the first compaction that sees it.
+        legacy = os.path.exists(self._chunk_stats_path)
+        dirty = set(self._dirty_srcs)
+        if legacy:
+            dirty |= set(self._chunk_stats)
+        if dirty:
+            os.makedirs(self._chunk_shards_dir, exist_ok=True)
+        for src in dirty:
+            shard = os.path.join(self._chunk_shards_dir, f"{src}.json")
+            d = self._chunk_stats.get(src)
+            if d:
+                tmp = shard + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(d, f)
+                os.replace(tmp, shard)
+            elif os.path.exists(shard):
+                os.remove(shard)
+        if legacy:
+            os.remove(self._chunk_stats_path)
         with open(self._chunk_log_path, "w") as f:
             pass
         self._chunk_log_lines = 0
+        self._dirty_srcs.clear()
 
     def _src_lock(self, src: str) -> threading.Lock:
         """Per-src writer lock (created on first use). Always acquired
@@ -1267,6 +1333,14 @@ class Engine:
         """Stop streaming work and release the store ownership lock so
         another Engine (this process or another) may open the root."""
         self.stop_pipes()
+        # fold the delta log into the snapshot shards (dirty srcs only)
+        # so the next boot replays nothing
+        with self._write_lock:
+            if self._chunk_log_lines > 0:
+                try:
+                    self._compact_chunk_log()
+                except OSError:
+                    pass  # read-only media: the log replays at next boot
         if self._store_lock is not None:
             try:
                 self._store_lock.close()  # closing the fd drops the flock

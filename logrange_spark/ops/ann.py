@@ -606,6 +606,137 @@ def embedding_near_duplicates(
     return cross.unionByName(within)
 
 
+# ------------------------------------ incremental embedding dedup
+# Embedding-side parity with the token path's persist_corpus_lsh /
+# near_duplicates_against (ops/dedup.py): the corpus' near-dup probe
+# state persists ONCE — collapsed representative vectors bucketed by
+# their sign-LSH bucket, plus the (rep id → member id) map — and each
+# incoming shard probes the bucketed tables with NO corpus-side
+# Exchange. The continuous-ingestion shape at 100 TB: corpus state is
+# written once per compaction, probing cost tracks the shard.
+
+
+def _emb_vkey(vec_col: str) -> Column:
+    """The exact-collapse key used by embedding_near_duplicates — two
+    independently-seeded xxhash64 passes over the raw array."""
+    return F.struct(
+        F.xxhash64(F.col(vec_col)).alias("h1"),
+        F.xxhash64(F.lit(1), F.col(vec_col)).alias("h2"),
+    )
+
+
+def persist_corpus_embeddings(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    n_rows: int | None = None,
+    n_buckets: int = 64,
+):
+    """Materialize the corpus' embedding near-dup probe state as two
+    catalog tables; returns (vecs_table, members_table, dims).
+
+    - ``<name>_vecs`` (bucket, rid, vec, norm): ONE row per distinct
+      vector (exact-collapse — a boilerplate cluster of identical
+      embeddings contributes one probe row), bucketed by the sign-LSH
+      ``bucket`` so probe joins read co-located buckets with no
+      corpus-side Exchange;
+    - ``<name>_members`` (rid, id): the collapse membership map keyed by
+      the representative's id (a plain long), bucketed by ``rid`` for
+      the match-expansion join.
+
+    ``dims`` (occupancy-sized from the corpus row count by default) must
+    be passed to ``embedding_near_duplicates_against`` unchanged — the
+    shard's probe buckets are only comparable under the same bit count.
+    """
+    from .util import persist_bucketed
+
+    if dims is None:
+        dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(corpus))
+    keyed = corpus.select(F.col(id_col), F.col(vec_col), _emb_vkey(vec_col).alias("_vkey"))
+    reps = keyed.groupBy("_vkey").agg(
+        F.min(id_col).alias("rid"), F.first(vec_col).alias(vec_col)
+    )
+    vecs = reps.select(
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.col("rid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    )
+    members = keyed.join(
+        reps.select("_vkey", "rid"), "_vkey"
+    ).select(F.col("rid"), F.col(id_col).alias("id"))
+    vecs_t = persist_bucketed(spark, vecs, f"{name}_vecs", f"{path}_vecs",
+                              n_buckets, "bucket")
+    members_t = persist_bucketed(spark, members, f"{name}_members",
+                                 f"{path}_members", n_buckets, "rid")
+    return vecs_t, members_t, dims
+
+
+def embedding_near_duplicates_against(
+    new_df: DataFrame,
+    corpus_vecs: DataFrame,
+    corpus_members: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(new_id, corpus_id, score) for every NEW vector whose cosine
+    against some persisted-corpus vector reaches ``threshold``.
+
+    The shard collapses to distinct vectors, each probing its own sign
+    bucket plus every one-bit flip (full Hamming-1 multi-probe — the
+    roles are fixed here, so unlike the self-join path both sides of a
+    bit difference cannot meet halfway and the shard probes ALL flips).
+    A corpus vector lives in exactly one bucket, so each (new, corpus)
+    candidate arises at most once — no dedup join. Scoring is the exact
+    cosine, so precision is exact; recall is guaranteed for sign
+    signatures within Hamming 1 and probabilistic beyond, the identical
+    contract to ``embedding_near_duplicates(multi_probe=True)``.
+
+    The corpus side contributes NO Exchange (bucketed storage satisfies
+    the join's clustering); the only data-scaled shuffle is the shard's
+    own probe explode. Matches expand through both membership maps, so
+    duplicate clusters on either side cost one probe row, not one per
+    copy."""
+    nkeyed = new_df.select(
+        F.col(id_col), F.col(vec_col), _emb_vkey(vec_col).alias("_vkey")
+    )
+    nreps = nkeyed.groupBy("_vkey").agg(
+        F.min(id_col).alias("_nid"), F.first(vec_col).alias(vec_col)
+    )
+    nmembers = nkeyed.select("_vkey", F.col(id_col).alias("new_id"))
+    probes = nreps.select(
+        F.col("_vkey"),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_qn"),
+        F.explode(
+            _probe_buckets(sign_bucket(F.col(vec_col), dims), dims)
+        ).alias("bucket"),
+    )
+    cand = (
+        probes.join(corpus_vecs, "bucket")
+        .select(
+            F.col("_vkey"),
+            F.col("rid"),
+            F.round(
+                _dot(F.col(vec_col), F.col("vec")) / (F.col("_qn") * F.col("norm")),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+    return (
+        cand.join(nmembers, "_vkey")
+        .join(corpus_members, "rid")
+        .select("new_id", F.col("id").alias("corpus_id"), "score")
+    )
+
+
 # ------------------------------------------------------------------ PQ
 # Product quantization (ADC scoring): the memory-side scale path for
 # vector search. Sign-LSH / IVF prune WHICH vectors a query compares

@@ -609,6 +609,172 @@ def near_duplicate_clusters(
     )
 
 
+# -------------------------------------------------- substring-level dedup
+# Cross-document repeated-SPAN detection and removal — the "exact
+# substring dedup" step of LLM data prep (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022, use a suffix
+# array; the distributed re-expression below uses fixed-width token
+# windows hashed per position, which finds exactly the spans of length
+# ≥ min_len). Whole-document dedup (above) misses boilerplate paragraphs
+# embedded in otherwise-distinct pages; this operator works at token
+# granularity.
+
+SPAN_MIN_LEN = 20  # default minimum repeated-span length, in tokens
+
+
+def _window_hashes(toked: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """(id, pos, whash) — md5 of every ``min_len``-token window
+    (1-based ``pos``), computed map-side from the projected token array.
+    O(n·L) hashing (md5 per window, not a rolling O(n) recurrence) —
+    the price of an engine-portable hash the DuckDB twin reproduces
+    byte-for-byte; still a narrow, shuffle-free stage."""
+    k = F.size("_tok") - (min_len - 1)
+    return (
+        toked.where(F.size("_tok") >= min_len)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda p: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_tok"), p, min_len))
+                    ),
+                )
+            ).alias("_p0", "whash"),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "whash")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = SPAN_MIN_LEN,
+) -> DataFrame:
+    """(id, start, length) maximal DUPLICATE spans: token intervals
+    (1-based ``start``) covered by at least one ``min_len``-token window
+    whose content occurs elsewhere in the corpus EARLIER in (doc, pos)
+    order. The globally-first occurrence of each window content is not a
+    duplicate (keep-first), so a span repeated k times yields k-1
+    dropped occurrences — removing every reported span keeps exactly one
+    copy of every repeated substring. Overlapping/adjacent duplicate
+    windows merge into maximal intervals (gaps-and-islands per doc).
+
+    100 TB shape: window hashing is map-side; the only data-scaled
+    shuffles are the groupBy on the window hash (min/count partial-
+    aggregate map-side, so a boilerplate span repeated 10⁷ times
+    collapses per map task — no hot reducer), the join back on the hash
+    (1:many against a one-row-per-hash frame; AQE skew-join splits a
+    pathological hash), and the per-doc island window (partition sizes
+    bounded by document length). No pair explosion anywhere: work is
+    linear in total occurrences, never quadratic.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be ≥ 2, got {min_len}")
+    from pyspark.sql.window import Window
+
+    toked = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
+    w = _window_hashes(toked, id_col, min_len)
+    first = (
+        w.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_first"
+            ),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    dup = (
+        w.join(first, "whash")
+        .where(
+            (F.col(id_col) != F.col("_first.d")) | (F.col("pos") != F.col("_first.p"))
+        )
+        .select(id_col, "pos")
+    )
+    # windows at pos p cover tokens [p, p+L-1]; two duplicate windows
+    # p1 < p2 produce one contiguous covered interval iff p2 ≤ p1 + L
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        dup.withColumn("_prev", F.lag("pos").over(ww))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(ww.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(min_len) - F.min("pos")).alias("length"),
+        )
+        .select(id_col, "start", "length")
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = SPAN_MIN_LEN,
+) -> DataFrame:
+    """(id, text, n_tokens, n_removed) — the span-removal transform:
+    every token covered by a duplicate span (``repeated_spans``) is
+    dropped and the survivors re-joined with single spaces. Keep-first:
+    exactly one copy of every repeated substring survives corpus-wide.
+    The rebuilt text is the LOWERCASED token stream (removal operates at
+    token granularity, same normalization as every dedup operator here).
+
+    The rebuild is one left join of the corpus against the per-doc
+    interval lists (collect_list bounded by document length) followed by
+    a map-side array filter — no per-token shuffle.
+    """
+    toked = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
+    spans = repeated_spans(df, id_col, text_col, min_len)
+    ivs = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start").alias("s"),
+                (F.col("start") + F.col("length") - 1).alias("e"),
+            )
+        ).alias("_ivs")
+    )
+    joined = toked.join(ivs, id_col, "left")
+    indexed = F.transform(
+        F.col("_tok"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
+    )
+    kept = F.when(F.col("_ivs").isNull(), F.col("_tok")).otherwise(
+        F.transform(
+            F.filter(
+                indexed,
+                lambda s: ~F.exists(
+                    F.col("_ivs"),
+                    lambda iv: (iv["s"] <= s["i"]) & (s["i"] <= iv["e"]),
+                ),
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size("_tok").alias("n_tokens"),
+        (F.size("_tok") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, key_col: Column) -> DataFrame:
     """Groups of exact duplicates by md5 of ``key_col``: returns
     (content_hash, keep_id, dup_count) for groups with >1 member."""

@@ -291,3 +291,102 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
     finally:
         for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_embedding_dedup_against_persisted_corpus(spark, tmp_path_factory):
+    """Embedding-side continuous-ingestion dedup (parity with the token
+    path above): the corpus' collapsed rep vectors persist ONCE bucketed
+    by sign bucket; a new shard's probe join reads co-located buckets
+    with no corpus-side Exchange, precision is exact (cosine verified),
+    and recall covers self-bucket + every one-bit signature flip —
+    checked against a full brute-force cosine."""
+    import math
+    import random
+
+    from logrange_spark.ops import ann
+
+    rng = random.Random(9)
+
+    def vec(seed_vec=None, jitter=0.0):
+        if seed_vec is None:
+            return [rng.uniform(-1, 1) for _ in range(16)]
+        return [x + rng.uniform(-jitter, jitter) for x in seed_vec]
+
+    base = [vec() for _ in range(40)]
+    corpus_rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # boilerplate cluster: 4 byte-identical vectors → ONE probe row
+    boiler = [float(x) for x in vec()]
+    corpus_rows += [(50 + j, boiler) for j in range(4)]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+
+    wh = str(tmp_path_factory.mktemp("incemb"))
+    for t in ("inc_emb_vecs", "inc_emb_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        vecs_t, members_t, dims = ann.persist_corpus_embeddings(
+            spark, corpus, "inc_emb", f"{wh}/inc_emb", n_rows=len(corpus_rows)
+        )
+        # new shard: near-copies of corpus docs 0-4 (tiny jitter), novel
+        # random vectors, and an exact copy of the boilerplate
+        new_rows = [
+            (100 + i, [float(x) for x in vec(base[i], 0.01)]) for i in range(5)
+        ] + [(200 + i, [float(x) for x in vec()]) for i in range(5)]
+        new_rows.append((300, boiler))
+        new_df = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            found = ann.embedding_near_duplicates_against(
+                new_df, vecs_t, members_t, dims, threshold=0.98
+            )
+            plan = found._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            rows = found.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        # brute-force reference (float32-rounded inputs)
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        import struct
+
+        def f32(v):
+            return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+        expect = set()
+        for nid, nv in new_rows:
+            for cid, cv in corpus_rows:
+                if cos(f32(nv), f32(cv)) >= 0.9799995:  # rounding guard
+                    expect.add((nid, cid))
+        got = {(r["new_id"], r["corpus_id"]) for r in rows}
+        # exact precision; recall guaranteed within Hamming ≤ 1
+        assert got <= expect, sorted(got - expect)
+        assert all(r["score"] >= 0.98 for r in rows)
+        planted = {(100 + i, i) for i in range(5)}
+        missing = planted - got
+        # jittered copies should share signatures or differ by ≤1 bit —
+        # all planted pairs must be found
+        assert not missing, sorted(missing)
+        # the boilerplate copy expands to every cluster member
+        assert {(300, 50 + j) for j in range(4)} <= got
+        # novel vectors never match
+        assert all(not (200 <= nid < 300) for nid, _ in got)
+
+        # corpus side contributes no Exchange: the only exchanges in the
+        # probe plan belong to the shard side / expansion joins reading
+        # the new frame, never the bucketed scans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe_plan = ann.embedding_near_duplicates_against(
+                new_df, vecs_t, members_t, dims, threshold=0.98
+            )._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        assert probe_plan.count("Bucketed: true") >= 2, probe_plan
+    finally:
+        for t in ("inc_emb_vecs", "inc_emb_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -846,3 +846,77 @@ def test_backward_cursor_boundary_ts_chunk(engine):
         assert got == want, (off, lim)
         # the window reaches below T, so the below chunk must survive pruning
         assert any(m.startswith("lo.") for _, m in got), (off, lim, got)
+
+
+def test_chunk_catalog_shards_migration_and_close_fold(spark):
+    """Per-src sharded chunk catalog (round-8): a legacy monolithic
+    chunks.json migrates into chunks.d/ shards on the first compaction;
+    steady-state compaction rewrites ONLY dirty srcs' shards; close()
+    folds the delta log so the next boot replays nothing; and the
+    catalog contents survive every transition byte-for-byte."""
+    import json as _json
+    import os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from logrange_spark import Engine
+
+    root = _tempfile.mkdtemp(prefix="lrspark-shards-")
+    try:
+        e = Engine(spark, root)
+        for s in range(4):
+            e.write({"name": f"sv{s}"},
+                    [(BASE_TS + i * NS, f"m{s}.{i}", {}) for i in range(5)])
+        snapshot = {k: dict(v) for k, v in e._chunk_stats.items()}
+        # rebuild a LEGACY layout: monolithic chunks.json, no shards
+        e.close()
+        legacy_path = e._chunk_stats_path
+        _shutil.rmtree(e._chunk_shards_dir, ignore_errors=True)
+        with open(legacy_path, "w") as f:
+            _json.dump(snapshot, f)
+        with open(e._chunk_log_path, "w") as f:
+            pass
+
+        e2 = Engine(spark, root)
+        assert e2._chunk_stats == snapshot  # legacy snapshot loads
+        # first compaction migrates legacy → shards
+        srcs = sorted(snapshot)
+        e2.write({"name": "sv0"}, [(BASE_TS + 99 * NS, "fresh", {})])
+        with e2._write_lock:
+            e2._compact_chunk_log()
+        assert not os.path.exists(legacy_path)
+        shard_files = sorted(os.listdir(e2._chunk_shards_dir))
+        assert shard_files == [f"{s}.json" for s in srcs]
+        # steady-state: only the dirty src's shard mtime advances
+        import time as _time
+
+        mtimes = {f: os.path.getmtime(os.path.join(e2._chunk_shards_dir, f))
+                  for f in shard_files}
+        _time.sleep(0.05)
+        e2.write({"name": "sv1"}, [(BASE_TS + 100 * NS, "fresh2", {})])
+        with e2._write_lock:
+            e2._compact_chunk_log()
+        sv1 = e2.resolve_sources(None)  # all srcs
+        from logrange_spark.model.schema import src_for_tag_line
+
+        dirty_shard = f"{src_for_tag_line('name=sv1')}.json"
+        for f in shard_files:
+            mt = os.path.getmtime(os.path.join(e2._chunk_shards_dir, f))
+            if f == dirty_shard:
+                assert mt > mtimes[f], "dirty shard not rewritten"
+            else:
+                assert mt == mtimes[f], f"clean shard {f} rewritten"
+        want = {k: dict(v) for k, v in e2._chunk_stats.items()}
+        # close() folds the log → replay-free boot with identical catalog
+        e2.close()
+        e3 = Engine(spark, root)
+        assert e3._chunk_log_lines == 0
+        assert e3._chunk_stats == want
+        # full query still sees every record (catalog is metadata-only,
+        # but SHOW PARTITIONS reads it)
+        rows = {r["tag_line"]: r["records"]
+                for r in e3.execute("SHOW PARTITIONS").collect()}
+        assert rows == {f"name=sv{s}": 6 if s <= 1 else 5 for s in range(4)}
+        e3.close()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

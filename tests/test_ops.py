@@ -2054,3 +2054,114 @@ def test_audio_near_duplicates(spark):
         for r in mm.audio_near_duplicates(df, max_hamming=6).collect()
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs and not any(4 in p or 5 in p for p in pairs)
+
+
+# ------------------------------------------------- substring-level dedup
+def _spans_reference(docs, L):
+    """Python twin of repeated_spans/remove_repeated_spans: returns
+    ({id: [(start, length), ...]}, {id: (kept_text, n_tokens, n_removed)})."""
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in docs}
+    occ = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(1, len(w) - L + 2):
+            occ.setdefault(" ".join(w[p - 1 : p - 1 + L]), []).append((i, p))
+    dup = sorted(o for lst in occ.values() if len(lst) >= 2 for o in lst[1:])
+    spans = {}
+    for i, p in dup:
+        cur = spans.setdefault(i, [])
+        if cur and p - cur[-1][1] <= L:
+            cur[-1] = (cur[-1][0], p)
+        else:
+            cur.append((p, p))
+    spans = {
+        i: [(s, e + L - s) for s, e in v] for i, v in spans.items()
+    }
+    removed = {}
+    for i in toks:
+        w = toks[i]
+        cov = set()
+        for s, ln in spans.get(i, []):
+            cov.update(range(s, s + ln))
+        kept = [t for j, t in enumerate(w, 1) if j not in cov]
+        removed[i] = (" ".join(kept), len(w), len(w) - len(kept))
+    return spans, removed
+
+
+def test_repeated_spans_planted_fixture(spark):
+    """A 25-token boilerplate span planted into docs 3, 7 and 9 (distinct
+    positions, distinct surrounding text): the first occurrence (doc 3)
+    is kept, the later two are reported and removed."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    span = " ".join(f"boiler{i}" for i in range(25))
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    rows = []
+    for i in range(12):
+        if i == 3:
+            t = doc(10) + " " + span + " " + doc(30)
+        elif i == 7:
+            t = span + " " + doc(40)
+        elif i == 9:
+            t = doc(55) + " " + span
+        else:
+            t = doc(60)
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start"], r["length"])
+        for r in dedup.repeated_spans(df, min_len=20).collect()
+    }
+    # doc 3 (first occurrence) reports nothing; 7 and 9 report the span.
+    # The maximal covered interval of a 25-token repeat with L=20 is the
+    # full 25 tokens (windows at pos..pos+5 all duplicate)
+    assert got == {(7, 1, 25), (9, 56, 25)}, got
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_repeated_spans(df, min_len=20).collect()
+    }
+    assert out[7][2] == 25 and out[9][2] == 25 and out[3][2] == 0
+    assert "boiler0" in out[3][0] and "boiler0" not in out[7][0]
+    assert "boiler0" not in out[9][0]
+    # survivors keep their non-span text intact
+    assert out[7][1] == 65 and len(out[7][0].split()) == 40
+
+
+def test_repeated_spans_matches_reference(spark):
+    """Differential vs the python twin on a corpus with within-doc
+    repeats, multi-doc repeats, overlapping plants and short docs."""
+    import random
+
+    rng = random.Random(4)
+    vocab = [f"t{i}" for i in range(40)]  # small vocab → natural repeats
+    rows = []
+    for i in range(30):
+        n = rng.randrange(0, 50)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # a within-document repeat (same span twice in one doc)
+    rep = " ".join(f"x{i}" for i in range(8))
+    rows.append((30, rep + " " + " ".join(rng.choice(vocab) for _ in range(5)) + " " + rep))
+    # overlapping repeats across docs
+    rows.append((31, " ".join(f"y{i}" for i in range(14))))
+    rows.append((32, " ".join(f"y{i}" for i in range(2, 16))))
+    L = 6
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_spans, ref_removed = _spans_reference(rows, L)
+    got_spans = {}
+    for r in dedup.repeated_spans(df, min_len=L).collect():
+        got_spans.setdefault(r["doc_id"], []).append((r["start"], r["length"]))
+    assert {i: sorted(v) for i, v in got_spans.items()} == {
+        i: sorted(v) for i, v in ref_spans.items()
+    }
+    got_removed = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_repeated_spans(df, min_len=L).collect()
+    }
+    assert got_removed == ref_removed
+    with pytest.raises(ValueError):
+        dedup.repeated_spans(df, min_len=1)

@@ -155,6 +155,24 @@ def _q_bm25(spark, sf_dir):
 # encode once at write time. dedup_clusters adds O(log n) contraction
 # rounds over the pair skeleton; mixture/unigram are map-side + one
 # aggregate — all three should track rows ~linearly.
+def _q_repeated_spans(spark, sf_dir):
+    from logrange_spark.ops import dedup
+
+    return dedup.repeated_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text",
+        min_len=8,
+    )
+
+
+def _q_remove_repeated_spans(spark, sf_dir):
+    from logrange_spark.ops import dedup
+
+    return dedup.remove_repeated_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text",
+        min_len=8,
+    )
+
+
 EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
@@ -162,6 +180,10 @@ EXTRA_QUERIES = {
     "mixture_sample": (_q_mixture_sample, "documents"),
     "text_unigram_ppl": (_q_unigram_lm, "documents"),
     "text_bm25_topk": (_q_bm25, "documents"),
+    # substring dedup: window hashing map-side, hash groupBy partial-
+    # aggregates, per-doc island windows — linear in total tokens
+    "repeated_spans": (_q_repeated_spans, "documents"),
+    "remove_repeated_spans": (_q_remove_repeated_spans, "documents"),
 }
 
 
