@@ -240,6 +240,112 @@ def parse_video_header(payload: bytes | None) -> tuple[str, int, int, float] | N
     return ("mp4", width or 0, height or 0, dur_s if dur_s is not None else 0.0)
 
 
+def _find_box(b: bytes, start: int, end: int, path: tuple[bytes, ...]):
+    """(payload_start, payload_end) of the first box at ``path`` (e.g.
+    (b"moov", b"trak", b"mdia")) or None."""
+    if not path:
+        return start, end
+    for btype, ps, pe in _walk_mp4_boxes(b, start, end):
+        if btype == path[0]:
+            got = _find_box(b, ps, pe, path[1:])
+            if got is not None:
+                return got
+    return None
+
+
+def decode_mjpeg_frames(payload: bytes | None, max_frames: int = 8):
+    """List of HxWx3 uint8 RGB frames for an MJPEG-in-MP4 container —
+    the one REAL video-frame path (round-8): each video sample of an
+    'mjpa'/'mjpb'/'jpeg' track is a complete baseline JPEG, decoded by
+    the pure-Python T.81 decoder (ops/jpeg.py). Returns None when the
+    container has no MJPEG video track (e.g. AVC — honestly out of
+    scope for pure Python) or is malformed; frames the JPEG decoder
+    rejects are skipped.
+
+    Sample locations come from the track's real sample tables: stsz
+    (sizes), stco/co64 (chunk offsets), stsc (sample→chunk runs) —
+    the same walk any demuxer does, pure struct over the box tree.
+    """
+    import struct
+
+    from .jpeg import decode_jpeg
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    moov = _find_box(b, 0, len(b), (b"moov",))
+    if moov is None:
+        return None
+    try:
+        for ttype, ts_, te in _walk_mp4_boxes(b, *moov):
+            if ttype != b"trak":
+                continue
+            stbl = _find_box(b, ts_, te, (b"mdia", b"minf", b"stbl"))
+            if stbl is None:
+                continue
+            boxes = {t: (s, e) for t, s, e in _walk_mp4_boxes(b, *stbl)}
+            if b"stsd" not in boxes or b"stsz" not in boxes or b"stsc" not in boxes:
+                continue
+            ss, se = boxes[b"stsd"]
+            # stsd: ver/flags u32, entry_count u32, then sample entries
+            # (size u32, format fourcc)
+            if se - ss < 16:
+                continue
+            fourcc = b[ss + 12 : ss + 16]
+            if fourcc not in (b"mjpa", b"mjpb", b"jpeg", b"MJPG"):
+                continue
+            zs, ze = boxes[b"stsz"]
+            sample_size, n_samples = struct.unpack(">II", b[zs + 4 : zs + 12])
+            if sample_size:
+                sizes = [sample_size] * n_samples
+            else:
+                sizes = list(
+                    struct.unpack(f">{n_samples}I", b[zs + 12 : zs + 12 + 4 * n_samples])
+                )
+            if b"stco" in boxes:
+                cs, ce = boxes[b"stco"]
+                (n_chunks,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                offsets = list(
+                    struct.unpack(f">{n_chunks}I", b[cs + 8 : cs + 8 + 4 * n_chunks])
+                )
+            elif b"co64" in boxes:
+                cs, ce = boxes[b"co64"]
+                (n_chunks,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                offsets = list(
+                    struct.unpack(f">{n_chunks}Q", b[cs + 8 : cs + 8 + 8 * n_chunks])
+                )
+            else:
+                continue
+            cs, ce = boxes[b"stsc"]
+            (n_runs,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+            runs = [
+                struct.unpack(">III", b[cs + 8 + 12 * i : cs + 20 + 12 * i])
+                for i in range(n_runs)
+            ]  # (first_chunk 1-based, samples_per_chunk, desc_id)
+            # expand sample → absolute offset
+            frames = []
+            sample = 0
+            for ri, (first, per, _desc) in enumerate(runs):
+                last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+                for chunk in range(first, last + 1):
+                    off = offsets[chunk - 1]
+                    for _ in range(per):
+                        if sample >= len(sizes) or len(frames) >= max_frames:
+                            break
+                        size = sizes[sample]
+                        f = decode_jpeg(b[off : off + size])
+                        if f is not None:
+                            frames.append(f)
+                        off += size
+                        sample += 1
+            return frames or None
+    except Exception:
+        return None
+    return None
+
+
 def header_features(
     payload: bytes | None, kind: str = "image"
 ) -> tuple[list[float] | None, bool]:
@@ -429,12 +535,15 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8,
     ``real_codec=True``: animated GIFs are REALLY decoded — each
     composited frame (ops/gif.py: full LZW + canvas compositing) is
     re-encoded as a lossless PNG and emitted as its own row, up to
-    ``max_frames``. Payloads the GIF codec can't decode fall back to
-    the stub, which slices the payload every ``every_n_bytes`` — an
-    honest placeholder for container formats whose frame decode needs
-    absent libraries (H.264/ffmpeg), keeping the fan-out shape (one
-    input row → up to ``max_frames`` output rows inside the same Arrow
-    batch) and schema exercised end-to-end either way.
+    ``max_frames`` — and so are MJPEG-in-MP4 containers: each video
+    sample decodes through the pure-Python baseline JPEG decoder
+    (``decode_mjpeg_frames``), covering one real VIDEO codec
+    end-to-end. Payloads neither codec handles fall back to the stub,
+    which slices the payload every ``every_n_bytes`` — an honest
+    placeholder for codecs whose frame decode needs absent libraries
+    (H.264/ffmpeg), keeping the fan-out shape (one input row → up to
+    ``max_frames`` output rows inside the same Arrow batch) and schema
+    exercised end-to-end either way.
     """
     from .gif import decode_gif_frames
     from .png import encode_png
@@ -444,6 +553,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8,
             return
         if real_codec:
             frames = decode_gif_frames(p, max_frames=max_frames)
+            if frames is None:
+                frames = decode_mjpeg_frames(p, max_frames=max_frames)
             if frames is not None:
                 for k, f in enumerate(frames):
                     yield mid, k, encode_png(f)

@@ -34,7 +34,9 @@ def test_limitless_lql_is_take_ordered_not_full_sort(spark):
 
 
 def test_formatted_limitless_lql_is_take_ordered(spark):
-    q = entry.queries()["lql_format"]
+    # lql_format rotated to retired_queries() in round 8; the plan
+    # contract is unchanged
+    q = entry.retired_queries()["lql_format"]
     plan = _physical_plan(q(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
 
