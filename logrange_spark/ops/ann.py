@@ -441,6 +441,112 @@ def ivf_topk(
     )
 
 
+def _emb_collapse(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact-collapse state shared by the embedding dedup family:
+    (reps, members, dup_keys).
+
+    The collapse key is TWO independently-seeded xxhash64 passes over
+    the raw array (`_emb_vkey`) — JVM-side integer hashing, 128
+    effective bits (chance of ANY false merge across a 10¹²-vector
+    corpus ~10⁻¹⁴, the same epistemic footing as the md5 digest it
+    replaced, without the per-row string materialization of the whole
+    vector). ``reps`` is one row (min id) per distinct vector plus the
+    cluster size; ``members`` stays a narrow projection of the scan (no
+    shuffle until a consumer joins it); ``dup_keys`` lists multi-member
+    clusters for the within-cluster prefilter."""
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col), _emb_vkey(vec_col).alias("_vkey")
+    )
+    reps = keyed.groupBy("_vkey").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("_csz"),
+        F.first(vec_col).alias(vec_col),
+    )
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey")
+    members = keyed.select("_vkey", F.col(id_col))
+    return reps, members, dup_keys
+
+
+def _emb_rep_pairs(
+    reps: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float,
+    multi_probe: bool,
+) -> DataFrame:
+    """Verified (id_a, id_b, _ka, _kb, score) pairs among the collapsed
+    REPRESENTATIVES via the occupancy-bounded sign-bucket join.
+
+    UPWARD-only probing when ``multi_probe``: pair-finding is symmetric,
+    so for a pair whose signatures differ in bit j only the side with
+    the 0-bit needs to probe the flip (the other side is reached via
+    its self bucket). Flipping a 0-bit always RAISES the bucket id, so
+    "flips ≥ own bucket" selects exactly those probes — halving probe
+    rows with the identical output pair set. Match accounting: equal
+    signatures meet only via self-probe (id< dedups); signatures
+    differing in bit j meet only via the 0-bit side's j-flip (id!=
+    suffices, least/greatest orders the output); Hamming≥2 pairs never
+    meet."""
+    # norm projected per row, not per pair (see cosine_topk)
+    b = reps.select(
+        F.col(id_col),
+        F.col("_vkey"),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_n"),
+        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    if multi_probe:
+        l = b.select(
+            F.col(id_col),
+            F.col("_vkey"),
+            F.col(vec_col),
+            F.col("_n"),
+            F.col("bucket").alias("own"),
+            F.explode(
+                F.filter(
+                    _probe_buckets(F.col("bucket"), dims),
+                    lambda p: p >= F.col("bucket"),
+                )
+            ).alias("bucket"),
+        ).alias("l")
+        pair_cond = F.when(
+            F.col("l.own") == F.col("l.bucket"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ).otherwise(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+    else:
+        l = b.alias("l")
+        pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    r = b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+            # the cluster keys follow their ids through least/greatest
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("l._vkey")
+            ).otherwise(F.col("r._vkey")).alias("_ka"),
+            F.when(
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("r._vkey")
+            ).otherwise(F.col("l._vkey")).alias("_kb"),
+            # try_divide: a zero-norm vector has no cosine — null score
+            # never clears the threshold (ANSI mode would otherwise
+            # raise DIVIDE_BY_ZERO on degenerate inputs)
+            F.round(
+                F.try_divide(
+                    _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")),
+                    F.col("l._n") * F.col("r._n"),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -469,92 +575,15 @@ def embedding_near_duplicates(
     # how many occupancy bits `bucket_dims` adds, so a k-copy cluster
     # would put k rows in one bucket and O(k²) pair work in one task.
     # One representative (min id) per distinct vector enters the bucket
-    # join; member pairs are re-expanded afterward with the IDENTICAL
-    # output: identical vectors share the signature (same matches), the
-    # norm, and every pairwise dot, and the within-cluster score is the
-    # rep's own self-score expression (not a literal 1.0 — the float
-    # fold of dot(v,v)/(‖v‖·‖v‖) is reproduced exactly).
-    #
-    # The collapse key is TWO independent xxhash64 passes over the raw
-    # array (second pass seeded differently by a leading literal) — all
-    # JVM-side integer hashing of the vector elements, replacing the
-    # previous md5(concat_ws(transform(vec, cast-to-string))) digest
-    # that string-materialized the whole vector per row (round-7
-    # verdict). 128 effective bits: the chance of ANY false merge
-    # across a 10¹²-vector corpus is ~10⁻¹⁴ — the same epistemic
-    # footing as the md5 it replaces. Members stays a narrow projection
-    # of the scan (no shuffle until a consumer joins it).
-    vkey = F.struct(
-        F.xxhash64(F.col(vec_col)).alias("h1"),
-        F.xxhash64(F.lit(1), F.col(vec_col)).alias("h2"),
-    )
-    keyed = df.select(F.col(id_col), F.col(vec_col), vkey.alias("_vkey"))
-    reps = keyed.groupBy("_vkey").agg(
-        F.min(id_col).alias(id_col),
-        F.count(F.lit(1)).alias("_csz"),
-        F.first(vec_col).alias(vec_col),
-    )
-    dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey")
-    members = keyed.select("_vkey", F.col(id_col))
-    # norm projected per row, not per pair (see cosine_topk)
-    b = reps.select(
-        F.col(id_col),
-        F.col("_vkey"),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_n"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
-    if multi_probe:
-        # UPWARD-only probing: pair-finding is symmetric, so for a pair
-        # whose signatures differ in bit j only the side with the 0-bit
-        # needs to probe the flip (the other side is reached via its self
-        # bucket). Flipping a 0-bit always RAISES the bucket id, so
-        # "flips > own bucket" selects exactly those probes — halving
-        # probe rows (avg dims/2+1 instead of dims+1) with the identical
-        # output pair set. Match accounting: equal signatures meet only
-        # via self-probe (id< dedups); signatures differing in bit j meet
-        # only via the 0-bit side's j-flip (id!= suffices, least/greatest
-        # orders the output); Hamming>=2 pairs never meet.
-        l = b.select(
-            F.col(id_col),
-            F.col("_vkey"),
-            F.col(vec_col),
-            F.col("_n"),
-            F.col("bucket").alias("own"),
-            F.explode(
-                F.filter(
-                    _probe_buckets(F.col("bucket"), dims),
-                    lambda p: p >= F.col("bucket"),
-                )
-            ).alias("bucket"),
-        ).alias("l")
-        pair_cond = F.when(
-            F.col("l.own") == F.col("l.bucket"),
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-        ).otherwise(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-    else:
-        l = b.alias("l")
-        pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    r = b.alias("r")
-    rep_pairs = (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
-        .select(
-            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
-            # the cluster keys follow their ids through least/greatest
-            F.when(
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("l._vkey")
-            ).otherwise(F.col("r._vkey")).alias("_ka"),
-            F.when(
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"), F.col("r._vkey")
-            ).otherwise(F.col("l._vkey")).alias("_kb"),
-            F.round(
-                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
-                / (F.col("l._n") * F.col("r._n")),
-                6,
-            ).alias("score"),
-        )
-        .where(F.col("score") >= threshold)
+    # join (`_emb_collapse`); member pairs are re-expanded afterward
+    # with the IDENTICAL output: identical vectors share the signature
+    # (same matches), the norm, and every pairwise dot, and the
+    # within-cluster score is the rep's own self-score expression (not a
+    # literal 1.0 — the float fold of dot(v,v)/(‖v‖·‖v‖) is reproduced
+    # exactly).
+    reps, members, dup_keys = _emb_collapse(df, id_col, vec_col)
+    rep_pairs = _emb_rep_pairs(
+        reps, id_col, vec_col, dims, threshold, multi_probe
     )
     # expansion: cross-cluster member pairs inherit the rep score; the
     # within-cluster pairs use the rep's self-score (same fold as the
@@ -577,8 +606,10 @@ def embedding_near_duplicates(
     selfscore = reps.select(
         F.col("_vkey"),
         F.round(
-            _dot(F.col(vec_col), F.col(vec_col))
-            / (_norm(F.col(vec_col)) * _norm(F.col(vec_col))),
+            F.try_divide(
+                _dot(F.col(vec_col), F.col(vec_col)),
+                _norm(F.col(vec_col)) * _norm(F.col(vec_col)),
+            ),
             6,
         ).alias("_selfscore"),
     ).where(F.col("_selfscore") >= threshold)
@@ -604,6 +635,61 @@ def embedding_near_duplicates(
         )
     )
     return cross.unionByName(within)
+
+
+def embedding_near_duplicate_drops(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dims: int | None = None,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """The vectors to DROP under keep-first embedding near-dedup — one id
+    per dropped vector, equal by construction to
+    ``embedding_near_duplicates(...).select(id_b).distinct()`` but with
+    O(n) output: the within-cluster O(k²) pair set is never materialized
+    (parity with the token path's ``near_duplicate_drops`` — the
+    SemDeDup-style curation primitive for embedding columns).
+
+    A vector is dropped iff some vector scoring ≥ threshold against it
+    has a smaller id. The drop set decomposes exactly into (a) every
+    non-representative member of a cluster whose self-score clears the
+    threshold (its rep is a smaller value-identical vector; the
+    self-score gate matters only for degenerate zero-norm vectors, whose
+    null cosine never clears any threshold — matching the pair path) and
+    (b) every member of a cluster whose rep appears as the LARGER side
+    of a verified representative pair (that pair's smaller rep is
+    smaller than every member of the larger-rep cluster; members dropped
+    via a cross-cluster smaller NON-rep member are caught by (a), since
+    their own rep is smaller still). Both are id-per-row joins over the
+    membership map — pair volume never appears.
+    """
+    if dims is None:
+        dims = bucket_dims(n_rows if n_rows is not None else _default_nrows(df))
+    reps, members, _dup_keys = _emb_collapse(df, id_col, vec_col)
+    rep_pairs = _emb_rep_pairs(
+        reps, id_col, vec_col, dims, threshold, multi_probe
+    )
+    dropped_keys = rep_pairs.select(F.col("_kb").alias("_vkey")).distinct()
+    selfscore_ok = reps.where(
+        F.round(
+            F.try_divide(
+                _dot(F.col(vec_col), F.col(vec_col)),
+                _norm(F.col(vec_col)) * _norm(F.col(vec_col)),
+            ),
+            6,
+        )
+        >= threshold
+    ).select("_vkey", F.col(id_col).alias("_rep"))
+    non_reps = (
+        members.join(selfscore_ok, "_vkey")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+    )
+    cluster_members = members.join(dropped_keys, "_vkey").select(id_col)
+    return non_reps.unionByName(cluster_members).distinct()
 
 
 # ------------------------------------ incremental embedding dedup
@@ -724,7 +810,10 @@ def embedding_near_duplicates_against(
             F.col("_vkey"),
             F.col("rid"),
             F.round(
-                _dot(F.col(vec_col), F.col("vec")) / (F.col("_qn") * F.col("norm")),
+                F.try_divide(
+                    _dot(F.col(vec_col), F.col("vec")),
+                    F.col("_qn") * F.col("norm"),
+                ),
                 6,
             ).alias("score"),
         )

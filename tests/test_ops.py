@@ -2255,3 +2255,36 @@ def test_mjpeg_mp4_frame_decode(spark):
     assert mm.decode_mjpeg_frames(b"\x00" * 40) is None
     for cut in range(0, len(payload), 97):
         mm.decode_mjpeg_frames(payload[:cut])  # total on truncation
+
+
+def test_embedding_near_duplicate_drops_equals_pair_path(spark):
+    """O(n)-output embedding drop set == pairs→drop-id_b→distinct, on a
+    corpus with a planted identical-vector cluster, jittered near-dups,
+    novel vectors and a duplicated ZERO vector (whose null cosine keeps
+    it out of both paths)."""
+    import random
+
+    rng = random.Random(13)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(25)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # identical cluster of 5 (ids 30..34) + a near-copy of base[0]
+    boiler = [float(rng.uniform(-1, 1)) for _ in range(16)]
+    rows += [(30 + j, boiler) for j in range(5)]
+    rows.append((40, [float(x + rng.uniform(-0.005, 0.005)) for x in base[0]]))
+    # duplicated zero vector: value-identical but cosine undefined
+    rows += [(50, [0.0] * 16), (51, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = ann.embedding_near_duplicates(df, threshold=0.98, n_rows=len(rows))
+    want = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    got = {
+        r["vec_id"]
+        for r in ann.embedding_near_duplicate_drops(
+            df, threshold=0.98, n_rows=len(rows)
+        ).collect()
+    }
+    assert got == want, (sorted(got ^ want))
+    # the planted structure actually exercises both decomposition arms
+    assert {31, 32, 33, 34} <= got  # non-rep identical members
+    assert 40 in got or 0 in got  # verified cross pair drops the larger
+    assert 50 not in got and 51 not in got  # zero vectors: null cosine
