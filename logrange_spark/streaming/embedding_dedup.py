@@ -1,0 +1,141 @@
+"""Continuous EMBEDDING corpus deduplication — the vector-side twin of
+``streaming/corpus_dedup.py`` (round-8 parity):
+
+    new shard  ─►  keep-first dedup within the shard
+                   (ops/ann.embedding_near_duplicate_drops — O(n) output)
+               ─►  probe the persisted corpus state
+                   (ops/ann.persist_corpus_embeddings — collapsed rep
+                   vectors bucketed by sign bucket + the rep→member map,
+                   so the probe join has no corpus-side Exchange)
+               ─►  novel vectors append to the corpus output AND to the
+                   two probe tables (bucketed INSERT — bucketing is
+                   preserved, so later shards still probe Exchange-free)
+
+The corpus is never re-paired against itself; each shard pays one
+collapse + Hamming-1 multi-probe against co-located buckets. ``dims``
+is FIXED at bootstrap (sign buckets are only comparable under one bit
+count) and must be threaded to the stream unchanged. Zero-norm vectors
+have no cosine (null score) and are therefore never considered
+duplicates anywhere in the family — consistent with the batch
+operators. Offsets/recovery are Spark's (checkpointed file source); a
+replayed batch re-derives the same novel set and the append is guarded
+by a provenance anti-join against the corpus membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops import ann
+
+
+def bootstrap_embedding_corpus(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 64,
+    dims: int | None = None,
+):
+    """Initial build: keep-first dedup of the seed corpus, persist the
+    survivors + probe state. Returns (corpus_df, vecs_t, members_t,
+    dims) — hold onto ``dims`` for the stream."""
+    drops = ann.embedding_near_duplicate_drops(
+        corpus, threshold, id_col, vec_col, dims=dims
+    )
+    kept = corpus.join(drops, id_col, "left_anti")
+    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    vecs_t, members_t, dims = ann.persist_corpus_embeddings(
+        spark, kept, name, path, id_col, vec_col, dims=dims,
+        n_buckets=n_buckets,
+    )
+    return spark.read.parquet(f"{path}_docs"), vecs_t, members_t, dims
+
+
+def start_embedding_dedup_stream(
+    spark,
+    input_dir: str,
+    name: str,
+    path: str,
+    checkpoint: str,
+    vec_schema,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_files_per_trigger: int = 32,
+):
+    """Start the continuous embedding-dedup query.
+    ``bootstrap_embedding_corpus`` must have run for ``name``/``path``
+    first, and ``dims`` must be the value it returned. Novel vectors
+    land in ``{path}_docs``; the probe tables grow by bucketed
+    INSERTs."""
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            # 1. keep-first dedup WITHIN the shard (fixed dims: the
+            # shard's own blocking must match the corpus')
+            drops = ann.embedding_near_duplicate_drops(
+                batch, threshold, id_col, vec_col, dims=dims
+            )
+            shard = batch.join(drops, id_col, "left_anti")
+            # 2. probe the persisted corpus state
+            vecs_t = spark.table(f"{name}_vecs")
+            members_t = spark.table(f"{name}_members")
+            matches = ann.embedding_near_duplicates_against(
+                shard, vecs_t, members_t, dims, threshold, id_col, vec_col
+            )
+            novel = shard.join(
+                matches.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            # 3. replay guard (same contract as corpus_dedup: members is
+            # the source of truth and is written LAST, so the probe
+            # state only ever records fully appended vectors)
+            novel = novel.join(
+                members_t.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            ).persist()
+            try:
+                if novel.isEmpty():
+                    return
+                novel.write.mode("append").parquet(f"{path}_docs")
+                keyed = novel.select(
+                    F.col(id_col), F.col(vec_col),
+                    ann._emb_vkey(vec_col).alias("_vkey"),
+                )
+                reps = keyed.groupBy("_vkey").agg(
+                    F.min(id_col).alias("rid"), F.first(vec_col).alias(vec_col)
+                )
+                vecs = reps.select(
+                    ann.sign_bucket(F.col(vec_col), dims).alias("bucket"),
+                    F.col("rid"),
+                    F.col(vec_col).alias("vec"),
+                    ann._norm(F.col(vec_col)).alias("norm"),
+                )
+                members = keyed.join(reps.select("_vkey", "rid"), "_vkey").select(
+                    F.col("rid"), F.col(id_col).alias("id")
+                )
+                vecs.write.insertInto(f"{name}_vecs")
+                members.write.insertInto(f"{name}_members")
+            finally:
+                novel.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        spark.readStream.schema(vec_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .foreachBatch(sink)
+        .start()
+    )

@@ -2288,3 +2288,77 @@ def test_embedding_near_duplicate_drops_equals_pair_path(spark):
     assert {31, 32, 33, 34} <= got  # non-rep identical members
     assert 40 in got or 0 in got  # verified cross pair drops the larger
     assert 50 not in got and 51 not in got  # zero vectors: null cosine
+
+
+# ------------------------------------------------------ URL canonicalization
+def _canon_url_ref(u):
+    """Python twin of text.canonical_url (urllib-based)."""
+    from urllib.parse import urlsplit
+
+    try:
+        p = urlsplit(u)
+    except ValueError:
+        return None
+    if not p.scheme or not p.hostname:
+        return None
+    scheme = p.scheme.lower()
+    host = p.hostname.lower()
+    if p.port is not None and not (
+        (scheme == "http" and p.port == 80)
+        or (scheme == "https" and p.port == 443)
+    ):
+        host = f"{host}:{p.port}"
+    path = p.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    kept = sorted(
+        q for q in p.query.split("&")
+        if q and q.split("=")[0] not in text.TRACKING_PARAMS
+    )
+    qpart = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{path}{qpart}"
+
+
+def test_canonical_url_matches_reference(spark):
+    """canonical_url merges scheme-case/default-port/fragment/tracking/
+    param-order/trailing-slash variants; value-matches the urllib twin on
+    every case; url_duplicates groups the variants."""
+    urls = [
+        (1, "http://Example.com/a/b/"),
+        (2, "http://example.com:80/a/b"),
+        (3, "HTTP://EXAMPLE.COM/a/b#frag"),
+        (4, "http://example.com/a/b?utm_source=x&utm_campaign=y"),
+        (5, "http://example.com/a/b?z=1&a=2"),
+        (6, "http://example.com/a/b?a=2&z=1&fbclid=abc"),
+        (7, "https://example.com/a/b"),          # scheme differs: distinct
+        (8, "http://example.com:8080/a/b"),      # non-default port: distinct
+        (9, "https://example.com:443/"),
+        (10, "https://example.com"),
+        (11, "not a url"),
+        (12, "mailto:user@example.com"),
+        (13, "http://sub.Example.co.uk/X/Y?b=2&a=1&gclid=g"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", text.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, u in urls:
+        assert got[i] == _canon_url_ref(u), (i, u, got[i], _canon_url_ref(u))
+    # the first three collapse; 4 joins them (tracking-only query); 5+6
+    # merge on sorted params
+    assert got[1] == got[2] == got[3] == got[4] == "http://example.com/a/b"
+    assert got[5] == got[6] == "http://example.com/a/b?a=2&z=1"
+    assert got[7] != got[1] and got[8] != got[1]
+    assert got[9] == got[10] == "https://example.com/"
+    assert got[11] is None and got[12] is None
+
+    dups = {
+        r["canonical_url"]: (r["keep_id"], r["dup_count"])
+        for r in text.url_duplicates(df, "doc_id", "url").collect()
+    }
+    assert dups["http://example.com/a/b"] == (1, 4)
+    assert dups["http://example.com/a/b?a=2&z=1"] == (5, 2)
+    assert dups["https://example.com/"] == (9, 2)

@@ -123,3 +123,77 @@ def test_continuous_corpus_dedup_stream(spark, tmp_path):
         q.stop()
         for t in ("bands", "toks", "members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_continuous_embedding_dedup_stream(spark, tmp_path):
+    """Vector-side continuous dedup parity: bootstrap (internal identical
+    pair collapses), stream two shards — duplicates of the corpus and of
+    each other are dropped, novel vectors append to the corpus files AND
+    the probe tables, and a vector duplicating a FIRST-shard novel one is
+    caught by the incrementally-updated state."""
+    import os
+    import random
+    import time
+
+    from logrange_spark.streaming.embedding_dedup import (
+        bootstrap_embedding_corpus,
+        start_embedding_dedup_stream,
+    )
+
+    rng = random.Random(21)
+
+    def vec():
+        return [float(rng.uniform(-1, 1)) for _ in range(16)]
+
+    name, root = "ced", str(tmp_path)
+    for t in ("vecs", "members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    v1, v3 = vec(), vec()
+    seed = spark.createDataFrame(
+        [(1, v1), (2, v1), (3, v3)], "vec_id long, embedding array<float>"
+    )
+    docs, _vt, _mt, dims = bootstrap_embedding_corpus(
+        spark, seed, name, f"{root}/{name}", threshold=0.98
+    )
+    assert sorted(r["vec_id"] for r in docs.collect()) == [1, 3]
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    q = start_embedding_dedup_stream(
+        spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+        "vec_id long, embedding array<float>", dims, threshold=0.98,
+    )
+    try:
+        v11 = vec()
+        spark.createDataFrame(
+            [(10, v1), (11, v11), (12, v11)],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        def corpus_ids():
+            try:
+                return sorted(
+                    r["vec_id"]
+                    for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+                )
+            except Exception:
+                return []
+
+        deadline = time.time() + 90
+        while corpus_ids() != [1, 3, 11] and time.time() < deadline:
+            time.sleep(0.5)
+        assert corpus_ids() == [1, 3, 11], corpus_ids()
+
+        # shard 2: an exact copy of shard-1's novel vector (caught by the
+        # UPDATED probe state) and one more novel vector
+        spark.createDataFrame(
+            [(20, v11), (21, vec())], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 90
+        while corpus_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+        assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
+    finally:
+        q.stop()
+        for t in ("vecs", "members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
