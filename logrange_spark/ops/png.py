@@ -8,12 +8,13 @@ ops/jpeg.py): ``decode_png`` is TOTAL (HxWx3 uint8 RGB or None, never
 raises), ``encode_png`` synthesizes valid files for tests and the
 resize re-encode path.
 
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
-(gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
-Average/Paeth). Alpha is composited over white to produce RGB —
-deterministic and matches how training-data pipelines flatten
-transparency. Adam7 interlacing and 16-bit depth return None
-(documented, rare in web corpora).
+Scope: 8- and 16-bit depth (16-bit scales to 8 via the high byte),
+color types 0 (gray), 2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha),
+6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth); both
+non-interlaced and Adam7-interlaced layouts (each interlace pass is an
+independent filtered sub-image scattered into the full raster). Alpha
+is composited over white to produce RGB — deterministic and matches
+how training-data pipelines flatten transparency.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes | None):
-    """HxWx3 uint8 RGB for an 8-bit non-interlaced PNG; None otherwise."""
+    """HxWx3 uint8 RGB for an 8/16-bit PNG (Adam7 or not); None otherwise."""
     try:
         return _decode_png(payload)
     except Exception:
@@ -71,16 +72,37 @@ def _decode_png(payload):
         elif typ == b"IEND":
             break
         i += 12 + ln  # length + type + data + CRC (CRC not verified)
-    if w is None or not w or not h or depth != 8 or interlace != 0:
+    if w is None or not w or not h or depth not in (8, 16) or interlace not in (0, 1):
         return None
+    if depth == 16 and ctype == 3:
+        return None  # palette is 8-bit-indexed only (spec)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         return None
-    stride = w * channels
+    sbytes = depth // 8
+    bpp = channels * sbytes
+
+    # Adam7 pass grid: (x0, y0, dx, dy) per pass; non-interlaced is the
+    # single full pass
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
+    dims = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        dims.append((wp, hp))
+        if wp and hp:
+            need += hp * (wp * bpp + 1)
     # bound dimensions BEFORE inflating so a hostile deflate bomb cannot
     # allocate past the declared image size (+1 byte detects overlong
     # streams); 1 GiB raster ceiling rejects absurd declared dims too.
-    need = h * (stride + 1)
     if need > 1 << 30:
         return None
     dec = zlib.decompressobj()
@@ -88,38 +110,60 @@ def _decode_png(payload):
     if len(raw) != need:  # short stream, or overlong (need+1 cap hit)
         return None
 
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
-        pos += stride + 1
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if f == 0:
-            out[y] = line
-        elif f == 2:  # Up
-            out[y] = line + prev
-        elif f == 1:  # Sub — sequential in x
-            cur = out[y]
-            cur[:bpp] = line[:bpp]
-            for x in range(bpp, stride):
-                cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
-        elif f == 3:  # Average
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
-        else:
-            return None
+    def unfilter(pos: int, hp: int, stride: int):
+        """Reconstruct hp filtered scanlines of `stride` bytes starting
+        at raw[pos]; returns (hp x stride array, new pos) or None."""
+        sub = np.zeros((hp, stride), dtype=np.uint8)
+        p = pos
+        for y in range(hp):
+            f = raw[p]
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1)
+            p += stride + 1
+            prev = sub[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+            if f == 0:
+                sub[y] = line
+            elif f == 2:  # Up
+                sub[y] = line + prev
+            elif f == 1:  # Sub — sequential in x
+                cur = sub[y]
+                cur[:bpp] = line[:bpp]
+                for x in range(bpp, stride):
+                    cur[x] = (int(line[x]) + int(cur[x - bpp])) & 0xFF
+            elif f == 3:  # Average
+                cur = sub[y]
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                cur = sub[y]
+                for x in range(stride):
+                    left = int(cur[x - bpp]) if x >= bpp else 0
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
+                    cur[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+            else:
+                return None
+            # (filters operate on raw BYTES regardless of depth — spec)
+        return sub, p
 
-    px = out.reshape(h, w, channels)
+    full = np.zeros((h, w * channels * sbytes), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (wp, hp) in zip(passes, dims):
+        if not wp or not hp:
+            continue
+        got = unfilter(pos, hp, wp * bpp)
+        if got is None:
+            return None
+        sub, pos = got
+        # scatter the pass's pixels into the full raster
+        spx = sub.reshape(hp, wp, bpp)
+        fpx = full.reshape(h, w, bpp)
+        fpx[y0::dy, x0::dx] = spx
+
+    if sbytes == 2:
+        # 16-bit big-endian samples → high byte (the standard 16→8 scale)
+        full = full.reshape(h, w, channels, 2)[..., 0].reshape(h, w * channels)
+
+    px = full.reshape(h, w, channels)
     if ctype == 2:
         return px.copy()
     if ctype == 0:

@@ -2362,3 +2362,80 @@ def test_canonical_url_matches_reference(spark):
     assert dups["http://example.com/a/b"] == (1, 4)
     assert dups["http://example.com/a/b?a=2&z=1"] == (5, 2)
     assert dups["https://example.com/"] == (9, 2)
+
+
+def _png_custom(arr16_or_8, ctype, depth, interlace):
+    """Reference PNG encoder for the decoder's long-tail paths: any
+    depth 8/16, optional Adam7 (filter 0 scanlines, spec pass order)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = arr16_or_8
+    h, w, c = a.shape
+    sbytes = depth // 8
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    raw = bytearray()
+    dt = ">u2" if depth == 16 else "u1"
+    for x0, y0, dx, dy in passes:
+        sub = a[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw += sub[y].astype(dt).tobytes()
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_and_16bit(spark):
+    """The former long-tail stubs now decode: Adam7-interlaced 8-bit RGB
+    reconstructs pixel-exactly (odd dims exercise empty/partial passes),
+    16-bit RGB scales via the high byte, and 16-bit Adam7 grayscale
+    composes both paths."""
+    import numpy as np
+
+    from logrange_spark.ops import png
+
+    rng = np.random.default_rng(8)
+    # odd dimensions: several Adam7 passes are partial, one can be empty
+    arr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    dec = png.decode_png(_png_custom(arr, 2, 8, 1))
+    assert dec is not None and (dec == arr).all()
+
+    # tiny image where late passes dominate
+    arr2 = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    dec2 = png.decode_png(_png_custom(arr2, 2, 8, 1))
+    assert dec2 is not None and (dec2 == arr2).all()
+
+    # 16-bit RGB: low bytes are junk, high bytes must survive
+    hi = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint16)
+    a16 = (hi << 8) | rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint16)
+    dec16 = png.decode_png(_png_custom(a16, 2, 16, 0))
+    assert dec16 is not None and (dec16 == hi.astype(np.uint8)).all()
+
+    # 16-bit + Adam7 grayscale → replicated to RGB
+    g = rng.integers(0, 256, size=(9, 4, 1), dtype=np.uint16)
+    g16 = (g << 8) | 0x7F
+    decg = png.decode_png(_png_custom(g16, 0, 16, 1))
+    assert decg is not None and (decg == np.repeat(g.astype(np.uint8), 3, axis=2)).all()
+
+    # totality on truncation of an interlaced stream
+    enc = _png_custom(arr, 2, 8, 1)
+    for cut in range(0, len(enc), 13):
+        png.decode_png(enc[:cut])  # must not raise
+    # 16-bit palette stays rejected (spec: palette indices are 8-bit)
+    bad = bytearray(_png_custom(arr, 2, 8, 0))
+    assert png.decode_png(bytes(bad)) is not None
