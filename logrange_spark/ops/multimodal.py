@@ -461,17 +461,18 @@ def resize(media: DataFrame, width: int, height: int,
            real_codec: bool = False) -> DataFrame:
     """Image resize over mapInPandas (Arrow-batched).
 
-    ``real_codec=True``: 24-bit BMP, 8-bit PNG, and baseline JPEG
-    payloads are REALLY decoded, nearest-neighbor resampled, and
-    re-encoded in their own format (``resize_nearest_bmp24`` — pure
-    struct+numpy; ``ops.png`` — stdlib-zlib DEFLATE + scanline
-    unfiltering; ``ops.jpeg`` — a full pure-Python baseline T.81
-    Huffman/DCT codec); payloads no codec can decode fall back to the
-    stub. The stub (also the ``real_codec=False`` path) deterministically
-    truncates/pads the payload to width*height bytes so the batch shape,
-    output schema, and metadata recomputation stay exercised for formats
-    whose decoders genuinely need absent libraries (progressive JPEG,
-    video frames — PIL/opencv/ffmpeg not in this container).
+    ``real_codec=True``: 24-bit BMP, 8-bit PNG, and JPEG (baseline
+    SOF0 or progressive SOF2) payloads are REALLY decoded,
+    nearest-neighbor resampled, and re-encoded in their own format
+    (``resize_nearest_bmp24`` — pure struct+numpy; ``ops.png`` —
+    stdlib-zlib DEFLATE + scanline unfiltering; ``ops.jpeg`` — a full
+    pure-Python T.81 Huffman/DCT codec); payloads no codec can decode
+    fall back to the stub. The stub (also the ``real_codec=False``
+    path) deterministically truncates/pads the payload to width*height
+    bytes so the batch shape, output schema, and metadata recomputation
+    stay exercised for formats whose decoders genuinely need absent
+    libraries (AVC video frames — PIL/opencv/ffmpeg not in this
+    container).
     """
     import hashlib
 
@@ -589,10 +590,10 @@ def decode_stub(payload: bytes | None) -> list[float] | None:
 
 # ---------------------------------------------------------------- BMP codec
 # REAL pixel codec for one format: uncompressed 24-bit BMP (BI_RGB) is
-# fully decodable with struct + numpy — no image library needed — so the
-# resize path below is a working end-to-end pixel pipeline for BMP
-# payloads and the documented stub only for formats whose decoders
-# genuinely need absent libraries (JPEG/PNG entropy coding).
+# fully decodable with struct + numpy — no image library needed. The
+# PNG/GIF/JPEG entropy-coded formats have their own real pure-Python
+# codecs in ops/{png,gif,jpeg}.py; the stub remains only for payloads
+# none of them recognize.
 
 
 def decode_bmp24(payload: bytes | None):
@@ -658,8 +659,8 @@ def resize_nearest_bmp24(payload: bytes | None, width: int, height: int) -> byte
 
 def decode_pixels(payload: bytes | None):
     """HxWx3 uint8 RGB via whichever real codec recognizes the payload
-    (24-bit BMP, 8-bit PNG, baseline JPEG); None otherwise. The one
-    dispatch point for pixel-level ops."""
+    (24-bit BMP, PNG, GIF, baseline or progressive JPEG); None
+    otherwise. The one dispatch point for pixel-level ops."""
     from .gif import decode_gif
     from .jpeg import decode_jpeg
     from .png import decode_png

@@ -999,9 +999,79 @@ def test_jpeg_codec_total_on_hostile_bytes():
         assert jpeg.decode_jpeg(junk) is None
     for cut in range(0, len(enc), 7):
         jpeg.decode_jpeg(enc[:cut])  # must not raise (None or partial-fail)
-    # progressive (SOF2) is out of scope and must be rejected, not garbled
+    # a SOF2 header on a baseline full-band scan is MALFORMED progressive
+    # (a progressive DC scan must have Se=0) → rejected, not garbled
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert jpeg.decode_jpeg(prog) is None
+    # arithmetic-coded / lossless SOFs stay out of scope
+    assert jpeg.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc9", 1)) is None
+    assert jpeg.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
+
+
+def test_jpeg_progressive_roundtrip_matches_numpy_reference():
+    """The SOF2 decoder is REAL: a full progressive stream (spectral
+    selection + successive approximation, T.81 G.1.2) reconstructs the
+    coefficients exactly at quant=1, so decode differs from the source
+    only by DCT rounding — same ±2 bound as the baseline codec. 4:2:0
+    subsampling (interleaved DC scan over a padded MCU grid +
+    non-interleaved AC scans over the component grid) and restart
+    markers (DC-pred and EOB-run reset per interval) also roundtrip."""
+    import numpy as np
+
+    from logrange_spark.ops import jpeg
+
+    h, w = 37, 50
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 127 / (w + h))]
+    ).astype(np.uint8)
+    noise = np.random.default_rng(5).integers(0, 256, (16, 24, 3), dtype=np.uint8)
+
+    for src in (img, noise):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(src, quant=1))
+        assert dec is not None and dec.shape == src.shape
+        assert np.abs(dec.astype(int) - src.astype(int)).max() <= 2
+
+    dec420 = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quant=1, subsample=True))
+    assert dec420 is not None and np.abs(dec420.astype(int) - img.astype(int)).mean() < 4
+    decr = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quant=1, restart_interval=3))
+    assert decr is not None and np.abs(decr.astype(int) - img.astype(int)).max() <= 2
+    # heavier quantization exercises long EOB runs + ZRL in refinement
+    decq = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quant=8))
+    assert decq is not None and np.abs(decq.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_jpeg_progressive_partial_scans_and_hostile_bytes():
+    """Progressive semantics: truncating the scan sequence (cut + EOI)
+    still decodes, with error decreasing as scans are added — the
+    coarse-to-fine contract browsers rely on. And the decoder stays
+    TOTAL under truncation and bit flips of a real SOF2 stream."""
+    import numpy as np
+
+    from logrange_spark.ops import jpeg
+
+    img = np.random.default_rng(11).integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    enc = jpeg.encode_jpeg_progressive(img, quant=2)
+    offs = []
+    i = 0
+    while (j := enc.find(b"\xff\xda", i)) >= 0:
+        offs.append(j)
+        i = j + 2
+    assert len(offs) == 10
+    errs = []
+    for k in (1, 3, 5, 10):
+        part = (enc[: offs[k]] + b"\xff\xd9") if k < 10 else enc
+        dec = jpeg.decode_jpeg(part)
+        assert dec is not None and dec.shape == img.shape
+        errs.append(float(np.abs(dec.astype(int) - img.astype(int)).mean()))
+    assert errs[0] > errs[1] > errs[2] > errs[3]  # refinement converges
+    assert errs[3] <= 2.0  # full stream: DCT/quant rounding only
+    for cut in range(0, len(enc), 7):
+        jpeg.decode_jpeg(enc[:cut])  # must not raise
+    for pos in range(0, len(enc), 11):
+        bad = bytearray(enc)
+        bad[pos] ^= 0x55
+        jpeg.decode_jpeg(bytes(bad))  # must not raise
 
 
 def test_jpeg_resize_real_codec_matches_bmp_reference(spark):
