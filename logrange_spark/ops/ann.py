@@ -464,7 +464,7 @@ def _emb_collapse(
         F.count(F.lit(1)).alias("_csz"),
         F.first(vec_col).alias(vec_col),
     )
-    dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey")
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey", "_csz")
     members = keyed.select("_vkey", F.col(id_col))
     return reps, members, dup_keys
 
@@ -614,9 +614,13 @@ def embedding_near_duplicates(
         ).alias("_selfscore"),
     ).where(F.col("_selfscore") >= threshold)
     # pre-filter the within side to multi-member clusters (the count is
-    # free at the collapse agg): duplicate-light corpora pay ~nothing
+    # free at the collapse agg): duplicate-light corpora pay ~nothing.
+    # The carried _csz makes the salting window-free, and no merge hint:
+    # both sides are cheap membership projections, so an AQE broadcast
+    # (which needs no skew spreading at all) is welcome here.
     dup_members = members.join(dup_keys, "_vkey")
-    wl, wr = _salted_self_sides(dup_members.hint("merge"), ["_vkey"], id_col)
+    wl, wr = _salted_self_sides(dup_members, ["_vkey"], id_col,
+                                size_col="_csz")
     within = (
         wl.alias("wl")
         .join(

@@ -86,14 +86,30 @@ def _salted_self_sides(
         n = F.col(size_col)
     else:
         n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    base = df.withColumn(
-        "_s", F.greatest(F.lit(1), F.ceil(n / F.lit(float(cap)))).cast("int")
-    ).withColumn(
-        "_c", F.pmod(F.xxhash64(F.col(hash_col)), F.col("_s")).cast("int")
-    )
-    grid = F.explode(F.sequence(F.lit(0), F.col("_s") - F.lit(1)))
-    left = base.withColumn("_gj", grid).withColumnRenamed("_c", "_gi").drop("_s")
-    right = base.withColumn("_gi", grid).withColumnRenamed("_c", "_gj").drop("_s")
+    # one projection per side (not a withColumn chain — every DataFrame
+    # op is a full JVM analyzer pass over the accumulated tree, and these
+    # build inside the hottest pipelines). A window expression cannot
+    # share a projection with the grid-explode generator, so the window
+    # path materializes _s in one intermediate select; the size_col path
+    # needs no intermediate at all.
+    cols = [F.col(f) for f in df.columns]
+    if size_col is not None:
+        base = df
+        s = F.greatest(
+            F.lit(1), F.ceil(F.col(size_col) / F.lit(float(cap)))
+        ).cast("int")
+    else:
+        w = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        base = df.select(
+            *cols,
+            F.greatest(F.lit(1), F.ceil(w / F.lit(float(cap))))
+            .cast("int").alias("_s"),
+        )
+        s = F.col("_s")
+    c = F.pmod(F.xxhash64(F.col(hash_col)), s).cast("int")
+    grid = F.explode(F.sequence(F.lit(0), s - F.lit(1)))
+    left = base.select(*cols, c.alias("_gi"), grid.alias("_gj"))
+    right = base.select(*cols, grid.alias("_gi"), c.alias("_gj"))
     return left, right
 
 
@@ -117,12 +133,16 @@ def _expand_rep_pairs(
     row per distinct content. The within-cluster self-join is grid-salted
     too: its O(k²) output is inherent, but no single task emits it alone.
 
-    ``dup_keys`` (one ``_tkey`` row per MULTI-member cluster, produced
-    for free by the collapse aggregation's count) pre-filters the within
-    self-join's input to actual duplicates: on duplicate-light data the
-    salting window and the self-join see ~zero rows instead of the whole
-    membership frame, and on duplicate-heavy data the filter join is an
-    equi-join on the exchange the window needed anyway.
+    ``dup_keys`` ((_tkey, _csz), one row per MULTI-member cluster,
+    produced for free by the collapse aggregation's count) pre-filters
+    the within self-join's input to actual duplicates AND supplies the
+    cluster size, so the salting needs no window at all: on
+    duplicate-light data the within machinery sees ~zero rows and adds
+    ~zero stages; on duplicate-heavy data the filter join carries the
+    size along. No merge hint here (unlike the band join): both sides
+    derive from the cheap membership projection — if AQE broadcasts one
+    side it re-reads the token exchange, not the signature map, and a
+    broadcast within-join needs no skew spreading at all.
     """
     extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b", "_ka", "_kb")]
     ma = members.select(F.col("_tkey").alias("_ka"), F.col(id_col).alias("_fa"))
@@ -136,8 +156,11 @@ def _expand_rep_pairs(
             *extra,
         )
     )
-    wmembers = members if dup_keys is None else members.join(dup_keys, "_tkey")
-    l, r = _salted_self_sides(wmembers.hint("merge"), ["_tkey"], id_col)
+    if dup_keys is None:
+        wmembers, size_col = members, None
+    else:
+        wmembers, size_col = members.join(dup_keys, "_tkey"), "_csz"
+    l, r = _salted_self_sides(wmembers, ["_tkey"], id_col, size_col=size_col)
     la, ra = l.alias("wl"), r.alias("wr")
     within_pairs = la.join(
         ra,
@@ -194,8 +217,23 @@ def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # others lack, breaking ReusedExchange (two tokenize+shuffle passes)
     return spread(
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).where(
-            F.size("_tok") >= SHINGLE_N
-        ).where(F.col(id_col).isNotNull())
+            (F.size("_tok") >= SHINGLE_N) & F.col(id_col).isNotNull()
+        )
+    )
+
+
+def _shingles_sql(tok_col: str, n: int = SHINGLE_N) -> str:
+    """SQL-string twin of ``_shingles_of`` (same expression tree after
+    parsing — selectExpr builds these wide projections in ONE py4j
+    round-trip instead of hundreds of Column calls, which at bench scale
+    is a third of the per-run wall time; value-equivalence is pinned by
+    the dedup oracle rows and test_sig_keyed_sql_matches_column_api)."""
+    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(n))
+    return (
+        f"array_distinct(if(size({tok_col}) - {n - 1} > 0, "
+        f"transform(sequence(1, size({tok_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})), "
+        f"cast(array() as array<string>)))"
     )
 
 
@@ -209,24 +247,21 @@ def _sig_keyed(toked: DataFrame, id_col: str,
     ``_rep_pairs_and_members`` rests on.
 
     Pure array expressions per row (no explode, no groupBy): the signature
-    stage is a narrow map that scales linearly with no shuffle.
+    stage is a narrow map that scales linearly with no shuffle. Built as
+    one parsed SQL projection (see ``_shingles_sql``) — the 12-seed
+    Column-API construction alone cost ~200 ms of py4j round-trips per
+    query build, pure driver overhead under the bench's fresh-plan-per-run
+    protocol.
     """
-    shingled = toked.select(
-        F.col(id_col),
-        F.md5(F.concat_ws(" ", "_tok")).alias("_tkey"),
-        _shingles_of(F.col("_tok")).alias("_sh"),
-    )
-    def seeded(s: int):
-        # NB: the lambda must take exactly one arg — F.transform treats a
-        # two-arg lambda as (element, index)
-        prefix = F.lit(f"{s}|")
-        return lambda x: F.md5(F.concat(prefix, x))
-
     mins = [
-        F.array_min(F.transform(F.col("_sh"), seeded(s))).alias(f"mh{s}")
+        f"array_min(transform(_sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
         for s in range(seeds)
     ]
-    return shingled.select(F.col(id_col), "_tkey", *mins)
+    return toked.selectExpr(
+        id_col,
+        "md5(concat_ws(' ', _tok)) AS _tkey",
+        f"{_shingles_sql('_tok')} AS _sh",
+    ).selectExpr(id_col, "_tkey", *mins)
 
 
 def _signature_from_tokens(toked: DataFrame, id_col: str,
@@ -255,15 +290,15 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
               seeds: int = MINHASH_SEEDS, keep: tuple[str, ...] = ()) -> DataFrame:
     """(id, *keep, band, band_hash) — md5 over the concatenated band rows."""
     per_band = seeds // bands
-    rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * per_band + j}") for j in range(per_band)]
-        rows.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+    rows = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS band_hash)".format(
+            b=b, cols=", ".join(f"mh{b * per_band + j}" for j in range(per_band))
         )
-    return sig.select(
-        F.col(id_col), *keep, F.explode(F.array(*rows)).alias("bb")
-    ).select(id_col, *keep, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        for b in range(bands)
+    )
+    # inline() explodes the struct array straight into (band, band_hash)
+    # columns — one analyzed projection instead of explode + re-select
+    return sig.selectExpr(id_col, *keep, f"inline(array({rows}))")
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -275,10 +310,12 @@ def _rep_pairs_and_members(
     toked: DataFrame, id_col: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """LSH candidate pairs over CLUSTER REPRESENTATIVES plus the
-    (_tkey, id) membership frame for expansion, plus the (_tkey) frame
-    of multi-member clusters (for the within-cluster prefilter in
-    ``_expand_rep_pairs`` — the count falls out of the collapse
-    aggregation for free).
+    (_tkey, id) membership frame for expansion, plus the (_tkey, _csz)
+    frame of multi-member clusters (for the within-cluster prefilter +
+    window-free salting in ``_expand_rep_pairs`` — the count falls out
+    of the collapse aggregation for free), plus the collapsed ``reps``
+    frame itself so consumers that need one-row-per-cluster facts
+    (e.g. the drop set's representative map) don't re-aggregate.
 
     Skew hardening, both layers (the 100 TB web-corpus reality is
     boilerplate clusters of thousands of identical documents):
@@ -311,7 +348,7 @@ def _rep_pairs_and_members(
         # any_value is deterministic here
         *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
     )
-    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey")
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey", "_csz")
     # NB: a close pair matches several bands, so the join output needs a
     # distinct(). The simhash first-matching-band residual was tried
     # here too (carry all band hashes, keep band == first equal) — it
@@ -339,11 +376,11 @@ def _rep_pairs_and_members(
         )
         .distinct()
     )
-    return rep_pairs, sigk.select("_tkey", F.col(id_col)), dup_keys
+    return rep_pairs, sigk.select("_tkey", F.col(id_col)), dup_keys, reps
 
 
 def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
-    rep_pairs, members, dup_keys = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
     return _expand_rep_pairs(rep_pairs, members, id_col, within={},
                              dup_keys=dup_keys)
 
@@ -402,7 +439,7 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
     with the expensive array_intersect paid once per content pair.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, dup_keys = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -447,12 +484,14 @@ def near_duplicate_drops(
         cl = near_duplicate_clusters(df, id_col, text_col, threshold)
         return cl.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, _dup_keys = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, _dup_keys, reps = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
     dropped_clusters = verified.select(F.col("_kb").alias("_tkey")).distinct()
-    reps_min = members.groupBy("_tkey").agg(F.min(id_col).alias("_rep"))
+    # the collapse already computed each cluster's min id — reuse it
+    # (column pruning drops the minhash aggregates from this branch)
+    reps_min = reps.select("_tkey", F.col(id_col).alias("_rep"))
     non_reps = (
         members.join(reps_min, "_tkey")
         .where(F.col(id_col) != F.col("_rep"))
@@ -583,7 +622,7 @@ def near_duplicate_clusters(
     representative-level pairs.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, _dup_keys = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, _dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -810,49 +849,44 @@ def _simhash_keyed(df: DataFrame, id_col: str, text_col: str,
     ``simhash_near_pairs``. Identical token streams → identical _tkey and
     identical simhash."""
     assert bits == 16, "mask layout below is hardwired to 16 bits"
+    from .text import tokens_sql
 
-    def token_mask(tok: Column) -> Column:
-        h = F.md5(tok)
-        # two 8-nibble halves; conv(hex,16,10) of 8 digits fits a long
-        k1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-        k2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-        m = F.lit(0)
-        for j in range(8):
-            # high bit of nibble j = bit (31 - 4j) of the half-word
-            m = m + F.shiftright(k1, 31 - 4 * j).bitwiseAND(F.lit(1)) * F.lit(1 << j)
-            m = m + F.shiftright(k2, 31 - 4 * j).bitwiseAND(F.lit(1)) * F.lit(1 << (j + 8))
-        return m
-
+    # two 8-nibble md5 halves; conv(hex,16,10) of 8 digits fits a long.
+    # High bit of nibble j = bit (31 - 4j) of the half-word. Built as one
+    # parsed SQL projection — the Column-API construction of the 16-bit
+    # mask + 16 vote aggregates cost ~300 ms of py4j round-trips per
+    # query build (value-equivalence pinned by the simhash oracle row).
+    k1 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    k2 = "cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)"
+    mask = " + ".join(
+        f"(shiftright({k1}, {31 - 4 * j}) & 1) * {1 << j}"
+        f" + (shiftright({k2}, {31 - 4 * j}) & 1) * {1 << (j + 8)}"
+        for j in range(8)
+    )
     masked = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+        df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _w")
         # guard on the cheap token array, not on _m, so the pushed-down
         # predicate doesn't re-inline the per-token md5 transform
         .where(F.size("_w") > 0)
-        .select(
-            F.col(id_col),
-            F.md5(F.concat_ws(" ", "_w")).alias("_tkey"),
-            F.size("_w").alias("_n"),
-            F.transform(F.col("_w"), token_mask).alias("_m"),
+        .selectExpr(
+            id_col,
+            "md5(concat_ws(' ', _w)) AS _tkey",
+            "size(_w) AS _n",
+            f"transform(_w, t -> {mask}) AS _m",
         )
     )
-
-    def vote(j: int) -> Column:
+    votes = masked.selectExpr(
+        id_col,
+        "_tkey",
         # Σ(2*bit-1) = 2*Σbit - n
-        ones = F.aggregate(
-            F.col("_m"),
-            F.lit(0).cast("long"),
-            lambda acc, m: acc + F.shiftright(m, j).bitwiseAND(F.lit(1)),
-        )
-        return F.lit(2) * ones - F.col("_n")
-
-    votes = masked.select(
-        F.col(id_col), "_tkey", *[vote(j).alias(f"v{j}") for j in range(bits)]
+        *[
+            f"2 * aggregate(_m, cast(0 as bigint),"
+            f" (acc, m) -> acc + (shiftright(m, {j}) & 1)) - _n AS v{j}"
+            for j in range(bits)
+        ],
     )
-    h = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        h = bit if h is None else h + bit
-    return votes.select(F.col(id_col), "_tkey", h.cast("long").alias("simhash"))
+    hsum = " + ".join(f"if(v{j} > 0, {1 << j}, 0)" for j in range(bits))
+    return votes.selectExpr(id_col, "_tkey", f"cast({hsum} as bigint) AS simhash")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -874,7 +908,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).alias("_csz"),
         F.first("simhash").alias("simhash"),
     )
-    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey")
+    dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey", "_csz")
     per_band = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << per_band) - 1
     bands = reps.select(

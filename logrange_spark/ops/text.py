@@ -37,6 +37,13 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit(""))
 
 
+def tokens_sql(col_name: str) -> str:
+    """SQL-string twin of ``tokens`` for selectExpr-built hot paths (one
+    parsed projection instead of per-Column py4j round-trips); pinned to
+    the Column form by test_tokens_sql_matches_column_api."""
+    return f"filter(split(lower(trim({col_name})), '\\\\s+'), t -> t != '')"
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

@@ -37,6 +37,42 @@ def test_shingles(docs, spark):
     assert empty["s"] == []
 
 
+def test_tokens_sql_matches_column_api(docs):
+    """text.tokens_sql is the selectExpr twin of text.tokens — the hot
+    dedup paths build the former; value equality is the contract."""
+    a = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    b = docs.selectExpr("doc_id", f"{text.tokens_sql('text')} AS t")
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sig_keyed_sql_matches_column_api(docs):
+    """_sig_keyed's selectExpr-built shingle+minhash projection computes
+    the same values as an independent Column-API construction (the form
+    it replaced), seed prefixes and zero-shingle handling included."""
+    toked = dedup._token_frame(docs, "doc_id", "text")
+    got = dedup._sig_keyed(toked, "doc_id")
+
+    def seeded(s):
+        prefix = F.lit(f"{s}|")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    ref = toked.select(
+        F.col("doc_id"),
+        F.md5(F.concat_ws(" ", "_tok")).alias("_tkey"),
+        dedup._shingles_of(F.col("_tok")).alias("_sh"),
+    ).select(
+        "doc_id",
+        "_tkey",
+        *[
+            F.array_min(F.transform(F.col("_sh"), seeded(s))).alias(f"mh{s}")
+            for s in range(dedup.MINHASH_SEEDS)
+        ],
+    )
+    assert got.schema == ref.schema
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
 def test_lsh_finds_near_and_exact_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
     assert (1, 3) in pairs  # exact dup always collides
