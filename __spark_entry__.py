@@ -518,6 +518,17 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level minhash overlap between the even-id and odd-id halves
+    of the documents table — the train/test split shape whose overlap a
+    curator estimates before running per-document decontamination."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.corpus_minhash_overlap(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 # ------------------------------------------------------------------ text
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(_t(spark, sf_dir, "documents"))
@@ -1298,10 +1309,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_duplicates": _q_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        # corpus-level train/test overlap estimate (rotated IN round 8
+        # for text_top_words, whose explode+groupBy+top-k shape stays
+        # covered by text_bm25_topk / tfidf_keywords and the retired
+        # oracle in test_entry_contract.py)
+        "corpus_overlap": _q_corpus_overlap,
         # training-data pipeline: text analysis
         "text_stats": _q_text_stats,
         "text_lang_dist": _q_text_lang_dist,
-        "text_top_words": _q_top_words,
         "text_bpe_tokens": _q_text_bpe_tokens,
         # event-time streaming ops (batch-checkable session/tumbling windows)
         "events_sessions": _q_events_sessions,
@@ -1353,6 +1368,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_with_both": _q_nations_with_both,
         "events_daily_pivot": _q_events_daily_pivot,
         "text_rolling_hash": _q_text_rolling_hash,
+        # round-8 late rotation (for corpus_overlap)
+        "text_top_words": _q_top_words,
     }
 
 
@@ -1381,6 +1398,43 @@ def _sig_cte() -> str:
     return (
         "sh_ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM sh_ex GROUP BY doc_id)"
+    )
+
+
+def _corpus_overlap_sql() -> str:
+    """DuckDB twin of corpus_minhash_overlap over the even/odd doc_id
+    split: per-corpus global min of md5(seed|shingle) per seed, then the
+    fraction of agreeing seeds. Same shingle/seed constants as the LSH
+    CTEs; unnest of an empty shingle list yields no rows, matching the
+    Spark side's size(tokens) >= n guard for a min aggregate."""
+    n = dedup.SHINGLE_N
+    k = dedup.MINHASH_SEEDS
+
+    def side(name: str, parity: int) -> str:
+        mins = ", ".join(
+            f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(k)
+        )
+        return (
+            f"{name}_toks AS (SELECT list_filter("
+            "string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS w "
+            f"FROM documents WHERE doc_id % 2 = {parity}), "
+            f"{name}_sh AS (SELECT list_distinct("
+            f"[array_to_string(w[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, greatest(len(w)-{n - 2}, 1))]) AS shingles "
+            f"FROM {name}_toks), "
+            f"{name}_ex AS (SELECT unnest(shingles) AS shingle FROM {name}_sh), "
+            f"{name}_sig AS (SELECT {mins} FROM {name}_ex)"
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(k)
+    )
+    return (
+        f"WITH {side('a', 0)}, {side('b', 1)} "
+        f"SELECT CAST({k} AS INTEGER) AS seeds, "
+        f"CAST({agree} AS INTEGER) AS seeds_agree, "
+        f"ROUND(CAST({agree} AS DOUBLE) / {k}, 6) AS jaccard_est "
+        "FROM a_sig a, b_sig b"
     )
 
 
@@ -1883,6 +1937,12 @@ SELECT epoch_ns(ts) // {NS_PER_DAY} AS day,
        count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1""".strip(),
     "text_rolling_hash": _rolling_hash_sql(),
+    "text_top_words": """
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
 }
 
 
@@ -2037,12 +2097,7 @@ SELECT lang_guess, count(*) AS n_docs,
        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
-        "text_top_words": """
-SELECT token, count(*) AS cnt FROM (
-  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                            t -> t <> '')) AS token
-  FROM documents)
-GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
+        "corpus_overlap": _corpus_overlap_sql(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_bucketed_topk": _ann_sql(bucketed=True),
         "ann_ivf_topk": _ivf_sql(10),

@@ -95,6 +95,32 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of ``_dot`` — the embedding dedup hot path builds
+    its projections via selectExpr (one parsed round-trip instead of
+    dozens of higher-order-function Column calls per expression; value
+    equivalence pinned by the dedup_embedding oracle row). 0.0D keeps
+    the accumulator a double, exactly like F.lit(0.0)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _sign_bucket_sql(a: str, dims: int) -> str:
+    """SQL-string twin of ``sign_bucket``."""
+    if dims <= 0:
+        return "cast(0 as int)"
+    body = " + ".join(
+        f"if(try_element_at({a}, {i + 1}) > 0, {1 << i}, 0)" for i in range(dims)
+    )
+    return f"cast({body} as int)"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -456,8 +482,11 @@ def _emb_collapse(
     cluster size; ``members`` stays a narrow projection of the scan (no
     shuffle until a consumer joins it); ``dup_keys`` lists multi-member
     clusters for the within-cluster prefilter."""
-    keyed = df.select(
-        F.col(id_col), F.col(vec_col), _emb_vkey(vec_col).alias("_vkey")
+    keyed = df.selectExpr(
+        id_col,
+        vec_col,
+        f"struct(xxhash64({vec_col}) AS h1, xxhash64(1, {vec_col}) AS h2)"
+        " AS _vkey",
     )
     reps = keyed.groupBy("_vkey").agg(
         F.min(id_col).alias(id_col),
@@ -490,27 +519,26 @@ def _emb_rep_pairs(
     differing in bit j meet only via the 0-bit side's j-flip (id!=
     suffices, least/greatest orders the output); Hamming≥2 pairs never
     meet."""
-    # norm projected per row, not per pair (see cosine_topk)
-    b = reps.select(
-        F.col(id_col),
-        F.col("_vkey"),
-        F.col(vec_col),
-        _norm(F.col(vec_col)).alias("_n"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    # norm projected per row, not per pair (see cosine_topk); built as
+    # parsed SQL projections (see _dot_sql) — plan-construction cost
+    b = reps.selectExpr(
+        id_col,
+        "_vkey",
+        vec_col,
+        f"{_norm_sql(vec_col)} AS _n",
+        f"{_sign_bucket_sql(vec_col, dims)} AS bucket",
     )
     if multi_probe:
-        l = b.select(
-            F.col(id_col),
-            F.col("_vkey"),
-            F.col(vec_col),
-            F.col("_n"),
-            F.col("bucket").alias("own"),
-            F.explode(
-                F.filter(
-                    _probe_buckets(F.col("bucket"), dims),
-                    lambda p: p >= F.col("bucket"),
-                )
-            ).alias("bucket"),
+        probes = "array(" + ", ".join(
+            ["bucket"] + [f"bucket ^ {1 << i}" for i in range(dims)]
+        ) + ")"
+        l = b.selectExpr(
+            id_col,
+            "_vkey",
+            vec_col,
+            "_n",
+            "bucket AS own",
+            f"explode(filter({probes}, p -> p >= bucket)) AS bucket",
         ).alias("l")
         pair_cond = F.when(
             F.col("l.own") == F.col("l.bucket"),
@@ -537,7 +565,7 @@ def _emb_rep_pairs(
             # raise DIVIDE_BY_ZERO on degenerate inputs)
             F.round(
                 F.try_divide(
-                    _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")),
+                    F.expr(_dot_sql(f"l.{vec_col}", f"r.{vec_col}")),
                     F.col("l._n") * F.col("r._n"),
                 ),
                 6,
@@ -603,15 +631,10 @@ def embedding_near_duplicates(
             "score",
         )
     )
-    selfscore = reps.select(
-        F.col("_vkey"),
-        F.round(
-            F.try_divide(
-                _dot(F.col(vec_col), F.col(vec_col)),
-                _norm(F.col(vec_col)) * _norm(F.col(vec_col)),
-            ),
-            6,
-        ).alias("_selfscore"),
+    selfscore = reps.selectExpr(
+        "_vkey",
+        f"round(try_divide({_dot_sql(vec_col, vec_col)}, "
+        f"{_norm_sql(vec_col)} * {_norm_sql(vec_col)}), 6) AS _selfscore",
     ).where(F.col("_selfscore") >= threshold)
     # pre-filter the within side to multi-member clusters (the count is
     # free at the collapse agg): duplicate-light corpora pay ~nothing.

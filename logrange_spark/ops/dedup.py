@@ -286,6 +286,68 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     return _signature_from_tokens(toked, id_col, seeds)
 
 
+def corpus_minhash_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    seeds: int = MINHASH_SEEDS,
+) -> DataFrame:
+    """One-row corpus-LEVEL Jaccard estimate between two document sets:
+    (seeds, seeds_agree, jaccard_est).
+
+    Treats each corpus as ONE shingle set (the union of its documents'
+    n-gram shingles) and compares their corpus minhashes: per seed, the
+    corpus min is the min over all per-document mins (min is associative,
+    so the per-doc map stage and a tiny global aggregate suffice — no
+    shingle explode, no shuffle beyond a 12-value partial agg), and the
+    estimate is the fraction of seeds whose mins agree — the standard
+    single-hash minhash estimator, here at corpus granularity. This is
+    the train/benchmark OVERLAP question asked before per-document
+    decontamination is worth running (``ops/text.contamination`` is the
+    per-doc follow-up): at 100 TB each side is a full map + 12-column
+    min, and the comparison is a one-row crossJoin (the documented
+    one-row scalar-attach BroadcastNestedLoopJoin exemption).
+
+    Uses the same shingle/seed constants as the LSH family, so identical
+    corpora estimate 1.0 and disjoint-shingle corpora 0.0 (tested with a
+    python twin in tests/test_ops.py).
+    """
+    def corpus_mins(df: DataFrame, side: str) -> DataFrame:
+        toked = df.select(tokens(F.col(text_col)).alias("_tok")).where(
+            F.size("_tok") >= SHINGLE_N
+        )
+        doc_mins = toked.selectExpr(
+            f"{_shingles_sql('_tok')} AS _sh"
+        ).selectExpr(
+            *[
+                f"array_min(transform(_sh, x -> md5(concat('{s}|', x))))"
+                f" AS _m{s}"
+                for s in range(seeds)
+            ]
+        )
+        return doc_mins.agg(
+            *[F.min(f"_m{s}").alias(f"_{side}{s}") for s in range(seeds)]
+        )
+
+    joined = corpus_mins(df_a, "a").crossJoin(corpus_mins(df_b, "b"))
+    agree = None
+    for s in range(seeds):
+        term = F.coalesce(
+            (F.col(f"_a{s}") == F.col(f"_b{s}")).cast("int"), F.lit(0)
+        )
+        agree = term if agree is None else agree + term
+    return joined.select(
+        F.lit(seeds).cast("int").alias("seeds"),
+        agree.cast("int").alias("seeds_agree"),
+    ).select(
+        "seeds",
+        "seeds_agree",
+        F.round(F.col("seeds_agree") / F.lit(float(seeds)), 6).alias(
+            "jaccard_est"
+        ),
+    )
+
+
 def lsh_bands(sig: DataFrame, id_col: str, bands: int = LSH_BANDS,
               seeds: int = MINHASH_SEEDS, keep: tuple[str, ...] = ()) -> DataFrame:
     """(id, *keep, band, band_hash) — md5 over the concatenated band rows."""

@@ -73,6 +73,53 @@ def test_sig_keyed_sql_matches_column_api(docs):
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
 
 
+def test_corpus_minhash_overlap(docs, spark):
+    """Corpus-level overlap estimator: identical corpora → 1.0, corpora
+    with disjoint shingles → 0.0, and the partial split matches a python
+    twin computing the same md5 corpus-minhash seed agreement exactly."""
+    import hashlib
+
+    row = dedup.corpus_minhash_overlap(docs, docs).collect()[0]
+    assert (row["seeds"], row["seeds_agree"], row["jaccard_est"]) == (12, 12, 1.0)
+
+    other = spark.createDataFrame(
+        [(10, "zonal quux verdigris plinth oblast xylem crwth")],
+        "doc_id long, text string",
+    )
+    row = dedup.corpus_minhash_overlap(docs, other).collect()[0]
+    assert row["seeds_agree"] == 0 and row["jaccard_est"] == 0.0
+
+    # python twin on the even/odd split of the fixture corpus
+    def corpus_min(rows, seed):
+        mins = []
+        for txt in rows:
+            toks = [t for t in txt.lower().strip().split() if t]
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if sh:
+                mins.append(
+                    min(
+                        hashlib.md5(f"{seed}|{g}".encode()).hexdigest()
+                        for g in sh
+                    )
+                )
+        return min(mins) if mins else None
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    a = [t for i, t in texts.items() if i % 2 == 0]
+    b = [t for i, t in texts.items() if i % 2 == 1]
+    expect = sum(
+        1
+        for s in range(12)
+        if corpus_min(a, s) is not None and corpus_min(a, s) == corpus_min(b, s)
+    )
+    got = dedup.corpus_minhash_overlap(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    ).collect()[0]
+    assert got["seeds_agree"] == expect
+    assert got["jaccard_est"] == round(expect / 12.0, 6)
+
+
 def test_lsh_finds_near_and_exact_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
     assert (1, 3) in pairs  # exact dup always collides
