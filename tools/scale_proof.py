@@ -137,6 +137,18 @@ def _q_unigram_lm(spark, sf_dir):
     )
 
 
+def _q_corpus_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.corpus_minhash_overlap(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def _q_bm25(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -180,6 +192,9 @@ EXTRA_QUERIES = {
     "mixture_sample": (_q_mixture_sample, "documents"),
     "text_unigram_ppl": (_q_unigram_lm, "documents"),
     "text_bm25_topk": (_q_bm25, "documents"),
+    # corpus-level overlap estimate: one map + 12-col partial agg per
+    # side, one-row crossJoin — nothing data-scaled beyond the scan
+    "corpus_overlap": (_q_corpus_overlap, "documents"),
     # substring dedup: window hashing map-side, hash groupBy partial-
     # aggregates, per-doc island windows — linear in total tokens
     "repeated_spans": (_q_repeated_spans, "documents"),
@@ -363,10 +378,12 @@ def run(spark, sf_dir: str, label: str) -> dict:
         # corpus rows (cost = corpus x |queries|, |queries| constant).
         # text_unigram_ppl and text_bm25_topk attach ONE-ROW aggregate
         # scalars (vocab total / OOV mass; N and avgdl) via broadcast
-        # crossJoin — also BNLJ by construction, cost = rows x 1. Every
-        # other plan must be blocked/bucketed, never a BNLJ.
+        # crossJoin — also BNLJ by construction, cost = rows x 1; so is
+        # corpus_overlap (two one-row corpus-minhash aggregates joined).
+        # Every other plan must be blocked/bucketed, never a BNLJ.
         if name not in (
-            "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl", "text_bm25_topk"
+            "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
+            "text_bm25_topk", "corpus_overlap",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
