@@ -641,10 +641,13 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of self-joining against the stats frame (no shuffle).
     # Round like text_stats does so the threshold matches the oracle's
     # rounded quality column.
-    qdocs = docs.where(F.round(text.quality_score(F.col("text")), 6) >= 0.5)
+    qdocs = docs.where(F.round(F.expr(text.quality_score_sql("text")), 6) >= 0.5)
     # O(n)-output drop set: provably equal to materializing all near-dup
-    # pairs and dropping id_b, without the within-cluster pair volume
-    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8)
+    # pairs and dropping id_b, without the within-cluster pair volume.
+    # unique=False: left_anti ignores right-side multiplicity, so the
+    # drop set's final distinct exchange is pure waste here.
+    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8,
+                                      unique=False)
     return text.text_stats(qdocs).select("doc_id", "quality", "fingerprint").join(
         drop, "doc_id", "left_anti"
     )
@@ -1034,9 +1037,10 @@ def _q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     qdocs = docs.join(rep_ok, "doc_id").where(
-        F.round(text.quality_score(F.col("text")), 6) >= 0.5
+        F.round(F.expr(text.quality_score_sql("text")), 6) >= 0.5
     )
-    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8)
+    drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8,
+                                      unique=False)  # left_anti consumer
     kept = qdocs.join(drop, "doc_id", "left_anti")
     red = redact(kept)
     split = hash_split(kept.select("doc_id"), "doc_id",

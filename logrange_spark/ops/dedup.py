@@ -215,8 +215,10 @@ def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # expansion joins infer and push below the exchange — without it one
     # branch's exchange subtree gains a join-inferred isnotnull the
     # others lack, breaking ReusedExchange (two tokenize+shuffle passes)
+    from .text import tokens_sql
+
     return spread(
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).where(
+        df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _tok").where(
             (F.size("_tok") >= SHINGLE_N) & F.col(id_col).isNotNull()
         )
     )
@@ -517,6 +519,7 @@ def near_duplicate_drops(
     text_col: str,
     threshold: float = 0.8,
     transitive: bool = False,
+    unique: bool = True,
 ) -> DataFrame:
     """The documents to DROP under keep-first near-dedup — one id per
     dropped document, equal by construction to
@@ -541,6 +544,12 @@ def near_duplicate_drops(
     ids A < C < B, direct keep-first retains both A and C even though
     they share B's cluster; the transitive rule keeps only A. Costs the
     O(log n) contraction rounds on top of the shared verify stage.
+
+    ``unique=False`` skips the final distinct: the two drop branches can
+    both emit a member of a dropped MULTI-member cluster, so rows may
+    repeat — fine (and one exchange cheaper) when the consumer is a
+    left_anti join, which ignores right-side multiplicity. The id SET is
+    identical either way.
     """
     if transitive:
         cl = near_duplicate_clusters(df, id_col, text_col, threshold)
@@ -560,7 +569,8 @@ def near_duplicate_drops(
         .select(id_col)
     )
     cluster_members = members.join(dropped_clusters, "_tkey").select(id_col)
-    return non_reps.unionByName(cluster_members).distinct()
+    out = non_reps.unionByName(cluster_members)
+    return out.distinct() if unique else out
 
 
 CC_MAX_ITERS = 30

@@ -105,6 +105,42 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.array_join(tokens(col), " "))
 
 
+def _sql_str(s: str) -> str:
+    """A Spark-SQL string literal for ``s`` (backslash + quote escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _hits_sql(arr_expr: str, words: tuple[str, ...]) -> str:
+    """SQL twin of ``_hits_of`` over an already-projected token array."""
+    lst = ", ".join(_sql_str(w) for w in words)
+    return f"size(filter({arr_expr}, t -> array_contains(array({lst}), t)))"
+
+
+def _punct_raw_sql(txt: str) -> str:
+    """SQL twin of the raw punct ratio (when length>0 else 0.0)."""
+    p = _sql_str(PUNCT_PATTERN)
+    return (
+        f"if(length({txt}) > 0, "
+        f"cast(length({txt}) - length(regexp_replace({txt}, {p}, '')) as double)"
+        f" / length({txt}), 0.0D)"
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    """SQL-string twin of ``quality_score`` (same op-for-op double fold,
+    0.4*volume + 0.3*(1-punct) + 0.3*stopwords — D-suffixed literals keep
+    every constant a double exactly like F.lit; equality with the Column
+    form is pinned by test_quality_score_sql_matches_column_api)."""
+    w = tokens_sql(col)
+    vol = f"least(cast(size({w}) as double) / 50.0D, 1.0D)"
+    pr = f"least({_punct_raw_sql(col)} / {QUALITY_MAX_PUNCT_RATIO}D, 1.0D)"
+    sw = _hits_sql(w, LANG_STOPWORDS["en"])
+    sr = f"if(size({w}) > 0, {sw} / size({w}), 0.0D)"
+    return (
+        f"0.4D * {vol} + 0.3D * (1.0D - {pr}) + 0.3D * least({sr} / 0.1D, 1.0D)"
+    )
+
+
 # BPE-ish tokenization: GPT-2-style pretokenizer families (contractions,
 # space-prefixed letter runs, digit runs, punctuation runs), restricted to
 # syntax that Java regex and RE2 interpret identically (no lookarounds,
@@ -146,38 +182,50 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     an expression over that column — computing them straight off the text
     re-inlines the regex tokenization into each of the ~10 consumers
     (measured: 61 copies of ``split`` in the optimized plan, 2× slower).
+    The per-language stopword hit counts are likewise staged as ``_h_*``
+    columns (argmax + ratio read column refs, not re-inlined filters),
+    and the whole thing builds as parsed SQL projections — the Column-API
+    construction cost ~0.4 s of analyzer round-trips per query build.
+    Value-for-value identical to the original Column form (all four
+    consuming oracle rows pin it).
     """
-    c = F.col(text_col)
-    toked = docs.select("doc_id", c.alias("_text"), tokens(c).alias("_w"))
-    w, t = F.col("_w"), F.col("_text")
+    toked = docs.selectExpr(
+        "doc_id", f"{text_col} AS _text", f"{tokens_sql(text_col)} AS _w"
+    )
+    langs = sorted(LANG_STOPWORDS)
+    staged = toked.selectExpr(
+        "doc_id",
+        "_text",
+        "_w",
+        *[
+            f"{_hits_sql('_w', LANG_STOPWORDS[lang])} AS _h_{lang}"
+            for lang in langs
+        ],
+    )
+    best = "greatest(" + ", ".join(f"_h_{lang}" for lang in langs) + ")"
+    lang = "'und'"
+    # reverse order so the alphabetically smallest language wins ties,
+    # exactly like the when().otherwise fold this replaces
+    for name in sorted(langs, reverse=True):
+        lang = f"if((_h_{name} = {best}) AND ({best} > 0), {_sql_str(name)}, {lang})"
 
-    hit_cols = {lang: _hits_of(w, words) for lang, words in sorted(LANG_STOPWORDS.items())}
-    best = F.greatest(*hit_cols.values())
-    lang = F.lit("und")
-    for name in sorted(hit_cols, reverse=True):
-        lang = F.when((hit_cols[name] == best) & (best > 0), F.lit(name)).otherwise(lang)
-
-    n_tok = F.size(w).cast("double")
-    praw = F.when(
-        F.length(t) > 0,
-        (F.length(t) - F.length(F.regexp_replace(t, PUNCT_PATTERN, ""))).cast("double")
-        / F.length(t),
-    ).otherwise(F.lit(0.0))
-    sr = F.when(n_tok > 0, hit_cols["en"] / n_tok).otherwise(F.lit(0.0))
+    n_tok = "cast(size(_w) as double)"
+    praw = _punct_raw_sql("_text")
+    sr = f"if({n_tok} > 0, _h_en / {n_tok}, 0.0D)"
     quality = (
-        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(praw / F.lit(QUALITY_MAX_PUNCT_RATIO), F.lit(1.0)))
-        + F.lit(0.3) * F.least(sr / F.lit(0.1), F.lit(1.0))
+        f"0.4D * least({n_tok} / 50.0D, 1.0D) "
+        f"+ 0.3D * (1.0D - least({praw} / {QUALITY_MAX_PUNCT_RATIO}D, 1.0D)) "
+        f"+ 0.3D * least({sr} / 0.1D, 1.0D)"
     )
 
-    return toked.select(
+    return staged.selectExpr(
         "doc_id",
-        F.size(w).alias("n_tokens"),
-        F.length(t).alias("n_chars_computed"),
-        F.round(praw, 6).alias("punct_ratio"),
-        lang.alias("lang_guess"),
-        F.round(quality, 6).alias("quality"),
-        F.md5(F.array_join(w, " ")).alias("fingerprint"),
+        "size(_w) AS n_tokens",
+        "length(_text) AS n_chars_computed",
+        f"round({praw}, 6) AS punct_ratio",
+        f"{lang} AS lang_guess",
+        f"round({quality}, 6) AS quality",
+        "md5(array_join(_w, ' ')) AS fingerprint",
     )
 
 

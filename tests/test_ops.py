@@ -46,6 +46,16 @@ def test_tokens_sql_matches_column_api(docs):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_quality_score_sql_matches_column_api(docs, spark):
+    """quality_score_sql mirrors quality_score op-for-op (same double
+    fold, same int/int stopword-ratio division) — bit-identical values,
+    so the registry quality gates can build via the parsed-SQL form."""
+    a = docs.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+    b = docs.selectExpr("doc_id", f"{text.quality_score_sql('text')} AS q")
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_sig_keyed_sql_matches_column_api(docs):
     """_sig_keyed's selectExpr-built shingle+minhash projection computes
     the same values as an independent Column-API construction (the form
