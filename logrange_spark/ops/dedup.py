@@ -82,10 +82,6 @@ def _salted_self_sides(
     from pyspark.sql.window import Window
 
     cap = cap or SKEW_CAP  # late-bound so tests/tools can patch the module var
-    if size_col is not None:
-        n = F.col(size_col)
-    else:
-        n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     # one projection per side (not a withColumn chain — every DataFrame
     # op is a full JVM analyzer pass over the accumulated tree, and these
     # build inside the hottest pipelines). A window expression cannot

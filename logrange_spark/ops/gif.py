@@ -122,6 +122,11 @@ def _decode_gif_frames(payload, max_frames):
     w, h = struct.unpack("<HH", b[6:10])
     if not w or not h:
         return None
+    # hostile-header guard: 13 bytes can declare a 65535×65535 logical
+    # screen (a ~13 GB canvas plus per-frame copies). Same ceiling as
+    # the JPEG decoder (ops/jpeg._MAX_DECODE_PIXELS).
+    if w * h > 2048 * 2048:
+        return None
     flags, bg, _ = b[10], b[11], b[12]
     i = 13
     gct = None

@@ -122,6 +122,29 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _ycbcr_planes(a, subsample: bool):
+    """RGB float array → [(plane, h_samp, v_samp)] per component
+    (T.871 full-range; 4:2:0 via 2x2-mean chroma when ``subsample``).
+    Shared by the baseline and progressive encoders."""
+    import numpy as np
+
+    h, w, _ = a.shape
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        yi = np.minimum(np.arange(ph), h - 1)[:, None]
+        xi = np.minimum(np.arange(pw), w - 1)[None, :]
+
+        def down2(p):  # 2x2 mean over the edge-padded plane
+            return p[yi, xi].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+        return [(y, 2, 2), (down2(cb), 1, 1), (down2(cr), 1, 1)]
+    return [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+
+
 def encode_jpeg(arr, quant: int = 1, subsample: bool = False,
                 restart_interval: int = 0) -> bytes:
     """uint8 HxWx3 RGB → baseline JPEG with a flat quantizer ``quant``.
@@ -137,22 +160,7 @@ def encode_jpeg(arr, quant: int = 1, subsample: bool = False,
 
     a = np.asarray(arr, dtype=np.float64)
     h, w, _ = a.shape
-    # RGB → YCbCr (T.871 full-range)
-    r, g, b = a[..., 0], a[..., 1], a[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    if subsample:
-        ph, pw = (h + 1) & ~1, (w + 1) & ~1
-        yi = np.minimum(np.arange(ph), h - 1)[:, None]
-        xi = np.minimum(np.arange(pw), w - 1)[None, :]
-
-        def down2(p):  # 2x2 mean over the edge-padded plane
-            return p[yi, xi].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-
-        comps = [(y, 2, 2), (down2(cb), 1, 1), (down2(cr), 1, 1)]
-    else:
-        comps = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    comps = _ycbcr_planes(a, subsample)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -218,29 +226,22 @@ def encode_jpeg(arr, quant: int = 1, subsample: bool = False,
                             ci, preds,
                         )
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     qt_zz = bytes(int(qt.flat[ZZ[k]]) for k in range(64))
-    dqt = seg(0xFFDB, b"\x00" + qt_zz + b"\x01" + qt_zz)
+    dqt = _seg(0xFFDB, b"\x00" + qt_zz + b"\x01" + qt_zz)
     samp = [(c[1] << 4) | c[2] for c in comps]
-    sof = seg(
+    sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1]),
     )
-
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
-
     dhts = (
-        dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
-        + dht(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
-        + dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
-        + dht(1, 1, _ENC_AC_BITS, _ENC_AC_VALS)
+        _dht_seg(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+        + _dht_seg(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
+        + _dht_seg(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
+        + _dht_seg(1, 1, _ENC_AC_BITS, _ENC_AC_VALS)
     )
-    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dhts + dri + sos + bw.flush() + b"\xff\xd9"
 
 
@@ -260,21 +261,7 @@ def _quantized_blocks(arr, quant: int, subsample: bool):
 
     a = np.asarray(arr, dtype=np.float64)
     h, w, _ = a.shape
-    r, g, b = a[..., 0], a[..., 1], a[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    if subsample:
-        ph, pw = (h + 1) & ~1, (w + 1) & ~1
-        yi = np.minimum(np.arange(ph), h - 1)[:, None]
-        xi = np.minimum(np.arange(pw), w - 1)[None, :]
-
-        def down2(p):  # 2x2 mean over the edge-padded plane
-            return p[yi, xi].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-
-        planes = [(y, 2, 2), (down2(cb), 1, 1), (down2(cr), 1, 1)]
-    else:
-        planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    planes = _ycbcr_planes(a, subsample)
     hmax = max(p[1] for p in planes)
     vmax = max(p[2] for p in planes)
     mcux = -(-w // (8 * hmax))
@@ -527,8 +514,11 @@ class _BitReader:
                 return False
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
         self.n += 8
+        # mask to the live low bits — without it acc grows with every
+        # byte read and each bit() becomes O(bytes-so-far), turning a
+        # whole-image decode O(N²) in entropy-segment size
+        self.acc = ((self.acc << 8) | byte) & ((1 << self.n) - 1)
         return True
 
     def bit(self) -> int | None:
@@ -565,6 +555,12 @@ class _BitReader:
 
 def _extend(r: int, size: int) -> int:
     return r if r >= (1 << (size - 1)) else r - (1 << size) + 1
+
+
+# decode-side dimension cap (padded pixels): 2048×2048. Pure-Python
+# per-bit entropy decode is the bottleneck well before this; the cap's
+# job is to make hostile SOF headers cheap, not to set a useful limit.
+_MAX_DECODE_PIXELS = 2048 * 2048
 
 
 def decode_jpeg(payload: bytes | None):
@@ -885,6 +881,13 @@ def _decode_jpeg(payload):
                 return None
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
+            # hostile-header guard: a 25-byte payload can declare a
+            # 65500×65500 frame — cap the padded coefficient surface
+            # BEFORE allocating the per-block storage (minutes of CPU
+            # and tens of GB otherwise; beyond this size the pure-Python
+            # per-bit decode is not viable anyway, so None is honest)
+            if (mcux * 8 * hmax) * (mcuy * 8 * vmax) > _MAX_DECODE_PIXELS:
+                return None
             for c in comps:
                 cw = -(-(w * c["h"]) // hmax)
                 ch = -(-(h * c["v"]) // vmax)

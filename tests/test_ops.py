@@ -1096,6 +1096,20 @@ def test_jpeg_codec_total_on_hostile_bytes():
     # (a progressive DC scan must have Se=0) → rejected, not garbled
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert jpeg.decode_jpeg(prog) is None
+    # hostile-header allocation guard: a tiny payload declaring a
+    # 65500x65500 frame must return None IMMEDIATELY (pre-guard this
+    # allocated ~67M python lists — minutes of CPU — before any scan)
+    import struct as _struct
+    import time as _time
+
+    bomb = (b"\xff\xd8"
+            + _struct.pack(">HH", 0xFFC0, 17)
+            + _struct.pack(">BHHB", 8, 65500, 65500, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+            + b"\xff\xd9")
+    t0 = _time.time()
+    assert jpeg.decode_jpeg(bomb) is None
+    assert _time.time() - t0 < 1.0
     # arithmetic-coded / lossless SOFs stay out of scope
     assert jpeg.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc9", 1)) is None
     assert jpeg.decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
