@@ -754,3 +754,113 @@ def url_duplicates(
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
+
+
+# ------------------------------------------------------- boilerplate lines
+# Web corpora carry template lines (nav menus, cookie banners, footers)
+# repeated verbatim across many documents; C4/RefinedWeb-style cleaning
+# drops lines by cross-document frequency BEFORE document-level dedup so
+# the shared template does not glue unrelated pages into one near-dup
+# cluster. Line granularity complements dedup.remove_repeated_spans
+# (token-window granularity, keep-first): boilerplate removal deletes
+# EVERY occurrence of a frequent line, spans keep exactly one.
+
+BOILERPLATE_MIN_DOC_FRAC = 0.05  # line must appear in ≥5% of documents
+BOILERPLATE_MIN_DOCS = 2  # ... and in at least this many (small corpora)
+# deterministic cap on the dictionary (doc_count DESC, line ASC) so the
+# one-row broadcast below is bounded regardless of corpus size
+BOILERPLATE_MAX_LINES = 10_000
+
+
+def doc_lines(col: Column) -> Column:
+    """Trimmed, non-empty lines of a document (the unit of boilerplate
+    matching; blank lines can never be boilerplate)."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    max_lines: int = BOILERPLATE_MAX_LINES,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(line, doc_count) — trimmed lines occurring in at least
+    ``min_docs`` documents AND at least ``min_doc_frac`` of the corpus,
+    capped at the ``max_lines`` most frequent (ties broken by line text
+    for determinism). A line repeated within one document counts once.
+
+    100 TB shape: the within-doc distinct is map-side (array_distinct
+    before the explode), so the only data-scaled shuffle is the
+    groupBy(line) count, which partial-aggregates map-side — a banner on
+    10⁸ pages collapses to one row per map task before the exchange. The
+    corpus doc count is one scalar aggregate (skipped when the caller
+    passes ``n_docs``, e.g. from table stats). The cap's global sort sees
+    only rows that already beat ``min_docs``.
+    """
+    if not 0.0 <= min_doc_frac <= 1.0:
+        raise ValueError(f"min_doc_frac must be in [0,1], got {min_doc_frac}")
+    per_doc = docs.select(
+        F.explode(F.array_distinct(doc_lines(F.col(text_col)))).alias("line")
+    )
+    freq = (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") >= min_docs)
+    )
+    if n_docs is None:
+        total = docs.agg(F.count(F.lit(1)).alias("_n"))
+        freq = freq.crossJoin(F.broadcast(total))
+    else:
+        freq = freq.withColumn("_n", F.lit(int(n_docs)))
+    return (
+        freq.where(F.col("doc_count") >= F.col("_n") * F.lit(float(min_doc_frac)))
+        .select("line", "doc_count")
+        .orderBy(F.desc("doc_count"), "line")
+        .limit(max_lines)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = BOILERPLATE_MIN_DOC_FRAC,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    max_lines: int = BOILERPLATE_MAX_LINES,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(id, text, n_lines, n_removed) — every occurrence of a
+    boilerplate line (``boilerplate_lines``) deleted from every
+    document. The rebuilt text is the remaining trimmed non-empty lines
+    joined with newlines (normalized rebuild, same convention as
+    dedup.remove_repeated_spans' token rebuild); ``n_lines`` counts the
+    document's trimmed non-empty lines before removal.
+
+    100 TB shape: the dictionary is collected into ONE row (bounded by
+    ``max_lines``) and broadcast-crossJoined, so the removal itself is a
+    pure map stage over the corpus — no per-line shuffle and no
+    reassembly shuffle. Membership tests are array_contains over the
+    sorted dictionary per line (JVM-side, dictionary ≤ max_lines).
+    """
+    bp = boilerplate_lines(
+        docs, id_col, text_col, min_doc_frac, min_docs, max_lines, n_docs
+    )
+    bpset = bp.agg(F.array_sort(F.collect_list("line")).alias("_bp"))
+    lined = docs.select(
+        F.col(id_col), doc_lines(F.col(text_col)).alias("_lines")
+    ).crossJoin(F.broadcast(bpset))
+    kept = F.filter(
+        F.col("_lines"), lambda l: ~F.array_contains(F.col("_bp"), l)
+    )
+    return lined.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias(text_col),
+        F.size("_lines").alias("n_lines"),
+        (F.size("_lines") - F.size(kept)).alias("n_removed"),
+    )

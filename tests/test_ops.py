@@ -2616,3 +2616,112 @@ def test_png_adam7_and_16bit(spark):
     # 16-bit palette stays rejected (spec: palette indices are 8-bit)
     bad = bytearray(_png_custom(arr, 2, 8, 0))
     assert png.decode_png(bytes(bad)) is not None
+
+
+# -------------------------------------------------------- boilerplate lines
+def test_boilerplate_lines_planted(spark):
+    """A cookie banner planted into 6 of 10 docs (sometimes twice in one
+    doc — counts once), a footer in 2, a rare line in 1: the banner and
+    footer clear min_docs=2 / frac=0.15, the rare line does not; removal
+    deletes EVERY occurrence and reports per-doc counts."""
+    banner = "We use cookies to improve your experience"
+    footer = "© 2024 Example Corp"
+    rows = []
+    for i in range(10):
+        lines = [f"unique body {i} alpha", f"unique body {i} beta"]
+        if i < 6:
+            lines.insert(0, f"  {banner}  ")  # padded → trimmed match
+        if i in (0, 3):
+            lines.append(banner)  # within-doc repeat counts once
+        if i in (4, 5):
+            lines.append(footer)
+        if i == 7:
+            lines.append("rare line")
+        lines.append("")  # trailing blank line never matches
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = {
+        r["line"]: r["doc_count"]
+        for r in text.boilerplate_lines(df, min_doc_frac=0.15).collect()
+    }
+    assert bp == {banner: 6, footer: 2}, bp
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in text.remove_boilerplate(df, min_doc_frac=0.15).collect()
+    }
+    assert out[0][2] == 2 and out[3][2] == 2  # both banner copies removed
+    assert out[4][2] == 2 and out[5][2] == 2  # banner + footer
+    assert out[7] == (f"unique body 7 alpha\nunique body 7 beta\nrare line", 3, 0)
+    for i in range(10):
+        assert banner not in out[i][0] and footer not in out[i][0]
+    # n_docs passed by the caller skips the corpus count and must agree
+    bp2 = {
+        r["line"]: r["doc_count"]
+        for r in text.boilerplate_lines(df, min_doc_frac=0.15, n_docs=10).collect()
+    }
+    assert bp2 == bp
+    # max_lines cap is deterministic: top-1 by (doc_count desc, line asc)
+    bp1 = text.boilerplate_lines(df, min_doc_frac=0.15, max_lines=1).collect()
+    assert [(r["line"], r["doc_count"]) for r in bp1] == [(banner, 6)]
+    with pytest.raises(ValueError):
+        text.boilerplate_lines(df, min_doc_frac=1.5)
+
+
+def test_boilerplate_matches_duckdb(spark):
+    """Differential vs a DuckDB twin on a randomized corpus with planted
+    template lines at several frequencies (both sides of the frac
+    threshold) and messy whitespace."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(23)
+    templates = [f"template line {t}" for t in range(8)]
+    rows = []
+    for i in range(40):
+        lines = [f"body {i} {rng.randrange(1000)}"
+                 for _ in range(rng.randrange(1, 5))]
+        for t, tmpl in enumerate(templates):
+            if rng.random() < (t + 1) / 10.0:
+                lines.insert(rng.randrange(len(lines) + 1), f" {tmpl} ")
+        if rng.random() < 0.3:
+            lines.append("   ")  # whitespace-only line
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frac, mdocs = 0.1, 2
+    got_bp = sorted(
+        (r["line"], r["doc_count"])
+        for r in text.boilerplate_lines(df, min_doc_frac=frac, min_docs=mdocs).collect()
+    )
+    got_rm = sorted(
+        (r["doc_id"], r["text"], r["n_lines"], r["n_removed"])
+        for r in text.remove_boilerplate(df, min_doc_frac=frac, min_docs=mdocs).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    bp_sql = f"""
+      WITH dl AS (
+        SELECT DISTINCT doc_id, trim(l) AS line
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM docs)
+        WHERE trim(l) <> ''),
+      freq AS (SELECT line, count(*) AS doc_count FROM dl GROUP BY line),
+      tot AS (SELECT count(*) AS n FROM docs)
+      SELECT line, doc_count FROM freq, tot
+      WHERE doc_count >= {mdocs} AND doc_count >= n * {frac}
+    """
+    ref_bp = sorted((l, int(c)) for l, c in con.sql(bp_sql).fetchall())
+    assert got_bp == ref_bp
+    rm_sql = f"""
+      WITH bp AS ({bp_sql}),
+      bpl AS (SELECT coalesce(list(line), []) AS ls FROM bp),
+      lined AS (SELECT doc_id,
+                list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                            l -> l <> '') AS lines FROM docs)
+      SELECT doc_id,
+             array_to_string(list_filter(lines, l -> NOT list_contains(bpl.ls, l)), chr(10)) AS text,
+             len(lines) AS n_lines,
+             len(lines) - len(list_filter(lines, l -> NOT list_contains(bpl.ls, l))) AS n_removed
+      FROM lined, bpl
+    """
+    ref_rm = sorted((int(d), t, int(n), int(r)) for d, t, n, r in con.sql(rm_sql).fetchall())
+    assert got_rm == ref_rm
