@@ -1292,3 +1292,132 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# -------------------------------------------------------- semantic dedup
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
+# space, then prune ε-balls WITHIN each cluster, keeping the example
+# LEAST similar to its centroid (diversity-preserving — the kept copy is
+# the cluster's most "atypical" member). This complements
+# embedding_near_duplicate_drops: the sign-LSH path targets near-exact
+# copies (multi-probe reaches Hamming≤1 signatures, right for ε≈0.95+),
+# while cluster-scoped search stays effective at SEMANTIC thresholds
+# (ε≈0.7–0.9) where near-dup pairs routinely differ in several sign
+# bits. Recall is bounded by the paper's own design: pairs straddling a
+# k-means boundary are not compared.
+
+
+def ivf_assign_with_score_expr(
+    vec: Column, cents: list[tuple[int, list[float]]], norm: Column | None = None
+) -> Column:
+    """struct(centroid_id int, csim double) — ``ivf_assign_expr`` plus
+    the winning cosine itself (needed by SemDeDup's keep-order). Same
+    literal-centroid zip_with shape: a pure map expression, no shuffle.
+    Zero-norm vectors yield null csim (and null centroid_id) — they can
+    never enter an ε-ball, matching the try_divide convention of the
+    near-dup family."""
+    norm = norm if norm is not None else _norm(vec)
+    cs = sorted(cents)
+    cvecs = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cs])
+    cnorms = F.array(*[F.lit(_centroid_norm(cv)) for _, cv in cs])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in cs])
+    # try_divide (not /): a zero-norm vector must yield null, not an
+    # ANSI DIVIDE_BY_ZERO — unlike ivf_assign_expr, whose corpus paths
+    # pre-filter zero vectors before assignment
+    scores = F.zip_with(
+        cvecs, cnorms, lambda cv, cn: F.try_divide(_dot(vec, cv), norm * cn)
+    )
+    best = F.array_max(scores)
+    # guard the id on the score: for a zero-norm vector every score is
+    # null and array_position's null handling is not something to lean
+    # on — the contract is (null, null)
+    cid = F.when(
+        best.isNotNull(),
+        F.element_at(cids, F.array_position(scores, best).cast("int")),
+    ).cast("int")
+    return F.struct(cid.alias("centroid_id"), best.alias("csim"))
+
+
+def semantic_dedup_drops(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The vectors to DROP under SemDeDup pruning — one ``id_col`` row
+    per dropped vector, O(n) output.
+
+    Rule (pair form of the paper's greedy order): fix the keep-order
+    (csim ASC, id ASC) — least-centroid-similar first, ids breaking
+    ties. A vector x is dropped iff some vector y in the SAME k-means
+    cluster has cosine(x, y) ≥ threshold and y precedes x in keep-order.
+    Like ``near_duplicate_drops``, this is the pairwise (non-greedy)
+    form: a dropped y still shadows x, which prunes slightly more than
+    the sequential-greedy variant on chains; the transitive closure of
+    an ε-chain can be had by clustering the pair graph instead.
+
+    100 TB shape: centroid assignment is a literal-expression map stage
+    (``ivf_assign_with_score_expr``); value-identical vectors are
+    exact-collapsed first (one representative per distinct vector enters
+    the cluster self-join — a 10⁶-copy document costs one row, not
+    O(k²) pairs in one task); the within-cluster self-join is grid-
+    salted (``_salted_self_sides``), so the inherent O((n/k)²) per-
+    cluster pair scan is spread across bounded tasks. Drops are
+    recovered from representative pairs by id-per-row joins over the
+    membership map — pair volume toward exact copies never materializes.
+    """
+    from .dedup import _salted_self_sides
+
+    reps, members, dup_keys = _emb_collapse(df, id_col, vec_col)
+    assigned = reps.select(
+        id_col,
+        "_vkey",
+        vec_col,
+        ivf_assign_with_score_expr(F.col(vec_col), centroids).alias("_a"),
+    ).select(
+        id_col, "_vkey", vec_col,
+        F.col("_a.centroid_id").alias("_cid"),
+        F.col("_a.csim").alias("_csim"),
+    ).where(F.col("_cid").isNotNull())
+    sl, sr = _salted_self_sides(assigned, ["_cid"], id_col)
+    # keep-order residual: the surviving orientation has the PRECEDING
+    # vector on the left, so the right side is always the loser
+    order_resid = (F.col("sl._csim") < F.col("sr._csim")) | (
+        (F.col("sl._csim") == F.col("sr._csim"))
+        & (F.col(f"sl.{id_col}") < F.col(f"sr.{id_col}"))
+    )
+    cos = F.expr(_dot_sql(f"sl.{vec_col}", f"sr.{vec_col}")) / (
+        F.expr(_norm_sql(f"sl.{vec_col}")) * F.expr(_norm_sql(f"sr.{vec_col}"))
+    )
+    loser_keys = (
+        sl.alias("sl")
+        .join(
+            sr.alias("sr"),
+            (F.col("sl._cid") == F.col("sr._cid"))
+            & (F.col("sl._gi") == F.col("sr._gi"))
+            & (F.col("sl._gj") == F.col("sr._gj"))
+            & order_resid
+            & (cos >= threshold),
+        )
+        .select(F.col("sr._vkey").alias("_vkey"))
+        .distinct()
+    )
+    # exact copies of ANY kept vector: cos(v, v) = 1 ≥ ε (nonzero v), and
+    # within a value-identical cluster keep-order degenerates to id — so
+    # every non-representative member is dropped. Zero vectors (null
+    # self-cosine) never clear the gate, matching the pair convention.
+    selfscore_ok = reps.where(
+        F.try_divide(
+            _dot(F.col(vec_col), F.col(vec_col)),
+            _norm(F.col(vec_col)) * _norm(F.col(vec_col)),
+        )
+        >= threshold
+    ).select("_vkey", F.col(id_col).alias("_rep"))
+    non_reps = (
+        members.join(selfscore_ok, "_vkey")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+    )
+    loser_members = members.join(loser_keys, "_vkey").select(id_col)
+    return non_reps.unionByName(loser_members).distinct()

@@ -2725,3 +2725,132 @@ def test_boilerplate_matches_duckdb(spark):
     """
     ref_rm = sorted((int(d), t, int(n), int(r)) for d, t, n, r in con.sql(rm_sql).fetchall())
     assert got_rm == ref_rm
+
+
+# ---------------------------------------------------------- semantic dedup
+def _semdedup_reference(rows, cents, threshold):
+    """Brute-force twin of semantic_dedup_drops: same centroid argmax
+    (first max over cid-sorted centroids), same keep-order (csim asc,
+    id asc), pairwise shadow rule, zero vectors exempt. Float folds
+    reproduce the Spark expressions' left-to-right double arithmetic."""
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    cs = sorted(cents)
+    vec = dict(rows)
+    assign = {}
+    for i, v in rows:
+        n = norm(v)
+        if n == 0.0:
+            continue
+        scores = [dot(v, cv) / (n * norm(cv)) for _, cv in cs]
+        best = max(scores)
+        assign[i] = (cs[scores.index(best)][0], best)
+    by_cid = {}
+    for i, (cid, csim) in assign.items():
+        by_cid.setdefault(cid, []).append(i)
+    drops = set()
+    for cid, ids in by_cid.items():
+        order = sorted(ids, key=lambda i: (assign[i][1], i))
+        for xi, x in enumerate(order):
+            for y in order[:xi]:
+                c = dot(vec[x], vec[y]) / (norm(vec[x]) * norm(vec[y]))
+                if c >= threshold:
+                    drops.add(x)
+                    break
+    return drops
+
+
+SEM_CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+
+
+def test_semantic_dedup_planted(spark):
+    """The keep rule is the paper's: within an ε-ball the LEAST centroid-
+    similar member survives. a1 (off-axis) shadows a0 (dead-on the
+    centroid); exact copies collapse to their representative; sub-ε
+    pairs and zero vectors are untouched."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # csim 1.0 — most typical → dropped
+        (1, [1.0, 0.25, 0.0, 0.0]),    # csim < 1, cos(0,1) ≈ .970 → kept
+        (2, [1.0, 0.25, 0.0, 0.0]),    # exact copy of 1 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),     # cluster 1
+        (4, [0.5, 1.0, 0.0, 0.0]),     # cos(3,4) ≈ .894 < ε → kept
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero vector → exempt
+        (6, [0.0, 0.0, 0.0, 0.0]),     # even as an exact copy
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in
+           ann.semantic_dedup_drops(df, SEM_CENTS, threshold=0.95).collect()}
+    assert got == {0, 2}, got
+    assert got == _semdedup_reference(rows, SEM_CENTS, 0.95)
+
+
+def test_semantic_dedup_matches_reference(spark):
+    """Differential vs the brute-force twin on a randomized corpus with
+    planted scaled copies (cos = 1), noisy near-dups, exact-copy groups
+    and cross-cluster borderline vectors; exercised at SKEW_CAP=2 so the
+    grid-salted rewrite is also pinned against the twin."""
+    import random
+
+    rng = random.Random(17)
+    cents = [(c, [rng.randrange(-8, 9) / 8.0 for _ in range(4)]) for c in range(4)]
+    rows = []
+    i = 0
+    for _ in range(40):
+        v = [rng.randrange(-32, 33) / 16.0 for _ in range(4)]
+        rows.append((i, v)); i += 1
+        r = rng.random()
+        if r < 0.25:  # scaled copy — same direction, cosine exactly 1
+            rows.append((i, [x * 2.0 for x in v])); i += 1
+        elif r < 0.5:  # exact-copy group
+            for _ in range(rng.randrange(1, 4)):
+                rows.append((i, list(v))); i += 1
+        elif r < 0.7:  # one-coordinate nudge (near-dup, maybe sub-ε)
+            w = list(v); w[rng.randrange(4)] += 0.25
+            rows.append((i, w)); i += 1
+    rows.append((i, [0.0] * 4)); i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = _semdedup_reference(rows, cents, 0.9)
+    got = {r["vec_id"] for r in
+           ann.semantic_dedup_drops(df, cents, threshold=0.9).collect()}
+    assert got == ref, (sorted(got - ref), sorted(ref - got))
+    from logrange_spark.ops import dedup as _dd
+    old = _dd.SKEW_CAP
+    _dd.SKEW_CAP = 2
+    try:
+        salted = {r["vec_id"] for r in
+                  ann.semantic_dedup_drops(df, cents, threshold=0.9).collect()}
+    finally:
+        _dd.SKEW_CAP = old
+    assert salted == ref
+
+
+def test_semantic_dedup_trained_centroids(spark):
+    """End-to-end with MLlib-trained centroids on the real embeddings
+    table plus planted exact copies: copies of existing vectors are
+    dropped (keep-order ties break toward the original's smaller id),
+    the result is deterministic, and originals-only rows survive."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(60).cache()
+    cents = ann.ivf_train_centroids(base, n_centroids=4, max_iter=5)
+    copies = base.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = base.select("vec_id", "embedding").unionByName(copies)
+    got = {r["vec_id"] for r in
+           ann.semantic_dedup_drops(both, cents, threshold=0.99,
+                                    ).collect()}
+    planted = {r["vec_id"] + 100000 for r in base.limit(10).collect()}
+    assert planted <= got  # every planted copy dropped
+    again = {r["vec_id"] for r in
+             ann.semantic_dedup_drops(both, cents, threshold=0.99).collect()}
+    assert got == again
