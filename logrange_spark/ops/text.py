@@ -864,3 +864,209 @@ def remove_boilerplate(
         F.size("_lines").alias("n_lines"),
         (F.size("_lines") - F.size(kept)).alias("n_removed"),
     )
+
+
+# --------------------------------------------------- quality classifier
+# Discriminative quality filtering (GPT-3 / PaLM style): a linear
+# classifier over hashed token n-grams, trained to separate a
+# high-quality seed corpus (positives) from the raw crawl (negatives),
+# then applied corpus-wide — the standard complement to the generative
+# unigram_lm_score signal. The fastText-shaped feature map (bag of
+# hashed word 1..n-grams) keeps both training and scoring relational.
+
+CLASSIFIER_FEATURES = 1 << 18  # hashed feature space (fastText default 2M/10; 262k)
+CLASSIFIER_NGRAM = 2  # word unigrams + bigrams
+
+
+def classifier_terms(col: Column, ngram: int = CLASSIFIER_NGRAM) -> Column:
+    """Bag of word 1..``ngram``-grams (space-joined) of lowercased
+    whitespace tokens — the classifier's term extractor, shared verbatim
+    by training and scoring so feature hashing agrees."""
+    toks = tokens(col)
+    parts = [toks]
+    for n in range(2, ngram + 1):
+        # n-gram i joins tokens [i, i+n-1]; slice-based, map-side
+        parts.append(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda _, i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def classifier_feature(term: Column, n_features: int = CLASSIFIER_FEATURES) -> Column:
+    """Hashed feature index of a term — pmod(murmur3(term), n_features).
+
+    ``F.hash`` is Spark SQL's Murmur3_x86_32 (seed 42), evaluated
+    JVM-side. (Deliberately NOT MLlib ``HashingTF``'s map: that uses the
+    hashUnsafeBytes2 byte-mixing variant, so its indices differ —
+    training below shares THIS expression, which is the only contract
+    that matters.)"""
+    return F.pmod(F.hash(term), F.lit(n_features)).cast("int")
+
+
+def _classifier_features(
+    docs: DataFrame, id_col, text_col: str, n_features: int, ngram: int
+) -> DataFrame:
+    """(id, feature, x) mean-bag features: x = tf / n_terms, plus the
+    constant intercept feature -1 with x = 1.0 for every document (so
+    the bias trains through the same aggregates as every other weight).
+    Shared verbatim by trainer and scorer — feature-map drift between
+    the two is impossible by construction."""
+    termed = docs.select(
+        F.col(id_col), classifier_terms(F.col(text_col), ngram).alias("_terms")
+    )
+    tf = (
+        termed.select(
+            id_col,
+            F.size("_terms").alias("_nt"),
+            F.explode("_terms").alias("_t"),
+        )
+        .select(
+            id_col, "_nt", classifier_feature(F.col("_t"), n_features).alias("feature")
+        )
+        .groupBy(id_col, "feature")
+        .agg((F.count(F.lit(1)) / F.greatest(F.first("_nt"), F.lit(1))).alias("x"))
+    )
+    bias = termed.select(
+        F.col(id_col), F.lit(-1).alias("feature"), F.lit(1.0).alias("x")
+    )
+    return tf.unionByName(bias)
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    n_features: int = CLASSIFIER_FEATURES,
+    ngram: int = CLASSIFIER_NGRAM,
+    iters: int = 8,
+    lr: float = 1.0,
+    reg: float = 1e-4,
+) -> DataFrame:
+    """(feature int, weight double) — a logistic-regression quality
+    classifier separating ``pos`` (label 1) from ``neg`` (label 0); the
+    intercept rides as feature -1. Training is full-batch DIAGONAL-
+    NEWTON descent expressed as DataFrame aggregates (the in-house-
+    trainer precedent of ``unigram_lm_score``): per pass, one broadcast
+    join of the cached feature rows against the weight table, a per-doc
+    sum, and a per-feature gradient+curvature sum; each weight steps by
+    g/h with h = Σ x²·s(1-s) its own second derivative, clamped to ±lr
+    per pass, so the step is invariant to feature scaling (a handful of
+    passes converge where plain GD on mean-bag features crawls) yet
+    bounded on separable data. No Python in the data path,
+    no driver collect in the loop. The returned frame holds one row per
+    OBSERVED feature (≤ corpus vocabulary, ≤ n_features), so it
+    broadcasts.
+
+    Intended use at 100 TB mirrors the literature: train on seed-scale
+    labeled sets (quality seeds are thousands-to-millions of docs), then
+    ``quality_classifier_score`` the full corpus in one pass. The
+    trainer itself still distributes (every pass is map-side work plus
+    two key-partitioned aggregates), so large training sets only cost
+    ``iters`` passes, but full-batch GD is the wrong tool past that —
+    sample first.
+    """
+    labeled = pos.select(F.col(text_col), F.lit(1.0).alias("_y")).unionByName(
+        neg.select(F.col(text_col), F.lit(0.0).alias("_y"))
+    ).select(F.monotonically_increasing_id().alias("_did"), text_col, "_y")
+    feats = _classifier_features(
+        labeled, "_did", text_col, n_features, ngram
+    ).localCheckpoint(eager=True)
+    labels = labeled.select("_did", "_y").localCheckpoint(eager=True)
+    n = labels.count()
+    spark = pos.sparkSession
+    w = spark.createDataFrame([], "feature int, weight double")
+    for _ in range(iters):
+        errs = (
+            feats.join(F.broadcast(w), "feature", "left")
+            .groupBy("_did")
+            .agg(F.sum(F.col("x") * F.coalesce("weight", F.lit(0.0))).alias("_dot"))
+            .join(labels, "_did")
+            .select(
+                "_did",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_dot")))).alias("_s"),
+                "_y",
+            )
+            .select(
+                "_did",
+                (F.col("_s") - F.col("_y")).alias("_e"),
+                (F.col("_s") * (F.lit(1.0) - F.col("_s"))).alias("_c"),
+            )
+        )
+        grads = (
+            feats.join(errs, "_did")
+            .groupBy("feature")
+            .agg(
+                (F.sum(F.col("x") * F.col("_e")) / F.lit(float(n))).alias("_g"),
+                (
+                    F.sum(F.col("x") * F.col("x") * F.col("_c")) / F.lit(float(n))
+                ).alias("_h"),
+            )
+        )
+        # L2 only on real features. The Newton ratio g/h explodes once a
+        # feature saturates (s(1-s) → 0 drives h → 0 while a floored
+        # denominator leaves g finite), so the per-pass step is CLAMPED
+        # to ±lr — scale-invariance of Newton inside the clamp, bounded
+        # |Δw| ≤ lr·iters outside it (the standard damped/clipped form;
+        # separable data would otherwise oscillate to ±∞)
+        l2 = F.when(F.col("feature") >= 0, F.lit(reg)).otherwise(F.lit(0.0))
+        raw = (
+            F.coalesce("_g", F.lit(0.0)) + l2 * F.coalesce("weight", F.lit(0.0))
+        ) / (F.coalesce("_h", F.lit(0.0)) + l2 + F.lit(1e-8))
+        w = (
+            grads.join(w, "feature", "full")
+            .select(
+                "feature",
+                (
+                    F.coalesce("weight", F.lit(0.0))
+                    - F.greatest(F.least(raw, F.lit(lr)), F.lit(-lr))
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage; one materialization per pass
+        )
+    return w
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = CLASSIFIER_FEATURES,
+    ngram: int = CLASSIFIER_NGRAM,
+) -> DataFrame:
+    """(id, n_terms, score) for every document — sigmoid of the
+    mean-bag hashed n-gram dot product against ``weights`` (the same
+    ``_classifier_features`` the trainer consumed, including the
+    intercept's constant feature -1, so trained weights apply with zero
+    feature-map drift). A pure DataFrame plan a 100 TB corpus runs in
+    one pass: term explode → hashed feature → per-(doc, feature) mean
+    (map-side combine) → broadcast join against the weight table → one
+    per-doc sum shuffle. Documents with no terms score
+    sigmoid(intercept).
+    """
+    feats = _classifier_features(docs, id_col, text_col, n_features, ngram)
+    dots = (
+        feats.join(F.broadcast(weights), "feature")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("_dot"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(classifier_terms(F.col(text_col), ngram)).alias("n_terms"),
+    )
+    return totals.join(dots, id_col, "left").select(
+        id_col,
+        "n_terms",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce("_dot", F.lit(0.0)))),
+            6,
+        ).alias("score"),
+    )

@@ -2854,3 +2854,96 @@ def test_semantic_dedup_trained_centroids(spark):
     again = {r["vec_id"] for r in
              ann.semantic_dedup_drops(both, cents, threshold=0.99).collect()}
     assert got == again
+
+
+# -------------------------------------------------------- quality classifier
+def _quality_corpus(rng, n, good):
+    """Synthetic docs: 'good' docs draw from a small english-like
+    phrasebook (stable bigrams), 'bad' docs are gibberish tokens."""
+    phrases = ["the quick brown fox", "jumps over the lazy dog",
+               "a stitch in time saves nine", "all that glitters is not gold"]
+    out = []
+    for i in range(n):
+        if good:
+            t = " ".join(rng.choice(phrases) for _ in range(rng.randrange(2, 5)))
+        else:
+            t = " ".join(
+                "".join(rng.choice("zxqvkj") for _ in range(rng.randrange(3, 9)))
+                for _ in range(rng.randrange(8, 20))
+            )
+        out.append((i, t))
+    return out
+
+
+def test_classifier_score_twin(spark):
+    """The relational scorer equals a python mean-bag dot product +
+    sigmoid under a hand-made weight table (Spark's murmur3 is read back
+    once as an opaque term→feature oracle): exercises the explode /
+    mean-normalize / broadcast-join / per-doc-sum path, the intercept
+    feature, hash collisions folding into one feature, and empty docs."""
+    import math
+
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "the the the"),            # repeated term → tf 3, mean 1.0
+        (2, ""),                       # no terms → sigmoid(bias)
+        (3, "  "),
+        (4, "jumps over the lazy dog the quick"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # term → feature mapping straight from the shared expression
+    terms = sorted({t for _, x in docs for t in _py_terms(x)})
+    tdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    fmap = {r["t"]: r["f"] for r in
+            tdf.select("t", text.classifier_feature(F.col("t")).alias("f")).collect()}
+    import random
+
+    rng = random.Random(5)
+    wmap = {f: rng.uniform(-2, 2) for f in set(fmap.values())}
+    wmap[-1] = 0.7
+    w = spark.createDataFrame(list(wmap.items()), "feature int, weight double")
+    got = {r["doc_id"]: (r["n_terms"], r["score"])
+           for r in text.quality_classifier_score(df, w).collect()}
+    for did, txt in docs:
+        ts = _py_terms(txt)
+        feats = {}
+        for t in ts:
+            feats[fmap[t]] = feats.get(fmap[t], 0) + 1
+        dot = sum(c / max(len(ts), 1) * wmap[f] for f, c in feats.items())
+        want = 1.0 / (1.0 + math.exp(-(dot + wmap[-1])))
+        n_terms, score = got[did]
+        assert n_terms == len(ts)
+        assert abs(score - want) < 2e-6, (did, score, want)
+
+
+def _py_terms(txt, ngram=2):
+    toks = [t for t in txt.lower().strip().split() if t]
+    out = list(toks)
+    for n in range(2, ngram + 1):
+        out += [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return out
+
+
+def test_quality_classifier_separates(spark):
+    """Held-out english-like docs outscore gibberish docs with a wide
+    margin, and every weight row is a finite observed feature — the
+    behavioral contract of the trained quality filter."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    pos = spark.createDataFrame(_quality_corpus(rng, 30, True),
+                                "doc_id long, text string")
+    neg = spark.createDataFrame(_quality_corpus(rng, 30, False),
+                                "doc_id long, text string")
+    w = text.train_quality_classifier(pos, neg)
+    rows = w.collect()
+    assert all(math.isfinite(r["weight"]) for r in rows)
+    assert sum(1 for r in rows if r["feature"] == -1) == 1
+    held_pos = spark.createDataFrame(_quality_corpus(rng, 10, True),
+                                     "doc_id long, text string")
+    held_neg = spark.createDataFrame(_quality_corpus(rng, 10, False),
+                                     "doc_id long, text string")
+    ps = [r["score"] for r in text.quality_classifier_score(held_pos, w).collect()]
+    ns = [r["score"] for r in text.quality_classifier_score(held_neg, w).collect()]
+    assert min(ps) > 0.7 and max(ns) < 0.3, (min(ps), max(ns))
