@@ -1357,7 +1357,11 @@ def semantic_dedup_drops(
     the sequential-greedy variant on chains; the transitive closure of
     an ε-chain can be had by clustering the pair graph instead.
 
-    100 TB shape: centroid assignment is a literal-expression map stage
+    100 TB shape: ``len(centroids)`` MUST scale with the corpus — the
+    within-cluster scan is O((n/k)²) per cluster, so hold target
+    occupancy (n/k) constant as n grows (the SemDeDup paper runs k=50k
+    on LAION); with that, total pair volume stays linear. Centroid
+    assignment is a literal-expression map stage
     (``ivf_assign_with_score_expr``); value-identical vectors are
     exact-collapsed first (one representative per distinct vector enters
     the cluster self-join — a 10⁶-copy document costs one row, not

@@ -2947,3 +2947,51 @@ def test_quality_classifier_separates(spark):
     ps = [r["score"] for r in text.quality_classifier_score(held_pos, w).collect()]
     ns = [r["score"] for r in text.quality_classifier_score(held_neg, w).collect()]
     assert min(ps) > 0.7 and max(ns) < 0.3, (min(ps), max(ns))
+
+
+def test_classifier_training_twin(spark):
+    """Two damped-Newton passes reproduced in numpy (feature indices read
+    back once from the shared hash expression): weights match within
+    float-reassociation noise. Pins the gradient/curvature aggregates,
+    the mean-bag x values, the ±lr clamp and the bias-as-feature--1
+    wiring — not just end-state behavior."""
+    import math
+
+    pos_rows = [(0, "good text here"), (1, "more good text")]
+    neg_rows = [(0, "zz qq xx"), (1, "qq zz zz")]
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    w = {r["feature"]: r["weight"]
+         for r in text.train_quality_classifier(pos, neg, iters=2).collect()}
+    # python twin
+    all_terms = sorted({t for _, x in pos_rows + neg_rows for t in _py_terms(x)})
+    tdf = spark.createDataFrame([(t,) for t in all_terms], "t string")
+    fmap = {r["t"]: r["f"] for r in
+            tdf.select("t", text.classifier_feature(F.col("t")).alias("f")).collect()}
+    docs = [(x, 1.0) for _, x in pos_rows] + [(x, 0.0) for _, x in neg_rows]
+    feats = []
+    for txt, y in docs:
+        ts = _py_terms(txt)
+        fv = {}
+        for t in ts:
+            fv[fmap[t]] = fv.get(fmap[t], 0.0) + 1.0
+        fv = {f: c / max(len(ts), 1) for f, c in fv.items()}
+        fv[-1] = 1.0
+        feats.append((fv, y))
+    n = len(feats)
+    lr, reg = 1.0, 1e-4
+    ww = {}
+    for _ in range(2):
+        g, h = {}, {}
+        for fv, y in feats:
+            s = 1.0 / (1.0 + math.exp(-sum(x * ww.get(f, 0.0) for f, x in fv.items())))
+            for f, x in fv.items():
+                g[f] = g.get(f, 0.0) + x * (s - y) / n
+                h[f] = h.get(f, 0.0) + x * x * s * (1.0 - s) / n
+        for f in g:
+            l2 = reg if f >= 0 else 0.0
+            raw = (g[f] + l2 * ww.get(f, 0.0)) / (h[f] + l2 + 1e-8)
+            ww[f] = ww.get(f, 0.0) - max(min(raw, lr), -lr)
+    assert set(w) == set(ww)
+    for f in ww:
+        assert abs(w[f] - ww[f]) < 1e-9, (f, w[f], ww[f])

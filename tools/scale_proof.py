@@ -185,6 +185,43 @@ def _q_remove_repeated_spans(spark, sf_dir):
     )
 
 
+def _q_boilerplate(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    return t.remove_boilerplate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    from logrange_spark.ops import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # SemDeDup's k must scale with the corpus (the paper runs k=50k on
+    # LAION): within-cluster pair volume is O((n/k)^2) per cluster, so a
+    # FIXED k is quadratic in n. Hold target occupancy ~125 at every
+    # scale — footer row count, no Spark job — and seed the lowest-id
+    # vectors as centroids (the ivf_topk convention, deterministic).
+    k = max(16, ann._default_nrows(emb) // 125)
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in emb.where(F.col("vec_id") < k)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    return ann.semantic_dedup_drops(emb, cents, threshold=0.97)
+
+
+def _q_quality_classifier(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    neg = docs.limit(200).select(
+        "doc_id", F.reverse(F.col("text")).alias("text")
+    )
+    w = t.train_quality_classifier(docs.limit(200), neg, iters=4)
+    return t.quality_classifier_score(docs, w)
+
+
 EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
@@ -199,6 +236,17 @@ EXTRA_QUERIES = {
     # aggregates, per-doc island windows — linear in total tokens
     "repeated_spans": (_q_repeated_spans, "documents"),
     "remove_repeated_spans": (_q_remove_repeated_spans, "documents"),
+    # boilerplate: map-side within-doc distinct + one line groupBy, then
+    # a one-row broadcast dictionary and a pure map removal — linear
+    "boilerplate_removal": (_q_boilerplate, "documents"),
+    # SemDeDup: literal-centroid assignment map stage + grid-salted
+    # within-cluster self-join; k scales with rows (occupancy ~125 held
+    # constant) so within-cluster pair volume stays linear
+    "semantic_dedup": (_q_semantic_dedup, "embeddings"),
+    # classifier: constant-size training (fixed 200-doc seed both
+    # scales) + full-corpus scoring — the scoring explode/broadcast-join
+    # path is the data-scaled part
+    "quality_classifier": (_q_quality_classifier, "documents"),
 }
 
 
@@ -346,7 +394,7 @@ def build(spark) -> tuple[str, str]:
     return x1, x10
 
 
-def run(spark, sf_dir: str, label: str) -> dict:
+def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
     # retired registry rows (lql_format, top_orders_per_customer)
     # still bench/scale as headline members
     qs = {**entry.retired_queries(), **entry.queries()}
@@ -357,6 +405,8 @@ def run(spark, sf_dir: str, label: str) -> dict:
     all_queries = [(n, qs[n], DRIVER_TABLE[n]) for n in bench.HEADLINE] + [
         (n, fn, table) for n, (fn, table) in EXTRA_QUERIES.items()
     ]
+    if only:
+        all_queries = [q for q in all_queries if q[0] in only]
     for name, fn, table in all_queries:
         nrows = counts[table]
         runs = []
@@ -381,9 +431,11 @@ def run(spark, sf_dir: str, label: str) -> dict:
         # crossJoin — also BNLJ by construction, cost = rows x 1; so is
         # corpus_overlap (two one-row corpus-minhash aggregates joined).
         # Every other plan must be blocked/bucketed, never a BNLJ.
+        # boilerplate_removal attaches its ONE-ROW collected dictionary
+        # (bounded by BOILERPLATE_MAX_LINES) the same way.
         if name not in (
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
-            "text_bm25_topk", "corpus_overlap",
+            "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
@@ -395,10 +447,11 @@ def main() -> int:
     spark = build_session(app_name="logrange-spark-scale-proof")
     spark.sparkContext.setLogLevel("ERROR")
     x1, x10 = build(spark)
+    only = set(sys.argv[1:]) or None  # optional query-name subset
     # warm the JVM/readers so x1 isn't charged the startup cost
     spark.read.parquet(f"{x1}/documents.parquet").count()
     for sf_dir, label in ((x1, "x1"), (x10, "x10")):
-        print(json.dumps(run(spark, sf_dir, label)))
+        print(json.dumps(run(spark, sf_dir, label, only)))
     spark.stop()
     return 0
 
