@@ -1338,12 +1338,105 @@ def ivf_assign_with_score_expr(
     return F.struct(cid.alias("centroid_id"), best.alias("csim"))
 
 
+def assign_centroids_np(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow-batched numpy matmul —
+    the large-k shape. Returns the input frame (with ``_vkey`` flattened
+    through the UDF as two long columns and rebuilt) plus
+    ``_cid int, _csim double``, matching ``ivf_assign_with_score_expr``:
+    ties break to the smallest centroid id (argmax-first over cid-sorted
+    rows), zero-norm vectors and all-null score rows yield (null, null),
+    zero-norm CENTROIDS are skipped (score -inf), and float32 inputs
+    widen exactly to float64 before the fold.
+
+    Why not the literal expression: at k=160/d=64 the zip_with-over-
+    literal-codebook plan evaluates ~25 s for 20k rows (interpreted HOF
+    per element); the same work is one BLAS matmul per Arrow batch —
+    and at the SemDeDup paper's k=50k a literal plan is infeasible
+    outright. The codebook ships via ``SparkContext.broadcast`` (one
+    copy per executor, not per task); the stage stays map-side — no
+    shuffle, exactly like the expression it replaces. The only
+    difference from the expression path is summation ORDER (pairwise/
+    SIMD vs left fold), so csim can differ in final ulps; keep-order
+    comparisons between near-tied csims may flip accordingly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    cs = sorted(centroids)
+    cmat = np.array([cv for _, cv in cs], dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+    cid_arr = np.array([int(cid) for cid, _ in cs], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorms, cid_arr))
+
+    inp = df.selectExpr(
+        id_col, "_vkey.h1 AS _h1", "_vkey.h2 AS _h2", vec_col
+    )
+    out_schema = StructType(
+        list(inp.schema.fields)
+    ).add("_cid", "integer").add("_csim", "double")
+
+    def _assign(batches):
+        cm, cn, cids = bc.value
+        live = cn > 0.0
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((V * V).sum(axis=1))
+            ok = vn > 0.0
+            if live.any() and ok.any():
+                # full-width score matrix, dead-centroid columns stay
+                # -inf (the expression path's null-skip) — argmax over
+                # cid-sorted columns makes ties break to the smallest cid
+                S = np.full((m, len(cids)), -np.inf)
+                S[np.ix_(ok, live)] = (V[ok] @ cm[live].T) / (
+                    vn[ok, None] * cn[live][None, :]
+                )
+                j = S.argmax(axis=1)
+                best = S[np.arange(m), j]
+                won = ok & (best != -np.inf)
+                cid_out = [
+                    int(cids[jj]) if w else None for jj, w in zip(j, won)
+                ]
+                csim_out = [
+                    float(b) if w else None for b, w in zip(best, won)
+                ]
+            else:
+                cid_out = [None] * m
+                csim_out = [None] * m
+            out = pdf.copy()
+            out["_cid"] = pd.array(cid_out, dtype="Int32")
+            out["_csim"] = pd.array(csim_out, dtype="Float64")
+            yield out
+
+    res = inp.mapInPandas(_assign, schema=out_schema)
+    return res.select(
+        id_col,
+        F.struct(
+            F.col("_h1").alias("h1"), F.col("_h2").alias("h2")
+        ).alias("_vkey"),
+        vec_col,
+        "_cid",
+        "_csim",
+    )
+
+
 def semantic_dedup_drops(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> DataFrame:
     """The vectors to DROP under SemDeDup pruning — one ``id_col`` row
     per dropped vector, O(n) output.
@@ -1361,8 +1454,14 @@ def semantic_dedup_drops(
     within-cluster scan is O((n/k)²) per cluster, so hold target
     occupancy (n/k) constant as n grows (the SemDeDup paper runs k=50k
     on LAION); with that, total pair volume stays linear. Centroid
-    assignment is a literal-expression map stage
-    (``ivf_assign_with_score_expr``); value-identical vectors are
+    assignment is a shuffle-free map stage either way: ``assign="expr"``
+    (default) embeds the codebook as a literal expression
+    (``ivf_assign_with_score_expr`` — bit-exact vs the DuckDB/python
+    twins, right for small k), ``assign="numpy"`` runs one BLAS matmul
+    per Arrow batch with the codebook broadcast once per executor
+    (``assign_centroids_np`` — the large-k shape; a literal plan is
+    ~10× slower at k=160 and infeasible at k=50k). Value-identical
+    vectors are
     exact-collapsed first (one representative per distinct vector enters
     the cluster self-join — a 10⁶-copy document costs one row, not
     O(k²) pairs in one task); the within-cluster self-join is grid-
@@ -1374,16 +1473,22 @@ def semantic_dedup_drops(
     from .dedup import _salted_self_sides
 
     reps, members, dup_keys = _emb_collapse(df, id_col, vec_col)
-    assigned = reps.select(
-        id_col,
-        "_vkey",
-        vec_col,
-        ivf_assign_with_score_expr(F.col(vec_col), centroids).alias("_a"),
-    ).select(
-        id_col, "_vkey", vec_col,
-        F.col("_a.centroid_id").alias("_cid"),
-        F.col("_a.csim").alias("_csim"),
-    ).where(F.col("_cid").isNotNull())
+    if assign == "numpy":
+        assigned = assign_centroids_np(reps, centroids, id_col, vec_col)
+    elif assign == "expr":
+        assigned = reps.select(
+            id_col,
+            "_vkey",
+            vec_col,
+            ivf_assign_with_score_expr(F.col(vec_col), centroids).alias("_a"),
+        ).select(
+            id_col, "_vkey", vec_col,
+            F.col("_a.centroid_id").alias("_cid"),
+            F.col("_a.csim").alias("_csim"),
+        )
+    else:
+        raise ValueError(f"assign must be 'expr' or 'numpy', got {assign!r}")
+    assigned = assigned.where(F.col("_cid").isNotNull())
     sl, sr = _salted_self_sides(assigned, ["_cid"], id_col)
     # keep-order residual: the surviving orientation has the PRECEDING
     # vector on the left, so the right side is always the loser

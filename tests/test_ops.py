@@ -2794,11 +2794,15 @@ def test_semantic_dedup_planted(spark):
     assert got == _semdedup_reference(rows, SEM_CENTS, 0.95)
 
 
-def test_semantic_dedup_matches_reference(spark):
+@pytest.mark.parametrize("assign", ["expr", "numpy"])
+def test_semantic_dedup_matches_reference(spark, assign):
     """Differential vs the brute-force twin on a randomized corpus with
     planted scaled copies (cos = 1), noisy near-dups, exact-copy groups
     and cross-cluster borderline vectors; exercised at SKEW_CAP=2 so the
-    grid-salted rewrite is also pinned against the twin."""
+    grid-salted rewrite is also pinned against the twin. Runs under BOTH
+    assignment modes — the vectors are dyadic rationals with exact float
+    dots, so the numpy matmul path must match the expression path (and
+    the twin) bit-exactly here."""
     import random
 
     rng = random.Random(17)
@@ -2821,14 +2825,16 @@ def test_semantic_dedup_matches_reference(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     ref = _semdedup_reference(rows, cents, 0.9)
     got = {r["vec_id"] for r in
-           ann.semantic_dedup_drops(df, cents, threshold=0.9).collect()}
+           ann.semantic_dedup_drops(df, cents, threshold=0.9,
+                                    assign=assign).collect()}
     assert got == ref, (sorted(got - ref), sorted(ref - got))
     from logrange_spark.ops import dedup as _dd
     old = _dd.SKEW_CAP
     _dd.SKEW_CAP = 2
     try:
         salted = {r["vec_id"] for r in
-                  ann.semantic_dedup_drops(df, cents, threshold=0.9).collect()}
+                  ann.semantic_dedup_drops(df, cents, threshold=0.9,
+                                           assign=assign).collect()}
     finally:
         _dd.SKEW_CAP = old
     assert salted == ref

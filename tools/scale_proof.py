@@ -208,7 +208,10 @@ def _q_semantic_dedup(spark, sf_dir):
         for r in emb.where(F.col("vec_id") < k)
         .select("vec_id", "embedding").orderBy("vec_id").collect()
     ]
-    return ann.semantic_dedup_drops(emb, cents, threshold=0.97)
+    # numpy assignment = the large-k shape (a literal-expression plan is
+    # ~10x slower already at k=160 and infeasible at the paper's k=50k)
+    return ann.semantic_dedup_drops(emb, cents, threshold=0.97,
+                                    assign="numpy")
 
 
 def _q_quality_classifier(spark, sf_dir):
