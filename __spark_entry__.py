@@ -564,6 +564,30 @@ def _q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic multi-line derivation of the (single-line) documents
+# table for the boilerplate oracle: every doc gains a template footer on
+# a doc_id-modulus schedule — 'subscribe…' rides ~3/7 of docs and the
+# copyright line ~2/5 (both clear the 5% frequency gate), while the
+# 'unique-<id>' lines never repeat. Same construction in the DuckDB SQL.
+_BP_DERIVE = (
+    "concat(text, chr(10), "
+    "CASE WHEN doc_id % 7 < 3 THEN 'subscribe to our newsletter' "
+    "ELSE concat('unique-', CAST(doc_id AS STRING)) END, chr(10), "
+    "CASE WHEN doc_id % 5 < 2 THEN 'copyright footer 2024' ELSE '' END)"
+)
+
+
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal (ops/text.remove_boilerplate)
+    over the derived multi-line corpus: per-doc rebuilt text plus
+    line/removal counts — the removal pass is a pure map over a one-row
+    broadcast dictionary."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_BP_DERIVE} AS text"
+    )
+    return text.remove_boilerplate(docs)
+
+
 # ------------------------------------------------------------------- ann
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1322,9 +1346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_lang_dist": _q_text_lang_dist,
         "text_bpe_tokens": _q_text_bpe_tokens,
-        # event-time streaming ops (batch-checkable session/tumbling windows)
+        # event-time streaming ops (batch-checkable session windows;
+        # events_tumbling rotated OUT late round 8 for
+        # boilerplate_removal — its epoch-aligned time-bucket shape stays
+        # registry-covered by events_hourly and the retired oracle stays
+        # checked in test_entry_contract)
         "events_sessions": _q_events_sessions,
-        "events_tumbling": _q_events_tumbling,
+        # training-data pipeline: C4-style template cleaning (late r8)
+        "boilerplate_removal": _q_boilerplate_removal,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_bucketed_topk": _q_ann_bucketed,
@@ -1374,6 +1403,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_hash": _q_text_rolling_hash,
         # round-8 late rotation (for corpus_overlap)
         "text_top_words": _q_top_words,
+        # round-8 late rotation (for boilerplate_removal)
+        "events_tumbling": _q_events_tumbling,
     }
 
 
@@ -1947,7 +1978,49 @@ SELECT token, count(*) AS cnt FROM (
                             t -> t <> '')) AS token
   FROM documents)
 GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".strip(),
+    # Spark F.window aligns to the epoch, so 6-hour tumbling windows
+    # are epoch floor division (µs columns; events ts are µs-aligned)
+    "events_tumbling": f"""
+SELECT event_type,
+       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} AS window_start_us,
+       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} + {6 * 3600 * 10**6} AS window_end_us,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3""".strip(),
 }
+
+# DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
+# derivation, same trimmed-nonblank line model, same ≥2-docs AND ≥5%
+# frequency gate (the ops/text defaults).
+_BOILERPLATE_SQL = """
+WITH docs2 AS (
+  SELECT doc_id,
+         text || chr(10)
+         || CASE WHEN doc_id % 7 < 3 THEN 'subscribe to our newsletter'
+                 ELSE 'unique-' || doc_id END || chr(10)
+         || CASE WHEN doc_id % 5 < 2 THEN 'copyright footer 2024'
+                 ELSE '' END AS text
+  FROM documents),
+dl AS (
+  SELECT DISTINCT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM docs2)
+  WHERE trim(l) <> ''),
+freq AS (SELECT line, count(*) AS doc_count FROM dl GROUP BY line),
+tot AS (SELECT count(*) AS n FROM docs2),
+bp AS (SELECT line FROM freq, tot
+       WHERE doc_count >= 2 AND doc_count >= n * 0.05),
+bpl AS (SELECT coalesce(list(line), []) AS ls FROM bp),
+lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM docs2)
+SELECT doc_id,
+       array_to_string(list_filter(lines, l -> NOT list_contains(bpl.ls, l)),
+                       chr(10)) AS text,
+       len(lines) AS n_lines,
+       len(lines) - len(list_filter(lines, l -> NOT list_contains(bpl.ls, l)))
+         AS n_removed
+FROM lined, bpl""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2116,14 +2189,7 @@ FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
         "tfidf_keywords": _tfidf_sql(),
         "hamming_fp_pairs": _hamming_fp_sql(),
         "events_sessions": _SESSIONS_SQL,
-        # Spark F.window aligns to the epoch, so 6-hour tumbling windows
-        # are epoch floor division (µs columns; events ts are µs-aligned)
-        "events_tumbling": f"""
-SELECT event_type,
-       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} AS window_start_us,
-       (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} + {6 * 3600 * 10**6} AS window_end_us,
-       count(*) AS n
-FROM events GROUP BY 1, 2, 3""".strip(),
+        "boilerplate_removal": _BOILERPLATE_SQL,
         "dedup_embedding": _emb_neardup_sql(0.3),
         "training_pipeline": _training_pipeline_sql(0.5, 0.8),
         "parse_k8json": _PARSE_K8JSON_SQL,
