@@ -322,3 +322,174 @@ def chunk_documents(
             F.concat_ws(" ", chunk).alias(text_col),
         )
     )
+
+
+# ----------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of two bag-of-hashed-n-gram unigram LMs — one fit on a small
+# high-quality TARGET corpus, one on the raw corpus itself — then
+# resample k documents with probability proportional to the importance
+# weight (Gumbel top-k, deterministic here). The standard "make the
+# crawl look like the target" selection step of LLM data curation,
+# complementing the discriminative quality classifier (text.py): DSIR
+# needs no negatives and preserves diversity by sampling rather than
+# thresholding. Feature extraction (word 1..n-grams → pmod(murmur3,
+# n_features)) is shared VERBATIM with the classifier via
+# text.classifier_terms/classifier_feature, so both selectors see the
+# identical hashed vocabulary.
+
+DSIR_ALPHA = 1.0  # Laplace smoothing per hashed bucket
+
+
+def _dsir_counts(
+    docs: DataFrame, text_col: str, n_features: int, ngram: int
+) -> DataFrame:
+    """(feature, c) hashed n-gram occurrence counts over a corpus — one
+    explode + one groupBy whose output is bounded by ``n_features``
+    (map-side combine collapses a 10⁸-doc corpus to ≤n_features rows per
+    task before the exchange)."""
+    from .text import classifier_feature, classifier_terms
+
+    return (
+        docs.select(
+            F.explode(classifier_terms(F.col(text_col), ngram)).alias("_t")
+        )
+        .select(classifier_feature(F.col("_t"), n_features).alias("feature"))
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_features: int | None = None,
+    ngram: int | None = None,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(feature, logratio) — log p̂_target(f) − log p̂_raw(f) under
+    add-``alpha`` (Laplace over the full ``n_features`` hashed space)
+    unigram LMs, one row per feature observed in EITHER corpus. Features
+    absent from both corpora share a constant ratio
+    log((Cr + αB)/(Ct + αB)) that a scorer can apply as the coalesce
+    default — but when scoring ``raw`` itself (the DSIR use) every
+    scored feature is present on the raw side by construction.
+
+    100 TB shape: two bounded count aggregates (≤``n_features`` rows
+    each), one full-outer join of those small tables, scalar totals
+    attached as one-row broadcasts — the result broadcasts to scorers.
+    """
+    from .text import CLASSIFIER_FEATURES, CLASSIFIER_NGRAM
+
+    nf = n_features or CLASSIFIER_FEATURES
+    ng = ngram or CLASSIFIER_NGRAM
+    tc = _dsir_counts(target, text_col, nf, ng)
+    rc = _dsir_counts(raw, text_col, nf, ng)
+    tot_t = tc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_ct"))
+    tot_r = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_cr"))
+    joined = (
+        tc.withColumnRenamed("c", "_t")
+        .join(rc.withColumnRenamed("c", "_r"), "feature", "full")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+    )
+    b = float(nf) * float(alpha)
+    return joined.select(
+        "feature",
+        (
+            F.log((F.coalesce("_t", F.lit(0)) + F.lit(float(alpha)))
+                  / (F.col("_ct") + F.lit(b)))
+            - F.log((F.coalesce("_r", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("_cr") + F.lit(b)))
+        ).alias("logratio"),
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    logratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int | None = None,
+    ngram: int | None = None,
+) -> DataFrame:
+    """(id, n_terms, logw) — per-document importance log-weight
+    Σ_f tf_f · logratio_f (the paper's product of per-n-gram ratios, in
+    log space; tf is the document's RAW hashed-n-gram count, not the
+    classifier's mean bag). Features missing from the table contribute 0
+    (they are absent from both corpora up to hashing, so their smoothed
+    ratio is a per-corpus constant the resampling rank is invariant to
+    only when totals match — pass the raw corpus the ratios were fit on,
+    as DSIR does, and the case never arises).
+
+    One corpus pass: explode → hashed feature → per-(doc, feature) count
+    (map-side combine) → broadcast join against the ratio table → one
+    per-doc sum whose shuffle carries ≈ one row per document.
+    """
+    from .text import CLASSIFIER_FEATURES, CLASSIFIER_NGRAM
+    from .text import classifier_feature, classifier_terms
+
+    nf = n_features or CLASSIFIER_FEATURES
+    ng = ngram or CLASSIFIER_NGRAM
+    termed = docs.select(
+        F.col(id_col), classifier_terms(F.col(text_col), ng).alias("_terms")
+    )
+    tf = (
+        termed.select(
+            id_col, F.size("_terms").alias("_nt"), F.explode("_terms").alias("_t")
+        )
+        .select(id_col, "_nt", classifier_feature(F.col("_t"), nf).alias("feature"))
+        .groupBy(id_col, "feature")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_nt").alias("_nt"))
+    )
+    scored = (
+        tf.join(F.broadcast(logratios), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("_nt").alias("n_terms"),
+            F.sum(F.col("_tf") * F.coalesce("logratio", F.lit(0.0))).alias("logw"),
+        )
+    )
+    # zero-term documents never explode a row; they carry logw 0
+    empties = termed.where(F.size("_terms") == 0).select(
+        F.col(id_col), F.lit(0).alias("n_terms"), F.lit(0.0).alias("logw")
+    )
+    return scored.unionByName(empties)
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    n_features: int | None = None,
+    ngram: int | None = None,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """The ``k`` selected documents — (id, n_terms, logw, gumbel_key) —
+    via deterministic Gumbel top-k: rank = logw + Gumbel(0,1) where the
+    Gumbel noise derives from xxhash64(id, seed) (uniform in (0,1) over
+    2⁵³ buckets, then −log(−log u)), so selection is seed-reproducible
+    on any engine and sampling without replacement is proportional to
+    the importance weight exp(logw) — the Gumbel-max equivalence the
+    paper's resampling step relies on.
+
+    100 TB shape: scoring as ``dsir_scores``; the top-k is an
+    ``orderBy(...).limit(k)`` Spark plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort.
+    """
+    ratios = dsir_logratios(target, raw, text_col, n_features, ngram, alpha)
+    scores = dsir_scores(raw, ratios, id_col, text_col, n_features, ngram)
+    m = float(1 << 53)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(1 << 53))
+         + F.lit(0.5)) / F.lit(m)
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        scores.select(id_col, "n_terms", "logw", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(int(k))
+    )

@@ -3001,3 +3001,84 @@ def test_classifier_training_twin(spark):
     assert set(w) == set(ww)
     for f in ww:
         assert abs(w[f] - ww[f]) < 1e-9, (f, w[f], ww[f])
+
+
+# ------------------------------------------------------------------ DSIR
+def test_dsir_scores_twin(spark):
+    """Numpy-free python twin of dsir_logratios + dsir_scores on tiny
+    corpora: feature indices read back once from the shared hash
+    expression, add-alpha LMs and per-doc tf·logratio sums recomputed in
+    python — logw matches within float-reassociation noise. Pins the
+    smoothing form (alpha per hashed bucket over the FULL feature
+    space), the raw-tf weighting (not the classifier's mean bag), and
+    the missing-feature coalesce."""
+    import math
+
+    from logrange_spark.ops import sampling
+
+    target_rows = [(0, "good clean text"), (1, "clean text here")]
+    raw_rows = [(10, "good clean text here"), (11, "zz qq junk junk"),
+                (12, "clean zz"), (13, "")]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    nf, alpha = 1 << 18, 1.0
+    ratios = sampling.dsir_logratios(target, raw, alpha=alpha)
+    got = {r["doc_id"]: (r["n_terms"], r["logw"]) for r in
+           sampling.dsir_scores(raw, ratios).collect()}
+    # python twin
+    all_terms = sorted({t for _, x in target_rows + raw_rows
+                        for t in _py_terms(x)})
+    tdf = spark.createDataFrame([(t,) for t in all_terms], "t string")
+    fmap = {r["t"]: r["f"] for r in
+            tdf.select("t", text.classifier_feature(F.col("t")).alias("f"))
+            .collect()}
+
+    def counts(rows):
+        c = {}
+        for _, x in rows:
+            for t in _py_terms(x):
+                c[fmap[t]] = c.get(fmap[t], 0) + 1
+        return c
+
+    tc, rc = counts(target_rows), counts(raw_rows)
+    ct, cr = sum(tc.values()), sum(rc.values())
+    b = nf * alpha
+
+    def lr(f):
+        return math.log((tc.get(f, 0) + alpha) / (ct + b)) - math.log(
+            (rc.get(f, 0) + alpha) / (cr + b))
+
+    for did, txt in raw_rows:
+        ts = _py_terms(txt)
+        want = sum(lr(fmap[t]) for t in ts)
+        n_terms, logw = got[did]
+        assert n_terms == len(ts)
+        assert abs(logw - want) < 1e-9, (did, logw, want)
+    assert got[13] == (0, 0.0)  # zero-term doc present, logw 0
+
+
+def test_dsir_sample_selects_targetlike(spark):
+    """Gumbel top-k resampling is deterministic, returns exactly k rows,
+    and concentrates on documents resembling the target LM in the
+    DSIR regime (target-like text RARE in the raw pool — here 5 of 100
+    docs, all the same length so the weight gap is vocabulary, not
+    length): target-term log-ratios sit ~1.1 nats above junk-term
+    ratios, 13 terms/doc → ~14-nat weight gaps dwarfing the O(log n)
+    Gumbel spread, so all 5 target-like docs must make the k=5 cut."""
+    from logrange_spark.ops import sampling
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over a lazy dog") for i in range(8)],
+        "doc_id long, text string")
+    rows = [(i, "quick brown fox over a lazy dog") for i in range(5)]
+    rows += [(100 + i, f"zz{i} qq{i} xx{i} ww{i} vv{i} uu{i} tt{i}")
+             for i in range(95)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sampling.dsir_sample(raw, target, k=5)
+    picked = [r["doc_id"] for r in got.collect()]
+    assert len(picked) == 5 and len(set(picked)) == 5
+    assert all(d < 100 for d in picked), picked
+    again = [r["doc_id"] for r in sampling.dsir_sample(raw, target, k=5).collect()]
+    assert picked == again
+    other = sampling.dsir_sample(raw, target, k=20, seed=7).collect()
+    assert len(other) == 20 and len({r["doc_id"] for r in other}) == 20

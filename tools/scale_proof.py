@@ -214,6 +214,16 @@ def _q_semantic_dedup(spark, sf_dir):
                                     assign="numpy")
 
 
+def _q_dsir_sample(spark, sf_dir):
+    from logrange_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fixed 100-doc target at both scales (the DSIR regime: a small
+    # high-quality seed); the data-scaled work is the raw-corpus LM
+    # count, the scoring pass and the TakeOrdered top-k
+    return sampling.dsir_sample(docs, docs.limit(100), k=500)
+
+
 def _q_quality_classifier(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -250,6 +260,9 @@ EXTRA_QUERIES = {
     # scales) + full-corpus scoring — the scoring explode/broadcast-join
     # path is the data-scaled part
     "quality_classifier": (_q_quality_classifier, "documents"),
+    # DSIR: two bounded LM-count aggregates + broadcast-ratio scoring
+    # pass + TakeOrdered top-k — linear, one doc-keyed shuffle
+    "dsir_sample": (_q_dsir_sample, "documents"),
 }
 
 
@@ -435,10 +448,12 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
         # corpus_overlap (two one-row corpus-minhash aggregates joined).
         # Every other plan must be blocked/bucketed, never a BNLJ.
         # boilerplate_removal attaches its ONE-ROW collected dictionary
-        # (bounded by BOILERPLATE_MAX_LINES) the same way.
+        # (bounded by BOILERPLATE_MAX_LINES) the same way;
+        # dsir_sample attaches the two ONE-ROW LM totals.
         if name not in (
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
+            "dsir_sample",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
