@@ -1070,3 +1070,136 @@ def quality_classifier_score(
             6,
         ).alias("score"),
     )
+
+
+# -------------------------------------------------------------- BPE train
+# A REAL byte-pair-encoding merge learner (Sennrich et al. 2016,
+# arXiv:1508.07909) — upgrades the regex-only `bpe_ish_tokens`
+# pretokenizer to a tokenizer actually trained on the corpus. The
+# standard scalable formulation: one corpus pass builds the weighted
+# WORD vocabulary (tiny next to the corpus — the only data-scaled
+# stage), then each merge round runs over that vocabulary frame alone:
+# adjacent-pair explode → weighted count → global argmax (a ONE-ROW
+# collect; the argmax → re-segment dependency is the algorithm's
+# inherent sequential step) → map-side left-to-right fold applying the
+# merge. Word-internal merges without an end-of-word marker (documented
+# deviation from the paper's '</w>' variant; segment boundaries stay
+# word boundaries by construction). Real trainers run 10⁴–10⁵ merges —
+# here each merge is one small Spark job over the vocab, so cap
+# n_merges or pre-trim the vocabulary (min_word_count) accordingly.
+
+def _bpe_adjacent_pairs(sym_col: str) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs of an array column."""
+    s = F.col(sym_col)
+    n = F.size(s)
+    return F.zip_with(
+        F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _bpe_merge_fold(sym_col: str, a: str, b: str) -> Column:
+    """Left-to-right greedy application of merge (a,b)→ab over a symbol
+    array — the paper's re-segmentation step ('aaa' + (a,a) → [aa, a]),
+    as a pure aggregate fold."""
+    s = F.col(sym_col)
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    min_word_count: int = 1,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """(merges, vocab) — ``merges`` is the learned merge list in rank
+    order; ``vocab`` is (word, count, symbols array<string>) holding
+    every training word's final segmentation under those merges (the
+    training by-product real BPE trainers export as the fast-path
+    encoder table).
+
+    Ties break deterministically: highest weighted count, then (a, b)
+    lexicographic. Training stops early when no pair reaches
+    ``min_pair_count``. Lineage is cut per round (localCheckpoint) so a
+    long merge schedule cannot grow the plan.
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_word_count)
+        .select("w", "count", F.split("w", "").alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            vocab.where(F.size("symbols") > 1)
+            .select(
+                F.explode(_bpe_adjacent_pairs("symbols")).alias("p"), "count"
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "w", "count", _bpe_merge_fold("symbols", a, b).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_segment(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pieces array<string>, n_pieces) — each document's whitespace
+    token stream segmented by the trained vocabulary: one join of the
+    exploded token stream against the ``vocab`` segmentation table
+    (broadcast when small, hash join on the word otherwise — either
+    way the 100 TB cost is the token stream itself), order restored by
+    the token's position, out-of-vocabulary words falling back to
+    character pieces (the trained merges apply only to training words;
+    real deployments export merges to an encoder for OOV — documented
+    scope cut)."""
+    toked = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_i", "w")
+    )
+    seg = toked.join(vocab.select("w", "symbols"), "w", "left").select(
+        id_col,
+        "_i",
+        F.coalesce("symbols", F.split("w", "")).alias("_pieces"),
+    )
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_i", "_pieces"))
+                    ),
+                    lambda s: s["_pieces"],
+                )
+            ).alias("pieces")
+        )
+        .select(id_col, "pieces", F.size("pieces").alias("n_pieces"))
+    )

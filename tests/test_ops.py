@@ -3082,3 +3082,73 @@ def test_dsir_sample_selects_targetlike(spark):
     assert picked == again
     other = sampling.dsir_sample(raw, target, k=20, seed=7).collect()
     assert len(other) == 20 and len({r["doc_id"] for r in other}) == 20
+
+
+# ------------------------------------------------------------- BPE train
+def _py_bpe(word_counts, n_merges, min_pair_count=2):
+    """Classic BPE twin (Sennrich et al. 2016): weighted adjacent-pair
+    argmax over the word vocabulary, left-to-right greedy re-segment.
+    Tie-break mirrors the Spark orderBy: count DESC, then (a, b) ASC."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_twin(spark):
+    """Merge schedule AND final vocabulary segmentations match the
+    classic-BPE python twin on a randomized weighted corpus (word
+    repetition supplies the weights); pins the weighted argmax, the
+    deterministic tie-break and the left-to-right greedy fold incl.
+    the overlapping-pair case ('aaaa')."""
+    import random
+
+    rng = random.Random(5)
+    words = ["low", "lower", "lowest", "newer", "newest", "wider",
+             "aaaa", "banana", "bandana"]
+    rows, wc = [], {}
+    for i in range(40):
+        ws = rng.choices(words, k=rng.randrange(1, 6))
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+        rows.append((i, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = text.bpe_train(docs, n_merges=12)
+    ref_merges, ref_vocab = _py_bpe(wc, 12)
+    assert merges == ref_merges
+    got_vocab = {r["w"]: (r["count"], list(r["symbols"]))
+                 for r in vocab.collect()}
+    assert got_vocab == {w: (wc[w], ref_vocab[w]) for w in wc}
+
+
+def test_bpe_segment_oov_fallback(spark):
+    """Segmentation joins the trained table in token order and falls
+    back to character pieces for out-of-vocabulary words."""
+    train = spark.createDataFrame(
+        [(0, "low lower low lower lowest")], "doc_id long, text string")
+    merges, vocab = text.bpe_train(train, n_merges=2)
+    assert merges == [("l", "o"), ("lo", "w")]
+    new = spark.createDataFrame(
+        [(7, "lower unseen low")], "doc_id long, text string")
+    [r] = text.bpe_segment(new, vocab).collect()
+    assert r["pieces"][:3] == ["low", "e", "r"]
+    assert r["pieces"][3:9] == ["u", "n", "s", "e", "e", "n"]
+    assert r["pieces"][9:] == ["low"] and r["n_pieces"] == 10

@@ -214,6 +214,17 @@ def _q_semantic_dedup(spark, sf_dir):
                                     assign="numpy")
 
 
+def _q_bpe(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 10 merge rounds over the word-vocabulary frame (rounds scale with
+    # the VOCAB, not the corpus); the corpus-scaled stages are the word
+    # count and the segmentation join
+    merges, vocab = t.bpe_train(docs, n_merges=10)
+    return t.bpe_segment(docs, vocab).select("doc_id", "n_pieces")
+
+
 def _q_dsir_sample(spark, sf_dir):
     from logrange_spark.ops import sampling
 
@@ -263,6 +274,9 @@ EXTRA_QUERIES = {
     # DSIR: two bounded LM-count aggregates + broadcast-ratio scoring
     # pass + TakeOrdered top-k — linear, one doc-keyed shuffle
     "dsir_sample": (_q_dsir_sample, "documents"),
+    # BPE: one corpus-scaled word count + 10 vocab-frame merge rounds +
+    # the corpus-scaled segmentation join
+    "bpe_train_segment": (_q_bpe, "documents"),
 }
 
 
