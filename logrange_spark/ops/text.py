@@ -1203,3 +1203,119 @@ def bpe_segment(
         )
         .select(id_col, "pieces", F.size("pieces").alias("n_pieces"))
     )
+
+
+# ----------------------------------------------- Kneser-Ney bigram LM
+# CCNet's actual quality signal is n-gram LM perplexity (Wenzek et al.
+# 2020 score with a wiki-trained 5-gram KenLM); `unigram_lm_score`
+# above is the order-1 form. This is the order-2 interpolated
+# Kneser-Ney model (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26)
+# expressed as DataFrame aggregates — the standard discount/
+# continuation construction, with one explicit smoothing choice so the
+# model is total on unseen events:
+#
+#   Pcont(w)  = (N1+(·,w) + α) / (N1+(··) + α·(V+1))      [α-smoothed]
+#   P(w | u)  = (max(c(u,w) − D, 0) + D·N1+(u,·)·Pcont(w)) / c(u)
+#               when c(u) > 0, else Pcont(w)
+#
+# Sentence events are <s> w1 … wn </s> per document, so every token and
+# the terminator are scored. All four model tables derive from ONE
+# bigram-count aggregate.
+
+KN_DISCOUNT = 0.75  # Chen & Goodman's fixed absolute discount
+KN_BOS, KN_EOS = "<s>", "</s>"
+
+
+def _kn_events(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, u, w) bigram events of each document's token stream with
+    BOS context and EOS terminator — a map-side zip, no shuffle."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    return toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.concat(F.array(F.lit(KN_BOS)), F.col("_tok")),
+                F.concat(F.col("_tok"), F.array(F.lit(KN_EOS))),
+                lambda u, w: F.struct(u.alias("u"), w.alias("w")),
+            )
+        ).alias("_e"),
+    ).select(id_col, F.col("_e.u").alias("u"), F.col("_e.w").alias("w"))
+
+
+def kn_bigram_lm(
+    train: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(bigrams, contexts, continuations, totals) — the four interpolated
+    Kneser-Ney model tables: (u, w, cuw); (u, cu, n1u) with
+    n1u = N1+(u,·); (w, n1w) with n1w = N1+(·,w); and a ONE-ROW
+    (n1pp, v) = (N1+(··), |event vocabulary|).
+
+    100 TB shape: one (u,w)-keyed count aggregate over the event stream
+    (map-side combine) is the only corpus-scaled shuffle; the other
+    three tables are aggregates OF that table. Bigram tables at corpus
+    scale do not broadcast — the scorer joins them key-partitioned,
+    which is the relational form of KenLM's in-RAM lookup."""
+    big = (
+        _kn_events(train.select(F.lit(0).alias("_d"), text_col), "_d", text_col)
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cuw"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = big.groupBy("u").agg(
+        F.sum("cuw").alias("cu"), F.count(F.lit(1)).alias("n1u")
+    )
+    cont = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    totals = big.agg(
+        F.count(F.lit(1)).alias("n1pp"),
+        F.count_distinct("w").alias("v"),
+    )
+    return big, ctx, cont, totals
+
+
+def kn_bigram_score(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_events, avg_logprob, ppl) for every document under the
+    trained KN bigram model — low perplexity = fluent under the training
+    distribution, the CCNet head/middle/tail filter signal. Total on
+    any input: OOV words and unseen contexts fall back to the α-smoothed
+    continuation distribution, so no event scores zero.
+
+    One pass: event zip (map-side) → left joins against the three model
+    tables (key-partitioned on u/w — no broadcast assumption) → one-row
+    totals broadcast → per-doc mean with map-side partial aggregation.
+    """
+    big, ctx, cont, totals = model
+    ev = _kn_events(docs, id_col, text_col)
+    d = F.lit(float(discount))
+    a = F.lit(float(alpha))
+    pcont = (F.coalesce("n1w", F.lit(0)) + a) / (
+        F.col("n1pp") + a * (F.col("v") + 1)
+    )
+    seen = F.col("cu").isNotNull() & (F.col("cu") > 0)
+    p = F.when(
+        seen,
+        (
+            F.greatest(F.coalesce("cuw", F.lit(0)) - d, F.lit(0.0))
+            + d * F.coalesce("n1u", F.lit(0)) * pcont
+        )
+        / F.col("cu"),
+    ).otherwise(pcont)
+    scored = (
+        ev.join(big, ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, F.log(p).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("_lp").alias("avg_logprob"),
+        F.exp(-F.avg("_lp")).alias("ppl"),
+    )

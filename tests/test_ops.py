@@ -3152,3 +3152,92 @@ def test_bpe_segment_oov_fallback(spark):
     assert r["pieces"][:3] == ["low", "e", "r"]
     assert r["pieces"][3:9] == ["u", "n", "s", "e", "e", "n"]
     assert r["pieces"][9:] == ["low"] and r["n_pieces"] == 10
+
+
+# ---------------------------------------------------- Kneser-Ney bigram
+def _py_kn(train_texts, score_docs, discount=0.75, alpha=0.5):
+    """Python twin of kn_bigram_lm + kn_bigram_score: same <s>/</s>
+    events, same single-discount interpolated KN with alpha-smoothed
+    continuation fallback."""
+    import math
+
+    def events(txt):
+        ts = [t for t in txt.lower().strip().split() if t]
+        return list(zip(["<s>"] + ts, ts + ["</s>"]))
+
+    cuw = {}
+    for t in train_texts:
+        for e in events(t):
+            cuw[e] = cuw.get(e, 0) + 1
+    cu, n1u, n1w = {}, {}, {}
+    for (u, w), c in cuw.items():
+        cu[u] = cu.get(u, 0) + c
+        n1u[u] = n1u.get(u, 0) + 1
+        n1w[w] = n1w.get(w, 0) + 1
+    n1pp = len(cuw)
+    v = len(n1w)
+
+    def p(u, w):
+        pc = (n1w.get(w, 0) + alpha) / (n1pp + alpha * (v + 1))
+        if cu.get(u, 0) > 0:
+            return (max(cuw.get((u, w), 0) - discount, 0.0)
+                    + discount * n1u[u] * pc) / cu[u]
+        return pc
+
+    out = {}
+    for did, txt in score_docs:
+        lps = [math.log(p(u, w)) for u, w in events(txt)]
+        avg = sum(lps) / len(lps)
+        out[did] = (len(lps), avg, math.exp(-avg))
+    return out
+
+
+def test_kn_bigram_twin(spark):
+    """Trained tables and per-doc scores match the python twin on a
+    randomized corpus, including OOV words, unseen contexts, repeated
+    bigrams and an empty document (whose single <s>,</s> event is still
+    scored). Pins the discount, the continuation smoothing and the
+    BOS/EOS event construction."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    train_rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(2, 9))))
+                  for i in range(25)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    model = text.kn_bigram_lm(train)
+    score_rows = [(100, "the cat sat on the mat"),
+                  (101, "dog unknownword ran"),   # OOV word
+                  (102, "zz qq"),                 # fully OOV
+                  (103, "")]                      # empty doc
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_events"], r["avg_logprob"], r["ppl"])
+           for r in text.kn_bigram_score(docs, model).collect()}
+    ref = _py_kn([t for _, t in train_rows], score_rows)
+    assert set(got) == set(ref)
+    for did in ref:
+        assert got[did][0] == ref[did][0], did
+        assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
+        assert abs(got[did][2] - ref[did][2]) < 1e-6 * ref[did][2]
+
+
+def test_kn_bigram_ranks_fluency(spark):
+    """Behavioral contract: under a model trained on patterned text,
+    in-distribution documents score lower perplexity than shuffled or
+    gibberish ones — the CCNet filter signal."""
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string")
+    model = text.kn_bigram_lm(train)
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "dog lazy the over jumps fox brown quick the"),
+         (2, "zz qq ww ee rr tt")],
+        "doc_id long, text string")
+    ppl = {r["doc_id"]: r["ppl"] for r in
+           text.kn_bigram_score(docs, model).collect()}
+    # in-distribution text beats both by orders of magnitude; shuffled
+    # vs gibberish is NOT asserted — on a tiny training set a confident
+    # seen context leaves less mass for an unseen continuation than the
+    # global fallback grants a fully-OOV event (a known KN trait)
+    assert ppl[0] * 20 < ppl[1] and ppl[0] * 20 < ppl[2], ppl

@@ -214,6 +214,14 @@ def _q_semantic_dedup(spark, sf_dir):
                                     assign="numpy")
 
 
+def _q_kn_bigram(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = t.kn_bigram_lm(docs)
+    return t.kn_bigram_score(docs, model)
+
+
 def _q_bpe(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -277,6 +285,9 @@ EXTRA_QUERIES = {
     # BPE: one corpus-scaled word count + 10 vocab-frame merge rounds +
     # the corpus-scaled segmentation join
     "bpe_train_segment": (_q_bpe, "documents"),
+    # KN bigram LM: one (u,w)-keyed count shuffle to train; scoring is
+    # the event stream joined key-partitioned against the model tables
+    "kn_bigram_ppl": (_q_kn_bigram, "documents"),
 }
 
 
@@ -463,11 +474,12 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
         # Every other plan must be blocked/bucketed, never a BNLJ.
         # boilerplate_removal attaches its ONE-ROW collected dictionary
         # (bounded by BOILERPLATE_MAX_LINES) the same way;
-        # dsir_sample attaches the two ONE-ROW LM totals.
+        # dsir_sample attaches the two ONE-ROW LM totals and
+        # kn_bigram_ppl its ONE-ROW (n1pp, v) totals.
         if name not in (
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
-            "dsir_sample",
+            "dsir_sample", "kn_bigram_ppl",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
