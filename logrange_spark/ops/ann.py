@@ -331,9 +331,19 @@ def ivf_assigned_corpus(
     cents: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> DataFrame:
     """(neighbor_id, cvec, centroid_id): the corpus inverted-listed by
-    nearest centroid — a pure map stage (literal centroids, no shuffle)."""
+    nearest centroid — a pure map stage either way. ``assign="expr"``
+    (default) ships the centroids as plan literals (bit-exact with the
+    oracle twins; right for small k); ``assign="numpy"`` runs the
+    Arrow-batched matmul of ``assign_centroids_np`` — the only feasible
+    shape at production IVF scale (k ~ sqrt(n), far past what a literal
+    plan or interpreted HOF evaluation carries; same tie-break, csim may
+    differ in final ulps). The numpy path leaves zero vectors with a
+    NULL centroid_id (the expr path expects callers to pre-filter
+    them); cnorm is JVM-computed on both paths for bit-identical
+    probe-time scoring."""
     pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -341,6 +351,15 @@ def ivf_assigned_corpus(
     )
     # cnorm is persisted with the inverted list so probe-time scoring
     # never re-folds the corpus vector's norm per candidate pair
+    if assign == "numpy":
+        return assign_centroids_np(
+            pre, cents, id_col="neighbor_id", vec_col="cvec"
+        ).select(
+            "neighbor_id",
+            "cvec",
+            F.col("_vn").alias("cnorm"),
+            F.col("_cid").alias("centroid_id"),
+        )
     return pre.select(
         "neighbor_id",
         "cvec",
@@ -1345,9 +1364,10 @@ def assign_centroids_np(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-batched numpy matmul —
-    the large-k shape. Returns the input frame (with ``_vkey`` flattened
-    through the UDF as two long columns and rebuilt) plus
-    ``_cid int, _csim double``, matching ``ivf_assign_with_score_expr``:
+    the large-k shape. Returns EVERY input column (a ``_vkey`` struct,
+    if present, is flattened through the UDF as two long columns and
+    rebuilt) plus ``_cid int, _csim double``, matching
+    ``ivf_assign_with_score_expr``:
     ties break to the smallest centroid id (argmax-first over cid-sorted
     rows), zero-norm vectors and all-null score rows yield (null, null),
     zero-norm CENTROIDS are skipped (score -inf), and float32 inputs
@@ -1374,9 +1394,15 @@ def assign_centroids_np(
     cid_arr = np.array([int(cid) for cid, _ in cs], dtype=np.int64)
     bc = df.sparkSession.sparkContext.broadcast((cmat, cnorms, cid_arr))
 
-    inp = df.selectExpr(
-        id_col, "_vkey.h1 AS _h1", "_vkey.h2 AS _h2", vec_col
-    )
+    has_vkey = "_vkey" in df.columns
+    if has_vkey:
+        inp = df.selectExpr(
+            "_vkey.h1 AS _h1",
+            "_vkey.h2 AS _h2",
+            *[c for c in df.columns if c != "_vkey"],
+        )
+    else:
+        inp = df
     out_schema = StructType(
         list(inp.schema.fields)
     ).add("_cid", "integer").add("_csim", "double")
@@ -1419,12 +1445,13 @@ def assign_centroids_np(
             yield out
 
     res = inp.mapInPandas(_assign, schema=out_schema)
+    if not has_vkey:
+        return res
     return res.select(
-        id_col,
         F.struct(
             F.col("_h1").alias("h1"), F.col("_h2").alias("h2")
         ).alias("_vkey"),
-        vec_col,
+        *[c for c in df.columns if c != "_vkey"],
         "_cid",
         "_csim",
     )
@@ -1474,7 +1501,9 @@ def semantic_dedup_drops(
 
     reps, members, dup_keys = _emb_collapse(df, id_col, vec_col)
     if assign == "numpy":
-        assigned = assign_centroids_np(reps, centroids, id_col, vec_col)
+        assigned = assign_centroids_np(
+            reps.select(id_col, "_vkey", vec_col), centroids, id_col, vec_col
+        )
     elif assign == "expr":
         assigned = reps.select(
             id_col,

@@ -3241,3 +3241,34 @@ def test_kn_bigram_ranks_fluency(spark):
     # seen context leaves less mass for an unseen continuation than the
     # global fallback grants a fully-OOV event (a known KN trait)
     assert ppl[0] * 20 < ppl[1] and ppl[0] * 20 < ppl[2], ppl
+
+
+def test_ivf_assigned_corpus_numpy_matches_expr(spark):
+    """assign="numpy" reproduces the literal-expression inverted lists:
+    bit-equal on dyadic-rational vectors (exact float dots) including a
+    zero vector (expr path callers pre-filter those; numpy path returns
+    NULL centroid_id), and id-equal on the real embeddings table."""
+    import random
+
+    rng = random.Random(3)
+    cents = [(c, [rng.randrange(-8, 9) / 8.0 for _ in range(4)])
+             for c in range(5)]
+    rows = [(i, [rng.randrange(-32, 33) / 16.0 for _ in range(4)])
+            for i in range(60)] + [(60, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nz = df.where(F.expr("exists(embedding, x -> x != 0.0D)"))
+    e = {r["neighbor_id"]: (r["centroid_id"], r["cnorm"]) for r in
+         ann.ivf_assigned_corpus(nz, cents).collect()}
+    n = {r["neighbor_id"]: (r["centroid_id"], r["cnorm"]) for r in
+         ann.ivf_assigned_corpus(df, cents, assign="numpy").collect()}
+    assert n[60][0] is None  # zero vector → NULL centroid on the numpy path
+    assert {k: v for k, v in n.items() if k != 60} == e
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents2 = [(int(r[0]), list(r[1])) for r in
+              emb.where(F.col("vec_id") < 16)
+              .select("vec_id", "embedding").orderBy("vec_id").collect()]
+    e2 = {r["neighbor_id"]: r["centroid_id"] for r in
+          ann.ivf_assigned_corpus(emb, cents2).collect()}
+    n2 = {r["neighbor_id"]: r["centroid_id"] for r in
+          ann.ivf_assigned_corpus(emb, cents2, assign="numpy").collect()}
+    assert e2 == n2
