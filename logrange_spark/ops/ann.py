@@ -1414,8 +1414,15 @@ def assign_centroids_np(
             m = len(pdf)
             if m == 0:
                 continue
+            d = cm.shape[1]
+            # null vectors behave like zero-norm ones: (null, null) —
+            # the expression path's null-propagation contract
             V = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [
+                    np.zeros(d) if v is None or len(v) == 0
+                    else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
             )
             vn = np.sqrt((V * V).sum(axis=1))
             ok = vn > 0.0

@@ -3272,3 +3272,17 @@ def test_ivf_assigned_corpus_numpy_matches_expr(spark):
     n2 = {r["neighbor_id"]: r["centroid_id"] for r in
           ann.ivf_assigned_corpus(emb, cents2, assign="numpy").collect()}
     assert e2 == n2
+
+
+def test_assign_centroids_np_null_vector(spark):
+    """A NULL or empty embedding yields (null, null) like the expression
+    path's null propagation, instead of crashing the Arrow batch."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<double>",
+    ).selectExpr("vec_id", "embedding", "struct(1L AS h1, 2L AS h2) AS _vkey")
+    got = {r["vec_id"]: (r["_cid"], r["_csim"]) for r in
+           ann.assign_centroids_np(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+           .collect()}
+    assert got[0] == (0, 1.0)
+    assert got[1] == (None, None) and got[2] == (None, None)
