@@ -1180,16 +1180,19 @@ def bpe_segment(
     the token's position, out-of-vocabulary words falling back to
     character pieces (the trained merges apply only to training words;
     real deployments export merges to an encoder for OOV — documented
-    scope cut)."""
-    toked = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_i", "w")
+    scope cut). Token-less documents are kept, with empty pieces."""
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+    )
+    toked = toks.select(
+        F.col(id_col), F.posexplode("_tok").alias("_i", "w")
     )
     seg = toked.join(vocab.select("w", "symbols"), "w", "left").select(
         id_col,
         "_i",
         F.coalesce("symbols", F.split("w", "")).alias("_pieces"),
     )
-    return (
+    out = (
         seg.groupBy(id_col)
         .agg(
             F.flatten(
@@ -1203,6 +1206,13 @@ def bpe_segment(
         )
         .select(id_col, "pieces", F.size("pieces").alias("n_pieces"))
     )
+    # posexplode drops zero-token documents — keep them, as []
+    empties = toks.where(F.size("_tok") == 0).select(
+        F.col(id_col),
+        F.array().cast("array<string>").alias("pieces"),
+        F.lit(0).alias("n_pieces"),
+    )
+    return out.unionByName(empties)
 
 
 # ----------------------------------------------- Kneser-Ney bigram LM
@@ -1319,3 +1329,65 @@ def kn_bigram_score(
         F.avg("_lp").alias("avg_logprob"),
         F.exp(-F.avg("_lp")).alias("ppl"),
     )
+
+
+def bpe_vocab_ids(vocab: DataFrame) -> DataFrame:
+    """(piece, piece_id) — stable integer ids for every distinct piece a
+    trained vocabulary produces, ranked by corpus frequency (weighted by
+    word count, ties by piece text) — the conventional most-frequent-
+    gets-smallest-id layout. One explode + one bounded groupBy (≤ the
+    piece inventory); the rank window runs over that small frame."""
+    from pyspark.sql import Window
+
+    freq = (
+        vocab.select(F.explode("symbols").alias("piece"), "count")
+        .groupBy("piece")
+        .agg(F.sum("count").alias("_n"))
+    )
+    w = Window.orderBy(F.desc("_n"), "piece")
+    return freq.select(
+        "piece", (F.row_number().over(w) - 1).cast("int").alias("piece_id")
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """(id, token_ids array<int>, n_tokens) — documents encoded to the
+    trained vocabulary's integer ids: ``bpe_segment`` pieces looked up in
+    ``bpe_vocab_ids`` (broadcast — the piece inventory is vocabulary-
+    bounded), unknown pieces (char-fallback output of OOV words that
+    never occurred in training) mapped to ``oov_id``. The id stream is
+    what ``sampling.chunk_documents`` / ``pack_sequences`` consume
+    downstream — the tokenize→pack tail of a training-data pipeline."""
+    ids = bpe_vocab_ids(vocab)
+    seg = bpe_segment(docs, vocab, id_col, text_col)
+    exploded = seg.select(
+        F.col(id_col), F.posexplode("pieces").alias("_i", "piece")
+    )
+    joined = exploded.join(F.broadcast(ids), "piece", "left").select(
+        id_col,
+        "_i",
+        F.coalesce("piece_id", F.lit(int(oov_id))).alias("_tid"),
+    )
+    encoded = (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_tid"))),
+                lambda s: s["_tid"],
+            ).alias("token_ids")
+        )
+        .select(id_col, "token_ids", F.size("token_ids").alias("n_tokens"))
+    )
+    # empty documents produce no pieces to explode — keep them, as []
+    empties = seg.where(F.size("pieces") == 0).select(
+        F.col(id_col),
+        F.array().cast("array<int>").alias("token_ids"),
+        F.lit(0).alias("n_tokens"),
+    )
+    return encoded.unionByName(empties)

@@ -3286,3 +3286,33 @@ def test_assign_centroids_np_null_vector(spark):
            .collect()}
     assert got[0] == (0, 1.0)
     assert got[1] == (None, None) and got[2] == (None, None)
+
+
+def test_bpe_encode_ids(spark):
+    """Encoded id streams reproduce the python recomputation: ids rank
+    pieces by weighted frequency (ties by piece), OOV char-fallback
+    pieces unseen in training map to oov_id, empty docs encode to []."""
+    train = spark.createDataFrame(
+        [(0, "low low lower lowest")], "doc_id long, text string")
+    merges, vocab = text.bpe_train(train, n_merges=2)
+    vrows = {r["w"]: list(r["symbols"]) for r in vocab.collect()}
+    # python twin of the id assignment
+    freq = {}
+    wc = {"low": 2, "lower": 1, "lowest": 1}
+    for w, syms in vrows.items():
+        for s in syms:
+            freq[s] = freq.get(s, 0) + wc[w]
+    ranked = sorted(freq, key=lambda p: (-freq[p], p))
+    pid = {p: i for i, p in enumerate(ranked)}
+    ids = {r["piece"]: r["piece_id"] for r in text.bpe_vocab_ids(vocab).collect()}
+    assert ids == pid
+    docs = spark.createDataFrame(
+        [(1, "lower zap low"), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in text.bpe_encode(docs, vocab).collect()}
+    pieces = vrows["lower"] + ["z", "a", "p"] + vrows["low"]
+    want = [pid.get(p, -1) for p in pieces]
+    assert got[1] == (want, len(want))
+    # 'a' never appears in training pieces → must be oov_id
+    assert pid.get("a") is None and -1 in got[1][0]
+    assert got[2] == ([], 0)
