@@ -103,3 +103,33 @@ def test_simhash_pairs_single_shuffle_no_distinct(spark):
     # distinct would appear as a HashAggregate pair over the pair columns
     after_join = plan.split("Join", 1)[0]
     assert "HashAggregate" not in after_join
+
+
+@needs_testdata
+def test_dsir_sample_is_top_k_not_full_sort(spark):
+    """DSIR's Gumbel top-k must plan as TakeOrderedAndProject (per-
+    partition heaps) — a global Sort before the limit would shuffle the
+    whole scored corpus at 100 TB. The LM-total attaches are the only
+    BNLJ (one-row broadcasts); no cartesian anywhere."""
+    from logrange_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sampling.dsir_sample(docs, docs.limit(20), k=10)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_bpe_encode_joins_are_not_cartesian(spark):
+    """bpe_segment/bpe_encode join the token stream against vocab/id
+    tables on equi-keys — never a cartesian; the id table attaches as a
+    broadcast hash join."""
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    merges, vocab = t.bpe_train(docs, n_merges=3)
+    plan = plan_of(t.bpe_encode(docs, vocab))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
