@@ -1238,7 +1238,13 @@ KN_BOS, KN_EOS = "<s>", "</s>"
 
 def _kn_events(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, u, w) bigram events of each document's token stream with
-    BOS context and EOS terminator — a map-side zip, no shuffle."""
+    BOS context and EOS terminator — a map-side zip, no shuffle.
+
+    ``<s>``/``</s>`` are RESERVED symbols (the KenLM convention): a
+    document whose literal text contains them conflates with the
+    sentinels — strip or escape them upstream if the corpus can carry
+    them (the whitespace tokenizer lowercases, so only the exact
+    lowercase forms collide)."""
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
     return toks.select(
         id_col,
@@ -1335,8 +1341,12 @@ def bpe_vocab_ids(vocab: DataFrame) -> DataFrame:
     """(piece, piece_id) — stable integer ids for every distinct piece a
     trained vocabulary produces, ranked by corpus frequency (weighted by
     word count, ties by piece text) — the conventional most-frequent-
-    gets-smallest-id layout. One explode + one bounded groupBy (≤ the
-    piece inventory); the rank window runs over that small frame."""
+    gets-smallest-id layout. One explode + one bounded groupBy; the
+    global rank window runs single-partition, which is safe BY
+    CONSTRUCTION: the piece inventory is at most |alphabet| + n_merges
+    symbols (each merge round mints exactly one new symbol), i.e.
+    tokenizer-vocabulary sized (30–100k in practice), never
+    corpus-sized."""
     from pyspark.sql import Window
 
     freq = (
