@@ -1388,6 +1388,8 @@ def assign_centroids_np(
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
     cs = sorted(centroids)
     cmat = np.array([cv for _, cv in cs], dtype=np.float64)
     cnorms = np.sqrt((cmat * cmat).sum(axis=1))
