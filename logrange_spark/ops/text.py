@@ -973,13 +973,21 @@ def train_quality_classifier(
     ``iters`` passes, but full-batch GD is the wrong tool past that —
     sample first.
     """
-    labeled = pos.select(F.col(text_col), F.lit(1.0).alias("_y")).unionByName(
-        neg.select(F.col(text_col), F.lit(0.0).alias("_y"))
-    ).select(F.monotonically_increasing_id().alias("_did"), text_col, "_y")
+    # materialize the id assignment BEFORE deriving features and labels:
+    # monotonically_increasing_id is partition-layout-dependent, so two
+    # independent evaluations of the same lazy frame (e.g. under AQE on
+    # a shuffled upstream) can id the same document differently — feats
+    # would then join the WRONG labels. One eager checkpoint pins it.
+    labeled = (
+        pos.select(F.col(text_col), F.lit(1.0).alias("_y"))
+        .unionByName(neg.select(F.col(text_col), F.lit(0.0).alias("_y")))
+        .select(F.monotonically_increasing_id().alias("_did"), text_col, "_y")
+        .localCheckpoint(eager=True)
+    )
     feats = _classifier_features(
         labeled, "_did", text_col, n_features, ngram
     ).localCheckpoint(eager=True)
-    labels = labeled.select("_did", "_y").localCheckpoint(eager=True)
+    labels = labeled.select("_did", "_y")
     n = labels.count()
     spark = pos.sparkSession
     w = spark.createDataFrame([], "feature int, weight double")

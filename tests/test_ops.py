@@ -3316,3 +3316,58 @@ def test_bpe_encode_ids(spark):
     # 'a' never appears in training pieces → must be oov_id
     assert pid.get("a") is None and -1 in got[1][0]
     assert got[2] == ([], 0)
+
+
+# ------------------------------------------------- curation composition
+def test_curation_v2_composition(spark):
+    """The late-round curation ops compose end-to-end as one DataFrame
+    program — template cleaning → repeated-span removal → quality-
+    classifier gate → DSIR selection → BPE encode → sequence packing —
+    and the chain is deterministic: same inputs, same survivors, same
+    token-id streams, same bins across two full executions."""
+    import random
+
+    from logrange_spark.ops import dedup, sampling
+
+    rng = random.Random(23)
+    vocab = ["the", "model", "learns", "from", "clean", "web", "text",
+             "tokens", "data", "scale"]
+    footer = "subscribe to our newsletter"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(vocab, k=rng.randrange(6, 14)))
+        rows.append((i, body + "\n" + footer))
+    for i in range(60, 80):  # junk the quality gate should score low
+        rows.append((i, f"zz{i} qq{i}\n" + footer))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run_chain():
+        cleaned = text.remove_boilerplate(docs).select("doc_id", "text")
+        despanned = dedup.remove_repeated_spans(cleaned)
+        despanned = despanned.select("doc_id", F.col("text"))
+        pos = despanned.where(F.col("doc_id") < 20)
+        neg = despanned.where(F.col("doc_id") >= 60)
+        w = text.train_quality_classifier(pos, neg, iters=3)
+        scored = text.quality_classifier_score(despanned, w)
+        kept = despanned.join(
+            scored.where(F.col("score") > 0.5).select("doc_id"), "doc_id"
+        )
+        picked = sampling.dsir_sample(kept, pos, k=15)
+        sel = kept.join(picked.select("doc_id"), "doc_id")
+        merges, bvocab = text.bpe_train(sel, n_merges=8)
+        enc = text.bpe_encode(sel, bvocab)
+        packed = sampling.pack_sequences(enc, max_tokens=64)
+        return (
+            sorted(r["doc_id"] for r in picked.collect()),
+            sorted((r["doc_id"], tuple(r["token_ids"])) for r in enc.collect()),
+            sorted((r["doc_id"], r["bin_id"], r["bin_offset"])
+                   for r in packed.collect()),
+        )
+
+    picked1, enc1, packed1 = run_chain()
+    assert len(picked1) == 15
+    assert all(d < 60 for d in picked1), picked1  # junk never selected
+    assert all(ids for _, ids in enc1)  # every survivor encodes non-empty
+    # footer removed before spans/classifier: no survivor text kept it
+    picked2, enc2, packed2 = run_chain()
+    assert (picked1, enc1, packed1) == (picked2, enc2, packed2)
