@@ -433,8 +433,15 @@ def dsir_scores(
 
     nf = n_features or CLASSIFIER_FEATURES
     ng = ngram or CLASSIFIER_NGRAM
+    # null text behaves like empty text (terms of NULL are NULL, which
+    # would otherwise drop the document at the explode AND miss the
+    # size==0 empties branch — a silent row loss)
     termed = docs.select(
-        F.col(id_col), classifier_terms(F.col(text_col), ng).alias("_terms")
+        F.col(id_col),
+        F.coalesce(
+            classifier_terms(F.col(text_col), ng),
+            F.array().cast("array<string>"),
+        ).alias("_terms"),
     )
     tf = (
         termed.select(

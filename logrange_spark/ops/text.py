@@ -1188,9 +1188,13 @@ def bpe_segment(
     the token's position, out-of-vocabulary words falling back to
     character pieces (the trained merges apply only to training words;
     real deployments export merges to an encoder for OOV — documented
-    scope cut). Token-less documents are kept, with empty pieces."""
+    scope cut). Token-less documents — including null text — are kept,
+    with empty pieces."""
     toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_tok"),
     )
     toked = toks.select(
         F.col(id_col), F.posexplode("_tok").alias("_i", "w")
@@ -1252,8 +1256,14 @@ def _kn_events(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     document whose literal text contains them conflates with the
     sentinels — strip or escape them upstream if the corpus can carry
     them (the whitespace tokenizer lowercases, so only the exact
-    lowercase forms collide)."""
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    lowercase forms collide). Null text scores like empty text (one
+    ``<s>``→``</s>`` event) instead of silently dropping the row."""
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_tok"),
+    )
     return toks.select(
         id_col,
         F.explode(

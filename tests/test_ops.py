@@ -3371,3 +3371,25 @@ def test_curation_v2_composition(spark):
     # footer removed before spans/classifier: no survivor text kept it
     picked2, enc2, packed2 = run_chain()
     assert (picked1, enc1, packed1) == (picked2, enc2, packed2)
+
+
+def test_null_text_totality(spark):
+    """Null-text documents behave like empty ones across the late-round
+    text ops instead of silently vanishing: dsir scores them logw 0, the
+    KN scorer scores the single <s>,</s> event, bpe encodes []."""
+    from logrange_spark.ops import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "real text here"), (1, None)], "doc_id long, text string")
+    ratios = sampling.dsir_logratios(docs.where("doc_id = 0"), docs)
+    got = {r["doc_id"]: (r["n_terms"], r["logw"]) for r in
+           sampling.dsir_scores(docs, ratios).collect()}
+    assert got[1] == (0, 0.0) and got[0][0] == 5  # 3 unigrams + 2 bigrams
+    model = text.kn_bigram_lm(docs.where("doc_id = 0"))
+    kn = {r["doc_id"]: r["n_events"] for r in
+          text.kn_bigram_score(docs, model).collect()}
+    assert kn == {0: 4, 1: 1}
+    merges, vocab = text.bpe_train(docs, n_merges=2, min_word_count=1)
+    enc = {r["doc_id"]: r["n_tokens"] for r in
+           text.bpe_encode(docs, vocab).collect()}
+    assert enc[1] == 0 and enc[0] > 0
