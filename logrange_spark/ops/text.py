@@ -1419,3 +1419,83 @@ def bpe_encode(
         F.lit(0).alias("n_tokens"),
     )
     return encoded.unionByName(empties)
+
+
+def train_lang_classifier(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_features: int = CLASSIFIER_FEATURES,
+    ngram: int = CLASSIFIER_NGRAM,
+    iters: int = 8,
+    lr: float = 1.0,
+    reg: float = 1e-4,
+) -> DataFrame:
+    """(lang, feature, weight) — a trained multiclass language
+    identifier (the fastText-langid shape CCNet/RedPajama filter with),
+    as one-vs-rest logistic models over the shared hashed n-gram
+    features: per observed language, ``train_quality_classifier`` runs
+    with that language's documents as positives and the rest as
+    negatives, and the weight tables union with a ``lang`` tag.
+
+    Complements the fixed-list `lang_id` heuristic: trained on YOUR
+    labeled seed (any label set, any granularity — dialects, scripts,
+    programming languages), not a built-in stopword table. Training is
+    k small jobs over the seed corpus (label sets are enumerable — the
+    distinct collect is k rows); the seed is presumed seed-scale, as
+    with the quality classifier.
+    """
+    langs = sorted(
+        r[0] for r in docs.select(lang_col).distinct().collect()
+        if r[0] is not None
+    )
+    if not langs:
+        raise ValueError(f"no non-null labels in {lang_col!r}")
+    spark = docs.sparkSession
+    out = None
+    for lang in langs:
+        pos = docs.where(F.col(lang_col) == lang)
+        neg = docs.where(F.col(lang_col) != lang)
+        w = train_quality_classifier(
+            pos, neg, text_col, n_features, ngram, iters, lr, reg
+        ).select(F.lit(lang).alias("lang"), "feature", "weight")
+        out = w if out is None else out.unionByName(w)
+    return out.localCheckpoint(eager=True)
+
+
+def lang_classifier_predict(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = CLASSIFIER_FEATURES,
+    ngram: int = CLASSIFIER_NGRAM,
+) -> DataFrame:
+    """(id, lang_pred, score) — each document's argmax one-vs-rest
+    language with its sigmoid confidence; ties break to the smaller
+    language code. One corpus pass: the shared feature frame joins the
+    broadcast (lang, feature, weight) table — every per-language model
+    carries the intercept feature −1, and every document carries the
+    matching bias row, so each (doc, lang) pair scores even with zero
+    vocabulary overlap — then one (doc, lang) partial-aggregated sum
+    and a per-doc struct-max."""
+    feats = _classifier_features(docs, id_col, text_col, n_features, ngram)
+    dots = (
+        feats.join(F.broadcast(weights), "feature")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("x") * F.col("weight")).alias("_dot"))
+    )
+    # struct-MIN over (−dot, lang): smallest −dot = largest dot, and a
+    # dot tie falls through to the lexicographically smallest lang
+    best = dots.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("_dot")).alias("nd"), F.col("lang").alias("lang")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        id_col,
+        F.col("m.lang").alias("lang_pred"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("m.nd")))).alias("score"),
+    )

@@ -3393,3 +3393,41 @@ def test_null_text_totality(spark):
     enc = {r["doc_id"]: r["n_tokens"] for r in
            text.bpe_encode(docs, vocab).collect()}
     assert enc[1] == 0 and enc[0] > 0
+
+
+def test_lang_classifier_trained(spark):
+    """One-vs-rest trained language ID: three synthetic languages with
+    disjoint vocabulary train from a labeled seed; held-out docs predict
+    their language with high confidence, a vocabulary-free doc still
+    gets a deterministic prediction (intercept-only scoring), and the
+    prediction is reproducible."""
+    import random
+
+    rng = random.Random(7)
+    vocabs = {
+        "aa": ["mor", "til", "den", "som", "har", "var"],
+        "bb": ["le", "une", "des", "avec", "pour", "dans"],
+        "cc": ["der", "und", "das", "mit", "eine", "auch"],
+    }
+    rows = []
+    i = 0
+    for lang, vs in vocabs.items():
+        for _ in range(12):
+            rows.append((i, lang, " ".join(rng.choices(vs, k=8)))); i += 1
+    seed = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = text.train_lang_classifier(seed, iters=4)
+    held = spark.createDataFrame(
+        [(100, " ".join(rng.choices(vocabs["aa"], k=6))),
+         (101, " ".join(rng.choices(vocabs["bb"], k=6))),
+         (102, " ".join(rng.choices(vocabs["cc"], k=6))),
+         (103, "zz qq ww")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["lang_pred"], r["score"]) for r in
+           text.lang_classifier_predict(held, w).collect()}
+    assert got[100][0] == "aa" and got[100][1] > 0.8
+    assert got[101][0] == "bb" and got[101][1] > 0.8
+    assert got[102][0] == "cc" and got[102][1] > 0.8
+    assert got[103][0] in vocabs  # deterministic fallback, some language
+    again = {r["doc_id"]: r["lang_pred"] for r in
+             text.lang_classifier_predict(held, w).collect()}
+    assert {d: v[0] for d, v in got.items()} == again
