@@ -1499,3 +1499,36 @@ def lang_classifier_predict(
         F.col("m.lang").alias("lang_pred"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("m.nd")))).alias("score"),
     )
+
+
+def persist_kn_model(
+    spark,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+    name: str,
+    path: str,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Materialize a trained KN model as catalog tables bucketed by
+    their probe-join keys — bigrams by (u, w), contexts by u,
+    continuations by w, the one-row totals as plain parquet — so every
+    subsequent ``kn_bigram_score`` run reads co-located buckets with NO
+    model-side Exchange (plan-asserted, test_bucketing). The model of a
+    large corpus holds billions of distinct bigrams; re-shuffling it
+    per scoring job is the cost this kills — the same
+    write-once-shuffle-never contract as ``persist_corpus_lsh``. The
+    returned tuple drops into ``kn_bigram_score`` unchanged."""
+    from .util import persist_bucketed
+
+    big, ctx, cont, totals = model
+    b = persist_bucketed(
+        spark, big, f"{name}_bigrams", f"{path}_bigrams", n_buckets, ["u", "w"]
+    )
+    c = persist_bucketed(
+        spark, ctx, f"{name}_contexts", f"{path}_contexts", n_buckets, "u"
+    )
+    co = persist_bucketed(
+        spark, cont, f"{name}_continuations", f"{path}_continuations",
+        n_buckets, "w",
+    )
+    totals.write.mode("overwrite").parquet(f"{path}_totals")
+    return b, c, co, spark.read.parquet(f"{path}_totals")

@@ -75,16 +75,22 @@ def salted_join(
     return l_s.join(r_s, [on, "__salt"], how).drop("__salt")
 
 
-def persist_bucketed(spark, df, name: str, path: str, n_buckets: int, key: str):
+def persist_bucketed(
+    spark, df, name: str, path: str, n_buckets: int, key: str | list[str]
+):
     """One write-time shuffle into a ``key``-bucketed catalog table;
     subsequent joins on ``key`` read co-located buckets with no Exchange
     (the write-once-shuffle-never pattern, plan-asserted in
-    tests/test_bucketing.py). Shared by the ANN corpus tables and the
-    incremental-dedup LSH tables."""
+    tests/test_bucketing.py). Shared by the ANN corpus tables, the
+    incremental-dedup LSH tables and the persisted KN model. A LIST key
+    buckets by the composite — co-partition requires the bucket spec to
+    cover ALL of a join's keys (requireAllClusterKeysForCoPartition), so
+    pass exactly the join's key set."""
+    keys = [key] if isinstance(key, str) else list(key)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
-        df.write.bucketBy(n_buckets, key)
-        .sortBy(key)
+        df.write.bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
         .option("path", path)
         .mode("overwrite")
         .saveAsTable(name)

@@ -390,3 +390,46 @@ def test_incremental_embedding_dedup_against_persisted_corpus(spark, tmp_path_fa
     finally:
         for t in ("inc_emb_vecs", "inc_emb_members"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kn_model_persists_bucketed(spark, tmp_path):
+    """The persisted KN model scores identically to the in-memory one,
+    and the probe fragments read the model tables bucketed with every
+    Exchange attributable to the EVENT side — the write-once-
+    shuffle-never contract extended to n-gram LM scoring."""
+    from logrange_spark.ops import text
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran far " * (1 + i % 3))
+         for i in range(40)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "dog unknown ran"), (2, "")],
+        "doc_id long, text string")
+    model = text.kn_bigram_lm(train)
+    want = sorted(tuple(r) for r in text.kn_bigram_score(docs, model).collect())
+    pm = text.persist_kn_model(spark, model, "knm_t", str(tmp_path / "knm"))
+    got = sorted(tuple(r) for r in text.kn_bigram_score(docs, pm).collect())
+    # the bucketed join reorders the per-doc mean's float summation —
+    # identical up to reassociation ulps
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert abs(g[2] - w[2]) < 1e-12 * max(1.0, abs(w[2]))
+        assert abs(g[3] - w[3]) < 1e-12 * max(1.0, abs(w[3]))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big_t, ctx_t, cont_t = pm[0], pm[1], pm[2]
+        ev = text._kn_events(docs, "doc_id", "text")
+        for right, keys in ((big_t, ["u", "w"]), (ctx_t, ["u"]),
+                            (cont_t, ["w"])):
+            frag = ev.join(right, keys)
+            fplan = frag._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in fplan, fplan
+            assert "Bucketed: true" in fplan, fplan
+            # the single Exchange is the event side's shuffle onto the
+            # join keys; the bucketed model scan feeds the join directly
+            assert fplan.count("Exchange") == 1, fplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
