@@ -950,6 +950,61 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """.strip()
 
 
+def _q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (ops/text.kn_bigram_lm
+    / kn_bigram_score), model trained on the documents table itself and
+    scored over it — CCNet's n-gram LM filter signal at order 2. Floats
+    cross engines, so the registry row rounds like text_unigram_ppl:
+    avg to 6dp, ppl recomputed from the ROUNDED avg at 4dp."""
+    from logrange_spark.ops.text import kn_bigram_lm, kn_bigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model = kn_bigram_lm(docs)
+    s = kn_bigram_score(docs, model)
+    avg6 = F.round(F.col("avg_logprob"), 6)
+    return s.select(
+        "doc_id",
+        "n_events",
+        avg6.alias("avg_logprob"),
+        F.round(F.exp(-avg6), 4).alias("ppl"),
+    )
+
+
+def _kn_sql(discount: float = 0.75, alpha: float = 0.5) -> str:
+    # the score corpus IS the train corpus, so every event's context is
+    # seen (cu > 0) and the unseen-context fallback stays dormant here —
+    # covered by tests/test_ops.py::test_kn_bigram_twin
+    return f"""
+WITH {_tok_cte()},
+ev AS (SELECT doc_id, us[i] AS u, ws[i] AS w
+       FROM (SELECT doc_id, list_prepend('<s>', w) AS us,
+                    list_append(w, '</s>') AS ws FROM toks),
+            unnest(range(1, len(ws) + 1)) AS t(i)),
+cuw AS (SELECT u, w, count(*) AS c FROM ev GROUP BY u, w),
+ctx AS (SELECT u, CAST(sum(c) AS BIGINT) AS cu, count(*) AS n1u
+        FROM cuw GROUP BY u),
+cont AS (SELECT w, count(*) AS n1w FROM cuw GROUP BY w),
+tot AS (SELECT count(*) AS n1pp, count(DISTINCT w) AS v FROM cuw),
+scored AS (
+  SELECT ev.doc_id,
+         ln((greatest(coalesce(cuw.c, 0) - {discount!r}, 0.0)
+             + {discount!r} * coalesce(ctx.n1u, 0)
+               * ((coalesce(cont.n1w, 0) + {alpha!r})
+                  / (tot.n1pp + {alpha!r} * (tot.v + 1)))) / ctx.cu) AS lp
+  FROM ev
+  LEFT JOIN cuw USING (u, w)
+  LEFT JOIN ctx USING (u)
+  LEFT JOIN cont USING (w)
+  CROSS JOIN tot),
+perdoc AS (SELECT doc_id, count(*) AS n_events,
+                  round(avg(lp), 6) AS avg_logprob
+           FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(n_events AS BIGINT) AS n_events, avg_logprob,
+       round(exp(-avg_logprob), 4) AS ppl
+FROM perdoc
+""".strip()
+
+
 BM25_QUERY = "join hash scan"
 
 
@@ -1342,9 +1397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered by text_bm25_topk / tfidf_keywords and the retired
         # oracle in test_entry_contract.py)
         "corpus_overlap": _q_corpus_overlap,
-        # training-data pipeline: text analysis
+        # training-data pipeline: text analysis (text_lang_dist rotated
+        # OUT late r8 for kn_bigram_ppl — its lang-ID + quality
+        # expressions stay registry-covered by text_stats and the
+        # retired oracle stays checked in test_entry_contract)
         "text_stats": _q_text_stats,
-        "text_lang_dist": _q_text_lang_dist,
+        "kn_bigram_ppl": _q_kn_bigram,
         "text_bpe_tokens": _q_text_bpe_tokens,
         # event-time streaming ops (batch-checkable session windows;
         # events_tumbling rotated OUT late round 8 for
@@ -1405,6 +1463,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_words": _q_top_words,
         # round-8 late rotation (for boilerplate_removal)
         "events_tumbling": _q_events_tumbling,
+        # round-8 late rotation (for kn_bigram_ppl)
+        "text_lang_dist": _q_text_lang_dist,
     }
 
 
@@ -1986,6 +2046,11 @@ SELECT event_type,
        (epoch_ns(ts) // {6 * 3600 * 10**9}) * {6 * 3600 * 10**6} + {6 * 3600 * 10**6} AS window_end_us,
        count(*) AS n
 FROM events GROUP BY 1, 2, 3""".strip(),
+    "text_lang_dist": f"""
+SELECT lang_guess, count(*) AS n_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
 }
 
 # DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
@@ -2169,11 +2234,7 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dedup_clusters": _clusters_sql(0.8),
         "dedup_simhash_pairs": _simhash_sql(3),
         "text_stats": _text_stats_sql(),
-        "text_lang_dist": f"""
-SELECT lang_guess, count(*) AS n_docs,
-       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
+        "kn_bigram_ppl": _kn_sql(),
         "corpus_overlap": _corpus_overlap_sql(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_bucketed_topk": _ann_sql(bucketed=True),
