@@ -343,21 +343,30 @@ DSIR_ALPHA = 1.0  # Laplace smoothing per hashed bucket
 
 
 def _dsir_counts(
-    docs: DataFrame, text_col: str, n_features: int, ngram: int
+    target: DataFrame, raw: DataFrame, text_col: str, n_features: int,
+    ngram: int,
 ) -> DataFrame:
-    """(feature, c) hashed n-gram occurrence counts over a corpus — one
-    explode + one groupBy whose output is bounded by ``n_features``
-    (map-side combine collapses a 10⁸-doc corpus to ≤n_features rows per
-    task before the exchange)."""
+    """(feature, _t, _r) hashed n-gram occurrence counts over BOTH
+    corpora in ONE tagged aggregate — one explode + one groupBy whose
+    output is bounded by ``n_features`` (map-side combine collapses a
+    10⁸-doc corpus to ≤n_features rows per task before the exchange);
+    the side tag replaces a per-corpus count pair plus their full-outer
+    join (integer counts, so the fused form is value-identical)."""
     from .text import classifier_feature, classifier_terms
 
+    both = target.select(
+        F.lit(1).alias("_side"), F.col(text_col).alias("_x")
+    ).unionByName(raw.select(F.lit(0).alias("_side"), F.col(text_col).alias("_x")))
     return (
-        docs.select(
-            F.explode(classifier_terms(F.col(text_col), ngram)).alias("_t")
+        both.select(
+            "_side", F.explode(classifier_terms(F.col("_x"), ngram)).alias("_t")
         )
-        .select(classifier_feature(F.col("_t"), n_features).alias("feature"))
+        .select("_side", classifier_feature(F.col("_t"), n_features).alias("feature"))
         .groupBy("feature")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("_side").alias("_t"),
+            F.sum(F.lit(1) - F.col("_side")).alias("_r"),
+        )
     )
 
 
@@ -377,31 +386,30 @@ def dsir_logratios(
     default — but when scoring ``raw`` itself (the DSIR use) every
     scored feature is present on the raw side by construction.
 
-    100 TB shape: two bounded count aggregates (≤``n_features`` rows
-    each), one full-outer join of those small tables, scalar totals
-    attached as one-row broadcasts — the result broadcasts to scorers.
+    100 TB shape: ONE bounded tagged count aggregate over the unioned
+    corpora (≤``n_features`` rows; the per-corpus count pair and their
+    full-outer join fused away — integer counts, value-identical), one
+    scalar totals aggregate attached as a one-row broadcast — the
+    result broadcasts to scorers.
     """
     from .text import CLASSIFIER_FEATURES, CLASSIFIER_NGRAM
 
     nf = n_features or CLASSIFIER_FEATURES
     ng = ngram or CLASSIFIER_NGRAM
-    tc = _dsir_counts(target, text_col, nf, ng)
-    rc = _dsir_counts(raw, text_col, nf, ng)
-    tot_t = tc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_ct"))
-    tot_r = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_cr"))
-    joined = (
-        tc.withColumnRenamed("c", "_t")
-        .join(rc.withColumnRenamed("c", "_r"), "feature", "full")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+    counts = _dsir_counts(target, raw, text_col, nf, ng).localCheckpoint(
+        eager=True
+    )  # one evaluation feeds both the totals and the ratio projection
+    tot = counts.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).alias("_ct"),
+        F.coalesce(F.sum("_r"), F.lit(0)).alias("_cr"),
     )
     b = float(nf) * float(alpha)
-    return joined.select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "feature",
         (
-            F.log((F.coalesce("_t", F.lit(0)) + F.lit(float(alpha)))
+            F.log((F.col("_t") + F.lit(float(alpha)))
                   / (F.col("_ct") + F.lit(b)))
-            - F.log((F.coalesce("_r", F.lit(0)) + F.lit(float(alpha)))
+            - F.log((F.col("_r") + F.lit(float(alpha)))
                     / (F.col("_cr") + F.lit(b)))
         ).alias("logratio"),
     )
