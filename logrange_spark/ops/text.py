@@ -1532,3 +1532,173 @@ def persist_kn_model(
     )
     totals.write.mode("overwrite").parquet(f"{path}_totals")
     return b, c, co, spark.read.parquet(f"{path}_totals")
+
+
+# ------------------------------------------------ Kneser-Ney, order n
+# The general interpolated KN model (CCNet's production filter is a
+# 5-gram KenLM). Textbook construction (Chen & Goodman 1999 §4.1.6):
+# the TOP order uses raw n-gram counts; every lower order uses
+# CONTINUATION counts, which derive relationally from the order above —
+# C_k(h', w) = |{x : C_{k+1}((x·h'), w) > 0}| is one row-count groupBy
+# over the (already distinct) higher-order table. One shared discount D
+# across orders (documented simplification of per-order D_k). Documents
+# pad with (order−1) <s> tokens and close with </s>, so the first real
+# token scores under the full-order [<s>…<s>] context (the KenLM
+# convention); order=2 reproduces `kn_bigram_lm` exactly (pinned by
+# test).
+
+
+def _kn_ngram_events(
+    docs: DataFrame, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """(id, ctx array<string>, w) — the order-n event stream: ctx is the
+    (order−1)-token history with <s> padding, w the predicted token or
+    the </s> terminator. Map-side only; null text = empty text."""
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_tok"),
+    )
+    pad = F.array_repeat(F.lit(KN_BOS), order - 1)
+    padded = F.concat(pad, F.col("_tok"))
+    ws = F.concat(F.col("_tok"), F.array(F.lit(KN_EOS)))
+    ev = F.transform(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: F.struct(
+            F.slice(padded, i, order - 1).alias("ctx"),
+            F.element_at(ws, i).alias("w"),
+        ),
+    )
+    return toks.select(id_col, F.explode(ev).alias("_e")).select(
+        id_col, F.col("_e.ctx").alias("ctx"), F.col("_e.w").alias("w")
+    )
+
+
+def kn_ngram_lm(
+    train: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+) -> dict:
+    """The order-``order`` interpolated KN model as a dict of frames:
+    ``counts[k]`` = (ctx array[k−1], w, c) for k = order..2 — raw counts
+    at the top, continuation counts below — ``contexts[k]`` = (ctx, cu,
+    n1u) aggregated from counts[k], ``unigram`` = (w, n1w) continuation
+    unigrams from counts[2], and one-row ``totals`` (n1pp, v).
+
+    100 TB shape: ONE corpus-scaled event aggregate (the top-order
+    count, map-side combined); every lower table is a groupBy of the
+    bounded table above it. Model tables join key-partitioned at score
+    time (array join keys — no broadcast assumption)."""
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    top = (
+        _kn_ngram_events(
+            train.select(F.lit(0).alias("_d"), text_col), "_d", text_col, order
+        )
+        .groupBy("ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = {order: top}
+    for k in range(order - 1, 1, -1):
+        # continuation counts: distinct extensions of the (k−1)-suffix
+        counts[k] = (
+            counts[k + 1]
+            .groupBy(
+                F.slice(F.col("ctx"), 2, k - 1).alias("ctx"), F.col("w")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    contexts = {
+        k: counts[k].groupBy("ctx").agg(
+            F.sum("c").alias("cu"), F.count(F.lit(1)).alias("n1u")
+        )
+        for k in counts
+    }
+    unigram = counts[2].groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    totals = counts[2].agg(
+        F.count(F.lit(1)).alias("n1pp"), F.count_distinct("w").alias("v")
+    )
+    return {
+        "order": order,
+        "counts": counts,
+        "contexts": contexts,
+        "unigram": unigram,
+        "totals": totals,
+    }
+
+
+def kn_ngram_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_events, avg_logprob, ppl) under the order-n model — the
+    interpolation folds from the α-smoothed continuation unigram up
+    through every order: at order k, a seen context backs off its
+    discount mass onto the order-(k−1) estimate, an unseen context
+    passes it through unchanged. Total on any input (OOV words, unseen
+    histories, empty and null documents all score).
+
+    One pass: the event zip, then per order two key-partitioned left
+    joins (counts on (ctx_k, w), contexts on ctx_k — array join keys),
+    the unigram join on w, one-row totals broadcast, one per-doc mean.
+    """
+    order = model["order"]
+    ev = _kn_ngram_events(docs, id_col, text_col, order)
+    d = F.lit(float(discount))
+    a = F.lit(float(alpha))
+    cur = ev
+    for k in range(2, order + 1):
+        suf = F.slice(F.col("ctx"), order + 1 - k, k - 1)
+        cnt = model["counts"][k].select(
+            F.col("ctx").alias(f"_ctx{k}"),
+            F.col("w").alias(f"_w{k}"),
+            F.col("c").alias(f"_c{k}"),
+        )
+        ctxt = model["contexts"][k].select(
+            F.col("ctx").alias(f"_cctx{k}"),
+            F.col("cu").alias(f"_cu{k}"),
+            F.col("n1u").alias(f"_n1u{k}"),
+        )
+        cur = (
+            cur.withColumn(f"_suf{k}", suf)
+            .join(
+                cnt,
+                (F.col(f"_suf{k}") == F.col(f"_ctx{k}"))
+                & (F.col("w") == F.col(f"_w{k}")),
+                "left",
+            )
+            .drop(f"_ctx{k}", f"_w{k}")
+            .join(ctxt, F.col(f"_suf{k}") == F.col(f"_cctx{k}"), "left")
+            .drop(f"_cctx{k}", f"_suf{k}")
+        )
+    cur = cur.join(
+        model["unigram"].select(F.col("w").alias("_uw"), "n1w"),
+        F.col("w") == F.col("_uw"),
+        "left",
+    ).drop("_uw").crossJoin(F.broadcast(model["totals"]))
+    p = (F.coalesce("n1w", F.lit(0)) + a) / (
+        F.col("n1pp") + a * (F.col("v") + 1)
+    )
+    for k in range(2, order + 1):
+        seen = F.col(f"_cu{k}").isNotNull() & (F.col(f"_cu{k}") > 0)
+        p = F.when(
+            seen,
+            (
+                F.greatest(F.coalesce(f"_c{k}", F.lit(0)) - d, F.lit(0.0))
+                + d * F.coalesce(f"_n1u{k}", F.lit(0)) * p
+            )
+            / F.col(f"_cu{k}"),
+        ).otherwise(p)
+    scored = cur.select(id_col, F.log(p).alias("_lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("_lp").alias("avg_logprob"),
+        F.exp(-F.avg("_lp")).alias("ppl"),
+    )

@@ -3431,3 +3431,110 @@ def test_lang_classifier_trained(spark):
     again = {r["doc_id"]: r["lang_pred"] for r in
              text.lang_classifier_predict(held, w).collect()}
     assert {d: v[0] for d, v in got.items()} == again
+
+
+# --------------------------------------------------- Kneser-Ney order-n
+def _py_kn_n(train_texts, score_docs, order=3, D=0.75, alpha=0.5):
+    """Python twin of kn_ngram_lm + kn_ngram_score: top-order raw
+    counts, lower-order continuation counts derived by suffix grouping,
+    one shared discount, interpolation folded from the smoothed
+    continuation unigram upward."""
+    import math
+
+    def toks(txt):
+        return [t for t in txt.lower().strip().split() if t]
+
+    def events(txt):
+        ts = toks(txt)
+        padded = ["<s>"] * (order - 1) + ts
+        ws = ts + ["</s>"]
+        return [(tuple(padded[i:i + order - 1]), ws[i])
+                for i in range(len(ws))]
+
+    cn = {}
+    top = {}
+    for t in train_texts:
+        for ctx, w in events(t):
+            top[(ctx, w)] = top.get((ctx, w), 0) + 1
+    cn[order] = top
+    for k in range(order - 1, 1, -1):
+        lower = {}
+        for ctx, w in cn[k + 1]:
+            key = (ctx[1:], w)
+            lower[key] = lower.get(key, 0) + 1
+        cn[k] = lower
+    ctxs = {}
+    for k, tbl in cn.items():
+        agg = {}
+        for (ctx, w), c in tbl.items():
+            cu, n1 = agg.get(ctx, (0, 0))
+            agg[ctx] = (cu + c, n1 + 1)
+        ctxs[k] = agg
+    n1w = {}
+    for ctx, w in cn[2]:
+        n1w[w] = n1w.get(w, 0) + 1
+    n1pp, v = len(cn[2]), len(n1w)
+
+    def p(ctx, w):
+        pr = (n1w.get(w, 0) + alpha) / (n1pp + alpha * (v + 1))
+        for k in range(2, order + 1):
+            suf = ctx[len(ctx) - (k - 1):]
+            cu_n1 = ctxs[k].get(suf)
+            if cu_n1 and cu_n1[0] > 0:
+                c = cn[k].get((suf, w), 0)
+                pr = (max(c - D, 0.0) + D * cu_n1[1] * pr) / cu_n1[0]
+        return pr
+
+    out = {}
+    for did, txt in score_docs:
+        lps = [math.log(p(ctx, w)) for ctx, w in events(txt)]
+        avg = sum(lps) / len(lps)
+        out[did] = (len(lps), avg, math.exp(-avg))
+    return out
+
+
+def test_kn_ngram_order2_equals_bigram(spark):
+    """The general order-n model at order=2 reproduces the dedicated
+    bigram implementation on every document (per-event arithmetic is
+    identical; per-doc means agree to reassociation ulps)."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat the dog ran") for i in range(15)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "dog zz ran"), (2, "")],
+        "doc_id long, text string")
+    b = {r["doc_id"]: (r["n_events"], r["avg_logprob"]) for r in
+         text.kn_bigram_score(docs, text.kn_bigram_lm(train)).collect()}
+    n = {r["doc_id"]: (r["n_events"], r["avg_logprob"]) for r in
+         text.kn_ngram_score(docs, text.kn_ngram_lm(train, order=2)).collect()}
+    assert set(b) == set(n)
+    for did in b:
+        assert b[did][0] == n[did][0]
+        assert abs(b[did][1] - n[did][1]) < 1e-12 * max(1.0, abs(b[did][1]))
+
+
+def test_kn_trigram_twin(spark):
+    """Order-3 model matches the python twin on a randomized corpus,
+    including OOV words, unseen histories whose bigram suffix IS seen
+    (the partial-backoff path), repeated trigrams and an empty doc."""
+    import random
+
+    rng = random.Random(29)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "big"]
+    train_rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(3, 10))))
+                  for i in range(30)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    model = text.kn_ngram_lm(train, order=3)
+    score_rows = [(100, "the cat sat on the mat"),
+                  (101, "mat the cat"),            # seen words, new order
+                  (102, "dog unknownword ran"),    # OOV word
+                  (103, "")]                       # empty doc
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_events"], r["avg_logprob"], r["ppl"])
+           for r in text.kn_ngram_score(docs, model).collect()}
+    ref = _py_kn_n([t for _, t in train_rows], score_rows, order=3)
+    assert set(got) == set(ref)
+    for did in ref:
+        assert got[did][0] == ref[did][0], did
+        assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
+        assert abs(got[did][2] - ref[did][2]) < 1e-6 * ref[did][2]

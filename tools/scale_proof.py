@@ -222,6 +222,14 @@ def _q_kn_bigram(spark, sf_dir):
     return t.kn_bigram_score(docs, model)
 
 
+def _q_kn_trigram(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = t.kn_ngram_lm(docs, order=3)
+    return t.kn_ngram_score(docs, model)
+
+
 def _q_bpe(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -288,6 +296,10 @@ EXTRA_QUERIES = {
     # KN bigram LM: one (u,w)-keyed count shuffle to train; scoring is
     # the event stream joined key-partitioned against the model tables
     "kn_bigram_ppl": (_q_kn_bigram, "documents"),
+    # order-3 KN: ONE corpus-scaled top-order count; lower continuation
+    # tables are groupBys of bounded tables; scoring adds two more
+    # key-partitioned joins per event
+    "kn_trigram_ppl": (_q_kn_trigram, "documents"),
 }
 
 
@@ -479,7 +491,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
         if name not in (
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
-            "dsir_sample", "kn_bigram_ppl",
+            "dsir_sample", "kn_bigram_ppl", "kn_trigram_ppl",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
