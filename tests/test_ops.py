@@ -3538,3 +3538,27 @@ def test_kn_trigram_twin(spark):
         assert got[did][0] == ref[did][0], did
         assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
         assert abs(got[did][2] - ref[did][2]) < 1e-6 * ref[did][2]
+
+
+def test_kn_5gram_twin(spark):
+    """The order loop holds at depth: a 5-gram model (CCNet's production
+    order) matches the python twin — four continuation-table derivations
+    and a 4-deep interpolation fold, exercised on text long enough for
+    full-order histories plus short docs that live entirely in the
+    <s>-padded prefix."""
+    import random
+
+    rng = random.Random(31)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    train_rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(2, 12))))
+                  for i in range(25)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    model = text.kn_ngram_lm(train, order=5)
+    score_rows = [(0, "a b c d e f a b"), (1, "f e"), (2, "zz a b")]
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_events"], r["avg_logprob"])
+           for r in text.kn_ngram_score(docs, model).collect()}
+    ref = _py_kn_n([t for _, t in train_rows], score_rows, order=5)
+    for did in ref:
+        assert got[did][0] == ref[did][0]
+        assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
