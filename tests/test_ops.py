@@ -3562,3 +3562,39 @@ def test_kn_5gram_twin(spark):
     for did in ref:
         assert got[did][0] == ref[did][0]
         assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
+
+
+def test_bpe_segmentation_lossless_property(spark):
+    """Invariant across random corpora: BPE merges never lose or invent
+    characters — every vocab row's pieces concatenate back to the word,
+    and every document's pieces concatenate to its token stream."""
+    import random
+
+    for seed in (3, 41, 97):
+        rng = random.Random(seed)
+        alphabet = "abcdef"
+        words = ["".join(rng.choices(alphabet, k=rng.randrange(1, 9)))
+                 for _ in range(30)]
+        rows = [(i, " ".join(rng.choices(words, k=rng.randrange(1, 7))))
+                for i in range(25)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges, vocab = text.bpe_train(docs, n_merges=15)
+        for r in vocab.collect():
+            assert "".join(r["symbols"]) == r["w"], (seed, r)
+        got = {r["doc_id"]: "".join(r["pieces"]) for r in
+               text.bpe_segment(docs, vocab).collect()}
+        for i, t in rows:
+            assert got[i] == "".join(t.split()), (seed, i)
+
+
+def test_dsir_exhaustive_k_returns_all(spark):
+    """k at least the corpus size returns every document exactly once —
+    Gumbel top-k degenerates to the identity selection."""
+    from logrange_spark.ops import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(12)] + [(99, "")],
+        "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 sampling.dsir_sample(docs, docs.limit(3), k=100).collect())
+    assert got == sorted([*range(12), 99])
