@@ -197,3 +197,79 @@ def test_continuous_embedding_dedup_stream(spark, tmp_path):
         q.stop()
         for t in ("vecs", "members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_continuous_quality_stream(spark, tmp_path):
+    """End-to-end continuous curation: persisted classifier weights +
+    DSIR ratios gate two streamed shards — in-distribution docs survive
+    with scores attached, junk is dropped by the classifier gate, and
+    off-target docs by the DSIR gate; results equal the batch
+    recomputation over the union of shards."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops.sampling import dsir_scores
+    from logrange_spark.ops.text import quality_classifier_score
+    from logrange_spark.streaming.curation import (
+        persist_dsir_ratios,
+        persist_quality_model,
+        start_quality_stream,
+    )
+
+    root = str(tmp_path)
+    good = [(i, "the quick brown fox jumps over the lazy dog") for i in range(12)]
+    junk = [(100 + i, f"zz{i} qq{i} xx{i}") for i in range(12)]
+    pos = spark.createDataFrame(good, "doc_id long, text string")
+    neg = spark.createDataFrame(junk, "doc_id long, text string")
+    weights = persist_quality_model(spark, pos, neg, f"{root}/w", iters=4)
+    ratios = persist_dsir_ratios(
+        spark, pos, pos.unionByName(neg), f"{root}/r"
+    )
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    shard1 = [(200, "quick brown fox over the lazy dog"),  # survives both
+              (201, "zz1 qq1 xx1")]                        # classifier-dropped
+    shard2 = [(300, "the quick brown fox jumps far"),      # survives both
+              (301, "zz9 qq9 xx9")]
+    q = start_quality_stream(
+        spark, inp, f"{root}/out", f"{root}/ckpt",
+        "doc_id long, text string", weights,
+        ratios=ratios, min_score=0.5, min_logw=0.0,
+    )
+    try:
+        spark.createDataFrame(shard1, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+        def out_ids():
+            try:
+                return sorted(r["doc_id"] for r in
+                              spark.read.parquet(f"{root}/out").collect())
+            except Exception:
+                return []
+
+        deadline = time.time() + 60
+        while out_ids() != [200] and time.time() < deadline:
+            time.sleep(0.5)
+        assert out_ids() == [200], out_ids()
+        spark.createDataFrame(shard2, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 60
+        while out_ids() != [200, 300] and time.time() < deadline:
+            time.sleep(0.5)
+        assert out_ids() == [200, 300], out_ids()
+    finally:
+        q.stop()
+    # streamed survivors carry the same scores the batch path computes
+    allrows = spark.createDataFrame(shard1 + shard2, "doc_id long, text string")
+    want_s = {r["doc_id"]: r["score"] for r in
+              quality_classifier_score(allrows, weights).collect()}
+    got = {r["doc_id"]: r["score"] for r in
+           spark.read.parquet(f"{root}/out").collect()}
+    for did, s in got.items():
+        assert abs(s - want_s[did]) < 1e-9
+    lw = {r["doc_id"]: r["logw"] for r in
+          dsir_scores(allrows, ratios).collect()}
+    assert all(lw[d] >= 0.0 for d in got)
