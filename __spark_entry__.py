@@ -1251,6 +1251,212 @@ GROUP BY e.event_type""".strip()
 _K8S_TIME_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
+# round-9 rotation: the round-8 LLM-pipeline operators enter the 50-row
+# registry (repeated_spans, dsir_logratios, quality_score,
+# semantic_dedup); events_approx_users / events_corr_window /
+# revenue_by_segment / text_bpe_tokens rotate to retired_queries().
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup spans (ops/dedup.repeated_spans, Lee et al.
+    ACL'22 exact-span formulation): maximal token intervals covered by a
+    ≥20-token window whose content occurs earlier in (doc, pos) order."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.repeated_spans(docs)
+
+
+def _repeated_spans_sql(min_len: int = dedup.SPAN_MIN_LEN) -> str:
+    """DuckDB twin: identical window md5s, keep-first by (doc_id, pos),
+    gaps-and-islands merge with the same strict gap > min_len rule."""
+    return f"""
+WITH {_tok_cte()},
+wins AS (
+  SELECT doc_id, unnest(
+    [{{'pos': i, 'whash': md5(array_to_string(w[i:i+{min_len - 1}], ' '))}}
+     FOR i IN range(1, greatest(len(w) - {min_len - 2}, 1))],
+    recursive := true)
+  FROM toks WHERE len(w) >= {min_len}),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY whash) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+  FROM wins),
+dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {min_len} THEN 1 ELSE 0 END AS is_new
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl)
+SELECT doc_id, CAST(min(pos) AS INT) AS start,
+       CAST(max(pos) + {min_len} - min(pos) AS INT) AS length
+FROM grp GROUP BY doc_id, g
+""".strip()
+
+
+DSIR_ORACLE_FEATURES = 4096  # small hashed space for the registry row
+
+
+def _q_dsir_logratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-ratios (ops/sampling.dsir_logratios, Xie et
+    al. 2302.03169) between the even-doc_id target slice and the odd
+    raw slice, under the engine-portable md5-prefix feature hash so the
+    DuckDB twin recomputes identical hashed feature ids."""
+    from logrange_spark.ops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = sampling.dsir_logratios(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        n_features=DSIR_ORACLE_FEATURES,
+        hasher=text.md5_prefix_hash,
+    )
+    return lr.select("feature", F.round("logratio", 6).alias("logratio"))
+
+
+def _dsir_logratios_sql() -> str:
+    nf = DSIR_ORACLE_FEATURES
+    a = 1.0  # sampling.DSIR_ALPHA
+    b = float(nf) * a
+    return f"""
+WITH {_tok_cte()},
+sided AS (SELECT doc_id % 2 = 0 AS is_t,
+                 list_concat(w, [w[i] || ' ' || w[i+1]
+                                 FOR i IN range(1, greatest(len(w), 1))]) AS ts
+          FROM toks),
+feat AS (SELECT is_t, ('0x' || substr(md5(t), 1, 6))::INT % {nf} AS feature
+         FROM (SELECT is_t, unnest(ts) AS t FROM sided)),
+counts AS (SELECT feature,
+                  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t,
+                  sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r
+           FROM feat GROUP BY feature),
+tot AS (SELECT sum(t) AS ct, sum(r) AS cr FROM counts)
+SELECT feature,
+       round(ln((t + {a!r}) / (ct + {b!r})) - ln((r + {a!r}) / (cr + {b!r})), 6)
+         AS logratio
+FROM counts, tot
+""".strip()
+
+
+QUALITY_SCORE_FEATURES = 64  # dense pinned weight table for the oracle
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-classifier scorer (ops/text.quality_classifier_score)
+    under pinned deterministic weights — weight(f) = ((f·37) mod 21 − 10)
+    / 10 over a dense 64-feature space plus intercept 0.25 — so the
+    whole scoring plan (term bag → hashed mean-bag features → broadcast
+    weight join → per-doc dot → sigmoid) is DuckDB-twin-checkable.
+    Training itself stays pytest-covered (python-twin differentials in
+    tests/test_ops.py) because Newton iterates aren't SQL-expressible."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        spark.range(QUALITY_SCORE_FEATURES)
+        .select(
+            F.col("id").cast("int").alias("feature"),
+            ((F.col("id") * 37 % 21 - 10) / 10.0).alias("weight"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).alias("feature"), F.lit(0.25).alias("weight")
+            )
+        )
+    )
+    return text.quality_classifier_score(
+        docs,
+        weights,
+        n_features=QUALITY_SCORE_FEATURES,
+        hasher=text.md5_prefix_hash,
+    )
+
+
+def _quality_score_sql() -> str:
+    nf = QUALITY_SCORE_FEATURES
+    return f"""
+WITH {_tok_cte()},
+terms AS (SELECT doc_id,
+                 list_concat(w, [w[i] || ' ' || w[i+1]
+                                 FOR i IN range(1, greatest(len(w), 1))]) AS ts
+          FROM toks),
+tf AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::INT % {nf} AS feature,
+              count(*) / greatest(max(nt), 1) AS x
+       FROM (SELECT doc_id, len(ts) AS nt, unnest(ts) AS t FROM terms)
+       GROUP BY 1, 2),
+feats AS (SELECT doc_id, feature, x FROM tf
+          UNION ALL SELECT doc_id, -1, 1.0 FROM terms),
+wt AS (SELECT CAST(f AS INT) AS feature, ((f * 37) % 21 - 10) / 10.0 AS weight
+       FROM (SELECT unnest(range(0, {nf})) AS f)
+       UNION ALL SELECT -1, 0.25),
+dots AS (SELECT doc_id, sum(x * weight) AS dot
+         FROM feats JOIN wt USING (feature) GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_terms,
+       round(1.0 / (1.0 + exp(-coalesce(d.dot, 0.0))), 6) AS score
+FROM terms t LEFT JOIN dots d USING (doc_id)
+""".strip()
+
+
+SEMANTIC_DEDUP_EPS = 0.3  # pair-cosine drop threshold for the oracle row
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop set (ops/ann.semantic_dedup_drops, Abbas et al.
+    2303.09540) with the IVF seed convention (centroids = the 16
+    lowest-vec_id vectors, ivf_seed convention shared with ann_ivf_topk)
+    so the DuckDB twin recomputes the identical codebook from the table
+    itself. assign="expr" — the bit-exact literal-codebook path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.where(F.col("vec_id") < ann.IVF_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ann.semantic_dedup_drops(emb, cents, threshold=SEMANTIC_DEDUP_EPS)
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB twin as the direct pairwise rule over ALL vectors: x is
+    dropped iff some same-cluster y with cos(x,y) ≥ ε precedes it in
+    keep-order (csim ASC, id ASC). Equivalent to the Spark side's
+    exact-collapse + representative-pair + member-recovery plan because
+    representatives are the min id of each identical-vector group (see
+    ops/ann._emb_collapse), so precedence among members reduces to
+    precedence among representatives."""
+    dims, nc = 64, ann.IVF_CENTROIDS
+
+    def l2(col: str) -> str:
+        sq = f"CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)"
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, [{sq} FOR i IN range(1, {dims + 1})]), "
+            "(acc, x) -> acc + x))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        prods = f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN range(1, {dims + 1})]"
+        return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+    return f"""
+WITH en AS (SELECT vec_id, embedding, {l2('embedding')} AS vn FROM embeddings),
+cn AS (SELECT vec_id AS cid, embedding AS cv, vn AS cnorm FROM en WHERE vec_id < {nc}),
+ascore AS (
+  SELECT v.vec_id AS id, v.embedding AS v, v.vn, c.cid,
+         {dot('v.embedding', 'c.cv')} / (v.vn * c.cnorm) AS s
+  FROM en v CROSS JOIN cn c),
+assigned AS (
+  SELECT id, v, vn, cid, s AS csim FROM (
+    SELECT id, v, vn, cid, s,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM ascore) WHERE rn = 1)
+SELECT DISTINCT b.id AS vec_id
+FROM assigned a JOIN assigned b
+  ON a.cid = b.cid
+ AND (a.csim < b.csim OR (a.csim = b.csim AND a.id < b.id))
+ AND {dot('a.v', 'b.v')} / (a.vn * b.vn) >= {SEMANTIC_DEDUP_EPS}
+""".strip()
+
+
 def _k8s_time() -> F.Column:
     # integer div, NOT "/": epoch-ns exceeds double's 2^53 integer range
     return F.date_format(F.timestamp_micros(F.expr("ts div 1000")), _K8S_TIME_FMT)
@@ -1373,19 +1579,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
         "show_partitions": _q_show_partitions,
-        # SQL analytics (beyond-reference surface, SURVEY §2.8)
+        # SQL analytics (beyond-reference surface, SURVEY §2.8).
+        # Round-9 rotation: revenue_by_segment (star-join shape stays
+        # covered by revenue_by_nation's deeper chain), events_corr_window
+        # (time-proximity join covered by events_range_join),
+        # events_approx_users (the HLL bound check lives in pytest) and
+        # text_bpe_tokens (token counting covered by text_stats; real BPE
+        # has its own python twins) rotated OUT for the round-8
+        # LLM-pipeline operators repeated_spans / dsir_logratios /
+        # quality_score / semantic_dedup. Oracles preserved in
+        # _RETIRED_ORACLES, checked by test_retired_general_oracles.
         "pricing_summary": _q_pricing_summary,
-        "revenue_by_segment": _q_revenue_by_segment,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_hourly": _q_events_hourly,
         "events_asof": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "revenue_rollup": _q_revenue_rollup,
-        "events_corr_window": _q_events_corr_window,
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
         "events_funnel": _q_events_funnel,
-        "events_approx_users": _q_events_approx_users,
         # training-data pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_candidates": _q_lsh_candidates,
@@ -1403,7 +1615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retired oracle stays checked in test_entry_contract)
         "text_stats": _q_text_stats,
         "kn_bigram_ppl": _q_kn_bigram,
-        "text_bpe_tokens": _q_text_bpe_tokens,
+        # round-9 rotation IN: substring dedup, DSIR, trained-classifier
+        # scoring, SemDeDup (the round-8 operator family)
+        "repeated_spans": _q_repeated_spans,
+        "dsir_logratios": _q_dsir_logratios,
+        "quality_score": _q_quality_score,
+        "semantic_dedup": _q_semantic_dedup,
         # event-time streaming ops (batch-checkable session windows;
         # events_tumbling rotated OUT late round 8 for
         # boilerplate_removal — its epoch-aligned time-bucket shape stays
@@ -1465,6 +1682,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": _q_events_tumbling,
         # round-8 late rotation (for kn_bigram_ppl)
         "text_lang_dist": _q_text_lang_dist,
+        # round-9 rotation (for repeated_spans / dsir_logratios /
+        # quality_score / semantic_dedup)
+        "events_approx_users": _q_events_approx_users,
+        "events_corr_window": _q_events_corr_window,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "text_bpe_tokens": _q_text_bpe_tokens,
     }
 
 
@@ -2051,6 +2274,29 @@ SELECT lang_guess, count(*) AS n_docs,
        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM ({_text_stats_sql()}) GROUP BY lang_guess""".strip(),
+    # round-9 rotation — oracles preserved verbatim from oracle_sql()
+    "events_approx_users": """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       count(*) AS n, TRUE AS hll_within_bound
+FROM events GROUP BY event_type""".strip(),
+    "events_corr_window": f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts FROM events
+           WHERE event_type = 'error'),
+c AS (SELECT epoch_us(ts) AS cts FROM events WHERE event_type = 'click'),
+n AS (SELECT e.event_id, count(*) AS n_nearby
+      FROM e JOIN c ON c.cts >= e.ts - {US_PER_MIN} AND c.cts < e.ts + {US_PER_MIN}
+      GROUP BY 1)
+SELECT e.event_id, e.ts, COALESCE(n.n_nearby, 0) AS n_nearby
+FROM e LEFT JOIN n USING (event_id)""".strip(),
+    "revenue_by_segment": """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""".strip(),
+    "text_bpe_tokens": _bpe_tokens_sql(),
 }
 
 # DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
@@ -2132,11 +2378,6 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem WHERE l_shipdate <= DATE '2024-10-01'
 GROUP BY l_returnflag, l_linestatus""".strip(),
-        "revenue_by_segment": f"""
-SELECT c_mktsegment, CAST(SUM({rev}) AS DOUBLE) AS revenue, count(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment""".strip(),
         "revenue_by_nation": f"""
 SELECT r_name, n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -2144,12 +2385,6 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""".strip(),
-        # exact column checked directly; hll_within_bound asserts the Spark
-        # HLL++ estimate (rsd=0.02) is within the documented 5% bound
-        "events_approx_users": """
-SELECT event_type, count(DISTINCT user_id) AS exact_users,
-       count(*) AS n, TRUE AS hll_within_bound
-FROM events GROUP BY event_type""".strip(),
         "events_hourly": f"""
 SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS hour_bucket,
   count(*) AS n, count(DISTINCT user_id) AS n_users,
@@ -2179,15 +2414,6 @@ SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
 FROM p LEFT JOIN c ON p.user_id = c.user_id
  AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
 GROUP BY 1, 2, 3""".strip(),
-        "events_corr_window": f"""
-WITH e AS (SELECT event_id, epoch_us(ts) AS ts FROM events
-           WHERE event_type = 'error'),
-c AS (SELECT epoch_us(ts) AS cts FROM events WHERE event_type = 'click'),
-n AS (SELECT e.event_id, count(*) AS n_nearby
-      FROM e JOIN c ON c.cts >= e.ts - {US_PER_MIN} AND c.cts < e.ts + {US_PER_MIN}
-      GROUP BY 1)
-SELECT e.event_id, e.ts, COALESCE(n.n_nearby, 0) AS n_nearby
-FROM e LEFT JOIN n USING (event_id)""".strip(),
         "order_price_percentiles": """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -2242,7 +2468,10 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "ann_pq_topk": _pq_sql(10),
         "repetition_stats": REPETITION_ORACLE_SQL,
         "curation_full": _curation_full_sql(),
-        "text_bpe_tokens": _bpe_tokens_sql(),
+        "repeated_spans": _repeated_spans_sql(),
+        "dsir_logratios": _dsir_logratios_sql(),
+        "quality_score": _quality_score_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "contamination": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "text_unigram_ppl": _unigram_sql(),

@@ -56,6 +56,22 @@ PREV_ROUNDS = {
         "events_sessions": 0.47, "events_asof": 0.466,
         "events_range_join": 0.443, "training_pipeline": 2.97,
     },
+    # r08 driver numbers reconstructed as r07 x (1 + delta_vs_prev.r07)
+    # from BENCH_r08.json's captured tail (its head was truncated); the
+    # run-triples visible in that tail match these minima exactly.
+    "r08": {
+        "lql_contains": 0.446, "lql_tail": 0.516, "lql_format": 0.427,
+        "show_partitions": 0.33, "pricing_summary": 1.418,
+        "revenue_by_segment": 1.31, "revenue_by_nation": 1.502,
+        "top_orders_per_customer": 0.402, "events_hourly": 0.497,
+        "dedup_exact": 0.294, "dedup_lsh_candidates": 1.935,
+        "dedup_near_duplicates": 1.904, "dedup_simhash_pairs": 2.567,
+        "text_stats": 0.509, "text_top_words": 0.285,
+        "ann_cosine_topk": 0.556, "ann_bucketed_topk": 0.568,
+        "dedup_embedding": 1.16, "parse_k8json": 1.607,
+        "events_sessions": 0.417, "events_asof": 0.372,
+        "events_range_join": 0.394, "training_pipeline": 1.935,
+    },
 }
 
 HEADLINE = [
@@ -136,6 +152,40 @@ def main() -> int:
         for rnd, prev in PREV_ROUNDS.items()
     }
 
+    # Full detail (per-run triples, full per-query delta blocks, ingest
+    # breakdown) goes to a sidecar file AND an earlier stdout line; the
+    # LAST stdout line is a compact summary that fits the driver's ~2 KB
+    # tail-capture window (BENCH_r08.json came back `parsed: null`
+    # because the single line had outgrown it).
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": raw_runs,
+        "n_runs": n_runs,
+        "sf": sf,
+        "delta_vs_prev": deltas,
+        "ingest": ingest,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print("BENCH_DETAIL " + json.dumps(detail))
+
+    # total-vs-prior-round ratios (computed over the queries each round
+    # pins, so totals are comparable) keep regressions visible in-file
+    # without 23-entry delta maps on the parsed line
+    delta_total = {
+        rnd: round(
+            (sum(timings[n] for n in prev if n in timings) - sum(prev.values()))
+            / sum(prev.values()),
+            3,
+        )
+        for rnd, prev in PREV_ROUNDS.items()
+    }
     print(
         json.dumps(
             {
@@ -143,11 +193,14 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs": raw_runs,
                 "n_runs": n_runs,
                 "sf": sf,
-                "delta_vs_prev": deltas,
-                "ingest": ingest,
+                "delta_total_vs_prev": delta_total,
+                "ingest_records_per_sec": ingest["records_per_sec"],
+                "ingest_sustained_records_per_sec": ingest[
+                    "sustained_records_per_sec"
+                ],
+                "detail": "bench_detail.json",
             }
         )
     )

@@ -344,7 +344,7 @@ DSIR_ALPHA = 1.0  # Laplace smoothing per hashed bucket
 
 def _dsir_counts(
     target: DataFrame, raw: DataFrame, text_col: str, n_features: int,
-    ngram: int,
+    ngram: int, hasher=None,
 ) -> DataFrame:
     """(feature, _t, _r) hashed n-gram occurrence counts over BOTH
     corpora in ONE tagged aggregate — one explode + one groupBy whose
@@ -361,7 +361,8 @@ def _dsir_counts(
         both.select(
             "_side", F.explode(classifier_terms(F.col("_x"), ngram)).alias("_t")
         )
-        .select("_side", classifier_feature(F.col("_t"), n_features).alias("feature"))
+        .select("_side",
+                classifier_feature(F.col("_t"), n_features, hasher).alias("feature"))
         .groupBy("feature")
         .agg(
             F.sum("_side").alias("_t"),
@@ -377,6 +378,7 @@ def dsir_logratios(
     n_features: int | None = None,
     ngram: int | None = None,
     alpha: float = DSIR_ALPHA,
+    hasher=None,
 ) -> DataFrame:
     """(feature, logratio) — log p̂_target(f) − log p̂_raw(f) under
     add-``alpha`` (Laplace over the full ``n_features`` hashed space)
@@ -396,7 +398,7 @@ def dsir_logratios(
 
     nf = n_features or CLASSIFIER_FEATURES
     ng = ngram or CLASSIFIER_NGRAM
-    counts = _dsir_counts(target, raw, text_col, nf, ng).localCheckpoint(
+    counts = _dsir_counts(target, raw, text_col, nf, ng, hasher).localCheckpoint(
         eager=True
     )  # one evaluation feeds both the totals and the ratio projection
     tot = counts.agg(
@@ -422,6 +424,7 @@ def dsir_scores(
     text_col: str = "text",
     n_features: int | None = None,
     ngram: int | None = None,
+    hasher=None,
 ) -> DataFrame:
     """(id, n_terms, logw) — per-document importance log-weight
     Σ_f tf_f · logratio_f (the paper's product of per-n-gram ratios, in
@@ -455,7 +458,8 @@ def dsir_scores(
         termed.select(
             id_col, F.size("_terms").alias("_nt"), F.explode("_terms").alias("_t")
         )
-        .select(id_col, "_nt", classifier_feature(F.col("_t"), nf).alias("feature"))
+        .select(id_col, "_nt",
+                classifier_feature(F.col("_t"), nf, hasher).alias("feature"))
         .groupBy(id_col, "feature")
         .agg(F.count(F.lit(1)).alias("_tf"), F.first("_nt").alias("_nt"))
     )

@@ -900,19 +900,38 @@ def classifier_terms(col: Column, ngram: int = CLASSIFIER_NGRAM) -> Column:
     return out
 
 
-def classifier_feature(term: Column, n_features: int = CLASSIFIER_FEATURES) -> Column:
+def classifier_feature(
+    term: Column, n_features: int = CLASSIFIER_FEATURES, hasher=None
+) -> Column:
     """Hashed feature index of a term — pmod(murmur3(term), n_features).
 
     ``F.hash`` is Spark SQL's Murmur3_x86_32 (seed 42), evaluated
     JVM-side. (Deliberately NOT MLlib ``HashingTF``'s map: that uses the
     hashUnsafeBytes2 byte-mixing variant, so its indices differ —
     training below shares THIS expression, which is the only contract
-    that matters.)"""
-    return F.pmod(F.hash(term), F.lit(n_features)).cast("int")
+    that matters.)
+
+    ``hasher`` swaps the term→int64 hash (e.g. ``md5_prefix_hash`` for
+    cross-engine differential oracles); the pmod-to-``n_features`` map
+    around it is fixed so trainer/scorer agreement never depends on the
+    choice."""
+    h = (hasher or F.hash)(term)
+    return F.pmod(h, F.lit(n_features)).cast("int")
+
+
+def md5_prefix_hash(term: Column) -> Column:
+    """Engine-portable term hash: the first 6 hex digits of md5 as an
+    int — any SQL engine with md5 recomputes it exactly (DuckDB:
+    ``('0x' || substr(md5(t), 1, 6))::INT``), unlike the JVM-only
+    murmur3 default. Trades speed (md5 + string slice per term) for
+    cross-engine determinism; meant for differential oracles, not the
+    100 TB hot path."""
+    return F.conv(F.substring(F.md5(term), 1, 6), 16, 10).cast("int")
 
 
 def _classifier_features(
-    docs: DataFrame, id_col, text_col: str, n_features: int, ngram: int
+    docs: DataFrame, id_col, text_col: str, n_features: int, ngram: int,
+    hasher=None,
 ) -> DataFrame:
     """(id, feature, x) mean-bag features: x = tf / n_terms, plus the
     constant intercept feature -1 with x = 1.0 for every document (so
@@ -929,7 +948,8 @@ def _classifier_features(
             F.explode("_terms").alias("_t"),
         )
         .select(
-            id_col, "_nt", classifier_feature(F.col("_t"), n_features).alias("feature")
+            id_col, "_nt",
+            classifier_feature(F.col("_t"), n_features, hasher).alias("feature"),
         )
         .groupBy(id_col, "feature")
         .agg((F.count(F.lit(1)) / F.greatest(F.first("_nt"), F.lit(1))).alias("x"))
@@ -1049,6 +1069,7 @@ def quality_classifier_score(
     text_col: str = "text",
     n_features: int = CLASSIFIER_FEATURES,
     ngram: int = CLASSIFIER_NGRAM,
+    hasher=None,
 ) -> DataFrame:
     """(id, n_terms, score) for every document — sigmoid of the
     mean-bag hashed n-gram dot product against ``weights`` (the same
@@ -1060,7 +1081,7 @@ def quality_classifier_score(
     per-doc sum shuffle. Documents with no terms score
     sigmoid(intercept).
     """
-    feats = _classifier_features(docs, id_col, text_col, n_features, ngram)
+    feats = _classifier_features(docs, id_col, text_col, n_features, ngram, hasher)
     dots = (
         feats.join(F.broadcast(weights), "feature")
         .groupBy(id_col)
@@ -1107,11 +1128,12 @@ def _bpe_adjacent_pairs(sym_col: str) -> Column:
     )
 
 
-def _bpe_merge_fold(sym_col: str, a: str, b: str) -> Column:
+def _bpe_merge_fold(sym_col, a: str, b: str) -> Column:
     """Left-to-right greedy application of merge (a,b)→ab over a symbol
     array — the paper's re-segmentation step ('aaa' + (a,a) → [aa, a]),
-    as a pure aggregate fold."""
-    s = F.col(sym_col)
+    as a pure aggregate fold. ``sym_col`` may be a name or a Column, so
+    a batch of disjoint merges chains as nested folds in ONE select."""
+    s = F.col(sym_col) if isinstance(sym_col, str) else sym_col
     la, lb = F.lit(a), F.lit(b)
     return F.aggregate(
         s,
