@@ -1107,15 +1107,55 @@ def quality_classifier_score(
 # pretokenizer to a tokenizer actually trained on the corpus. The
 # standard scalable formulation: one corpus pass builds the weighted
 # WORD vocabulary (tiny next to the corpus — the only data-scaled
-# stage), then each merge round runs over that vocabulary frame alone:
-# adjacent-pair explode → weighted count → global argmax (a ONE-ROW
-# collect; the argmax → re-segment dependency is the algorithm's
-# inherent sequential step) → map-side left-to-right fold applying the
-# merge. Word-internal merges without an end-of-word marker (documented
-# deviation from the paper's '</w>' variant; segment boundaries stay
-# word boundaries by construction). Real trainers run 10⁴–10⁵ merges —
-# here each merge is one small Spark job over the vocab, so cap
-# n_merges or pre-trim the vocabulary (min_word_count) accordingly.
+# stage), then each merge ROUND runs over that vocabulary frame alone:
+# adjacent-pair explode → weighted count → top-W window collect → a
+# provably order-equivalent BATCH of merges applied as nested folds in
+# ONE select. Word-internal merges without an end-of-word marker
+# (documented deviation from the paper's '</w>' variant; segment
+# boundaries stay word boundaries by construction). Real trainers run
+# 10⁴–10⁵ merges; batching bounds the driver round-trips to
+# O(n_merges / accepted-per-round) — typically 5-20× fewer Spark jobs
+# than the one-job-per-merge loop, with the schedule EQUAL to the
+# sequential argmax schedule (proven against the python twin in
+# tests/test_ops.py::test_bpe_train_twin / _batch_equivalence).
+#
+# Soundness of the batch rule (why the batched schedule == sequential):
+# we accept a maximal PREFIX p_1..p_k of the (count DESC, a, b ASC)
+# window such that each accepted p_i is the sequential argmax at its
+# turn after p_1..p_{i-1} are applied. Competitor classes:
+#   (a) old pairs disjoint from all accepted symbols: counts unchanged,
+#       sorted after p_i with the same tie-break — can't outrank;
+#   (b) old pairs AFFECTED by an accepted merge (a_j, b_j) — exactly
+#       the forms (·, a_j), (b_j, ·) and the pair itself (a merge
+#       consumes an adjacent symbol only when the a_j is followed by
+#       b_j, so (a_j, y≠b_j) and (x≠a_j, b_j) counts are UNTOUCHED):
+#       affected counts can only DECREASE, and they sort after the
+#       accepted prefix — can't outrank;
+#   (c) NEW pairs (x, a_j·b_j)/(a_j·b_j, y) created by accepted merge
+#       j: each instance requires an old (x, a_j)/(b_j, y) adjacency,
+#       so its count ≤ the max old count over those forms — we track
+#       that bound and require every later accept to be STRICTLY above
+#       it (plus the window-truncation boundary);
+#   (d) pairs touching a concat that ALREADY existed as a symbol (the
+#       only class whose counts can increase), and self-pairs (a, a)
+#       whose fold emits (a·a, a) bounded by the merge's own count:
+#       both accept-then-stop the round.
+# Stopping early is always sound — the round simply under-applies and
+# the next window re-ranks from recomputed counts.
+#
+# Batching has a data-dependent ceiling, though: BPE schedules are
+# dependency CHAINS (each merge's concat immediately feeds the next —
+# 'as'→'ash'→'hash'), so even a perfect oracle batcher averages ~2
+# merges/round on natural text. Production trainers (fastBPE, HF
+# tokenizers, SentencePiece) therefore run the merge loop IN MEMORY on
+# the word vocabulary — which is bounded (distinct words, prunable via
+# min_word_count / frequency caps), tiny next to the corpus, and the
+# only state the loop needs. `bpe_train` does the same: when the vocab
+# fits under ``driver_vocab_rows`` it is collected once and trained
+# with an incremental-pair-count sequential loop (exact same schedule,
+# O(1) Spark jobs total); above the threshold the batched distributed
+# loop takes over. The corpus-scaled stage is always the single
+# word-count pass.
 
 def _bpe_adjacent_pairs(sym_col: str) -> Column:
     """array<struct<a,b>> of adjacent symbol pairs of an array column."""
@@ -1147,12 +1187,81 @@ def _bpe_merge_fold(sym_col, a: str, b: str) -> Column:
     )
 
 
+def _bpe_train_driver(
+    wc: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> tuple[list[tuple[str, str]], list[list[str]]]:
+    """Exact sequential BPE over a collected (word, count) vocabulary
+    with incremental pair-count maintenance and a lazy-deletion heap
+    argmax — the fastBPE / HF-tokenizers in-memory formulation. Merge
+    schedule and final segmentations are IDENTICAL to the distributed
+    loop (same (count DESC, pair ASC) tie-break, same greedy fold);
+    only the per-merge cost changes: O(affected words) instead of a
+    Spark job. Returns (merges, per-word symbol lists in input order)."""
+    import heapq
+
+    words = [list(w) for w, _ in wc]
+    counts = [c for _, c in wc]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str]] = []
+
+    def _add(i: int, sign: int) -> None:
+        c = counts[i] * sign
+        syms = words[i]
+        for p in zip(syms, syms[1:]):
+            n = pair_counts.get(p, 0) + c
+            if n:
+                pair_counts[p] = n
+            else:
+                pair_counts.pop(p, None)
+            s = where.setdefault(p, set())
+            if sign > 0:
+                s.add(i)
+            if n > 0:
+                heapq.heappush(heap, (-n, p[0], p[1]))
+
+    def _drop(i: int) -> None:
+        syms = words[i]
+        for p in set(zip(syms, syms[1:])):
+            s = where.get(p)
+            if s is not None:
+                s.discard(i)
+                if not s:
+                    where.pop(p, None)
+
+    for i in range(len(words)):
+        _add(i, 1)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        if pair_counts.get((a, b), 0) != -negn:
+            continue  # stale heap entry
+        if -negn < min_pair_count:
+            break
+        merges.append((a, b))
+        for i in sorted(where.get((a, b), ())):
+            _drop(i)
+            _add(i, -1)
+            syms, out = words[i], []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[i] = out
+            _add(i, 1)
+    return merges, words
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 100,
     text_col: str = "text",
     min_pair_count: int = 2,
     min_word_count: int = 1,
+    merges_per_round: int = 16,
+    driver_vocab_rows: int = 1_000_000,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """(merges, vocab) — ``merges`` is the learned merge list in rank
     order; ``vocab`` is (word, count, symbols array<string>) holding
@@ -1164,6 +1273,18 @@ def bpe_train(
     lexicographic. Training stops early when no pair reaches
     ``min_pair_count``. Lineage is cut per round (localCheckpoint) so a
     long merge schedule cannot grow the plan.
+
+    When the word vocabulary fits under ``driver_vocab_rows`` it is
+    collected ONCE and trained in memory (`_bpe_train_driver` — exact
+    same schedule, O(1) Spark jobs for the whole run; this is the
+    production-trainer formulation, see module comment). Otherwise the
+    distributed loop runs with ``merges_per_round`` batching: the
+    acceptance rule (module comment) guarantees the batched schedule
+    is IDENTICAL to the one-merge-per-round sequential argmax
+    schedule — both knobs change only the job count, never the output.
+    Pass a dict as ``stats`` to receive ``{"rounds": r, "merges": m,
+    "path": "driver"|"spark"}`` (each spark-path round is one collect
+    job + one checkpoint job).
     """
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = (
@@ -1173,9 +1294,26 @@ def bpe_train(
         .select("w", "count", F.split("w", "").alias("symbols"))
         .localCheckpoint(eager=True)
     )
+    if driver_vocab_rows and vocab.count() <= driver_vocab_rows:
+        wc = [(r["w"], r["count"]) for r in vocab.select("w", "count").collect()]
+        dmerges, segs = _bpe_train_driver(wc, int(n_merges), min_pair_count)
+        out = docs.sparkSession.createDataFrame(
+            [(w, c, s) for (w, c), s in zip(wc, segs)],
+            "w string, count bigint, symbols array<string>",
+        )
+        if stats is not None:
+            stats.update(rounds=1, merges=len(dmerges), path="driver")
+        return dmerges, out
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
-        top = (
+    # Initial symbols are single characters (F.split(w, "")); every
+    # multi-char symbol is some applied merge's concat — that set is
+    # exactly what class-(d) collision detection needs.
+    known_concats: set[str] = set()
+    batch_cap = max(1, int(merges_per_round))
+    window = max(64, 4 * batch_cap)
+    rounds = 0
+    while len(merges) < int(n_merges):
+        rows = (
             vocab.where(F.size("symbols") > 1)
             .select(
                 F.explode(_bpe_adjacent_pairs("symbols")).alias("p"), "count"
@@ -1183,16 +1321,58 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("count").alias("n"))
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not top or top[0]["n"] < min_pair_count:
+        rounds += 1
+        if not rows or rows[0]["n"] < min_pair_count:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        truncated = len(rows) == window
+        out_bound = rows[-1]["n"] if truncated else 0
+        accepted: list[tuple[str, str]] = []
+        left_set: set[str] = set()  # accepted a_j — forms (·, a_j) affected
+        right_set: set[str] = set()  # accepted b_j — forms (b_j, ·) affected
+        batch_concats: set[str] = set()
+        new_pair_bound = 0  # class (c): max count a created pair can have
+        cap = min(batch_cap, int(n_merges) - len(merges))
+        for r in rows:
+            if len(accepted) >= cap:
+                break
+            a, b, n = r["a"], r["b"], r["n"]
+            if n < min_pair_count:
+                break
+            if accepted:
+                if b in left_set or a in right_set:
+                    break  # class (b): this pair's count may have dropped
+                if (a + b) in batch_concats:
+                    break  # would mint a second copy of an in-batch symbol
+                if n <= new_pair_bound or (truncated and n <= out_bound):
+                    break  # class (c): a created pair could outrank it
+            accepted.append((a, b))
+            if (a + b) in known_concats or a == b:
+                break  # class (d): sound to apply, not to accept more
+            left_set.add(a)
+            right_set.add(b)
+            batch_concats.add(a + b)
+            # class-(c) bound from this merge: created pairs inherit
+            # counts from old (·, a) / (b, ·) adjacencies.
+            for r2 in rows:
+                if (r2["a"], r2["b"]) != (a, b) and (
+                    r2["b"] == a or r2["a"] == b
+                ):
+                    new_pair_bound = max(new_pair_bound, r2["n"])
+        if not accepted:
+            break
+        col = F.col("symbols")
+        for a, b in accepted:
+            col = _bpe_merge_fold(col, a, b)
+        merges.extend(accepted)
+        known_concats.update(a + b for a, b in accepted)
         vocab = vocab.select(
-            "w", "count", _bpe_merge_fold("symbols", a, b).alias("symbols")
+            "w", "count", col.alias("symbols")
         ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats.update(rounds=rounds, merges=len(merges), path="spark")
     return merges, vocab
 
 

@@ -3139,6 +3139,45 @@ def test_bpe_train_twin(spark):
     assert got_vocab == {w: (wc[w], ref_vocab[w]) for w in wc}
 
 
+def test_bpe_train_paths_equal_sequential(spark):
+    """The in-memory driver path (incremental pair counts + lazy heap)
+    and the distributed batched path (merges_per_round acceptance rule)
+    both produce the EXACT sequential argmax schedule and final
+    segmentations; batching and the driver path only change the Spark
+    job count. Also pins the job-count claims: the driver path is one
+    round total, and the batched spark path needs no more rounds than
+    one-merge-per-round."""
+    import random
+
+    rng = random.Random(11)
+    words = ["".join(rng.choices("abcdef", k=rng.randrange(2, 9)))
+             for _ in range(50)]
+    rows, wc = [], {}
+    for i in range(70):
+        ws = rng.choices(words, k=rng.randrange(1, 7))
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+        rows.append((i, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_merges, ref_vocab = _py_bpe(wc, 40)
+    got = {}
+    for name, kw in {
+        "driver": dict(driver_vocab_rows=1_000_000),
+        "spark_batched": dict(driver_vocab_rows=0, merges_per_round=16),
+        "spark_seq": dict(driver_vocab_rows=0, merges_per_round=1),
+    }.items():
+        st = {}
+        m, v = text.bpe_train(docs, n_merges=40, stats=st, **kw)
+        assert m == ref_merges, name
+        gv = {r["w"]: list(r["symbols"]) for r in v.collect()}
+        assert gv == {w: ref_vocab[w] for w in wc}, name
+        got[name] = st
+    assert got["driver"] == {
+        "rounds": 1, "merges": len(ref_merges), "path": "driver"}
+    assert got["spark_batched"]["path"] == "spark"
+    assert got["spark_batched"]["rounds"] <= got["spark_seq"]["rounds"]
+
+
 def test_bpe_segment_oov_fallback(spark):
     """Segmentation joins the trained table in token order and falls
     back to character pieces for out-of-vocabulary words."""
