@@ -56,10 +56,12 @@ PREV_ROUNDS = {
         "events_sessions": 0.47, "events_asof": 0.466,
         "events_range_join": 0.443, "training_pipeline": 2.97,
     },
-    # r08 driver numbers reconstructed as r07 x (1 + delta_vs_prev.r07)
-    # from BENCH_r08.json's captured tail (its head was truncated); the
+    # r08 driver numbers RECONSTRUCTED as r07 x (1 + delta_vs_prev.r07)
+    # from BENCH_r08.json's captured tail (its head was truncated) —
+    # each number carries up to ~0.1% rounding error from the 3-decimal
+    # deltas (flagged as "r08~" in the emitted delta keys); the
     # run-triples visible in that tail match these minima exactly.
-    "r08": {
+    "r08~": {
         "lql_contains": 0.446, "lql_tail": 0.516, "lql_format": 0.427,
         "show_partitions": 0.33, "pricing_summary": 1.418,
         "revenue_by_segment": 1.31, "revenue_by_nation": 1.502,
@@ -71,6 +73,20 @@ PREV_ROUNDS = {
         "dedup_embedding": 1.16, "parse_k8json": 1.607,
         "events_sessions": 0.417, "events_asof": 0.372,
         "events_range_join": 0.394, "training_pipeline": 1.935,
+    },
+    # r09 driver-measured minima, verbatim from BENCH_r09.json "parsed"
+    "r09": {
+        "lql_contains": 0.336, "lql_tail": 0.388, "lql_format": 0.387,
+        "show_partitions": 0.299, "pricing_summary": 1.148,
+        "revenue_by_segment": 1.181, "revenue_by_nation": 1.342,
+        "top_orders_per_customer": 0.347, "events_hourly": 0.454,
+        "dedup_exact": 0.238, "dedup_lsh_candidates": 1.716,
+        "dedup_near_duplicates": 2.078, "dedup_simhash_pairs": 2.561,
+        "text_stats": 0.54, "text_top_words": 0.293,
+        "ann_cosine_topk": 0.569, "ann_bucketed_topk": 0.538,
+        "dedup_embedding": 1.157, "parse_k8json": 1.53,
+        "events_sessions": 0.455, "events_asof": 0.435,
+        "events_range_join": 0.4, "training_pipeline": 2.395,
     },
 }
 
