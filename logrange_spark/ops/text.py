@@ -1736,6 +1736,50 @@ def persist_kn_model(
     return b, c, co, spark.read.parquet(f"{path}_totals")
 
 
+def persist_kn_ngram_model(
+    spark, model: dict, name: str, path: str, n_buckets: int = 64
+) -> dict:
+    """``persist_kn_model`` generalized to the order-n ``kn_ngram_lm``
+    model: EVERY per-order probe table is bucketed by exactly its
+    score-time join keys — ``counts[k]`` by (ctx, w) and
+    ``contexts[k]`` by ctx for each order k (array bucket columns;
+    Spark hashes them natively), the continuation ``unigram`` by w, the
+    one-row ``totals`` as plain parquet. An order-5 model probes on 4
+    distinct composite key shapes per side; persisting pays each
+    table's shuffle ONCE at write so every subsequent
+    ``kn_ngram_score`` run reads co-located buckets with NO model-side
+    Exchange (plan-asserted at order 5 in test_bucketing). The
+    returned dict drops into ``kn_ngram_score`` unchanged."""
+    from .util import persist_bucketed
+
+    counts = {
+        k: persist_bucketed(
+            spark, df, f"{name}_counts{k}", f"{path}_counts{k}",
+            n_buckets, ["ctx", "w"],
+        )
+        for k, df in model["counts"].items()
+    }
+    contexts = {
+        k: persist_bucketed(
+            spark, df, f"{name}_contexts{k}", f"{path}_contexts{k}",
+            n_buckets, "ctx",
+        )
+        for k, df in model["contexts"].items()
+    }
+    unigram = persist_bucketed(
+        spark, model["unigram"], f"{name}_unigram", f"{path}_unigram",
+        n_buckets, "w",
+    )
+    model["totals"].write.mode("overwrite").parquet(f"{path}_totals")
+    return {
+        "order": model["order"],
+        "counts": counts,
+        "contexts": contexts,
+        "unigram": unigram,
+        "totals": spark.read.parquet(f"{path}_totals"),
+    }
+
+
 # ------------------------------------------------ Kneser-Ney, order n
 # The general interpolated KN model (CCNet's production filter is a
 # 5-gram KenLM). Textbook construction (Chen & Goodman 1999 §4.1.6):

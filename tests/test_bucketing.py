@@ -433,3 +433,64 @@ def test_kn_model_persists_bucketed(spark, tmp_path):
             assert fplan.count("Exchange") == 1, fplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_kn_ngram_model_persists_bucketed_order5(spark, tmp_path):
+    """CCNet's production filter shape — an order-5 KN LM — persisted
+    with EVERY per-order probe table bucketed by its score-time join
+    keys (counts[5..2] by the composite (ctx array, w), contexts[5..2]
+    by ctx, continuation unigram by w: 9 tables, 4 distinct key
+    shapes). Scores match the in-memory model, and no Exchange is
+    attributable to the model side: the full score plan reads all 9
+    scans bucketed, and each per-shape join fragment carries exactly
+    the one event-side shuffle."""
+    from logrange_spark.ops import text
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran far away " *
+          (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "dog unknown ran"), (2, "")],
+        "doc_id long, text string")
+    model = text.kn_ngram_lm(train, order=5)
+    want = sorted(
+        tuple(r) for r in text.kn_ngram_score(docs, model).collect())
+    try:
+        pm = text.persist_kn_ngram_model(
+            spark, model, "knm5_t", str(tmp_path / "knm5"))
+        got = sorted(
+            tuple(r) for r in text.kn_ngram_score(docs, pm).collect())
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:2] == w[:2]
+            assert abs(g[2] - w[2]) < 1e-12 * max(1.0, abs(w[2]))
+            assert abs(g[3] - w[3]) < 1e-12 * max(1.0, abs(w[3]))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            full = text.kn_ngram_score(docs, pm)
+            fplan = full._jdf.queryExecution().executedPlan().toString()
+            # 4 counts + 4 contexts + unigram = 9 bucketed model scans
+            assert fplan.count("Bucketed: true") >= 9, fplan
+            ev = text._kn_ngram_events(docs, "doc_id", "text", 5)
+            for k in (5, 2):  # longest and shortest context shapes
+                suf = F.slice(F.col("ctx"), 5 + 1 - k, k - 1)
+                probe = ev.select(suf.alias("ctx"), "w")
+                for right, keys in ((pm["counts"][k], ["ctx", "w"]),
+                                    (pm["contexts"][k], ["ctx"])):
+                    frag = probe.join(right, keys)
+                    p = frag._jdf.queryExecution().executedPlan().toString()
+                    assert "SortMergeJoin" in p, p
+                    assert "Bucketed: true" in p, p
+                    assert p.count("Exchange") == 1, p
+            up = ev.join(pm["unigram"], ["w"])
+            p = up._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in p and p.count("Exchange") == 1, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    finally:
+        for k in (5, 4, 3, 2):
+            spark.sql(f"DROP TABLE IF EXISTS knm5_t_counts{k}")
+            spark.sql(f"DROP TABLE IF EXISTS knm5_t_contexts{k}")
+        spark.sql("DROP TABLE IF EXISTS knm5_t_unigram")

@@ -230,6 +230,14 @@ def _q_kn_trigram(spark, sf_dir):
     return t.kn_ngram_score(docs, model)
 
 
+def _q_kn_order5(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = t.kn_ngram_lm(docs, order=5)
+    return t.kn_ngram_score(docs, model)
+
+
 def _q_bpe(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -300,6 +308,10 @@ EXTRA_QUERIES = {
     # tables are groupBys of bounded tables; scoring adds two more
     # key-partitioned joins per event
     "kn_trigram_ppl": (_q_kn_trigram, "documents"),
+    # order-5 KN (CCNet's production filter shape): same ONE
+    # corpus-scaled aggregate; scoring probes 4 context shapes + the
+    # unigram per event — 9 key-partitioned joins total
+    "kn_order5_ppl": (_q_kn_order5, "documents"),
 }
 
 
@@ -492,6 +504,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
             "dsir_sample", "kn_bigram_ppl", "kn_trigram_ppl",
+            "kn_order5_ppl",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
