@@ -851,6 +851,21 @@ def remove_boilerplate(
     bp = boilerplate_lines(
         docs, id_col, text_col, min_doc_frac, min_docs, max_lines, n_docs
     )
+    return remove_boilerplate_with(docs, bp, id_col, text_col)
+
+
+def remove_boilerplate_with(
+    docs: DataFrame,
+    bp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``remove_boilerplate`` against an ALREADY-BUILT dictionary frame
+    (line, doc_count) — the shape a persisted/streamed pipeline needs:
+    the dictionary is trained once offline (``boilerplate_lines``,
+    bounded by its max_lines cap) and applied to any later corpus or
+    micro-batch as a pure map stage (one-row broadcast crossJoin, no
+    per-line shuffle). Same output contract as ``remove_boilerplate``."""
     bpset = bp.agg(F.array_sort(F.collect_list("line")).alias("_bp"))
     lined = docs.select(
         F.col(id_col), doc_lines(F.col(text_col)).alias("_lines")

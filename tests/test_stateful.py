@@ -273,3 +273,123 @@ def test_continuous_quality_stream(spark, tmp_path):
     lw = {r["doc_id"]: r["logw"] for r in
           dsir_scores(allrows, ratios).collect()}
     assert all(lw[d] >= 0.0 for d in got)
+
+
+def test_continuous_curation_full_gate_stack(spark, tmp_path):
+    """The stream composes the COMPLETE per-document gate stack of the
+    batch `curation_full` pipeline — persisted boilerplate dictionary
+    (text rewrite), Gopher repetition gate, classifier gate, DSIR
+    gate — and each gate individually fires; streamed survivors (ids,
+    cleaned text, scores) equal the batch recomputation of the same
+    stages over the union of the shards."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops.sampling import dsir_scores
+    from logrange_spark.ops.text import (
+        quality_classifier_score,
+        remove_boilerplate_with,
+        repetition_stats,
+    )
+    from logrange_spark.streaming.curation import (
+        persist_boilerplate_dict,
+        persist_dsir_ratios,
+        persist_quality_model,
+        start_quality_stream,
+    )
+
+    root = str(tmp_path)
+    good = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(12)]
+    junk = [(100 + i, f"zz{i} qq{i} xx{i}") for i in range(12)]
+    pos = spark.createDataFrame(good, "doc_id long, text string")
+    neg = spark.createDataFrame(junk, "doc_id long, text string")
+    weights = persist_quality_model(spark, pos, neg, f"{root}/w", iters=4)
+    ratios = persist_dsir_ratios(spark, pos, pos.unionByName(neg),
+                                 f"{root}/r")
+    banner_corpus = spark.createDataFrame(
+        [(500 + i, f"filler{i} words here\nSUBSCRIBE NOW")
+         for i in range(20)],
+        "doc_id long, text string")
+    bp = persist_boilerplate_dict(spark, banner_corpus, f"{root}/bp")
+    assert [r["line"] for r in bp.collect()] == ["SUBSCRIBE NOW"]
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    # 200: survives; banner removed by the dictionary, then all gates
+    #      (pre-checked: dup 0.0, top-ngram 0.143, score 0.79, logw > 0)
+    # 201: repetition-gated ONLY (classifier scores it 0.97 — duplicated
+    #      in-distribution lines are exactly what Gopher adds)
+    # 202: classifier/DSIR-gated ONLY (diverse junk: dup 0.0, top-ngram
+    #      0.18 pass Gopher; score 0.14, logw -11 fail the model gates)
+    shard1 = [
+        (200, "quick brown fox over the lazy dog jumps again and many "
+              "other animals watch from green hills under bright skies"
+              "\nSUBSCRIBE NOW"),
+        (201, "the quick brown fox\n" * 8),
+        (202, "zz1 qq2 xx3 zz4 qq5 xx6 zz7 qq8 xx9 zz10 qq11 xx0 "
+              "zz2 qq3 xx4 zz5"),
+    ]
+    # 300: survives untouched (no banner; dup 0.0, top-ngram 0.189,
+    #      score 0.74, logw > 0)
+    shard2 = [(300, "the quick brown fox jumps far across wide rivers "
+                    "and tall mountains watching silver clouds drift "
+                    "slowly overhead")]
+    q = start_quality_stream(
+        spark, inp, f"{root}/out", f"{root}/ckpt",
+        "doc_id long, text string", weights,
+        ratios=ratios, boilerplate=bp,
+        min_score=0.5, min_logw=0.0,
+        max_dup_line_frac=0.3, max_top_ngram_char_frac=0.2,
+    )
+    try:
+        spark.createDataFrame(shard1, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+        def out_rows():
+            try:
+                return {r["doc_id"]: r for r in
+                        spark.read.parquet(f"{root}/out").collect()}
+            except Exception:
+                return {}
+
+        deadline = time.time() + 60
+        while sorted(out_rows()) != [200] and time.time() < deadline:
+            time.sleep(0.5)
+        assert sorted(out_rows()) == [200], sorted(out_rows())
+        # the survivor's text is the CLEANED rebuild (banner gone)
+        assert out_rows()[200]["text"] == (
+            "quick brown fox over the lazy dog jumps again and many "
+            "other animals watch from green hills under bright skies")
+        spark.createDataFrame(shard2, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 60
+        while sorted(out_rows()) != [200, 300] and time.time() < deadline:
+            time.sleep(0.5)
+        assert sorted(out_rows()) == [200, 300], sorted(out_rows())
+    finally:
+        q.stop()
+
+    # batch recomputation of the same stages over the union of shards
+    union = spark.createDataFrame(shard1 + shard2,
+                                  "doc_id long, text string")
+    cleaned = remove_boilerplate_with(union, bp).select("doc_id", "text")
+    rep_ok = (
+        repetition_stats(cleaned)
+        .where((F.col("dup_line_frac") <= 0.3)
+               & (F.col("top_ngram_char_frac") <= 0.2))
+        .select("doc_id"))
+    gated = cleaned.join(rep_ok, "doc_id")
+    sc = quality_classifier_score(gated, weights).select("doc_id", "score")
+    kept = gated.join(sc.where(F.col("score") >= 0.5), "doc_id")
+    lw = dsir_scores(gated, ratios).select("doc_id", "logw")
+    kept = kept.join(lw.where(F.col("logw") >= 0.0), "doc_id")
+    want = {r["doc_id"]: r for r in kept.collect()}
+    got = out_rows()
+    assert sorted(got) == sorted(want)
+    for did in want:
+        assert got[did]["text"] == want[did]["text"]
+        assert abs(got[did]["score"] - want[did]["score"]) < 1e-9
+        assert abs(got[did]["logw"] - want[did]["logw"]) < 1e-9
