@@ -1317,8 +1317,10 @@ def _q_dsir_logratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_logratios_sql() -> str:
+    from logrange_spark.ops.sampling import DSIR_ALPHA
+
     nf = DSIR_ORACLE_FEATURES
-    a = 1.0  # sampling.DSIR_ALPHA
+    a = float(DSIR_ALPHA)
     b = float(nf) * a
     return f"""
 WITH {_tok_cte()},
@@ -1341,32 +1343,59 @@ FROM counts, tot
 
 
 QUALITY_SCORE_FEATURES = 64  # dense pinned weight table for the oracle
+# Pinned-weight formula shared by the Spark builder and the SQL twin:
+# weight(f) = ((f·MUL) mod MOD − SUB) / DIV, plus the intercept row at
+# feature −1. ONE definition — a constant changed here changes both
+# engines together (a drifted duplicate would only surface as an opaque
+# oracle hash mismatch).
+QUALITY_WEIGHT_MUL, QUALITY_WEIGHT_MOD = 37, 21
+QUALITY_WEIGHT_SUB, QUALITY_WEIGHT_DIV = 10, 10.0
+QUALITY_SCORE_INTERCEPT = 0.25
+
+
+def _pinned_weight_frame(spark: SparkSession, n_features: int) -> DataFrame:
+    """The deterministic (feature, weight) table both oracle rows pin."""
+    return (
+        spark.range(n_features)
+        .select(
+            F.col("id").cast("int").alias("feature"),
+            (
+                (F.col("id") * QUALITY_WEIGHT_MUL % QUALITY_WEIGHT_MOD
+                 - QUALITY_WEIGHT_SUB) / QUALITY_WEIGHT_DIV
+            ).alias("weight"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).alias("feature"),
+                F.lit(QUALITY_SCORE_INTERCEPT).alias("weight"),
+            )
+        )
+    )
+
+
+def _pinned_weight_cte(nf: int) -> str:
+    """The same pinned weight table as a DuckDB CTE body."""
+    return (
+        f"SELECT CAST(f AS INT) AS feature, "
+        f"((f * {QUALITY_WEIGHT_MUL}) % {QUALITY_WEIGHT_MOD} "
+        f"- {QUALITY_WEIGHT_SUB}) / {QUALITY_WEIGHT_DIV!r} AS weight\n"
+        f"       FROM (SELECT unnest(range(0, {nf})) AS f)\n"
+        f"       UNION ALL SELECT -1, {QUALITY_SCORE_INTERCEPT!r}"
+    )
 
 
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-classifier scorer (ops/text.quality_classifier_score)
-    under pinned deterministic weights — weight(f) = ((f·37) mod 21 − 10)
-    / 10 over a dense 64-feature space plus intercept 0.25 — so the
-    whole scoring plan (term bag → hashed mean-bag features → broadcast
-    weight join → per-doc dot → sigmoid) is DuckDB-twin-checkable.
-    Training itself stays pytest-covered (python-twin differentials in
-    tests/test_ops.py) because Newton iterates aren't SQL-expressible."""
+    under pinned deterministic weights (`_pinned_weight_frame`) over a
+    dense 64-feature space — so the whole scoring plan (term bag →
+    hashed mean-bag features → broadcast weight join → per-doc dot →
+    sigmoid) is DuckDB-twin-checkable. Training itself stays
+    pytest-covered (python-twin differentials in tests/test_ops.py)
+    because Newton iterates aren't SQL-expressible."""
     docs = _t(spark, sf_dir, "documents")
-    weights = (
-        spark.range(QUALITY_SCORE_FEATURES)
-        .select(
-            F.col("id").cast("int").alias("feature"),
-            ((F.col("id") * 37 % 21 - 10) / 10.0).alias("weight"),
-        )
-        .unionByName(
-            spark.range(1).select(
-                F.lit(-1).alias("feature"), F.lit(0.25).alias("weight")
-            )
-        )
-    )
     return text.quality_classifier_score(
         docs,
-        weights,
+        _pinned_weight_frame(spark, QUALITY_SCORE_FEATURES),
         n_features=QUALITY_SCORE_FEATURES,
         hasher=text.md5_prefix_hash,
     )
@@ -1386,14 +1415,98 @@ tf AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::INT % {nf} AS feature,
        GROUP BY 1, 2),
 feats AS (SELECT doc_id, feature, x FROM tf
           UNION ALL SELECT doc_id, -1, 1.0 FROM terms),
-wt AS (SELECT CAST(f AS INT) AS feature, ((f * 37) % 21 - 10) / 10.0 AS weight
-       FROM (SELECT unnest(range(0, {nf})) AS f)
-       UNION ALL SELECT -1, 0.25),
+wt AS ({_pinned_weight_cte(nf)}),
 dots AS (SELECT doc_id, sum(x * weight) AS dot
          FROM feats JOIN wt USING (feature) GROUP BY doc_id)
 SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_terms,
        round(1.0 / (1.0 + exp(-coalesce(d.dot, 0.0))), 6) AS score
 FROM terms t LEFT JOIN dots d USING (doc_id)
+""".strip()
+
+
+# Pinned one-vs-rest language models for the lang_predict oracle row:
+# class j's weights reuse the quality formula with the feature index
+# SALTED by j (so the three models are distinct but equally pinned),
+# plus a dyadic-rational per-class intercept (j−1)/8 — exact in both
+# engines. ONE definition serves the Spark builder and the SQL twin.
+LANG_PREDICT_LANGS = ("de", "en", "fr")
+LANG_PREDICT_SALT = 7
+
+
+def _q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiclass language-classifier scorer
+    (ops/text.lang_classifier_predict — argmax one-vs-rest with sigmoid
+    confidence) under pinned per-class weights, so the whole predict
+    plan (shared feature frame → broadcast (lang, feature, weight) join
+    → per-(doc, lang) dot → per-doc struct-max with lang tie-break) is
+    DuckDB-twin-checkable. Training stays pytest-covered (one-vs-rest
+    stack of the quality trainer, python-twin + chain tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    nf = QUALITY_SCORE_FEATURES
+    per = []
+    for j, lang in enumerate(LANG_PREDICT_LANGS):
+        per.append(
+            spark.range(nf).select(
+                F.lit(lang).alias("lang"),
+                F.col("id").cast("int").alias("feature"),
+                (
+                    ((F.col("id") + LANG_PREDICT_SALT * j)
+                     * QUALITY_WEIGHT_MUL % QUALITY_WEIGHT_MOD
+                     - QUALITY_WEIGHT_SUB) / QUALITY_WEIGHT_DIV
+                ).alias("weight"),
+            )
+            .unionByName(
+                spark.range(1).select(
+                    F.lit(lang).alias("lang"),
+                    F.lit(-1).alias("feature"),
+                    F.lit((j - 1) / 8.0).alias("weight"),
+                )
+            )
+        )
+    weights = per[0]
+    for w in per[1:]:
+        weights = weights.unionByName(w)
+    out = text.lang_classifier_predict(
+        docs, weights, n_features=nf, hasher=text.md5_prefix_hash
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.round("score", 6).alias("score")
+    )
+
+
+def _lang_predict_sql() -> str:
+    nf = QUALITY_SCORE_FEATURES
+    langs = ", ".join(
+        f"('{lang}', {j})" for j, lang in enumerate(LANG_PREDICT_LANGS)
+    )
+    return f"""
+WITH {_tok_cte()},
+terms AS (SELECT doc_id,
+                 list_concat(w, [w[i] || ' ' || w[i+1]
+                                 FOR i IN range(1, greatest(len(w), 1))]) AS ts
+          FROM toks),
+tf AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 6))::INT % {nf} AS feature,
+              count(*) / greatest(max(nt), 1) AS x
+       FROM (SELECT doc_id, len(ts) AS nt, unnest(ts) AS t FROM terms)
+       GROUP BY 1, 2),
+feats AS (SELECT doc_id, feature, x FROM tf
+          UNION ALL SELECT doc_id, -1, 1.0 FROM terms),
+ls AS (SELECT * FROM (VALUES {langs}) AS v(lang, j)),
+wt AS (SELECT l.lang, CAST(f AS INT) AS feature,
+              (((f + {LANG_PREDICT_SALT} * l.j) * {QUALITY_WEIGHT_MUL})
+               % {QUALITY_WEIGHT_MOD} - {QUALITY_WEIGHT_SUB})
+              / {QUALITY_WEIGHT_DIV!r} AS weight
+       FROM (SELECT unnest(range(0, {nf})) AS f), ls l
+       UNION ALL SELECT lang, -1, (j - 1) / 8.0 FROM ls),
+dots AS (SELECT doc_id, lang, sum(x * weight) AS dot
+         FROM feats JOIN wt USING (feature) GROUP BY 1, 2),
+best AS (SELECT doc_id, lang, dot,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY dot DESC, lang) AS rn
+         FROM dots)
+SELECT doc_id, lang AS lang_pred,
+       round(1.0 / (1.0 + exp(-dot)), 6) AS score
+FROM best WHERE rn = 1
 """.strip()
 
 
@@ -1423,7 +1536,11 @@ def _semantic_dedup_sql() -> str:
     exact-collapse + representative-pair + member-recovery plan because
     representatives are the min id of each identical-vector group (see
     ops/ann._emb_collapse), so precedence among members reduces to
-    precedence among representatives."""
+    precedence among representatives. The vn > 0 filter mirrors the
+    Spark side's try_divide + cid-IS-NOT-NULL convention: a zero-norm
+    vector is neither assignable nor a dropper there, while IEEE '/'
+    here would make its cosine NaN (ranked above everything by
+    DuckDB's total order) and silently drop vectors Spark keeps."""
     dims, nc = 64, ann.IVF_CENTROIDS
 
     def l2(col: str) -> str:
@@ -1438,8 +1555,11 @@ def _semantic_dedup_sql() -> str:
         return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
 
     return f"""
-WITH en AS (SELECT vec_id, embedding, {l2('embedding')} AS vn FROM embeddings),
-cn AS (SELECT vec_id AS cid, embedding AS cv, vn AS cnorm FROM en WHERE vec_id < {nc}),
+WITH en AS (SELECT vec_id, embedding, vn
+            FROM (SELECT vec_id, embedding, {l2('embedding')} AS vn
+                  FROM embeddings) WHERE vn > 0),
+cn AS (SELECT vec_id AS cid, embedding AS cv, vn AS cnorm
+       FROM en WHERE vec_id < {nc}),
 ascore AS (
   SELECT v.vec_id AS id, v.embedding AS v, v.vn, c.cid,
          {dot('v.embedding', 'c.cv')} / (v.vn * c.cnorm) AS s
@@ -1553,25 +1673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_glob_like": _lql("SELECT FROM name=click OR name=view WHERE msg LIKE '{\"k\": 1?}'"),
         "lql_fields_lex": _lql("SELECT WHERE fields:user < '11'"),
         "lql_range": _lql('SELECT FROM {name=purchase} RANGE ["2024-01-10":"2024-01-20"]'),
-        # NB: the driver's correctness report holds at most 50 rows, so the
-        # registry is capped at exactly 50 entries. `lql_range_relative`
-        # (relative "-22d" literal folding) was retired from the registry in
-        # round 4; `lql_cursor_back`, `lql_upper_func`, `lql_format_full`
-        # and `lql_offset_limit` in round 7 (for ann_pq_topk,
-        # repetition_stats, curation_full, dedup_clusters); and in round 8
-        # `lql_format`, `distinct_customers`, `nations_with_both`,
-        # `events_daily_pivot`, `text_rolling_hash` and
-        # `top_orders_per_customer` (redundant with remaining rows: format
-        # stays covered by the retired lql_format/lql_format_full oracles,
-        # window top-k by tfidf_keywords' rank window, semi/anti joins by
-        # nations_without_suppliers, pivots by events_hourly) to make room
-        # for the round-7 LLM-pipeline operators (contamination,
-        # mixture_sample, text_unigram_ppl, text_bm25_topk, tfidf_keywords,
-        # hamming_fp_pairs). Every retired row is still oracle-checked
-        # against DuckDB in tests/test_entry_contract.py
-        # (test_retired_range_relative_oracle, test_retired_lql_oracles,
-        # test_retired_general_oracles) via `retired_queries` /
-        # `_RETIRED_LQL_ORACLES` / `_RETIRED_ORACLES` below.
+        # NB: the driver's correctness report holds at most 50 rows, so
+        # the registry is capped at exactly 50 entries and membership
+        # rotates; SURVEY.md §8 "Registry rotation map" is the single
+        # source of the rotation history. Every retired row stays
+        # DuckDB-oracle-checked in tests/test_entry_contract.py via
+        # `retired_queries` / `_RETIRED_LQL_ORACLES` / `_RETIRED_ORACLES`.
         "lql_range_special": _lql_at(
             'SELECT FROM {name=signup} RANGE "week"', 1_705_487_400_000_000_000
         ),  # now = Wed 2024-01-17 10:30 UTC → week starts Sun 2024-01-14
@@ -1579,21 +1686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lql_cursor_page": _lql(f"SELECT POSITION '{RANGE_LO}::0' LIMIT 800"),
         "lql_not_expr": _lql("SELECT FROM name=click OR name=view WHERE NOT (fields:user PREFIX '1')"),
         "show_partitions": _q_show_partitions,
-        # SQL analytics (beyond-reference surface, SURVEY §2.8).
-        # Round-9 rotation: revenue_by_segment (star-join shape stays
-        # covered by revenue_by_nation's deeper chain), events_corr_window
-        # (time-proximity join covered by events_range_join),
-        # events_approx_users (the HLL bound check lives in pytest) and
-        # text_bpe_tokens (token counting covered by text_stats; real BPE
-        # has its own python twins) rotated OUT for the round-8
-        # LLM-pipeline operators repeated_spans / dsir_logratios /
-        # quality_score / semantic_dedup. Oracles preserved in
-        # _RETIRED_ORACLES, checked by test_retired_general_oracles.
+        # SQL analytics (beyond-reference surface, SURVEY §2.8);
+        # rotation history in SURVEY §8's map
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_hourly": _q_events_hourly,
         "events_asof": _q_events_asof,
-        "events_range_join": _q_events_range_join,
         "revenue_rollup": _q_revenue_rollup,
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
@@ -1604,15 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_duplicates": _q_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_simhash_pairs,
-        # corpus-level train/test overlap estimate (rotated IN round 8
-        # for text_top_words, whose explode+groupBy+top-k shape stays
-        # covered by text_bm25_topk / tfidf_keywords and the retired
-        # oracle in test_entry_contract.py)
+        # corpus-level train/test overlap estimate
         "corpus_overlap": _q_corpus_overlap,
-        # training-data pipeline: text analysis (text_lang_dist rotated
-        # OUT late r8 for kn_bigram_ppl — its lang-ID + quality
-        # expressions stay registry-covered by text_stats and the
-        # retired oracle stays checked in test_entry_contract)
+        # training-data pipeline: text analysis
         "text_stats": _q_text_stats,
         "kn_bigram_ppl": _q_kn_bigram,
         # round-9 rotation IN: substring dedup, DSIR, trained-classifier
@@ -1621,11 +1713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratios": _q_dsir_logratios,
         "quality_score": _q_quality_score,
         "semantic_dedup": _q_semantic_dedup,
-        # event-time streaming ops (batch-checkable session windows;
-        # events_tumbling rotated OUT late round 8 for
-        # boilerplate_removal — its epoch-aligned time-bucket shape stays
-        # registry-covered by events_hourly and the retired oracle stays
-        # checked in test_entry_contract)
+        # round-10 rotation IN: trained language-ID prediction (pinned
+        # per-class weights; events_range_join rotated OUT — time-join
+        # shape stays covered by events_asof)
+        "lang_predict": _q_lang_predict,
+        # event-time streaming ops (batch-checkable session windows)
         "events_sessions": _q_events_sessions,
         # training-data pipeline: C4-style template cleaning (late r8)
         "boilerplate_removal": _q_boilerplate_removal,
@@ -1688,6 +1780,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_corr_window": _q_events_corr_window,
         "revenue_by_segment": _q_revenue_by_segment,
         "text_bpe_tokens": _q_text_bpe_tokens,
+        # round-10 rotation (for lang_predict)
+        "events_range_join": _q_events_range_join,
     }
 
 
@@ -2297,6 +2391,17 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""".strip(),
     "text_bpe_tokens": _bpe_tokens_sql(),
+    # round-10 rotation — oracle preserved verbatim from oracle_sql()
+    "events_range_join": f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS cts, value FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
+       CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(12,2))), 0) AS DOUBLE) AS click_value
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
+GROUP BY 1, 2, 3""".strip(),
 }
 
 # DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
@@ -2404,16 +2509,6 @@ SELECT event_id, user_id, ts,
           PARTITION BY user_id ORDER BY ts, side, tie
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).value AS asof_value
 FROM u QUALIFY side = 1""".strip(),
-        "events_range_join": f"""
-WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
-           WHERE event_type = 'purchase'),
-c AS (SELECT user_id, epoch_us(ts) AS cts, value FROM events
-      WHERE event_type = 'click')
-SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
-       CAST(COALESCE(SUM(CAST(c.value AS {dec})), 0) AS DOUBLE) AS click_value
-FROM p LEFT JOIN c ON p.user_id = c.user_id
- AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
-GROUP BY 1, 2, 3""".strip(),
         "order_price_percentiles": """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -2472,6 +2567,7 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dsir_logratios": _dsir_logratios_sql(),
         "quality_score": _quality_score_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "lang_predict": _lang_predict_sql(),
         "contamination": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "text_unigram_ppl": _unigram_sql(),

@@ -139,6 +139,16 @@ def main() -> int:
     # rows rotated out of the 50-entry ORACLE registry (lql_format,
     # top_orders_per_customer in round 8) still bench here
     qs = {**entry_mod.retired_queries(), **entry_mod.queries()}
+    # untimed warm pass over every headline query: the per-query run
+    # triples show first runs absorbing plan-build + scan-cache cold
+    # costs (e.g. dedup_lsh_candidates [5.03, 2.42, 1.88] in round 10's
+    # A/B) — warming once lets min-of-n converge to the true cost even
+    # under a contended sandbox. Disable with SPARK_GRAFT_BENCH_WARM=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0

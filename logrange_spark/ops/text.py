@@ -1687,6 +1687,7 @@ def lang_classifier_predict(
     text_col: str = "text",
     n_features: int = CLASSIFIER_FEATURES,
     ngram: int = CLASSIFIER_NGRAM,
+    hasher=None,
 ) -> DataFrame:
     """(id, lang_pred, score) — each document's argmax one-vs-rest
     language with its sigmoid confidence; ties break to the smaller
@@ -1696,7 +1697,9 @@ def lang_classifier_predict(
     matching bias row, so each (doc, lang) pair scores even with zero
     vocabulary overlap — then one (doc, lang) partial-aggregated sum
     and a per-doc struct-max."""
-    feats = _classifier_features(docs, id_col, text_col, n_features, ngram)
+    feats = _classifier_features(
+        docs, id_col, text_col, n_features, ngram, hasher
+    )
     dots = (
         feats.join(F.broadcast(weights), "feature")
         .groupBy(id_col, "lang")
