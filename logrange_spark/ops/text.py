@@ -1917,9 +1917,21 @@ def kn_ngram_score(
     ev = _kn_ngram_events(docs, id_col, text_col, order)
     d = F.lit(float(discount))
     a = F.lit(float(alpha))
-    cur = ev
+    # Plan-build economy (classic PySpark pays a full analyzer pass per
+    # DataFrame op, ~0.5-1 s each on a deep plan): ALL per-order
+    # suffixes are added in ONE select, the per-order probe columns are
+    # uniquely aliased so no intermediate drop is needed (the final
+    # select prunes them), leaving 2 joins per order + 2 — the joins
+    # themselves are the inherent cost. Cuts the order-5 build from
+    # ~21 plan passes to ~11.
+    cur = ev.select(
+        "*",
+        *[
+            F.slice(F.col("ctx"), order + 1 - k, k - 1).alias(f"_suf{k}")
+            for k in range(2, order + 1)
+        ],
+    )
     for k in range(2, order + 1):
-        suf = F.slice(F.col("ctx"), order + 1 - k, k - 1)
         cnt = model["counts"][k].select(
             F.col("ctx").alias(f"_ctx{k}"),
             F.col("w").alias(f"_w{k}"),
@@ -1930,23 +1942,17 @@ def kn_ngram_score(
             F.col("cu").alias(f"_cu{k}"),
             F.col("n1u").alias(f"_n1u{k}"),
         )
-        cur = (
-            cur.withColumn(f"_suf{k}", suf)
-            .join(
-                cnt,
-                (F.col(f"_suf{k}") == F.col(f"_ctx{k}"))
-                & (F.col("w") == F.col(f"_w{k}")),
-                "left",
-            )
-            .drop(f"_ctx{k}", f"_w{k}")
-            .join(ctxt, F.col(f"_suf{k}") == F.col(f"_cctx{k}"), "left")
-            .drop(f"_cctx{k}", f"_suf{k}")
-        )
+        cur = cur.join(
+            cnt,
+            (F.col(f"_suf{k}") == F.col(f"_ctx{k}"))
+            & (F.col("w") == F.col(f"_w{k}")),
+            "left",
+        ).join(ctxt, F.col(f"_suf{k}") == F.col(f"_cctx{k}"), "left")
     cur = cur.join(
         model["unigram"].select(F.col("w").alias("_uw"), "n1w"),
         F.col("w") == F.col("_uw"),
         "left",
-    ).drop("_uw").crossJoin(F.broadcast(model["totals"]))
+    ).crossJoin(F.broadcast(model["totals"]))
     p = (F.coalesce("n1w", F.lit(0)) + a) / (
         F.col("n1pp") + a * (F.col("v") + 1)
     )
