@@ -1721,6 +1721,119 @@ def lang_classifier_predict(
     )
 
 
+# ------------------------------------------------- CCNet stratification
+# The tail of the CCNet pipeline (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# after dedup and language ID, each language's documents are split into
+# head/middle/tail by LM-perplexity TERCILES — head (lowest perplexity)
+# is the high-quality slice used for pretraining mixes. Both pieces
+# compose already-built operators: `lang_classifier_predict` for the
+# language, `kn_ngram_score` for the perplexity, and a per-group
+# quantile-threshold bucket here.
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang_pred",
+    ppl_col: str = "ppl",
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    approx: bool = False,
+) -> DataFrame:
+    """Input rows + ``bucket`` — each row labeled by which per-group
+    quantile band its ``ppl_col`` falls in (len(fractions)+1 labels;
+    the default terciles yield CCNet's head/middle/tail, ordered
+    low-perplexity first). Thresholds are per-``group_col`` exact
+    interpolated percentiles (the `order_price_percentiles`
+    convention); a row on a boundary goes to the lower band (ppl <= t).
+
+    100 TB shape: one groupBy over the groups (languages — enumerable)
+    computing the thresholds, broadcast back, then a pure map labeling
+    pass. Exact `percentile` sorts per group in memory — fine for the
+    per-language threshold aggregate whose input is one number per
+    document; pass ``approx=True`` to switch to `approx_percentile`
+    (KLL sketch, mergeable, bounded memory) when even that is too wide.
+    """
+    if len(fractions) + 1 > len(CCNET_BUCKETS):
+        labels = [f"q{i}" for i in range(len(fractions) + 1)]
+    else:
+        labels = list(CCNET_BUCKETS[: len(fractions) + 1])
+    pct = F.expr(
+        f"{'approx_percentile' if approx else 'percentile'}"
+        f"({ppl_col}, array({', '.join(repr(float(f)) for f in fractions)}))"
+    )
+    thr = scored.groupBy(group_col).agg(pct.alias("_thr"))
+    lab = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        lab = F.when(
+            F.col(ppl_col) <= F.element_at("_thr", i + 1), F.lit(labels[i])
+        ).otherwise(lab)
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .select(*scored.columns, lab.alias("bucket"))
+    )
+
+
+def ccnet_pipeline(
+    docs: DataFrame,
+    lang_weights: DataFrame,
+    lm_models: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    discount: float = KN_DISCOUNT,
+    alpha: float = 0.5,
+    n_features: int = CLASSIFIER_FEATURES,
+    ngram: int = CLASSIFIER_NGRAM,
+    hasher=None,
+    approx: bool = False,
+) -> DataFrame:
+    """(id, lang_pred, lang_score, ppl, bucket) — the CCNet quality
+    stratification end-to-end: trained language ID, per-language KN
+    perplexity, per-language tercile buckets.
+
+    ``lm_models`` maps language → a ``kn_ngram_lm`` model dict (CCNet
+    trains one wiki LM per language); a language absent from the map
+    falls back to the ``None`` entry when present, else its documents
+    are dropped (CCNet's behavior for unsupported languages). Language
+    count is enumerable, so the per-language scoring plans union —
+    each is the one-pass key-partitioned probe of its own model."""
+    if not lm_models:
+        raise ValueError("lm_models must map at least one language")
+    pred = lang_classifier_predict(
+        docs, lang_weights, id_col, text_col, n_features, ngram, hasher
+    )
+    tagged = docs.join(pred, id_col)
+    default = lm_models.get(None)
+    scored = None
+    for lang in sorted(k for k in lm_models if k is not None):
+        part = tagged.where(F.col("lang_pred") == lang)
+        s = kn_ngram_score(
+            part, lm_models[lang], id_col, text_col, discount, alpha
+        ).select(id_col, "ppl")
+        part = part.join(s, id_col)
+        scored = part if scored is None else scored.unionByName(part)
+    if default is not None:
+        rest = tagged.where(
+            ~F.col("lang_pred").isin(
+                [k for k in lm_models if k is not None]
+            )
+        )
+        s = kn_ngram_score(
+            rest, default, id_col, text_col, discount, alpha
+        ).select(id_col, "ppl")
+        rest = rest.join(s, id_col)
+        scored = rest if scored is None else scored.unionByName(rest)
+    out = scored.select(
+        id_col,
+        "lang_pred",
+        F.col("score").alias("lang_score"),
+        "ppl",
+    )
+    return perplexity_buckets(out, "lang_pred", "ppl", fractions, approx)
+
+
 def persist_kn_model(
     spark,
     model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],

@@ -3193,6 +3193,77 @@ def test_bpe_segment_oov_fallback(spark):
     assert r["pieces"][9:] == ["low"] and r["n_pieces"] == 10
 
 
+# ------------------------------------------------- CCNet stratification
+def test_perplexity_buckets_twin(spark):
+    """Per-group tercile bucketing matches a numpy twin (Spark's exact
+    `percentile` and numpy's linear interpolation share the
+    f*(n-1)-index definition); boundary rows go to the lower band."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(3)
+    rows = [(i, rng.choice(["en", "de"]), round(rng.uniform(1.0, 50.0), 3))
+            for i in range(200)]
+    rows.append((900, "en", rows[0][2]))  # duplicate ppl value
+    df = spark.createDataFrame(rows, "doc_id long, lang_pred string, ppl double")
+    got = {r["doc_id"]: r["bucket"]
+           for r in text.perplexity_buckets(df).collect()}
+    by_lang = {}
+    for _, lang, p in rows:
+        by_lang.setdefault(lang, []).append(p)
+    want = {}
+    for did, lang, p in rows:
+        t1, t2 = np.percentile(by_lang[lang], [100 / 3, 200 / 3],
+                               method="linear")
+        want[did] = "head" if p <= t1 else ("middle" if p <= t2 else "tail")
+    assert got == want
+    # custom fraction count falls back to q{i} labels
+    q = text.perplexity_buckets(df, fractions=(0.25, 0.5, 0.75))
+    assert set(r["bucket"] for r in q.collect()) <= {"q0", "q1", "q2", "q3"}
+
+
+def test_ccnet_pipeline_end_to_end(spark):
+    """The composed CCNet tail: trained language ID -> per-language KN
+    perplexity -> per-language terciles. Each language's buckets are
+    balanced thirds ordered by perplexity, the None entry catches
+    unmapped languages, and absent a default those documents drop."""
+    en = "the quick brown fox jumps over the lazy dog"
+    de = "der schnelle braune fuchs springt ueber den faulen hund"
+    seed = spark.createDataFrame(
+        [(i, "en", en) for i in range(10)]
+        + [(100 + i, "de", de) for i in range(10)],
+        "doc_id long, lang string, text string")
+    w = text.train_lang_classifier(seed, iters=4)
+    import random
+
+    rng = random.Random(9)
+    docs = []
+    for i in range(30):
+        words = en.split() if i % 2 == 0 else de.split()
+        docs.append((i, " ".join(rng.choices(words, k=rng.randrange(3, 12)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lm_en = text.kn_ngram_lm(seed.where(F.col("lang") == "en"), order=2)
+    lm_de = text.kn_ngram_lm(seed.where(F.col("lang") == "de"), order=2)
+    out = text.ccnet_pipeline(df, w, {"en": lm_en, "de": lm_de}).collect()
+    assert len(out) == 30
+    assert {r["lang_pred"] for r in out} == {"en", "de"}
+    for lang in ("en", "de"):
+        rows = sorted((r for r in out if r["lang_pred"] == lang),
+                      key=lambda r: r["ppl"])
+        n = len(rows)
+        labels = [r["bucket"] for r in rows]
+        # ordered by ppl, labels must be a head* middle* tail* run
+        assert labels == sorted(labels, key=["head", "middle", "tail"].index)
+        assert labels.count("head") >= n // 4
+        assert labels.count("tail") >= n // 4
+    # unmapped language: dropped without a default, kept with one
+    only_en = text.ccnet_pipeline(df, w, {"en": lm_en}).collect()
+    assert {r["lang_pred"] for r in only_en} == {"en"}
+    with_def = text.ccnet_pipeline(df, w, {"en": lm_en, None: lm_de}).collect()
+    assert len(with_def) == 30
+
+
 # ---------------------------------------------------- Kneser-Ney bigram
 def _py_kn(train_texts, score_docs, discount=0.75, alpha=0.5):
     """Python twin of kn_bigram_lm + kn_bigram_score: same <s>/</s>

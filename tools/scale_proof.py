@@ -230,6 +230,21 @@ def _q_kn_trigram(spark, sf_dir):
     return t.kn_ngram_score(docs, model)
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = t.kn_bigram_lm(docs)
+    scored = t.kn_bigram_score(docs, model)
+    tagged = scored.join(
+        docs.select("doc_id", t.lang_id(F.col("text")).alias("lang")),
+        "doc_id",
+    )
+    return t.perplexity_buckets(tagged, "lang", "ppl").select(
+        "doc_id", "lang", "bucket"
+    )
+
+
 def _q_kn_order5(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -312,6 +327,10 @@ EXTRA_QUERIES = {
     # corpus-scaled aggregate; scoring probes 4 context shapes + the
     # unigram per event — 9 key-partitioned joins total
     "kn_order5_ppl": (_q_kn_order5, "documents"),
+    # CCNet head/middle/tail stratification: LM scoring + one
+    # per-language threshold aggregate (groups enumerable) broadcast
+    # back over a pure map labeling pass
+    "ccnet_buckets": (_q_ccnet_buckets, "documents"),
 }
 
 
@@ -504,7 +523,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
             "dsir_sample", "kn_bigram_ppl", "kn_trigram_ppl",
-            "kn_order5_ppl",
+            "kn_order5_ppl", "ccnet_buckets",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
