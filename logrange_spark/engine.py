@@ -238,11 +238,11 @@ class Engine:
         with self._src_lock(src):
             with self._write_lock:
                 batch = normalize_batch(tags, fields, events, self.seq_state)
-                if batch.rows:
+                if len(batch):
                     self.seq_state.save()
-            if not batch.rows:
+            if not len(batch):
                 return {"src": batch.src, "tag_line": batch.tag_line, "records": 0}
-            stats = self._write_chunk_file(batch.src, batch.rows)
+            stats = self._write_chunk_file(batch.src, batch)
             with self._write_lock:
                 self._register_partition(batch.src, batch.tag_line)
                 self._record_chunks(batch.src, [stats])
@@ -252,14 +252,17 @@ class Engine:
             "tag_line": batch.tag_line,
             "first_seq": batch.first_seq,
             "last_seq": batch.last_seq,
-            "records": len(batch.rows),
+            "records": len(batch),
         }
 
-    def _write_chunk_file(self, src: str, rows: list[tuple]) -> dict:
-        """Write one batch as ONE parquet file (the chunk analogue) via
-        pyarrow, returning its stats for the chunk catalog. Written to a
-        dot-prefixed temp name (invisible to Spark's file listing) and
-        os.replace'd into place, so readers never see a partial file."""
+    def _write_chunk_file(self, src: str, batch) -> dict:
+        """Write one NormalizedBatch as ONE parquet file (the chunk
+        analogue) via pyarrow, returning its stats for the chunk catalog.
+        Written to a dot-prefixed temp name (invisible to Spark's file
+        listing) and os.replace'd into place, so readers never see a
+        partial file. The batch is columnar already — arrays build with
+        no per-row python work, the constant tags/tag_line columns are
+        list-multiplied references, seq is the reserved range."""
         import uuid
 
         import pyarrow as pa
@@ -269,18 +272,21 @@ class Engine:
         os.makedirs(part_dir, exist_ok=True)
         name = f"batch-{uuid.uuid4().hex}.parquet"
         kv = pa.map_(pa.string(), pa.string())
-        ts = [r[0] for r in rows]
+        n = len(batch)
+        titems = list(batch.tags.items())
         # LOG_SCHEMA order (ts,msg,fields,tags,tag_line,src,seq); src is
         # the directory partition key and stays out of the file, matching
         # Spark's partitionBy layout
         table = pa.table(
             {
-                "ts": pa.array(ts, pa.int64()),
-                "msg": pa.array([r[1] for r in rows], pa.string()),
-                "fields": pa.array([list(r[2].items()) for r in rows], kv),
-                "tags": pa.array([list(r[3].items()) for r in rows], kv),
-                "tag_line": pa.array([r[4] for r in rows], pa.string()),
-                "seq": pa.array([r[6] for r in rows], pa.int64()),
+                "ts": pa.array(batch.ts, pa.int64()),
+                "msg": pa.array(batch.msg, pa.string()),
+                "fields": pa.array(batch.fields, kv),
+                "tags": pa.array([titems] * n, kv),
+                "tag_line": pa.array([batch.tag_line] * n, pa.string()),
+                "seq": pa.array(
+                    range(batch.first_seq, batch.last_seq + 1), pa.int64()
+                ),
             }
         )
         tmp = os.path.join(part_dir, f".{name}.tmp")
@@ -294,8 +300,9 @@ class Engine:
             raise
         fpath = os.path.join(part_dir, name)
         os.replace(tmp, fpath)
-        return {"chunk": name, "records": len(rows),
-                "size": os.path.getsize(fpath), "min_ts": min(ts), "max_ts": max(ts)}
+        return {"chunk": name, "records": n,
+                "size": os.path.getsize(fpath),
+                "min_ts": min(batch.ts), "max_ts": max(batch.ts)}
 
     def append_df(self, df: DataFrame) -> None:
         """Append an already-normalized log DataFrame (pipe destination path).

@@ -28,11 +28,23 @@ from ..model.schema import src_for_tag_line
 
 @dataclass
 class NormalizedBatch:
-    rows: list[tuple]
+    """COLUMNAR normalized batch (ts/msg/fields as parallel lists):
+    the write hot path feeds these straight into pyarrow arrays —
+    no per-row tuple allocation, and the per-batch constants (tags,
+    tag_line, the contiguous seq range) stay one value instead of a
+    column of copies."""
+
+    ts: list[int]
+    msg: list[str]
+    fields: list[dict]
+    tags: dict[str, str]
     src: str
     tag_line: str
     first_seq: int
     last_seq: int
+
+    def __len__(self) -> int:
+        return len(self.ts)
 
 
 class SeqState:
@@ -58,38 +70,38 @@ class SeqState:
         os.replace(tmp, self.path)
 
 
-def _event_tuple(ev: Any) -> tuple[int, str, dict[str, str]]:
-    """Accept (ts_ns, msg), (ts_ns, msg, fields) or dict events."""
-    if isinstance(ev, dict):
-        ts = ev.get("ts")
-        msg = ev.get("msg", "")
-        fields = {str(k): str(v) for k, v in (ev.get("fields") or {}).items()}
-    else:
-        ts = ev[0]
-        msg = ev[1]
-        fields = {str(k): str(v) for k, v in (ev[2] if len(ev) > 2 else {}).items()}
-    if ts is None:
-        ts = time.time_ns()
-    return int(ts), str(msg), fields
-
-
 def normalize_batch(
     tags: str | dict[str, str],
     write_fields: dict[str, str] | None,
     events: Iterable[Any],
     seq_state: SeqState,
 ) -> NormalizedBatch:
+    """Accepts (ts_ns, msg), (ts_ns, msg, fields) or dict events; a
+    None/absent ts stamps ingest time. Field merge: write-level fields
+    WIN on key clash (record fields first, write fields overwrite —
+    mirrors api/rpc/ingestor.go:159-230 first-match lookup)."""
     tmap = parse_tags(tags) if isinstance(tags, str) else {str(k): str(v) for k, v in tags.items()}
     line = tag_line(tmap)
     src = src_for_tag_line(line)
     wfields = {str(k): str(v) for k, v in (write_fields or {}).items()}
 
-    evs = [_event_tuple(e) for e in events]
-    first, last = seq_state.next_range(src, len(evs))
-    rows = []
-    for i, (ts, msg, fields) in enumerate(evs):
+    ts_l: list[int] = []
+    msg_l: list[str] = []
+    f_l: list[dict] = []
+    for ev in events:
+        if isinstance(ev, dict):
+            ts = ev.get("ts")
+            msg = ev.get("msg", "")
+            f = ev.get("fields")
+        else:
+            ts = ev[0]
+            msg = ev[1]
+            f = ev[2] if len(ev) > 2 else None
+        fields = {str(k): str(v) for k, v in f.items()} if f else {}
+        ts_l.append(time.time_ns() if ts is None else int(ts))
+        msg_l.append(msg if type(msg) is str else str(msg))
         # dict-merge: later keys win, so record fields go first and
         # write-level fields overwrite on clash (write-level wins)
-        merged = {**fields, **wfields} if wfields else fields
-        rows.append((ts, msg, merged, tmap, line, src, first + i))
-    return NormalizedBatch(rows, src, line, first, last)
+        f_l.append({**fields, **wfields} if wfields else fields)
+    first, last = seq_state.next_range(src, len(ts_l))
+    return NormalizedBatch(ts_l, msg_l, f_l, tmap, src, line, first, last)

@@ -419,11 +419,11 @@ def test_same_src_writes_become_visible_in_seq_order(engine):
     orig = engine._write_chunk_file
     commits = []
 
-    def instrumented(src, rows):
-        if rows[0][1].startswith("slow"):
+    def instrumented(src, batch):
+        if batch.msg[0].startswith("slow"):
             time.sleep(0.6)  # first-reserved batch is slowest to write
-        st = orig(src, rows)
-        commits.append(rows[0][6])  # first seq of the batch
+        st = orig(src, batch)
+        commits.append(batch.first_seq)
         return st
 
     engine._write_chunk_file = instrumented
