@@ -357,6 +357,114 @@ def repetition_stats(
     )
 
 
+# Gopher's document-level quality rules (Rae et al. 2021 table A1 —
+# the filters `repetition_stats` above does NOT cover): word-count and
+# mean-word-length bounds, symbol-to-word ratio ('#' and ellipses),
+# bullet-start / ellipsis-end line fractions, alphabetic-word fraction
+# and stop-word presence. All pure per-row array expressions — a map
+# stage that scans 100 TB at parquet speed, like its sibling.
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_quality_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stopword_hits) — the Gopher
+    rule signals per document. Conventions: words are the lowercased
+    whitespace tokens (`tokens`), lines the trimmed non-empty lines,
+    symbols are '#' plus each '...'/'…' occurrence, a word is
+    alphabetic if it contains [a-z], and ``stopword_hits`` counts how
+    many DISTINCT Gopher stop words appear. Null text = empty text
+    (zero words — callers' min-word gates reject it, the signals stay
+    total)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        c.alias("_text"),
+        tokens(c).alias("_w"),
+        doc_lines(c).alias("_l"),
+    )
+    w, l, t = F.col("_w"), F.col("_l"), F.col("_text")
+    zero = F.lit(0).cast("long")
+    n_words = F.size(w)
+    n_lines = F.size(l)
+    word_chars = F.aggregate(w, zero, lambda a, x: a + F.length(x).cast("long"))
+    mean_word_len = F.when(
+        n_words > 0, word_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_word_ratio = F.when(
+        n_words > 0, (n_hash + n_ell).cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    bullets = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    bullet = F.size(
+        F.filter(l, lambda x: F.exists(bullets, lambda b: x.startswith(b)))
+    )
+    ell_end = F.size(
+        F.filter(l, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(
+        n_lines > 0, ell_end.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def gopher_gate(
+    stats: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """``gopher_quality_stats`` rows + ``gopher_pass`` under the
+    paper's published default thresholds (every bound a keyword). A
+    document passes only if EVERY rule holds — the Gopher composition.
+    """
+    ok = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return stats.select("*", ok.alias("gopher_pass"))
+
+
 # PII redaction patterns — restricted to syntax Java regex and RE2 (the
 # DuckDB oracle engine) interpret identically: no lookarounds, no \p
 # classes, explicit char classes. Applied in a fixed order (emails first:

@@ -3193,6 +3193,67 @@ def test_bpe_segment_oov_fallback(spark):
     assert r["pieces"][9:] == ["low"] and r["n_pieces"] == 10
 
 
+# ------------------------------------------------------ Gopher doc rules
+def test_gopher_quality_stats_twin(spark):
+    """Every table-A1 signal matches a python twin on crafted +
+    randomized docs, and the gate applies the published defaults."""
+    import random
+    import re
+
+    def twin(txt):
+        t = txt or ""
+        w = [x for x in t.lower().strip().split() if x]
+        lines = [x.strip() for x in t.split("\n") if x.strip()]
+        nw, nl = len(w), len(lines)
+        mean = sum(len(x) for x in w) / nw if nw else 0.0
+        sym = t.count("#") + t.count("...") + t.count("…")
+        bullet = sum(1 for x in lines
+                     if any(x.startswith(b) for b in text.GOPHER_BULLETS))
+        ell = sum(1 for x in lines if x.endswith("...") or x.endswith("…"))
+        alpha = sum(1 for x in w if re.search("[a-z]", x))
+        stops = len(set(w) & set(text.GOPHER_STOPWORDS))
+        r6 = lambda v: round(v, 6)
+        return (nw, r6(mean), r6(sym / nw if nw else 0.0),
+                r6(bullet / nl if nl else 0.0), r6(ell / nl if nl else 0.0),
+                r6(alpha / nw if nw else 0.0), stops)
+
+    rng = random.Random(17)
+    crafted = [
+        "the quick brown foxes jumped over those lazy hounds with "
+        "style and that was clearly fine to be honest",
+        "• one\n• two\n• three\nplain line",
+        "wait...\nmore…\nno dots here",
+        "#### ## # lots of symbols # and more...",
+        "123 456 789 000",
+        "",
+        None,
+        "- bullet\n* star\n▪ square",
+    ]
+    words = ["the", "cat", "sat...", "#tag", "123", "•x", "be", "of"]
+    rand = ["\n".join(" ".join(rng.choices(words, k=rng.randrange(1, 9)))
+                      for _ in range(rng.randrange(1, 5)))
+            for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(crafted + rand)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                         r["symbol_word_ratio"], r["bullet_line_frac"],
+                         r["ellipsis_line_frac"], r["alpha_word_frac"],
+                         r["stopword_hits"])
+           for r in text.gopher_quality_stats(df).collect()}
+    for did, txt in rows:
+        assert got[did] == twin(txt), (did, txt, got[did], twin(txt))
+
+    gated = {r["doc_id"]: r["gopher_pass"]
+             for r in text.gopher_gate(text.gopher_quality_stats(df)).collect()}
+    # crafted doc 0 fails only on word count (14 < 50); relax min_words
+    assert gated[0] is False
+    relaxed = {r["doc_id"]: r["gopher_pass"] for r in text.gopher_gate(
+        text.gopher_quality_stats(df), min_words=5).collect()}
+    assert relaxed[0] is True
+    assert relaxed[4] is False  # all-numeric: alpha_word_frac = 0
+    assert relaxed[5] is False and relaxed[6] is False  # empty/null
+
+
 # ------------------------------------------------- CCNet stratification
 def test_perplexity_buckets_twin(spark):
     """Per-group tercile bucketing matches a numpy twin (Spark's exact
