@@ -1424,6 +1424,66 @@ FROM terms t LEFT JOIN dots d USING (doc_id)
 """.strip()
 
 
+def _q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher table-A1 document-rule signals
+    (ops/text.gopher_quality_stats, Rae et al. 2021) — word bounds
+    inputs, symbol/bullet/ellipsis/alpha fractions, stop-word
+    presence — a pure map stage with a full DuckDB recomputation."""
+    return text.gopher_quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def _gopher_stats_sql() -> str:
+    from logrange_spark.ops.text import GOPHER_BULLETS, GOPHER_STOPWORDS
+
+    bullets = " OR ".join(
+        f"starts_with(x, '{b}')" for b in GOPHER_BULLETS
+    )
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH g AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+parts AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(lower(trim(t)), '\\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS l
+  FROM g),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words, len(l) AS n_lines,
+         list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
+                     (a, b) -> a + b) AS word_chars,
+         length(t) - length(replace(t, '#', ''))
+           + (length(t) - length(replace(t, '...', ''))) / 3
+           + length(t) - length(replace(t, '…', '')) AS n_sym,
+         len(list_filter(l, x -> {bullets})) AS n_bullet,
+         len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…')))
+           AS n_ell,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(w), [{stops}])) AS n_stop
+  FROM parts)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       round(CASE WHEN n_words > 0
+                  THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6)
+         AS mean_word_len,
+       round(CASE WHEN n_words > 0
+                  THEN n_sym / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6)
+         AS symbol_word_ratio,
+       round(CASE WHEN n_lines > 0
+                  THEN n_bullet / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6)
+         AS bullet_line_frac,
+       round(CASE WHEN n_lines > 0
+                  THEN n_ell / CAST(n_lines AS DOUBLE) ELSE 0.0 END, 6)
+         AS ellipsis_line_frac,
+       round(CASE WHEN n_words > 0
+                  THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END, 6)
+         AS alpha_word_frac,
+       CAST(n_stop AS INT) AS stopword_hits
+FROM m
+""".strip()
+
+
 # Pinned one-vs-rest language models for the lang_predict oracle row:
 # class j's weights reuse the quality formula with the feature index
 # SALTED by j (so the three models are distinct but equally pinned),
@@ -1696,9 +1756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles": _q_order_price_percentiles,
         "nations_without_suppliers": _q_nations_without_suppliers,
         "events_funnel": _q_events_funnel,
-        # training-data pipeline: dedup
+        # training-data pipeline: dedup (dedup_lsh_candidates rotated
+        # out r10 — a strict sub-stage of dedup_near_duplicates, which
+        # stays; see SURVEY §8's rotation map)
         "dedup_exact": _q_dedup_exact,
-        "dedup_lsh_candidates": _q_lsh_candidates,
         "dedup_near_duplicates": _q_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1715,8 +1776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         # round-10 rotation IN: trained language-ID prediction (pinned
         # per-class weights; events_range_join rotated OUT — time-join
-        # shape stays covered by events_asof)
+        # shape stays covered by events_asof) and the Gopher table-A1
+        # document rules (for dedup_lsh_candidates)
         "lang_predict": _q_lang_predict,
+        "gopher_stats": _q_gopher_stats,
         # event-time streaming ops (batch-checkable session windows)
         "events_sessions": _q_events_sessions,
         # training-data pipeline: C4-style template cleaning (late r8)
@@ -1780,8 +1843,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_corr_window": _q_events_corr_window,
         "revenue_by_segment": _q_revenue_by_segment,
         "text_bpe_tokens": _q_text_bpe_tokens,
-        # round-10 rotation (for lang_predict)
+        # round-10 rotation (for lang_predict / gopher_stats)
         "events_range_join": _q_events_range_join,
+        "dedup_lsh_candidates": _q_lsh_candidates,
     }
 
 
@@ -2391,7 +2455,8 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""".strip(),
     "text_bpe_tokens": _bpe_tokens_sql(),
-    # round-10 rotation — oracle preserved verbatim from oracle_sql()
+    # round-10 rotation — oracles preserved verbatim from oracle_sql()
+    "dedup_lsh_candidates": _lsh_pairs_sql(),
     "events_range_join": f"""
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
            WHERE event_type = 'purchase'),
@@ -2550,7 +2615,6 @@ FROM per_user GROUP BY 1
 SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
        count(*) AS dup_count
 FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
-        "dedup_lsh_candidates": _lsh_pairs_sql(),
         "dedup_near_duplicates": _near_dup_sql(0.8),
         "dedup_clusters": _clusters_sql(0.8),
         "dedup_simhash_pairs": _simhash_sql(3),
@@ -2568,6 +2632,7 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "quality_score": _quality_score_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "lang_predict": _lang_predict_sql(),
+        "gopher_stats": _gopher_stats_sql(),
         "contamination": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "text_unigram_ppl": _unigram_sql(),
