@@ -716,6 +716,73 @@ def near_duplicate_clusters(
     )
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(cluster_id, keep_id, keep_score, size) — the highest-QUALITY
+    member of each duplicate cluster (score ties → min id), the
+    production refinement of keep-first dedup: when a page exists as a
+    clean original plus a mangled scrape, min-id keep-first retains
+    whichever was crawled first, while quality-aware selection retains
+    the copy a trained quality model scores best (the convention of the
+    large curated corpora — near-dup clusters keep their best-scoring
+    document, cf. SemDeDup's keep-one-per-ε-ball with a chooseable
+    keep rule, Abbas et al. 2303.09540 §3).
+
+    ``clusters`` is any (id, cluster_id) map (`near_duplicate_clusters`,
+    or exact/semantic cluster outputs); ``scores`` is (id, score) from
+    e.g. ``quality_classifier_score``. Documents missing from ``scores``
+    participate with score −∞ (they lose to every scored member; among
+    only-unscored members the min id wins) so the result is total over
+    ``clusters`` regardless of scorer coverage.
+
+    100 TB shape: one inner shuffle join on id (both sides corpus-sized,
+    AQE-handled), then ONE map-side-partial ``min_by`` aggregate on
+    cluster_id — no window sort, no per-cluster pair expansion; linear
+    in corpus size. The (−score, id) struct ordering computes argmax
+    with deterministic tie-break in a single agg.
+    """
+    s = scores.select(
+        F.col(id_col), F.col(score_col).cast("double").alias("_q")
+    )
+    joined = clusters.join(s, id_col, "left").select(
+        "cluster_id",
+        F.col(id_col),
+        F.coalesce("_q", F.lit(float("-inf"))).alias("_q"),
+    )
+    ordk = F.struct(
+        (-F.col("_q")).alias("nq"), F.col(id_col).alias("i")
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.min_by(F.col(id_col), ordk).alias("keep_id"),
+        F.max("_q").alias("keep_score"),
+        F.count(F.lit(1)).alias("size"),
+    )
+
+
+def keep_best_drops(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """The ids to DROP under keep-BEST dedup: every document that is not
+    its cluster's highest-scoring member (ties → min id). One id per
+    row, O(n) output; feed to a ``left_anti`` join exactly like
+    ``near_duplicate_drops``. Singleton clusters never drop."""
+    keep = cluster_representatives(
+        clusters, scores, id_col, score_col
+    ).select("cluster_id", "keep_id")
+    return (
+        clusters.join(keep, "cluster_id")
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+
+
 # -------------------------------------------------- substring-level dedup
 # Cross-document repeated-SPAN detection and removal — the "exact
 # substring dedup" step of LLM data prep (Lee et al., "Deduplicating

@@ -512,3 +512,55 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(int(k))
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order
+    reproducibility: adds ``shard_id`` (0..n_shards−1) and ``shard_pos``
+    (1-based dense position within the shard). Training runs read shards
+    in (shard_id, shard_pos) order and see the SAME document order on
+    every rerun, any cluster size, any input partitioning — the property
+    ``df.repartition(n).write`` does NOT give (round-robin repartition
+    is layout-dependent) and RNG shuffles only give for a fixed
+    partitioning.
+
+    Both the shard assignment and the within-shard order derive from the
+    md5 hex bucket of (salt|id) — the same engine-portable primitive as
+    ``hash_split``, so an auditor can re-derive the full order in any
+    engine. Ordering key is the FULL 32-hex digest (collisions break to
+    id), shard is the first-8-hex value mod ``n_shards``.
+
+    100 TB shape: hashing and shard assignment are pure map-side
+    Columns; the only shuffle is the per-shard ``row_number`` window —
+    one hash partition + per-shard sort, which is exactly the physical
+    work writing ordered shards requires anyway. Hash sharding keeps
+    shards within ~±3σ of corpus/n_shards rows (uniform multinomial),
+    so no shard straggles. To materialize:
+    ``shard_corpus(df, n).repartition(n, "shard_id")
+    .sortWithinPartitions("shard_pos").write.partitionBy("shard_id")``.
+
+    Null ids hash as the empty string (total, deterministic) — dedupe
+    ids upstream if distinct placement matters.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    digest = F.md5(F.concat(F.lit(f"{salt}|"), sid))
+    shard = F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(n_shards)),
+    ).cast("int")
+    keyed = df.select(
+        "*", shard.alias("shard_id"), digest.alias("_okey")
+    )
+    w = Window.partitionBy("shard_id").orderBy("_okey", id_col)
+    return keyed.select(
+        "*", F.row_number().over(w).alias("shard_pos")
+    ).drop("_okey")

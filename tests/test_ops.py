@@ -3769,3 +3769,100 @@ def test_dsir_exhaustive_k_returns_all(spark):
     got = sorted(r["doc_id"] for r in
                  sampling.dsir_sample(docs, docs.limit(3), k=100).collect())
     assert got == sorted([*range(12), 99])
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Quality-aware representative selection: highest score wins, score
+    ties break to min id, unscored members lose to any scored one, and
+    an all-unscored cluster falls back to min id (total coverage)."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, None), (5, 0.7), (6, 0.7)],
+        "doc_id long, score double")
+    reps = {r["cluster_id"]: (r["keep_id"], r["keep_score"], r["size"])
+            for r in dedup.cluster_representatives(clusters, scores).collect()}
+    assert reps[1] == (2, 0.9, 3)
+    assert reps[4] == (4, float("-inf"), 1)  # singleton, unscored
+    assert reps[5] == (5, 0.7, 2)            # tie -> min id
+    assert reps[7] == (7, float("-inf"), 2)  # all-unscored cluster
+    drops = {r["doc_id"]
+             for r in dedup.keep_best_drops(clusters, scores).collect()}
+    assert drops == {1, 3, 6, 8}
+    # complement: keeps ∪ drops = all ids, disjoint
+    keeps = {v[0] for v in reps.values()}
+    assert keeps | drops == set(range(1, 9)) and not (keeps & drops)
+
+
+def test_cluster_representatives_duckdb_twin(spark):
+    """Differential vs a DuckDB window recomputation on a randomized
+    cluster/score set with partial scorer coverage."""
+    import duckdb
+
+    n = 300
+    cl_rows = [(i, i % 37) for i in range(n)]
+    sc_rows = [(i, ((i * 13) % 97) / 100.0) for i in range(n) if i % 5 != 0]
+    clusters = spark.createDataFrame(cl_rows, "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(sc_rows, "doc_id long, score double")
+    got = sorted(
+        (r["cluster_id"], r["keep_id"], r["keep_score"], r["size"])
+        for r in dedup.cluster_representatives(clusters, scores).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cl(doc_id BIGINT, cluster_id BIGINT)")
+    con.executemany("INSERT INTO cl VALUES (?, ?)", cl_rows)
+    con.execute("CREATE TABLE sc(doc_id BIGINT, score DOUBLE)")
+    con.executemany("INSERT INTO sc VALUES (?, ?)", sc_rows)
+    exp = con.execute("""
+        SELECT cluster_id, keep_id, keep_score, size FROM (
+          SELECT cluster_id, cl.doc_id AS keep_id,
+                 coalesce(score, '-infinity'::DOUBLE) AS keep_score,
+                 count(*) OVER (PARTITION BY cluster_id) AS size,
+                 row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY coalesce(score, '-infinity'::DOUBLE) DESC,
+                            cl.doc_id) AS rn
+          FROM cl LEFT JOIN sc ON cl.doc_id = sc.doc_id)
+        WHERE rn = 1 ORDER BY cluster_id""").fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
+def test_shard_corpus_deterministic_dense_total(spark):
+    from logrange_spark.ops import sampling
+    import hashlib
+
+    n_shards, n = 7, 500
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = sampling.shard_corpus(df, n_shards).collect()
+    assert len(out) == n
+    m1 = {r["doc_id"]: (r["shard_id"], r["shard_pos"]) for r in out}
+    # dense 1..k positions per shard
+    by_shard: dict[int, list[int]] = {}
+    for sid, pos in m1.values():
+        assert 0 <= sid < n_shards
+        by_shard.setdefault(sid, []).append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # layout-independent: identical mapping from a repartitioned input
+    m2 = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+          for r in sampling.shard_corpus(df.repartition(13), n_shards).collect()}
+    assert m1 == m2
+    # python twin: full md5 ordering, first-8-hex shard assignment
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for i in range(n):
+        d = hashlib.md5(f"|{i}".encode()).hexdigest()
+        buckets.setdefault(int(d[:8], 16) % n_shards, []).append((d, i))
+    exp = {}
+    for sid, lst in buckets.items():
+        for pos, (_, i) in enumerate(sorted(lst), 1):
+            exp[i] = (sid, pos)
+    assert m1 == exp
+    # salt changes the order; n_shards=1 is a total order; 0 rejected
+    m3 = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+          for r in sampling.shard_corpus(df, n_shards, salt="s2").collect()}
+    assert m3 != m1
+    one = sampling.shard_corpus(df, 1)
+    assert one.where("shard_id <> 0").count() == 0
+    assert one.agg(F.max("shard_pos")).collect()[0][0] == n
+    with pytest.raises(ValueError):
+        sampling.shard_corpus(df, 0)

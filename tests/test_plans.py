@@ -67,7 +67,9 @@ def test_pricing_summary_prunes_columns(spark):
 def test_lsh_join_is_hash_join_not_nested_loop(spark):
     import __spark_entry__ as entry
 
-    plan = plan_of(entry.queries()["dedup_lsh_candidates"](spark, SF_DIR))
+    # rotated to retired_queries() in r10 — the op itself still benches
+    q = {**entry.retired_queries(), **entry.queries()}
+    plan = plan_of(q["dedup_lsh_candidates"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
