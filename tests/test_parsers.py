@@ -101,3 +101,110 @@ def test_logfmt_stream_key_collision(spark):
     f = rows[0]["fields"]
     assert f["stream"] == "ingest"  # body value, not the envelope's stderr
     assert f["level"] == "info"
+
+
+# ----------------------------------------------------- WARC / WET sources
+
+
+def _wet_bytes(records: list[tuple[str, str]], crlf: bool = True) -> bytes:
+    """Build a spec-shaped WET file: warcinfo preamble + one conversion
+    record per (uri, text)."""
+    nl = "\r\n" if crlf else "\n"
+    info = "software: test"
+    buf = (
+        f"WARC/1.0{nl}WARC-Type: warcinfo{nl}"
+        f"Content-Length: {len(info.encode())}{nl}{nl}{info}{nl}{nl}"
+    ).encode("utf-8")
+    for k, (uri, text) in enumerate(records):
+        body = text.encode("utf-8")  # byte-accurate length for unicode
+        buf += (
+            f"WARC/1.0{nl}WARC-Type: conversion{nl}"
+            f"WARC-Target-URI: {uri}{nl}"
+            f"WARC-Date: 2020-01-0{k + 1}T00:00:00Z{nl}"
+            f"WARC-Record-ID: <urn:uuid:rec-{k}>{nl}"
+            f"WARC-Block-Digest: sha1:D{k}{nl}"
+            f"Content-Length: {len(body)}{nl}{nl}"
+        ).encode("utf-8") + body + (nl + nl).encode()
+    return buf
+
+
+def test_read_wet_plain_gzip_and_lf(spark, tmp_path):
+    """WET records parse identically from plain, gzip, and LF-framed
+    files; warcinfo is skipped; unicode lengths are byte-accurate."""
+    import gzip as _gz
+
+    from logrange_spark.ingest import wet
+
+    recs = [
+        ("http://a.example/x", "hello world\n\nsecond paragraph"),
+        ("http://b.example/y", "café — ünïcode § text"),
+        ("http://c.example/z", ""),
+    ]
+    raw = _wet_bytes(recs)
+    (tmp_path / "f1.wet").write_bytes(raw)
+    (tmp_path / "f2.wet.gz").write_bytes(_gz.compress(raw))
+    (tmp_path / "f3.wet").write_bytes(_wet_bytes(recs, crlf=False))
+    df = wet.read_wet(spark, str(tmp_path), glob="*.wet*")
+    rows = df.collect()
+    assert len(rows) == 9  # 3 records x 3 files, no warcinfo
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    for fname, rs in by_file.items():
+        got = sorted((r["target_uri"], r["text"]) for r in rs)
+        assert got == sorted(recs), fname
+        for r in rs:
+            assert r["content_length"] == len(r["text"].encode("utf-8"))
+            assert r["record_id"].startswith("<urn:uuid:rec-")
+            assert r["digest"].startswith("sha1:D")
+            assert r["warc_date"].startswith("2020-01-0")
+    # plain and gzip variants agree on decompressed offsets
+    offs = {f: sorted(r["record_offset"] for r in rs)
+            for f, rs in by_file.items()}
+    assert offs["f1.wet"] == offs["f2.wet.gz"]
+
+
+def test_read_wet_truncated_tail_keeps_prefix(spark, tmp_path):
+    from logrange_spark.ingest import wet
+
+    recs = [("http://a/1", "first record"), ("http://a/2", "second record")]
+    raw = _wet_bytes(recs)
+    (tmp_path / "t.wet").write_bytes(raw[:-8])  # cut into the LAST body
+    rows = wet.read_wet(spark, str(tmp_path)).collect()
+    assert [r["target_uri"] for r in rows] == ["http://a/1"]
+
+
+def test_read_warc_response_http_split(spark, tmp_path):
+    """WARC response records: HTTP head parses to status+headers, the
+    payload is byte-exact even when it CONTAINS blank lines (framing is
+    Content-Length, not delimiter scanning); warcinfo/request records
+    and an unparseable HTTP head are handled."""
+    from logrange_spark.ingest import wet
+
+    payload = b"\x89PNG\r\n\r\n<fake binary with blank lines>\r\n\r\nmore"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+            b"X-Test: yes\r\n\r\n" + payload)
+    nohttp = b"not an http response at all"
+    buf = b""
+    for wtype, uri, body in [
+        ("warcinfo", None, b"software: t"),
+        ("request", "http://a/img", b"GET /img HTTP/1.1\r\n\r\n"),
+        ("response", "http://a/img", http),
+        ("response", "http://a/raw", nohttp),
+    ]:
+        hdr = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        if uri:
+            hdr += f"WARC-Target-URI: {uri}\r\n"
+        hdr += f"Content-Length: {len(body)}\r\n\r\n"
+        buf += hdr.encode() + body + b"\r\n\r\n"
+    (tmp_path / "x.warc").write_bytes(buf)
+    rows = {r["target_uri"]: r
+            for r in wet.read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"http://a/img", "http://a/raw"}
+    img = rows["http://a/img"]
+    assert img["http_status"] == 200
+    assert img["http_headers"]["content-type"] == "image/png"
+    assert bytes(img["payload"]) == payload
+    raw = rows["http://a/raw"]
+    assert raw["http_status"] is None and raw["http_headers"] is None
+    assert bytes(raw["payload"]) == nohttp
