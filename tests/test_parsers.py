@@ -208,3 +208,15 @@ def test_read_warc_response_http_split(spark, tmp_path):
     raw = rows["http://a/raw"]
     assert raw["http_status"] is None and raw["http_headers"] is None
     assert bytes(raw["payload"]) == nohttp
+
+
+def test_read_wet_plan_is_shuffle_free(spark, tmp_path):
+    """The WARC/WET sources are pure file-parallel map plans — zero
+    Exchange; parallelism = file count, the unit CommonCrawl shards by."""
+    from logrange_spark.ingest import wet
+
+    (tmp_path / "p.wet").write_bytes(_wet_bytes([("http://a/1", "x")]))
+    for df in (wet.read_wet(spark, str(tmp_path)),
+               wet.read_warc(spark, str(tmp_path))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

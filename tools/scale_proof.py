@@ -285,6 +285,23 @@ def _q_quality_classifier(spark, sf_dir):
     return t.quality_classifier_score(docs, w)
 
 
+def _q_keep_best(spark, sf_dir):
+    from logrange_spark.ops import dedup
+    from logrange_spark.ops import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = dedup.near_duplicate_clusters(docs, "doc_id", "text", 0.8)
+    sc = docs.select("doc_id", t.quality_score(F.col("text")).alias("score"))
+    return dedup.cluster_representatives(cl, sc)
+
+
+def _q_shard_corpus(spark, sf_dir):
+    from logrange_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.shard_corpus(docs, 32)
+
+
 EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
@@ -331,6 +348,13 @@ EXTRA_QUERIES = {
     # per-language threshold aggregate (groups enumerable) broadcast
     # back over a pure map labeling pass
     "ccnet_buckets": (_q_ccnet_buckets, "documents"),
+    # keep-best dedup: the shared cluster stage + one id-keyed left
+    # join + one map-side-partial min_by aggregate — linear on top of
+    # dedup_clusters
+    "keep_best_dedup": (_q_keep_best, "documents"),
+    # deterministic sharding: map-side hash columns + ONE hash exchange
+    # + per-shard sort (the row_number window) — linear
+    "shard_corpus": (_q_shard_corpus, "documents"),
 }
 
 
