@@ -3866,3 +3866,65 @@ def test_shard_corpus_deterministic_dense_total(spark):
     assert one.agg(F.max("shard_pos")).collect()[0][0] == n
     with pytest.raises(ValueError):
         sampling.shard_corpus(df, 0)
+
+
+def test_corpus_report_exact_python_twin(spark):
+    """The data-card numbers vs a direct python recomputation, with
+    null/empty/duplicate docs in the mix; exact percentiles match
+    numpy's linear interpolation (Spark `percentile` semantics)."""
+    import hashlib
+
+    import numpy as np
+
+    from logrange_spark.ops import report
+
+    texts = [
+        "the quick brown fox", "the quick brown fox",  # exact dup
+        "  ", None, "",                                 # empties
+        "one two three four five six",
+        "alpha beta gamma", "alpha beta gamma",         # exact dup
+        "solo",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    row = report.corpus_report(df).collect()[0]
+    toks = [(t or "").lower().split() for t in texts]
+    nts = [len(t) for t in toks]
+    hashes = {hashlib.md5((t or "").encode()).hexdigest() for t in texts}
+    assert row["n_docs"] == len(texts)
+    assert row["n_empty_docs"] == 3
+    assert row["distinct_docs"] == len(hashes)
+    assert row["dup_frac"] == pytest.approx(
+        (len(texts) - len(hashes)) / len(texts))
+    assert row["total_tokens"] == sum(nts)
+    assert row["total_chars"] == sum(len(t or "") for t in texts)
+    assert row["tokens_p50"] == pytest.approx(np.percentile(nts, 50))
+    assert row["tokens_p95"] == pytest.approx(np.percentile(nts, 95))
+    assert row["tokens_max"] == max(nts)
+    assert row["vocab_size"] == len({w for t in toks for w in t})
+
+
+def test_corpus_report_approx_within_tolerance(spark):
+    """Sketch mode (HLL vocab + approx percentiles) lands within
+    tolerance of exact on a corpus with a known vocabulary."""
+    from logrange_spark.ops import report
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 500}" for j in range(20)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = report.corpus_report(df).collect()[0]
+    approx = report.corpus_report(df, approx=True, rsd=0.02).collect()[0]
+    assert exact["vocab_size"] == 500
+    assert abs(approx["vocab_size"] - 500) <= 500 * 0.06
+    assert approx["tokens_p50"] == pytest.approx(exact["tokens_p50"], abs=1)
+    assert approx["n_docs"] == exact["n_docs"] == 400
+    assert approx["dup_frac"] == exact["dup_frac"] == 0.0
+
+
+def test_corpus_report_empty_corpus(spark):
+    from logrange_spark.ops import report
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = report.corpus_report(df).collect()[0]
+    assert row["n_docs"] == 0 and row["distinct_docs"] == 0
+    assert row["dup_frac"] == 0.0 and row["vocab_size"] == 0

@@ -302,6 +302,14 @@ def _q_shard_corpus(spark, sf_dir):
     return sampling.shard_corpus(docs, 32)
 
 
+def _q_corpus_report(spark, sf_dir):
+    from logrange_spark.ops import report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # approx: the 100 TB posture (sketch percentiles + HLL vocabulary)
+    return report.corpus_report(docs, approx=True)
+
+
 EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
@@ -355,6 +363,10 @@ EXTRA_QUERIES = {
     # deterministic sharding: map-side hash columns + ONE hash exchange
     # + per-shard sort (the row_number window) — linear
     "shard_corpus": (_q_shard_corpus, "documents"),
+    # data card: one doc-grain partial agg (+ md5 count_distinct) + one
+    # token-grain agg; the two ONE-ROW results attach by broadcast
+    # crossJoin (exempt below)
+    "corpus_report": (_q_corpus_report, "documents"),
 }
 
 
@@ -547,7 +559,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
             "ann_cosine_topk", "ann_pq_topk", "text_unigram_ppl",
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
             "dsir_sample", "kn_bigram_ppl", "kn_trigram_ppl",
-            "kn_order5_ppl", "ccnet_buckets",
+            "kn_order5_ppl", "ccnet_buckets", "corpus_report",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
