@@ -295,11 +295,18 @@ def _q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the mergeable partial aggregation that replaces exact distinct at
     100 TB) without comparing register-level internals."""
     ev = _t(spark, sf_dir, "events")
+    # the HLL sketch aggregates in its OWN branch: mixed with the exact
+    # countDistinct, Spark re-keys partials by (event_type, user_id) and
+    # allocates one HLL buffer per DISTINCT USER instead of one per
+    # (partition, event_type) — the exact pathology the sketch exists to
+    # avoid (same finding as ops/report.corpus_report, see SCALE.md)
+    hll = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
     agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
-    )
+    ).join(F.broadcast(hll), "event_type")
     return agg.select(
         "event_type",
         "exact_users",
