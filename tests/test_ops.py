@@ -3928,3 +3928,60 @@ def test_corpus_report_empty_corpus(spark):
     row = report.corpus_report(df).collect()[0]
     assert row["n_docs"] == 0 and row["distinct_docs"] == 0
     assert row["dup_frac"] == 0.0 and row["vocab_size"] == 0
+
+
+def test_curation_v3_keep_best_and_shard_composition(spark):
+    """Round-10 pieces compose with the existing chain: Gopher gate →
+    near-dup clustering with QUALITY-AWARE representative selection →
+    deterministic sharding — and keep-best provably diverges from
+    keep-first when the higher-quality copy has the larger id."""
+    from logrange_spark.ops import dedup, report, sampling
+
+    # 20 mutually-distinct docs (disjoint vocab + a few shared stopwords
+    # — cross-doc Jaccard « 0.7, so only the planted pairs cluster)
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{i * 40 + j}" for j in range(20))
+            + " the and of it")
+        for i in range(20)
+    ]
+    # pair A: doc 100 is doc 5 mangled with heavy symbol soup — enough
+    # punctuation mass to swamp its token-volume gain, so the LOWER id
+    # is also the higher-quality copy (keep-best agrees with keep-first)
+    rows.append((100, rows[5][1].replace(
+        "the and of", "!!! ??? ;;; ,,, !!! ??? ;;; ,,, the and of !!!")))
+    # pair B: doc 101 is doc 7 plus extra CLEAN stopword-rich text — a
+    # strict token superset (Jaccard ≈ 0.8), strictly higher score, and
+    # the HIGHER id: keep-best must diverge from keep-first here
+    rows.append((101, rows[7][1] + " and then was over for a night"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        gated = text.gopher_gate(text.gopher_quality_stats(docs))
+        clusters = dedup.near_duplicate_clusters(docs, "doc_id", "text", 0.7)
+        scores = docs.select(
+            "doc_id", text.quality_score(F.col("text")).alias("score"))
+        keep = dedup.cluster_representatives(clusters, scores)
+        drops = dedup.keep_best_drops(clusters, scores)
+        kept = docs.join(drops, "doc_id", "left_anti")
+        sharded = sampling.shard_corpus(kept, 4, salt="v3")
+        card = report.corpus_report(kept).collect()[0]
+        return (
+            sorted(r["doc_id"] for r in gated.collect()),
+            sorted((r["cluster_id"], r["keep_id"]) for r in keep.collect()),
+            sorted((r["doc_id"], r["shard_id"], r["shard_pos"])
+                   for r in sharded.collect()),
+            (card["n_docs"], card["distinct_docs"]),
+        )
+
+    g1, k1, s1, c1 = run()
+    g2, k2, s2, c2 = run()
+    assert (g1, k1, s1, c1) == (g2, k2, s2, c2)  # fully deterministic
+    # pair A: symbol soup loses — keep-best retains the clean doc 5
+    keeps = {kid for _, kid in k1}
+    assert 5 in keeps and 100 not in keeps
+    # pair B: the clean SUPERSET copy wins despite the larger id —
+    # keep-best diverges from keep-first (which would retain doc 7)
+    assert 101 in keeps and 7 not in keeps
+    # every kept doc appears exactly once in the shard map
+    kept_ids = {d for d, _, _ in s1}
+    assert len(kept_ids) == len(s1) == c1[0]
