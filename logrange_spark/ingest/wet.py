@@ -119,6 +119,29 @@ def _read_binary(
     return reader.load(path).select("path", "content")
 
 
+def _wet_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out: list[tuple] = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            buf = _maybe_gunzip(bytes(content))
+            for off, h, body in _iter_records(buf):
+                if h.get("warc-type") != "conversion":
+                    continue
+                out.append(
+                    (
+                        p,
+                        off,
+                        h.get("warc-record-id"),
+                        h.get("warc-target-uri"),
+                        h.get("warc-date"),
+                        h.get("warc-block-digest"),
+                        len(body),
+                        body.decode("utf-8", errors="replace"),
+                    )
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in WET_SCHEMA])
+
+
 def read_wet(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
@@ -129,30 +152,41 @@ def read_wet(
     UTF-8 with invalid bytes replaced — WET declares UTF-8 but crawls
     lie. ``record_offset`` is the byte offset in the DECOMPRESSED file,
     a stable per-file record id for downstream dedup keys."""
+    return _read_binary(spark, path, glob).mapInPandas(
+        _wet_batches, WET_SCHEMA
+    )
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out: list[tuple] = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                buf = _maybe_gunzip(bytes(content))
-                for off, h, body in _iter_records(buf):
-                    if h.get("warc-type") != "conversion":
-                        continue
-                    out.append(
-                        (
-                            p,
-                            off,
-                            h.get("warc-record-id"),
-                            h.get("warc-target-uri"),
-                            h.get("warc-date"),
-                            h.get("warc-block-digest"),
-                            len(body),
-                            body.decode("utf-8", errors="replace"),
-                        )
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in WET_SCHEMA])
 
-    return _read_binary(spark, path, glob).mapInPandas(_batches, WET_SCHEMA)
+# binaryFile's fixed schema — streaming file sources require it spelled
+# out (batch infers it)
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def read_wet_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Streaming ``read_wet``: a Structured Streaming source over a
+    landing directory of WET files — the continuous-crawl-ingestion
+    shape. New files become new micro-batch rows through the SAME
+    splitter as the batch reader (streamed output ≡ batch re-read of
+    the same files, pinned by test); the file-source checkpoint gives
+    exactly-once per FILE, the natural unit since a WET file is one
+    crawl shard. Feed into the curation stream or any writeStream sink;
+    use ``trigger(availableNow=True)`` for catch-up-then-stop runs."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARY_FILE_SCHEMA
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path).select("path", "content")
+    return df.mapInPandas(_wet_batches, WET_SCHEMA)
 
 
 def read_warc(

@@ -220,3 +220,39 @@ def test_read_wet_plan_is_shuffle_free(spark, tmp_path):
                wet.read_warc(spark, str(tmp_path))):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_read_wet_stream_matches_batch_and_is_incremental(spark, tmp_path):
+    """Streaming WET ingestion: streamed records ≡ the batch reader on
+    the same files, and a second availableNow pass over the same
+    checkpoint picks up ONLY newly landed files (file-level
+    exactly-once)."""
+    from logrange_spark.ingest import wet
+
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (land / "a.wet").write_bytes(_wet_bytes([("http://a/1", "first doc")]))
+    (land / "b.wet").write_bytes(_wet_bytes([("http://b/1", "second doc"),
+                                             ("http://b/2", "third doc")]))
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (wet.read_wet_stream(spark, str(land))
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["target_uri"], r["text"], r["record_offset"])
+                for r in spark.read.parquet(out).collect()}
+
+    got1 = drain()
+    batch = {(r["target_uri"], r["text"], r["record_offset"])
+             for r in wet.read_wet(spark, str(land)).collect()}
+    assert got1 == batch and len(got1) == 3
+    # land a new file; same checkpoint → only its records are APPENDED
+    (land / "c.wet").write_bytes(_wet_bytes([("http://c/1", "fourth doc")]))
+    got2 = drain()
+    assert {u for u, _, _ in got2 - got1} == {"http://c/1"}
+    assert len(got2) == 4  # no re-ingestion of a/b
