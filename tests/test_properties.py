@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from logrange_spark.compiler.select import CursorToken
@@ -343,3 +343,49 @@ def test_codecs_total_on_noise_property(blob):
     mm.decode_wav_pcm(blob)
     mm.pixel_feature_vec(blob)
     mm.audio_feature_vec(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["conversion", "response", "warcinfo"]),
+            st.binary(min_size=0, max_size=60),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+@example(
+    records=[
+        # a body that IS a complete WARC record — length framing must
+        # deliver it verbatim, not re-split at the nested version line
+        ("response",
+         b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+         b"Content-Length: 2\r\n\r\nxy\r\n\r\n"),
+        ("conversion", b"\r\n\r\ntrailing and leading\r\n"),
+    ],
+    crlf=True,
+)
+def test_warc_record_splitter_roundtrip(records, crlf):
+    """_iter_records recovers every (type, body) from a well-formed file
+    — bodies are arbitrary bytes, including blank lines, CR/LF runs and
+    the literal 'WARC/' marker (Content-Length framing must not care)."""
+    from logrange_spark.ingest.wet import _iter_records
+
+    nl = b"\r\n" if crlf else b"\n"
+    buf = b""
+    for wtype, body in records:
+        buf += (
+            b"WARC/1.0" + nl
+            + b"WARC-Type: " + wtype.encode() + nl
+            + b"Content-Length: " + str(len(body)).encode() + nl + nl
+            + body + nl + nl
+        )
+    got = [(h["warc-type"], body) for _, h, body in _iter_records(buf)]
+    want = [(t, b) for t, b in records]
+    # a body ENDING in CR/LF bytes is indistinguishable from framing at
+    # the next boundary only if the next header still parses — framing
+    # is by Content-Length, so recovery must be exact regardless
+    assert got == want
