@@ -33,6 +33,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 WET_SCHEMA = T.StructType(
@@ -187,6 +188,26 @@ def read_wet_stream(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path).select("path", "content")
     return df.mapInPandas(_wet_batches, WET_SCHEMA)
+
+
+def wet_documents(wet_df: DataFrame, id_salt: str = "") -> DataFrame:
+    """(doc_id, url, text) in the shape every documents-table operator
+    consumes (dedup / text / sampling / report), from ``read_wet`` or
+    ``read_wet_stream`` output. ``doc_id = xxhash64(salt, path,
+    record_offset)`` — a pure map-side column, deterministic across
+    reruns and layouts, unique per crawl record (64-bit; collisions are
+    birthday-negligible below ~10⁹ records — above that, dedup keys on
+    content anyway and the (path, record_offset) pair remains the
+    durable identity). Hash ids make keep-FIRST dedup's min-id rule an
+    arbitrary-but-deterministic choice; keep-BEST
+    (``cluster_representatives``) is unaffected."""
+    return wet_df.select(
+        F.xxhash64(
+            F.lit(id_salt), F.col("path"), F.col("record_offset")
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "text",
+    )
 
 
 def read_warc(

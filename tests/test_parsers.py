@@ -256,3 +256,26 @@ def test_read_wet_stream_matches_batch_and_is_incremental(spark, tmp_path):
     got2 = drain()
     assert {u for u, _, _ in got2 - got1} == {"http://c/1"}
     assert len(got2) == 4  # no re-ingestion of a/b
+
+
+def test_wet_documents_bridge(spark, tmp_path):
+    """WET output flows into the documents-table operator family: ids
+    are deterministic, unique, layout-independent; exact dedup and the
+    data card run unchanged on the bridged frame."""
+    from logrange_spark.ingest import wet
+    from logrange_spark.ops import dedup, report
+
+    recs = [("http://a/1", "same text here"), ("http://a/2", "same text here"),
+            ("http://a/3", "another doc entirely")]
+    (tmp_path / "d.wet").write_bytes(_wet_bytes(recs))
+    docs = wet.wet_documents(wet.read_wet(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 3 and len({r["doc_id"] for r in rows}) == 3
+    again = {r["url"]: r["doc_id"]
+             for r in wet.wet_documents(
+                 wet.read_wet(spark, str(tmp_path)).repartition(5)).collect()}
+    assert again == {r["url"]: r["doc_id"] for r in rows}  # layout-free
+    dups = dedup.exact_duplicates(docs, "doc_id", F.col("text")).collect()
+    assert len(dups) == 1 and dups[0]["dup_count"] == 2
+    card = report.corpus_report(docs).collect()[0]
+    assert card["n_docs"] == 3 and card["distinct_docs"] == 2
