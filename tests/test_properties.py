@@ -306,8 +306,11 @@ def test_jpeg_roundtrip_bounded_property(w, h, seed, subsample):
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quant=1, subsample=subsample))
     assert dec is not None and dec.shape == arr.shape
     if not subsample:
-        # 4:4:4 at quant=1: only DCT rounding
-        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+        # 4:4:4 at quant=1: RGB→YCbCr and YCbCr→RGB each round (±1) and
+        # the quantized DCT round-trip rounds once more (±1) — worst
+        # case 3, and hypothesis does find a 3 on dense random noise
+        # (seed 1832098013 at 20×20); a ≤2 bound was wrong, not the codec
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
 
 
 @settings(max_examples=40, deadline=None)
