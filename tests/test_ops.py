@@ -3985,3 +3985,68 @@ def test_curation_v3_keep_best_and_shard_composition(spark):
     # every kept doc appears exactly once in the shard map
     kept_ids = {d for d, _, _ in s1}
     assert len(kept_ids) == len(s1) == c1[0]
+
+
+def test_html_extract_text_core():
+    """The stdlib extractor: skip containers, block newlines, entity
+    decode, NBSP normalization, title capture, tag-soup totality."""
+    from logrange_spark.ops.html import extract_text
+
+    text, title = extract_text(
+        "<html><head><title> My Page </title><style>p{color:red}</style>"
+        "<script>var x=1;</script></head><body>"
+        "<h1>Heading</h1><p>First&nbsp;para with <b>bold</b> and "
+        "&amp; entity.</p><ul><li>one</li><li>two</li></ul>"
+        "<noscript>hidden</noscript><div>tail</div></body></html>")
+    assert title == "My Page"
+    assert text.splitlines() == [
+        "Heading", "First para with bold and & entity.", "one", "two",
+        "tail"]
+    # malformed soup: unclosed tags, stray closers, no head
+    text2, title2 = extract_text(
+        "<title>T2<p>alpha <i>beta</div></span><p>gamma")
+    assert title2 == "T2"
+    assert "alpha beta" in text2 and "gamma" in text2
+    assert extract_text(None) == (None, None)
+    assert extract_text("")[0] == ""
+
+
+def test_html_documents_end_to_end_from_warc(spark, tmp_path):
+    """WARC response → html_documents → documents-shaped text: the full
+    crawl-to-corpus path, including a meta-charset (latin-1) page and a
+    non-HTML payload (total, empty text)."""
+    from logrange_spark.ingest import wet
+    from logrange_spark.ops import html as ophtml
+    from pyspark.sql import functions as SF
+
+    latin = ("<html><head><meta charset=\"iso-8859-1\"><title>caf\xe9"
+             "</title></head><body><p>caf\xe9 au lait</p>"
+             ).encode("iso-8859-1")
+    pages = [
+        ("http://a/p1", b"<html><body><p>hello world</p>"
+                        b"<script>skip()</script></body></html>"),
+        ("http://a/p2", latin),
+        ("http://a/bin", b"\x00\x01binary junk"),
+    ]
+    buf = b""
+    for uri, payload in pages:
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + payload)
+        buf += (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() \
+            + body + b"\r\n\r\n"
+    (tmp_path / "c.warc").write_bytes(buf)
+    warc = wet.read_warc(spark, str(tmp_path))
+    bridged = warc.select(
+        SF.xxhash64("path", "record_offset").alias("doc_id"),
+        SF.col("target_uri").alias("url"), "payload")
+    docs = {r["url"]: r for r in ophtml.html_documents(bridged).collect()}
+    assert docs["http://a/p1"]["text"] == "hello world"
+    assert docs["http://a/p2"]["title"] == "café"
+    assert docs["http://a/p2"]["text"] == "café au lait"
+    assert docs["http://a/bin"]["text"] is not None  # total, not dropped
+    # no shuffle in the plan — same contract as the WET readers
+    plan = ophtml.html_documents(bridged)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
