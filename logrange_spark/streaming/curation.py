@@ -88,6 +88,7 @@ def start_quality_stream(
     min_logw: float | None = None,
     max_dup_line_frac: float | None = None,
     max_top_ngram_char_frac: float | None = None,
+    gopher_kw: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 32,
@@ -103,10 +104,17 @@ def start_quality_stream(
       gates score the cleaned text).
     - ``max_dup_line_frac`` / ``max_top_ngram_char_frac``: Gopher
       repetition gates (model-free map-side stats).
+    - ``gopher_kw``: the Gopher table-A1 DOCUMENT rules
+      (``gopher_gate`` — word bounds, symbol/bullet/ellipsis/alpha
+      fractions, stop-word presence; also model-free map-side). Pass
+      ``{}`` for the paper's published default thresholds, or
+      keyword overrides; ``None`` (default) disables the gate.
     - ``min_score``: classifier gate against ``weights``.
     - ``ratios`` + ``min_logw``: DSIR importance gate."""
     from ..ops.sampling import dsir_scores
     from ..ops.text import (
+        gopher_gate,
+        gopher_quality_stats,
         quality_classifier_score,
         remove_boilerplate_with,
         repetition_stats,
@@ -137,6 +145,14 @@ def start_quality_stream(
                         <= max_top_ngram_char_frac
                     )
                 batch = batch.join(rep.where(cond).select(id_col), id_col)
+            if gopher_kw is not None:
+                g = gopher_gate(
+                    gopher_quality_stats(batch, id_col, text_col),
+                    **gopher_kw,
+                )
+                batch = batch.join(
+                    g.where(F.col("gopher_pass")).select(id_col), id_col
+                )
             scored = quality_classifier_score(
                 batch, weights, id_col, text_col
             ).select(id_col, "score")

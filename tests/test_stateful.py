@@ -393,3 +393,73 @@ def test_continuous_curation_full_gate_stack(spark, tmp_path):
         assert got[did]["text"] == want[did]["text"]
         assert abs(got[did]["score"] - want[did]["score"]) < 1e-9
         assert abs(got[did]["logw"] - want[did]["logw"]) < 1e-9
+
+
+def test_continuous_curation_gopher_document_gate(spark, tmp_path):
+    """The Gopher table-A1 DOCUMENT rules run as a stream gate
+    (gopher_kw): a doc failing ONLY the word-count bound is dropped
+    even though the classifier likes it; survivors equal the batch
+    recomputation with the same thresholds."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops.text import (
+        gopher_gate,
+        gopher_quality_stats,
+        quality_classifier_score,
+    )
+    from logrange_spark.streaming.curation import (
+        persist_quality_model,
+        start_quality_stream,
+    )
+
+    root = str(tmp_path)
+    wordy = ("the quick brown fox jumps over the lazy dog and then "
+             "runs away into the green field while birds watch")
+    pos = spark.createDataFrame(
+        [(i, wordy) for i in range(10)], "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(100 + i, f"zz{i} qq{i} xx{i}") for i in range(10)],
+        "doc_id long, text string")
+    weights = persist_quality_model(spark, pos, neg, f"{root}/w", iters=4)
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    gk = {"min_words": 12, "min_stopword_hits": 1}
+    shard = [
+        (200, wordy),                          # passes every gate
+        (201, "the quick brown fox jumps"),    # fails ONLY min_words
+    ]
+    q = start_quality_stream(
+        spark, inp, f"{root}/out", f"{root}/ckpt",
+        "doc_id long, text string", weights,
+        min_score=0.5, gopher_kw=gk,
+    )
+    try:
+        spark.createDataFrame(shard, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+        def out_ids():
+            try:
+                return sorted(r["doc_id"] for r in
+                              spark.read.parquet(f"{root}/out").collect())
+            except Exception:
+                return []
+
+        deadline = time.time() + 60
+        while out_ids() != [200] and time.time() < deadline:
+            time.sleep(0.5)
+        assert out_ids() == [200], out_ids()
+    finally:
+        q.stop()
+
+    # sanity: 201 fails only the gopher word bound, not the classifier
+    union = spark.createDataFrame(shard, "doc_id long, text string")
+    g = {r["doc_id"]: r["gopher_pass"] for r in
+         gopher_gate(gopher_quality_stats(union), **gk).collect()}
+    assert g == {200: True, 201: False}
+    sc = {r["doc_id"]: r["score"] for r in
+          quality_classifier_score(union, weights).collect()}
+    assert sc[201] >= 0.5  # the classifier alone would have kept it
