@@ -465,6 +465,43 @@ def gopher_gate(
     return stats.select("*", ok.alias("gopher_pass"))
 
 
+def blocklist_gate(
+    df: DataFrame,
+    words: tuple[str, ...] | list[str],
+    max_hits: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, blocklist_hits, blocklist_pass) — the C4-style banned-word
+    document filter (Raffel et al. 2020 §2.2 drop any page containing a
+    word from a blocklist; ``max_hits`` relaxes that to a tolerance).
+    ``blocklist_hits`` counts TOKEN OCCURRENCES of blocklisted words
+    (lowercased whitespace tokens, the corpus-wide convention), so the
+    gate composes with `gopher_gate`/`quality_score` on identical
+    tokenization.
+
+    100 TB shape: one map stage — the list ships as an array literal
+    inside the plan (blocklists are hundreds of words, far below any
+    broadcast threshold), the hit count is a single `filter` HOF over
+    the already-projected token array; no shuffle, no UDF.
+    """
+    wl = sorted({w.lower() for w in words})
+    if not wl:
+        raise ValueError("blocklist must contain at least one word")
+    lit = F.array(*[F.lit(w) for w in wl])
+    hits = F.size(
+        F.filter(
+            F.coalesce(tokens(F.col(text_col)), F.array()),
+            lambda t: F.array_contains(lit, t),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        hits.alias("blocklist_hits"),
+        (hits <= F.lit(int(max_hits))).alias("blocklist_pass"),
+    )
+
+
 # PII redaction patterns — restricted to syntax Java regex and RE2 (the
 # DuckDB oracle engine) interpret identically: no lookarounds, no \p
 # classes, explicit char classes. Applied in a fixed order (emails first:

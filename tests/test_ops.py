@@ -4050,3 +4050,31 @@ def test_html_documents_end_to_end_from_warc(spark, tmp_path):
     plan = ophtml.html_documents(bridged)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_blocklist_gate(spark):
+    """C4-style banned-word filter: token-occurrence counting on the
+    shared lowercased tokenization, max_hits tolerance, null totality,
+    python twin."""
+    docs = spark.createDataFrame(
+        [(0, "clean text about spark plans"),
+         (1, "one BadWord here"),
+         (2, "badword badword twice plus other words"),
+         (3, None),
+         (4, "")],
+        "doc_id long, text string")
+    wl = ["badword", "另一个"]
+    got = {r["doc_id"]: (r["blocklist_hits"], r["blocklist_pass"])
+           for r in text.blocklist_gate(docs, wl).collect()}
+    assert got == {0: (0, True), 1: (1, False), 2: (2, False),
+                   3: (0, True), 4: (0, True)}
+    relaxed = {r["doc_id"]: r["blocklist_pass"]
+               for r in text.blocklist_gate(docs, wl, max_hits=1).collect()}
+    assert relaxed == {0: True, 1: True, 2: False, 3: True, 4: True}
+    # python twin on the same convention
+    for i, t in [(0, "clean text about spark plans"),
+                 (2, "badword badword twice plus other words")]:
+        expect = sum(1 for w in t.lower().split() if w in set(wl))
+        assert got[i][0] == expect
+    with pytest.raises(ValueError):
+        text.blocklist_gate(docs, [])
