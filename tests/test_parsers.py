@@ -279,3 +279,70 @@ def test_wet_documents_bridge(spark, tmp_path):
     assert len(dups) == 1 and dups[0]["dup_count"] == 2
     card = report.corpus_report(docs).collect()[0]
     assert card["n_docs"] == 3 and card["distinct_docs"] == 2
+
+
+def test_split_http_lf_head_crlf_body(spark, tmp_path):
+    """Regression (reference of truth: earliest-separator rule of
+    _iter_records): an LF-framed HTTP head whose BODY contains CRLFCRLF
+    must cut at the LF pair ending the head — the old CRLF-first rule
+    cut inside the body, leaking body bytes into the header dict and
+    truncating the payload prefix."""
+    from logrange_spark.ingest import wet
+
+    payload = b"prefix bytes\r\n\r\nrest of body"
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + payload
+    status, hdrs, got = wet._split_http(http)
+    assert status == 200
+    assert hdrs == {"content-type": "text/html"}
+    assert got == payload
+
+    # and end-to-end through read_warc
+    hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+           f"WARC-Target-URI: http://lf.example/\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode()
+    (tmp_path / "lf.warc").write_bytes(hdr + http + b"\r\n\r\n")
+    row = wet.read_warc(spark, str(tmp_path)).collect()[0]
+    assert row["http_status"] == 200
+    assert bytes(row["payload"]) == payload
+
+
+def test_record_frames_chunked_emission(monkeypatch):
+    """_record_frames flushes every _EMIT_ROWS records instead of
+    accumulating a whole archive into one frame — the per-task memory
+    bound. Union of the chunked frames == eager parse."""
+    import pandas as pd
+
+    from logrange_spark.ingest import wet
+
+    recs = [(f"http://e/{k}", f"doc number {k}") for k in range(10)]
+    raw = _wet_bytes(recs)
+    monkeypatch.setattr(wet, "_EMIT_ROWS", 3)
+    frames = list(wet._wet_batches(iter([
+        pd.DataFrame({"path": ["m.wet"], "content": [raw]})])))
+    assert [len(f) for f in frames] == [3, 3, 3, 1]
+    got = pd.concat(frames, ignore_index=True)
+    assert list(got["target_uri"]) == [u for u, _ in recs]
+    assert list(got["text"]) == [t for _, t in recs]
+
+
+def test_iter_records_stream_incremental_gzip():
+    """The streaming iterator over an incrementally-decoded multi-member
+    gzip stream yields byte-identical records (and decompressed-stream
+    offsets) to the in-memory iterator over the concatenated plain
+    bytes."""
+    import gzip as _gz
+    import io
+
+    from logrange_spark.ingest import wet
+
+    recs = [(f"http://g/{k}", "x" * (1000 * (k + 1))) for k in range(5)]
+    raw = _wet_bytes(recs)
+    # one member per record-ish chunk (CommonCrawl vintage framing)
+    cut = len(raw) // 2
+    multi = _gz.compress(raw[:cut]) + _gz.compress(raw[cut:])
+    eager = list(wet._iter_records(raw))
+    streamed = list(wet._iter_records_stream(
+        wet._open_stream(multi)))
+    assert [(o, h, b) for o, h, b in streamed] == eager
+    # plain (non-gz) path through _open_stream too
+    assert list(wet._iter_records_stream(wet._open_stream(raw))) == eager
