@@ -735,18 +735,24 @@ def cluster_representatives(
     ``clusters`` is any (id, cluster_id) map (`near_duplicate_clusters`,
     or exact/semantic cluster outputs); ``scores`` is (id, score) from
     e.g. ``quality_classifier_score``. Documents missing from ``scores``
-    participate with score −∞ (they lose to every scored member; among
-    only-unscored members the min id wins) so the result is total over
-    ``clusters`` regardless of scorer coverage.
+    — and NaN scores, which Spark's ordering ranks ABOVE every real
+    number and would otherwise let ``keep_score`` disagree with
+    ``keep_id`` — participate with score −∞ (they lose to every scored
+    member; among only-unscored members the min id wins) so the result
+    is total over ``clusters`` regardless of scorer coverage.
 
-    100 TB shape: one inner shuffle join on id (both sides corpus-sized,
-    AQE-handled), then ONE map-side-partial ``min_by`` aggregate on
-    cluster_id — no window sort, no per-cluster pair expansion; linear
-    in corpus size. The (−score, id) struct ordering computes argmax
-    with deterministic tie-break in a single agg.
+    100 TB shape: one LEFT shuffle join on id (left so scorer coverage
+    can't drop cluster members; both sides corpus-sized, AQE-handled),
+    then ONE map-side-partial ``min_by`` aggregate on cluster_id — no
+    window sort, no per-cluster pair expansion; linear in corpus size.
+    The (−score, id) struct ordering computes argmax with deterministic
+    tie-break in a single agg.
     """
     s = scores.select(
-        F.col(id_col), F.col(score_col).cast("double").alias("_q")
+        F.col(id_col),
+        F.nanvl(
+            F.col(score_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_q"),
     )
     joined = clusters.join(s, id_col, "left").select(
         "cluster_id",

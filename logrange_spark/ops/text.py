@@ -465,6 +465,40 @@ def gopher_gate(
     return stats.select("*", ok.alias("gopher_pass"))
 
 
+_REGEX_SPECIALS = ".^$*+?()[]{}|\\"
+
+
+def blocklist_pattern(words: tuple[str, ...] | list[str]) -> str:
+    """The word-boundary alternation regex the C4 badword filter uses
+    (Raffel et al. 2020 §2.2; the published implementation compiles the
+    blocklist into one boundary-delimited regex over the lowercased
+    page). Multi-word PHRASES — most of the real list — match across
+    any whitespace run; punctuation-attached occurrences match because
+    the boundary is zero-width ``\\b``, not tokenization. Restricted to
+    syntax Java regex and RE2 (the DuckDB oracle engine) read
+    identically: literal escaping + ``\\b`` + ``\\s``, no lookarounds.
+    """
+    wl = sorted({" ".join(w.lower().split()) for w in words} - {""})
+    if not wl:
+        raise ValueError("blocklist must contain at least one word")
+    alts = []
+    for w in wl:
+        esc = "".join(
+            "\\" + c if c in _REGEX_SPECIALS else c for c in w
+        ).replace(" ", "\\s+")
+        # \b only against ASCII word-char edges: Java's \b is
+        # Unicode-aware but RE2's is ASCII-only, so a boundary next to
+        # e.g. CJK diverges between engine and oracle. Unsegmented
+        # scripts get substring semantics — the right call there anyway.
+        def _wordy(c: str) -> bool:
+            return c.isascii() and (c.isalnum() or c == "_")
+
+        pre = "\\b" if _wordy(w[0]) else ""
+        post = "\\b" if _wordy(w[-1]) else ""
+        alts.append(pre + esc + post)
+    return "(?:" + "|".join(alts) + ")"
+
+
 def blocklist_gate(
     df: DataFrame,
     words: tuple[str, ...] | list[str],
@@ -472,28 +506,25 @@ def blocklist_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, blocklist_hits, blocklist_pass) — the C4-style banned-word
+    """(id, blocklist_hits, blocklist_pass) — the C4 banned-word
     document filter (Raffel et al. 2020 §2.2 drop any page containing a
     word from a blocklist; ``max_hits`` relaxes that to a tolerance).
-    ``blocklist_hits`` counts TOKEN OCCURRENCES of blocklisted words
-    (lowercased whitespace tokens, the corpus-wide convention), so the
-    gate composes with `gopher_gate`/`quality_score` on identical
-    tokenization.
+    ``blocklist_hits`` counts non-overlapping matches of
+    ``blocklist_pattern`` — word-boundary semantics on the lowercased
+    raw text, so ``badword!`` and the multi-word phrases that dominate
+    the real C4 list hit (whitespace tokenization missed both; that was
+    a documented divergence from the paper until round 12).
 
-    100 TB shape: one map stage — the list ships as an array literal
-    inside the plan (blocklists are hundreds of words, far below any
-    broadcast threshold), the hit count is a single `filter` HOF over
-    the already-projected token array; no shuffle, no UDF.
+    100 TB shape: one map stage — the compiled alternation ships as a
+    regex literal inside the plan (blocklists are hundreds of entries),
+    the hit count is a single ``regexp_count`` over the lowercased
+    column; no shuffle, no UDF.
     """
-    wl = sorted({w.lower() for w in words})
-    if not wl:
-        raise ValueError("blocklist must contain at least one word")
-    lit = F.array(*[F.lit(w) for w in wl])
-    hits = F.size(
-        F.filter(
-            F.coalesce(tokens(F.col(text_col)), F.array()),
-            lambda t: F.array_contains(lit, t),
-        )
+    hits = F.coalesce(
+        F.regexp_count(
+            F.lower(F.col(text_col)), F.lit(blocklist_pattern(words))
+        ),
+        F.lit(0),
     )
     return df.select(
         F.col(id_col),

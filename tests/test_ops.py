@@ -3795,6 +3795,25 @@ def test_cluster_representatives_keep_best(spark):
     assert keeps | drops == set(range(1, 9)) and not (keeps & drops)
 
 
+def test_cluster_representatives_nan_scores(spark):
+    """NaN scores are treated as missing (−∞): Spark's ordering ranks
+    NaN above every real double, so without the nanvl guard keep_score
+    (max) would return NaN while keep_id (min_by on −score) picked a
+    real-scored member — the pair must stay consistent."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.2), (3, float("nan")), (4, float("nan"))],
+        "doc_id long, score double")
+    reps = {r["cluster_id"]: (r["keep_id"], r["keep_score"])
+            for r in dedup.cluster_representatives(clusters, scores).collect()}
+    assert reps[1] == (2, 0.2)               # real score beats NaN
+    assert reps[3] == (3, float("-inf"))     # all-NaN -> min id, -inf
+    drops = {r["doc_id"]
+             for r in dedup.keep_best_drops(clusters, scores).collect()}
+    assert drops == {1, 4}
+
+
 def test_cluster_representatives_duckdb_twin(spark):
     """Differential vs a DuckDB window recomputation on a randomized
     cluster/score set with partial scorer coverage."""
@@ -4053,28 +4072,40 @@ def test_html_documents_end_to_end_from_warc(spark, tmp_path):
 
 
 def test_blocklist_gate(spark):
-    """C4-style banned-word filter: token-occurrence counting on the
-    shared lowercased tokenization, max_hits tolerance, null totality,
-    python twin."""
-    docs = spark.createDataFrame(
-        [(0, "clean text about spark plans"),
-         (1, "one BadWord here"),
-         (2, "badword badword twice plus other words"),
-         (3, None),
-         (4, "")],
-        "doc_id long, text string")
-    wl = ["badword", "另一个"]
+    """C4 banned-word filter: word-boundary matching on the lowercased
+    raw text — punctuation-attached occurrences and multi-word phrases
+    hit (Raffel et al. §2.2 semantics); substrings of longer words do
+    NOT; max_hits tolerance; null totality; DuckDB twin on the same
+    compiled pattern."""
+    rows = [(0, "clean text about spark plans"),
+            (1, "one BadWord here"),
+            (2, "badword badword twice plus other words"),
+            (3, None),
+            (4, ""),
+            (5, "punctuation-attached: badword! and (badword)"),
+            (6, "a bad  phrase spans   whitespace; bad phrase, twice"),
+            (7, "substring notbadword badwordish stays clean"),
+            (8, "unicode 另一个 hit")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wl = ["badword", "Bad Phrase", "另一个"]
     got = {r["doc_id"]: (r["blocklist_hits"], r["blocklist_pass"])
            for r in text.blocklist_gate(docs, wl).collect()}
     assert got == {0: (0, True), 1: (1, False), 2: (2, False),
-                   3: (0, True), 4: (0, True)}
+                   3: (0, True), 4: (0, True), 5: (2, False),
+                   6: (2, False), 7: (0, True), 8: (1, False)}
     relaxed = {r["doc_id"]: r["blocklist_pass"]
                for r in text.blocklist_gate(docs, wl, max_hits=1).collect()}
-    assert relaxed == {0: True, 1: True, 2: False, 3: True, 4: True}
-    # python twin on the same convention
-    for i, t in [(0, "clean text about spark plans"),
-                 (2, "badword badword twice plus other words")]:
-        expect = sum(1 for w in t.lower().split() if w in set(wl))
-        assert got[i][0] == expect
+    assert relaxed == {0: True, 1: True, 2: False, 3: True, 4: True,
+                       5: False, 6: False, 7: True, 8: True}
+    # DuckDB twin: same pattern string, RE2 side
+    import duckdb
+
+    pat = text.blocklist_pattern(wl)
+    twin = {i: duckdb.sql(
+        "select len(regexp_extract_all(lower(?), ?))",
+        params=[t, pat]).fetchone()[0]
+        for i, t in rows if t is not None}
+    assert twin == {i: h for i, (h, _) in got.items() if i not in (3,)}
     with pytest.raises(ValueError):
         text.blocklist_gate(docs, [])
+        text.blocklist_gate(docs, ["  "])
