@@ -1439,7 +1439,7 @@ def _q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_stats(_t(spark, sf_dir, "documents"))
 
 
-def _gopher_stats_sql() -> str:
+def _gopher_stats_sql(src: str = "documents") -> str:
     from logrange_spark.ops.text import GOPHER_BULLETS, GOPHER_STOPWORDS
 
     bullets = " OR ".join(
@@ -1447,7 +1447,7 @@ def _gopher_stats_sql() -> str:
     )
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     return f"""
-WITH g AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+WITH g AS (SELECT doc_id, coalesce(text, '') AS t FROM {src}),
 parts AS (
   SELECT doc_id, t,
          list_filter(string_split_regex(lower(trim(t)), '\\s+'),
@@ -1725,6 +1725,309 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- WARC/WET corpus registry rows
+# Both rows follow the parse_k8json convention: deterministic input is
+# SYNTHESIZED from a driver table (documents), run through the real
+# operator surface (binaryFile → streaming gzip decode → record split →
+# mapInPandas), and the oracle recomputes the expected output directly
+# from the same table — offsets included, via a running byte-length sum.
+# The fixture collect is bounded (documents is 500 rows per sf unit) and
+# content-addressed, so reruns reuse the file.
+
+WET_URI_PREFIX = "http://docs.example/"
+CC_URI_PREFIX = "http://cc.example/"
+# header template pieces shared by the byte builder and the offset
+# oracle (ASCII, so len == octet_length)
+_WET_H1 = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+_WET_H2 = "\r\nWARC-Record-ID: <urn:doc:"
+_WET_H3 = ">\r\nContent-Length: "
+_WET_H4 = "\r\n\r\n"
+_WET_INFO_BODY = b"software: registry-fixture"
+_WET_INFO = (
+    b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: %d\r\n\r\n"
+    % len(_WET_INFO_BODY)
+) + _WET_INFO_BODY + b"\r\n\r\n"
+
+# CommonCrawl capstone constants (cc_pipeline)
+CC_BLOCKLIST = ("slow query",)
+CC_MIN_WORDS = 30
+CC_TERCILES = (1.0 / 3.0, 2.0 / 3.0)
+CC_SHARDS = 4
+_CC_HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+_CC_PAGE = (
+    "<html><head><title>doc {id}</title></head>"
+    "<body><p>{body}</p></body></html>"
+)
+
+
+# records per .warc.gz fixture file: the gzip member is the
+# parallelism unit (not splittable), so the corpus must span MANY files
+# for the scan to scale — 1000 docs/file gives 1 task at sf0.01 and 50
+# at the 10x scale-proof size, exactly CommonCrawl's many-small-shards
+# layout
+WET_FIXTURE_CHUNK = 1000
+
+
+def _fixture_dir(tag: str, blobs: list[bytes]) -> str:
+    """One .warc.gz per chunk blob under a content-addressed tmp dir —
+    idempotent across reruns, never touches the testdata tree."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(b"v2:%d" % len(blobs))
+    for b in blobs:
+        h.update(b)
+    d = os.path.join(
+        tempfile.gettempdir(), f"lrspark_{tag}_{h.hexdigest()[:16]}"
+    )
+    done = os.path.join(d, "_COMMIT")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        for i, blob in enumerate(blobs):
+            path = os.path.join(d, f"{tag}_{i:05d}.warc.gz")
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with gzip.open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        with open(done, "w") as f:
+            f.write(str(len(blobs)))
+    return d
+
+
+def _chunked(rows: list[tuple[int, str]]) -> list[list[tuple[int, str]]]:
+    return [
+        rows[i : i + WET_FIXTURE_CHUNK]
+        for i in range(0, len(rows), WET_FIXTURE_CHUNK)
+    ]
+
+
+def _doc_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str]]:
+    return [
+        (r["doc_id"], r["text"] or "")
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+
+
+def _wet_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
+    out = bytearray(_WET_INFO)
+    for doc_id, txt in rows:
+        body = txt.encode("utf-8")
+        out += (
+            f"{_WET_H1}{WET_URI_PREFIX}{doc_id}{_WET_H2}{doc_id}"
+            f"{_WET_H3}{len(body)}{_WET_H4}"
+        ).encode("ascii")
+        out += body + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _q_wet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET parse layer (ingest/wet.read_wet) as a registry row: the
+    documents table serialized into spec-framed WET records (one gzip
+    archive, streaming-decoded), re-read through binaryFile +
+    mapInPandas. The oracle recomputes every column — including the
+    decompressed-stream record_offset, via a running byte-length sum —
+    from the documents table alone."""
+    from logrange_spark.ingest import wet
+
+    d = _fixture_dir(
+        "wetdocs",
+        [_wet_fixture_bytes(c) for c in _chunked(_doc_rows(spark, sf_dir))],
+    )
+    return wet.read_wet(spark, d, glob="*.warc.gz").select(
+        F.col("target_uri").alias("url"),
+        "record_offset",
+        "record_id",
+        "content_length",
+        "text",
+    )
+
+
+def _wet_documents_sql() -> str:
+    fixed = len(_WET_H1 + _WET_H2 + _WET_H3 + _WET_H4)
+    pfx = len(WET_URI_PREFIX)
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  (row_number() OVER (ORDER BY doc_id) - 1)
+                    // {WET_FIXTURE_CHUNK} AS chunk
+           FROM documents),
+r AS (SELECT doc_id, chunk,
+        '{WET_URI_PREFIX}' || doc_id AS url,
+        '<urn:doc:' || doc_id || '>' AS record_id,
+        octet_length(encode(text)) AS clen, text,
+        {fixed} + {pfx}
+          + 2 * length(CAST(doc_id AS VARCHAR))
+          + length(CAST(octet_length(encode(text)) AS VARCHAR)) AS hlen
+      FROM d)
+SELECT url,
+       CAST({len(_WET_INFO)} + coalesce(sum(hlen + clen + 4) OVER (
+          PARTITION BY chunk
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS record_offset,
+       record_id,
+       CAST(clen AS BIGINT) AS content_length,
+       text
+FROM r
+""".strip()
+
+
+def _cc_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
+    import html as _html
+
+    out = bytearray(_WET_INFO)
+    for doc_id, txt in rows:
+        page = _CC_PAGE.format(id=doc_id, body=_html.escape(txt))
+        payload = _CC_HTTP + page.encode("utf-8")
+        out += (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {CC_URI_PREFIX}{doc_id}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("ascii")
+        out += payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl capstone, end-to-end in ONE DataFrame program:
+    read_warc → HTTP split → html_documents extraction → Gopher
+    document gate + C4 blocklist gate → MinHash near-dup removal
+    (keep-first) → CCNet perplexity terciles (unigram LM trained on the
+    survivors) → deterministic training shards. Returns (doc_id, ppl,
+    bucket, shard_id, shard_pos) for every surviving document; the
+    DuckDB twin recomputes the whole flow from the documents table
+    (extraction round-trips modulo whitespace normalization, which the
+    twin applies explicitly)."""
+    from logrange_spark.ingest import wet
+    from logrange_spark.ops import html as ophtml
+    from logrange_spark.ops import sampling
+
+    d = _fixture_dir(
+        "ccpipe",
+        [_cc_fixture_bytes(c) for c in _chunked(_doc_rows(spark, sf_dir))],
+    )
+    warc = wet.read_warc(spark, d, glob="*.warc.gz")
+    pages = ophtml.html_documents(
+        warc.where(F.col("http_status") == 200).select(
+            F.regexp_extract("target_uri", "([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            "payload",
+        )
+    )
+    # the extracted corpus feeds FOUR consumers (two gates, the dedup
+    # token frame, the LM scorer) — materialize it once instead of
+    # re-running the gzip decode + HTML parse per branch; at 100 TB this
+    # is the standard persist-the-extraction-output step every CC
+    # pipeline does before fan-out
+    docs = pages.select("doc_id", "text").localCheckpoint(eager=False)
+    gok = (
+        text.gopher_gate(
+            text.gopher_quality_stats(docs),
+            min_words=CC_MIN_WORDS,
+            min_stopword_hits=1,
+        )
+        .where("gopher_pass")
+        .select("doc_id")
+    )
+    bok = (
+        text.blocklist_gate(docs, CC_BLOCKLIST)
+        .where("blocklist_pass")
+        .select("doc_id")
+    )
+    gated = docs.join(gok, "doc_id").join(bok, "doc_id")
+    drop = dedup.near_duplicate_drops(
+        gated, "doc_id", "text", threshold=0.8, unique=False
+    )
+    surv = gated.join(drop, "doc_id", "left_anti")
+    scored = text.unigram_lm_score(surv, "doc_id", "text").select(
+        "doc_id", "ppl"
+    )
+    labeled = text.perplexity_buckets(
+        scored.select("*", F.lit("all").alias("_g")),
+        "_g",
+        "ppl",
+        CC_TERCILES,
+    )
+    return sampling.shard_corpus(
+        labeled.select("doc_id", "ppl", "bucket"), CC_SHARDS
+    ).select("doc_id", "ppl", "bucket", "shard_id", "shard_pos")
+
+
+def _cc_pipeline_sql() -> str:
+    """The whole capstone as one DuckDB program: normalized extraction
+    twin (cdocs), Gopher + blocklist gates, the shared MinHash CTE
+    stack rooted at the gated docs, survivor-trained unigram LM,
+    tercile thresholds via quantile_cont (the `percentile` twin the
+    order_price_percentiles row pins), and the md5 shard assignment
+    (first-8-hex fold mod k, full-digest order)."""
+    pat = text.blocklist_pattern(CC_BLOCKLIST)
+    f1, f2 = (repr(float(f)) for f in CC_TERCILES)
+    alpha = 0.5
+    return f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''),
+                             '[ \t\r\f\v\\x{{00a0}}]+', ' ', 'g')) AS text
+  FROM documents),
+gs AS ({_gopher_stats_sql('cdocs')}),
+gok AS (SELECT doc_id FROM gs
+        WHERE n_words BETWEEN {CC_MIN_WORDS} AND 100000
+          AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+          AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 1),
+bok AS (SELECT doc_id FROM cdocs
+        WHERE len(regexp_extract_all(lower(text), '{pat}')) <= 0),
+gated AS (SELECT c.doc_id, c.text FROM cdocs c
+          JOIN gok USING (doc_id) JOIN bok USING (doc_id)),
+{_tok_cte('gated')}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()},
+pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+dtok AS (SELECT doc_id, list_distinct(w) AS tok FROM toks),
+nd AS (SELECT id_a, id_b FROM (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+  FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id
+  JOIN dtok b ON pairs.id_b = b.doc_id)
+  WHERE jaccard >= 0.8),
+sex AS (SELECT doc_id, unnest(w) AS t FROM toks
+        WHERE doc_id NOT IN (SELECT id_b FROM nd)),
+cnt AS (SELECT t, count(*) AS c FROM sex GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM cnt),
+vocab AS (SELECT t, ln((c + {alpha!r}) / (tt + {alpha!r} * (v + 1))) AS logp
+          FROM cnt CROSS JOIN tot),
+perdoc AS (SELECT doc_id, round(avg(logp), 6) AS al
+           FROM sex JOIN vocab USING (t) GROUP BY doc_id),
+ppls AS (SELECT doc_id, round(exp(-al), 4) AS ppl FROM perdoc),
+thr AS (SELECT quantile_cont(ppl, {f1}) AS t1,
+               quantile_cont(ppl, {f2}) AS t2 FROM ppls),
+lab AS (SELECT doc_id, ppl,
+               CASE WHEN ppl <= t1 THEN 'head'
+                    WHEN ppl <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ppls CROSS JOIN thr),
+dig AS (SELECT doc_id, ppl, bucket,
+               md5('|' || CAST(doc_id AS VARCHAR)) AS h FROM lab),
+shr AS (SELECT doc_id, ppl, bucket, h,
+         CAST(list_reduce(
+           [strpos('0123456789abcdef', substr(h, i, 1)) - 1
+            FOR i IN range(1, 9)],
+           (a, b) -> a * 16 + b) % {CC_SHARDS} AS INT) AS shard_id
+       FROM dig)
+SELECT doc_id, ppl, bucket, shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard_id ORDER BY h, doc_id) AS INT) AS shard_pos
+FROM shr
+""".strip()
+
+
 # ================================================================ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LQL over the log view of the events stream at sf0.001."""
@@ -1793,7 +2096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": _q_boilerplate_removal,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
-        "ann_bucketed_topk": _q_ann_bucketed,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "dedup_embedding": _q_dedup_embedding,
@@ -1808,10 +2110,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _q_bm25_topk,
         "tfidf_keywords": _q_tfidf_keywords,
         "hamming_fp_pairs": _q_hamming_fp_pairs,
-        # ingestion parsers (SURVEY §2.1 S5-S8)
+        # ingestion parsers (SURVEY §2.1 S5-S8; parse_logfmt rotated out
+        # r12 for wet_documents — the parser family keeps k8json + text
+        # autodetect in-registry; see SURVEY §8's rotation map)
         "parse_k8json": _q_parse_k8json,
-        "parse_logfmt": _q_parse_logfmt,
         "parse_text_autodetect": _q_parse_text,
+        # round-12 rotation IN: the WET parse layer (offsets recomputed
+        # by the oracle) and the CommonCrawl capstone composition
+        # (ann_bucketed_topk rotated OUT — bucketed-ANN shape stays
+        # covered by ann_ivf_topk's coarse quantizer)
+        "wet_documents": _q_wet_documents,
+        "cc_pipeline": _q_cc_pipeline,
         # multimodal plumbing
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -1853,6 +2162,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 rotation (for lang_predict / gopher_stats)
         "events_range_join": _q_events_range_join,
         "dedup_lsh_candidates": _q_lsh_candidates,
+        # round-12 rotation (for wet_documents / cc_pipeline)
+        "parse_logfmt": _q_parse_logfmt,
+        "ann_bucketed_topk": _q_ann_bucketed,
     }
 
 
@@ -2462,6 +2774,9 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""".strip(),
     "text_bpe_tokens": _bpe_tokens_sql(),
+    # round-12 rotation — oracles preserved verbatim from oracle_sql()
+    "parse_logfmt": _PARSE_LOGFMT_SQL,
+    "ann_bucketed_topk": _ann_sql(bucketed=True),
     # round-10 rotation — oracles preserved verbatim from oracle_sql()
     "dedup_lsh_candidates": _lsh_pairs_sql(),
     "events_range_join": f"""
@@ -2629,7 +2944,6 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "kn_bigram_ppl": _kn_sql(),
         "corpus_overlap": _corpus_overlap_sql(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
-        "ann_bucketed_topk": _ann_sql(bucketed=True),
         "ann_ivf_topk": _ivf_sql(10),
         "ann_pq_topk": _pq_sql(10),
         "repetition_stats": REPETITION_ORACLE_SQL,
@@ -2651,8 +2965,9 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dedup_embedding": _emb_neardup_sql(0.3),
         "training_pipeline": _training_pipeline_sql(0.5, 0.8),
         "parse_k8json": _PARSE_K8JSON_SQL,
-        "parse_logfmt": _PARSE_LOGFMT_SQL,
         "parse_text_autodetect": _PARSE_TEXT_SQL,
+        "wet_documents": _wet_documents_sql(),
+        "cc_pipeline": _cc_pipeline_sql(),
         "multimodal_meta": """
 SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,

@@ -74,6 +74,38 @@ PREV_ROUNDS = {
         "events_sessions": 0.417, "events_asof": 0.372,
         "events_range_join": 0.394, "training_pipeline": 1.935,
     },
+    # r10/r11 driver-measured minima, verbatim from BENCH_r{10,11}.json
+    # "parsed". NOISE FLOOR: r10 → r11 moved −10.1% total with ZERO code
+    # change between the runs — that swing is the measured ambient
+    # variance of this protocol (min-of-3-warm on a shared sandbox), so
+    # any single-round delta under ~10% is NOT signal; read the medians
+    # and the multi-round trend instead.
+    "r10": {
+        "lql_contains": 0.207, "lql_tail": 0.224, "lql_format": 0.252,
+        "show_partitions": 0.204, "pricing_summary": 1.173,
+        "revenue_by_segment": 1.165, "revenue_by_nation": 1.323,
+        "top_orders_per_customer": 0.339, "events_hourly": 0.403,
+        "dedup_exact": 0.225, "dedup_lsh_candidates": 1.623,
+        "dedup_near_duplicates": 1.702, "dedup_simhash_pairs": 2.187,
+        "text_stats": 0.494, "text_top_words": 0.336,
+        "ann_cosine_topk": 0.604, "ann_bucketed_topk": 0.628,
+        "dedup_embedding": 1.153, "parse_k8json": 1.351,
+        "events_sessions": 0.359, "events_asof": 0.308,
+        "events_range_join": 0.319, "training_pipeline": 1.953,
+    },
+    "r11": {
+        "lql_contains": 0.186, "lql_tail": 0.209, "lql_format": 0.231,
+        "show_partitions": 0.167, "pricing_summary": 1.058,
+        "revenue_by_segment": 1.011, "revenue_by_nation": 1.223,
+        "top_orders_per_customer": 0.301, "events_hourly": 0.38,
+        "dedup_exact": 0.205, "dedup_lsh_candidates": 1.531,
+        "dedup_near_duplicates": 1.54, "dedup_simhash_pairs": 2.034,
+        "text_stats": 0.444, "text_top_words": 0.242,
+        "ann_cosine_topk": 0.414, "ann_bucketed_topk": 0.424,
+        "dedup_embedding": 0.976, "parse_k8json": 1.27,
+        "events_sessions": 0.365, "events_asof": 0.316,
+        "events_range_join": 0.309, "training_pipeline": 1.818,
+    },
     # r09 driver-measured minima, verbatim from BENCH_r09.json "parsed"
     "r09": {
         "lql_contains": 0.336, "lql_tail": 0.388, "lql_format": 0.387,
@@ -144,14 +176,17 @@ def main() -> int:
     # costs (e.g. dedup_lsh_candidates [5.03, 2.42, 1.88] in round 10's
     # A/B) — warming once lets min-of-n converge to the true cost even
     # under a contended sandbox. Disable with SPARK_GRAFT_BENCH_WARM=0.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if warm:
         for name in HEADLINE:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
+    total_median = 0.0
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -163,6 +198,12 @@ def main() -> int:
         best = min(runs)
         timings[name] = best
         total += best
+        med = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
+            (sorted(runs)[len(runs) // 2 - 1] + sorted(runs)[len(runs) // 2])
+            / 2, 3
+        )
+        medians[name] = med
+        total_median += med
 
     ingest = _bench_ingest(spark)
 
@@ -183,11 +224,20 @@ def main() -> int:
     # LAST stdout line is a compact summary that fits the driver's ~2 KB
     # tail-capture window (BENCH_r08.json came back `parsed: null`
     # because the single line had outgrown it).
+    # pinned protocol descriptor: the comparison basis must travel WITH
+    # the number — r11 measured a −10.1% total swing on zero code change
+    # under this exact protocol, so every consumer needs (warm, n_runs,
+    # agg) plus the median to tell regression from ambient load
+    protocol = {"warm": warm, "n_runs": n_runs, "agg": "min",
+                "noise_floor_pct": 10.1}
     detail = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
+        "value_median": round(total_median, 3),
         "unit": "sec",
+        "protocol": protocol,
         "queries": timings,
+        "queries_median": medians,
         "runs": raw_runs,
         "n_runs": n_runs,
         "sf": sf,
@@ -217,7 +267,9 @@ def main() -> int:
             {
                 "metric": "headline_query_wall_time",
                 "value": round(total, 3),
+                "value_median": round(total_median, 3),
                 "unit": "sec",
+                "protocol": protocol,
                 "queries": timings,
                 "n_runs": n_runs,
                 "sf": sf,

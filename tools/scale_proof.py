@@ -302,6 +302,14 @@ def _q_shard_corpus(spark, sf_dir):
     return sampling.shard_corpus(docs, 32)
 
 
+def _q_wet_documents(spark, sf_dir):
+    return entry._q_wet_documents(spark, sf_dir)
+
+
+def _q_cc_pipeline(spark, sf_dir):
+    return entry._q_cc_pipeline(spark, sf_dir)
+
+
 def _q_corpus_report(spark, sf_dir):
     from logrange_spark.ops import report
 
@@ -367,6 +375,15 @@ EXTRA_QUERIES = {
     # token-grain agg; the two ONE-ROW results attach by broadcast
     # crossJoin (exempt below)
     "corpus_report": (_q_corpus_report, "documents"),
+    # WET parse layer: binaryFile scan -> streaming gzip decode ->
+    # mapInPandas record split; parallelism = fixture file count
+    # (1000 docs/file), zero Exchange
+    "wet_documents": (_q_wet_documents, "documents"),
+    # CommonCrawl capstone: read_warc -> html extraction -> gates ->
+    # minhash dedup -> ccnet terciles -> shards, one program; the
+    # survivor-trained unigram LM attaches ONE-ROW totals via broadcast
+    # crossJoin (exempt below)
+    "cc_pipeline": (_q_cc_pipeline, "documents"),
 }
 
 
@@ -560,6 +577,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
             "text_bm25_topk", "corpus_overlap", "boilerplate_removal",
             "dsir_sample", "kn_bigram_ppl", "kn_trigram_ppl",
             "kn_order5_ppl", "ccnet_buckets", "corpus_report",
+            "cc_pipeline",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}@{label}: BNLJ!"
     return res
