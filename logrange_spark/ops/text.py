@@ -1972,9 +1972,18 @@ def ccnet_pipeline(
     ``lm_models`` maps language → a ``kn_ngram_lm`` model dict (CCNet
     trains one wiki LM per language); a language absent from the map
     falls back to the ``None`` entry when present, else its documents
-    are dropped (CCNet's behavior for unsupported languages). Language
-    count is enumerable, so the per-language scoring plans union —
-    each is the one-pass key-partitioned probe of its own model."""
+    are dropped (CCNet's behavior for unsupported languages).
+
+    100 TB shape: when every model shares one order (CCNet's setup),
+    scoring is ONE corpus pass through ``kn_ngram_score_keyed`` — the
+    per-language model tables union with a key column (bounded model
+    frames, not corpus data) and the probe joins key on (lang, ctx, w).
+    The earlier per-language union of filtered sub-plans re-scanned the
+    corpus once per language: measured ~0.7 s/language at a CONSTANT
+    5k-doc corpus (tools/ccnet_fanout_proof.py), i.e. k× the scan I/O
+    at CCNet's ~100-language fan-out. Mixed orders fall back to that
+    union path (plan-build is still linear in k; only the scan
+    multiplies)."""
     if not lm_models:
         raise ValueError("lm_models must map at least one language")
     pred = lang_classifier_predict(
@@ -1982,25 +1991,40 @@ def ccnet_pipeline(
     )
     tagged = docs.join(pred, id_col)
     default = lm_models.get(None)
-    scored = None
-    for lang in sorted(k for k in lm_models if k is not None):
-        part = tagged.where(F.col("lang_pred") == lang)
-        s = kn_ngram_score(
-            part, lm_models[lang], id_col, text_col, discount, alpha
-        ).select(id_col, "ppl")
-        part = part.join(s, id_col)
-        scored = part if scored is None else scored.unionByName(part)
-    if default is not None:
-        rest = tagged.where(
-            ~F.col("lang_pred").isin(
-                [k for k in lm_models if k is not None]
-            )
+    langs = sorted(k for k in lm_models if k is not None)
+    orders = {m["order"] for m in lm_models.values()}
+    if len(orders) == 1:
+        # single-pass keyed scoring; \x00 cannot collide with a code
+        default_key = "\x00default"
+        key = F.when(F.col("lang_pred").isin(langs), F.col("lang_pred"))
+        if default is not None:
+            key = key.otherwise(F.lit(default_key))
+        keyed_models = {lang: lm_models[lang] for lang in langs}
+        if default is not None:
+            keyed_models[default_key] = default
+        sel = tagged.select("*", key.alias("_mkey")).where(
+            F.col("_mkey").isNotNull()
         )
-        s = kn_ngram_score(
-            rest, default, id_col, text_col, discount, alpha
+        s = kn_ngram_score_keyed(
+            sel, keyed_models, "_mkey", id_col, text_col, discount, alpha
         ).select(id_col, "ppl")
-        rest = rest.join(s, id_col)
-        scored = rest if scored is None else scored.unionByName(rest)
+        scored = sel.join(s, id_col)
+    else:
+        scored = None
+        for lang in langs:
+            part = tagged.where(F.col("lang_pred") == lang)
+            s = kn_ngram_score(
+                part, lm_models[lang], id_col, text_col, discount, alpha
+            ).select(id_col, "ppl")
+            part = part.join(s, id_col)
+            scored = part if scored is None else scored.unionByName(part)
+        if default is not None:
+            rest = tagged.where(~F.col("lang_pred").isin(langs))
+            s = kn_ngram_score(
+                rest, default, id_col, text_col, discount, alpha
+            ).select(id_col, "ppl")
+            rest = rest.join(s, id_col)
+            scored = rest if scored is None else scored.unionByName(rest)
     out = scored.select(
         id_col,
         "lang_pred",
@@ -2102,13 +2126,20 @@ def persist_kn_ngram_model(
 
 
 def _kn_ngram_events(
-    docs: DataFrame, id_col: str, text_col: str, order: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    order: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, ctx array<string>, w) — the order-n event stream: ctx is the
-    (order−1)-token history with <s> padding, w the predicted token or
-    the </s> terminator. Map-side only; null text = empty text."""
+    """(id, *extra_cols, ctx array<string>, w) — the order-n event
+    stream: ctx is the (order−1)-token history with <s> padding, w the
+    predicted token or the </s> terminator. Map-side only; null text =
+    empty text. ``extra_cols`` ride along per event (e.g. the model key
+    for keyed scoring)."""
     toks = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.coalesce(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_tok"),
@@ -2123,8 +2154,13 @@ def _kn_ngram_events(
             F.element_at(ws, i).alias("w"),
         ),
     )
-    return toks.select(id_col, F.explode(ev).alias("_e")).select(
-        id_col, F.col("_e.ctx").alias("ctx"), F.col("_e.w").alias("w")
+    return toks.select(
+        id_col, *extra_cols, F.explode(ev).alias("_e")
+    ).select(
+        id_col,
+        *extra_cols,
+        F.col("_e.ctx").alias("ctx"),
+        F.col("_e.w").alias("w"),
     )
 
 
@@ -2242,6 +2278,110 @@ def kn_ngram_score(
         F.col("w") == F.col("_uw"),
         "left",
     ).crossJoin(F.broadcast(model["totals"]))
+    p = (F.coalesce("n1w", F.lit(0)) + a) / (
+        F.col("n1pp") + a * (F.col("v") + 1)
+    )
+    for k in range(2, order + 1):
+        seen = F.col(f"_cu{k}").isNotNull() & (F.col(f"_cu{k}") > 0)
+        p = F.when(
+            seen,
+            (
+                F.greatest(F.coalesce(f"_c{k}", F.lit(0)) - d, F.lit(0.0))
+                + d * F.coalesce(f"_n1u{k}", F.lit(0)) * p
+            )
+            / F.col(f"_cu{k}"),
+        ).otherwise(p)
+    scored = cur.select(id_col, F.log(p).alias("_lp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("_lp").alias("avg_logprob"),
+        F.exp(-F.avg("_lp")).alias("ppl"),
+    )
+
+
+def kn_ngram_score_keyed(
+    docs: DataFrame,
+    lm_models: dict,
+    key_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_events, avg_logprob, ppl) scoring each row against the
+    model its ``key_col`` value names — identical math to
+    ``kn_ngram_score`` per key, but in ONE corpus pass: each model's
+    count/context/unigram/totals tables are unioned with a key column
+    (MODEL tables, bounded — the union is k small checkpointed leaves),
+    and every probe join adds the key to its condition. The corpus-side
+    plan stays the 2-joins-per-order shape regardless of k, where the
+    per-language union of filtered sub-plans re-scanned the corpus k
+    times (measured linear-in-k wall at constant corpus,
+    tools/ccnet_fanout_proof.py). All models must share one order;
+    rows whose key matches no model yield no output rows."""
+    if not lm_models:
+        raise ValueError("lm_models must map at least one key")
+    orders = {m["order"] for m in lm_models.values()}
+    if len(orders) != 1:
+        raise ValueError(f"keyed scoring needs one shared order, got {orders}")
+    order = next(iter(orders))
+
+    def _u(get, key_alias: str) -> DataFrame:
+        parts = [
+            get(m).select(F.lit(k).alias(key_alias), "*")
+            for k, m in sorted(lm_models.items())
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    ev = _kn_ngram_events(docs, id_col, text_col, order, (key_col,))
+    d = F.lit(float(discount))
+    a = F.lit(float(alpha))
+    cur = ev.select(
+        "*",
+        *[
+            F.slice(F.col("ctx"), order + 1 - k, k - 1).alias(f"_suf{k}")
+            for k in range(2, order + 1)
+        ],
+    )
+    for k in range(2, order + 1):
+        cnt = _u(lambda m, _k=k: m["counts"][_k], f"_mlc{k}").select(
+            F.col(f"_mlc{k}"),
+            F.col("ctx").alias(f"_ctx{k}"),
+            F.col("w").alias(f"_w{k}"),
+            F.col("c").alias(f"_c{k}"),
+        )
+        ctxt = _u(lambda m, _k=k: m["contexts"][_k], f"_mlx{k}").select(
+            F.col(f"_mlx{k}"),
+            F.col("ctx").alias(f"_cctx{k}"),
+            F.col("cu").alias(f"_cu{k}"),
+            F.col("n1u").alias(f"_n1u{k}"),
+        )
+        cur = cur.join(
+            cnt,
+            (F.col(key_col) == F.col(f"_mlc{k}"))
+            & (F.col(f"_suf{k}") == F.col(f"_ctx{k}"))
+            & (F.col("w") == F.col(f"_w{k}")),
+            "left",
+        ).join(
+            ctxt,
+            (F.col(key_col) == F.col(f"_mlx{k}"))
+            & (F.col(f"_suf{k}") == F.col(f"_cctx{k}")),
+            "left",
+        )
+    uni = _u(lambda m: m["unigram"], "_mlu").select(
+        F.col("_mlu"), F.col("w").alias("_uw"), "n1w"
+    )
+    tot = _u(lambda m: m["totals"], "_mlt")  # k one-row frames
+    cur = cur.join(
+        uni,
+        (F.col(key_col) == F.col("_mlu")) & (F.col("w") == F.col("_uw")),
+        "left",
+    ).join(
+        F.broadcast(tot), F.col(key_col) == F.col("_mlt"), "inner"
+    )
     p = (F.coalesce("n1w", F.lit(0)) + a) / (
         F.col("n1pp") + a * (F.col("v") + 1)
     )

@@ -3325,6 +3325,47 @@ def test_ccnet_pipeline_end_to_end(spark):
     assert len(with_def) == 30
 
 
+def test_kn_ngram_score_keyed_equals_per_model(spark):
+    """The single-pass keyed scorer is row-for-row identical to running
+    kn_ngram_score per model on the matching partition — same math,
+    one corpus scan instead of k (the ccnet_pipeline 100 TB shape).
+    Rows whose key names no model yield no output; mixed orders are
+    rejected."""
+    t1 = spark.createDataFrame(
+        [("a b c a b",), ("b c d",)], "text string")
+    t2 = spark.createDataFrame(
+        [("x y z x",), ("y z z y x",)], "text string")
+    m1 = text.kn_ngram_lm(t1, order=3)
+    m2 = text.kn_ngram_lm(t2, order=3)
+    docs = spark.createDataFrame(
+        [(0, "k1", "a b c"), (1, "k1", "c b zz a"), (2, "k2", "x y y"),
+         (3, "k2", "z"), (4, "k1", ""), (5, "nomodel", "a b")],
+        "doc_id long, k string, text string")
+    keyed = {r["doc_id"]: (r["n_events"], r["avg_logprob"], r["ppl"])
+             for r in text.kn_ngram_score_keyed(
+                 docs, {"k1": m1, "k2": m2}, "k").collect()}
+    assert set(keyed) == {0, 1, 2, 3, 4}  # key 'nomodel' drops
+    for key, model in (("k1", m1), ("k2", m2)):
+        part = docs.where(F.col("k") == key)
+        for r in text.kn_ngram_score(part, model).collect():
+            ke, ka, kp = keyed[r["doc_id"]]
+            assert ke == r["n_events"]
+            assert ka == pytest.approx(r["avg_logprob"], rel=1e-12)
+            assert kp == pytest.approx(r["ppl"], rel=1e-12)
+    m2b = text.kn_ngram_lm(t2, order=2)
+    with pytest.raises(ValueError):
+        text.kn_ngram_score_keyed(docs, {"k1": m1, "k2": m2b}, "k")
+    # ccnet_pipeline with mixed orders still works via the union path
+    seed = spark.createDataFrame(
+        [(i, "en", "a b c a b") for i in range(6)],
+        "doc_id long, lang string, text string")
+    w = text.train_lang_classifier(seed, iters=2)
+    mixed = text.ccnet_pipeline(
+        docs.select("doc_id", "text"), w,
+        {"en": m1, None: m2b}).collect()
+    assert len(mixed) == 6
+
+
 # ---------------------------------------------------- Kneser-Ney bigram
 def _py_kn(train_texts, score_docs, discount=0.75, alpha=0.5):
     """Python twin of kn_bigram_lm + kn_bigram_score: same <s>/</s>
