@@ -2168,6 +2168,7 @@ def kn_ngram_lm(
     train: DataFrame,
     order: int = 3,
     text_col: str = "text",
+    min_count: int | dict[int, int] = 1,
 ) -> dict:
     """The order-``order`` interpolated KN model as a dict of frames:
     ``counts[k]`` = (ctx array[k−1], w, c) for k = order..2 — raw counts
@@ -2175,29 +2176,59 @@ def kn_ngram_lm(
     n1u) aggregated from counts[k], ``unigram`` = (w, n1w) continuation
     unigrams from counts[2], and one-row ``totals`` (n1pp, v).
 
+    ``min_count`` prunes each order's count table to ``c >=
+    threshold`` — the knob CCNet's production 5-gram LM relies on
+    (KenLM ``--prune``; singleton 5-grams dominate a web-crawl model's
+    size and contribute near-zero discriminative mass). An int applies
+    to the TOP order only; a {k: threshold} dict sets per-order
+    thresholds (orders absent keep everything, threshold 1 is a no-op).
+    Lower tables derive from the table above AFTER its pruning, so the
+    model stays internally consistent; scoring remains total — a
+    pruned n-gram backs off exactly like an unseen one.
+
     100 TB shape: ONE corpus-scaled event aggregate (the top-order
     count, map-side combined); every lower table is a groupBy of the
     bounded table above it. Model tables join key-partitioned at score
     time (array join keys — no broadcast assumption)."""
     if order < 2:
         raise ValueError(f"order must be >= 2, got {order}")
+    if isinstance(min_count, int):
+        prune = {order: min_count}
+    else:
+        prune = dict(min_count)
+    if any(t < 1 for t in prune.values()):
+        raise ValueError(f"min_count thresholds must be >= 1: {prune}")
+
+    def _pruned(df: DataFrame, k: int) -> DataFrame:
+        t = prune.get(k, 1)
+        return df.where(F.col("c") >= t) if t > 1 else df
+
     top = (
-        _kn_ngram_events(
-            train.select(F.lit(0).alias("_d"), text_col), "_d", text_col, order
+        _pruned(
+            _kn_ngram_events(
+                train.select(F.lit(0).alias("_d"), text_col),
+                "_d",
+                text_col,
+                order,
+            )
+            .groupBy("ctx", "w")
+            .agg(F.count(F.lit(1)).alias("c")),
+            order,
         )
-        .groupBy("ctx", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
     counts = {order: top}
     for k in range(order - 1, 1, -1):
         # continuation counts: distinct extensions of the (k−1)-suffix
         counts[k] = (
-            counts[k + 1]
-            .groupBy(
-                F.slice(F.col("ctx"), 2, k - 1).alias("ctx"), F.col("w")
+            _pruned(
+                counts[k + 1]
+                .groupBy(
+                    F.slice(F.col("ctx"), 2, k - 1).alias("ctx"), F.col("w")
+                )
+                .agg(F.count(F.lit(1)).alias("c")),
+                k,
             )
-            .agg(F.count(F.lit(1)).alias("c"))
             .localCheckpoint(eager=True)
         )
     contexts = {

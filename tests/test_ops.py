@@ -3776,6 +3776,59 @@ def test_kn_5gram_twin(spark):
         assert abs(got[did][1] - ref[did][1]) < 1e-9, (did, got[did], ref[did])
 
 
+def test_kn_min_count_pruning(spark):
+    """KenLM-style per-order pruning: min_count=1 is a no-op; a {k: t}
+    dict filters order k's count table to c >= t BEFORE lower tables
+    derive; scoring a pruned model equals scoring a manually-filtered
+    copy of the full model (pruned n-grams back off like unseen ones)
+    and stays total."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(3, 10))))
+            for i in range(30)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    full = text.kn_ngram_lm(train, order=3)
+    noop = text.kn_ngram_lm(train, order=3, min_count=1)
+    assert noop["counts"][3].count() == full["counts"][3].count()
+    pruned = text.kn_ngram_lm(train, order=3, min_count={3: 2, 2: 2})
+    n_full3 = full["counts"][3].count()
+    n_pruned3 = pruned["counts"][3].count()
+    assert 0 < n_pruned3 < n_full3  # singletons existed and were cut
+    assert pruned["counts"][3].where("c < 2").count() == 0
+    assert pruned["counts"][2].where("c < 2").count() == 0
+    # manual twin: filter the full model's frames the same way; lower
+    # tables must re-derive from the pruned top
+    top = full["counts"][3].where("c >= 2")
+    c2 = (top.groupBy(F.slice("ctx", 2, 1).alias("ctx"), "w")
+          .agg(F.count(F.lit(1)).alias("c")).where("c >= 2"))
+    manual = {
+        "order": 3,
+        "counts": {3: top, 2: c2},
+        "contexts": {
+            k: t.groupBy("ctx").agg(F.sum("c").alias("cu"),
+                                    F.count(F.lit(1)).alias("n1u"))
+            for k, t in {3: top, 2: c2}.items()
+        },
+        "unigram": c2.groupBy("w").agg(F.count(F.lit(1)).alias("n1w")),
+        "totals": c2.agg(F.count(F.lit(1)).alias("n1pp"),
+                         F.count_distinct("w").alias("v")),
+    }
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e e e"), (2, "zz a"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in text.kn_ngram_score(docs, pruned).collect()}
+    exp = {r["doc_id"]: r["avg_logprob"]
+           for r in text.kn_ngram_score(docs, manual).collect()}
+    assert set(got) == {0, 1, 2, 3}  # total, pruning never drops docs
+    for did in exp:
+        assert got[did] == pytest.approx(exp[did], rel=1e-12), did
+    with pytest.raises(ValueError):
+        text.kn_ngram_lm(train, order=3, min_count=0)
+
+
 def test_bpe_segmentation_lossless_property(spark):
     """Invariant across random corpora: BPE merges never lose or invent
     characters — every vocab row's pieces concatenate back to the word,
