@@ -401,6 +401,50 @@ def _bench_ingest(spark) -> dict:
                 == 1
             )
             lat.append((time.time() - t0) * 1000.0)
+
+        # tail-follow (tail -f) latency: engine.follow blocks on the
+        # write condition and re-scans only when a write lands — the
+        # reference claims new data is queryable "within milliseconds"
+        # (README.md:10). Measure write→yield per record through a live
+        # follower; the floor is one pruned Spark scan per wakeup.
+        import threading
+
+        n_follow = 30
+        received: dict[str, float] = {}
+        write_ts: dict[str, float] = {}
+
+        def _tail() -> None:
+            for batch in eng.follow(
+                "SELECT FROM {name=follow}", wait_timeout_s=15.0
+            ):
+                now = time.time()
+                for r in batch:
+                    received.setdefault(r["msg"], now)
+                if len(received) >= n_follow:
+                    return
+
+        th = threading.Thread(target=_tail, daemon=True)
+        th.start()
+        time.sleep(1.0)  # follower runs its first (empty) scan
+        for i in range(n_follow):
+            msg = f"follow probe {i}"
+            write_ts[msg] = time.time()
+            eng.write(
+                {"name": "follow"}, [(base + (200_000 + i) * 1000, msg, {})]
+            )
+            time.sleep(0.05)
+        th.join(timeout=60)
+        flats = sorted(
+            (received[m] - write_ts[m]) * 1000.0
+            for m in write_ts
+            if m in received
+        )
+
+        def _pct(p: float) -> float:
+            if not flats:
+                return float("nan")
+            return round(flats[min(len(flats) - 1, int(p * len(flats)))], 1)
+
         return {
             "records": n,
             "sec": round(wall, 3),
@@ -411,6 +455,9 @@ def _bench_ingest(spark) -> dict:
             "sustained_files_after_autocompact": sus_files,
             "sustained_batches_written": len(sus_batches),
             "write_plus_query_roundtrip_ms_median": round(statistics.median(lat), 1),
+            "follow_visibility_ms_p50": _pct(0.50),
+            "follow_visibility_ms_p99": _pct(0.99),
+            "follow_samples": len(flats),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
