@@ -971,11 +971,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash int) — sign of per-bit vote sums over tokens.
 
-    Per token: one md5, then the first ``bits`` hex nibbles are parsed
-    with two ``conv`` calls into ints and folded into a ``bits``-wide
-    mask whose bit j is the high bit of nibble j (hex digit ∈ 89abcdef).
-    Per-bit votes are then integer ``aggregate``s over the mask array —
-    far cheaper to codegen and run than per-bit substring compares.
+    ``bits=16`` (default, DuckDB-oracle-matched): per token one md5,
+    then the first 16 hex nibbles are parsed with two ``conv`` calls
+    into ints and folded into a 16-bit mask whose bit j is the high bit
+    of nibble j (hex digit ∈ 89abcdef). Per-bit votes are then integer
+    ``aggregate``s over the mask array — far cheaper to codegen and run
+    than per-bit substring compares.
+
+    ``bits=64`` (the web-scale fingerprint of Manku/Jain/Sarma,
+    WWW'07): the token hash is the first 64 bits of md5 parsed as two
+    32-bit words; 64 vote aggregates, sign bit placed via two's
+    complement so the result stays a bigint under ANSI arithmetic.
+    16 bits saturate past ~10⁵ docs — random fingerprints land
+    hamming ≤ 3 apart with p = 697/2¹⁶ ≈ 1.1%, so FALSE pairs grow
+    ∝ n²; at 64 bits that probability is C(64,≤3)/2⁶⁴ ≈ 2e-15 and the
+    pair output stays the true near-dup volume.
+
     Shuffle-free; votes count token *occurrences* (not distinct tokens),
     matching the unnest oracle. Documents with zero tokens are dropped
     (as in the groupBy oracle).
@@ -989,7 +1000,9 @@ def _simhash_keyed(df: DataFrame, id_col: str, text_col: str,
     (md5 of the token stream), for the exact-collapse in
     ``simhash_near_pairs``. Identical token streams → identical _tkey and
     identical simhash."""
-    assert bits == 16, "mask layout below is hardwired to 16 bits"
+    if bits == 64:
+        return _simhash_keyed64(df, id_col, text_col)
+    assert bits == 16, "bits must be 16 (oracle layout) or 64 (scale)"
     from .text import tokens_sql
 
     # two 8-nibble md5 halves; conv(hex,16,10) of 8 digits fits a long.
@@ -1030,10 +1043,62 @@ def _simhash_keyed(df: DataFrame, id_col: str, text_col: str,
     return votes.selectExpr(id_col, "_tkey", f"cast({hsum} as bigint) AS simhash")
 
 
+def _simhash_keyed64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit variant of ``_simhash_keyed`` (Manku/Jain/Sarma WWW'07
+    fingerprint width). Token hash = first 16 hex digits of md5 as two
+    32-bit ``conv`` words (lo = digits 1-8, hi = digits 9-16); vote j
+    reads bit j of the matching word, so all 64 votes are integer
+    ``aggregate``s over two mask arrays — still a pure, shuffle-free map
+    stage. Bit 63 of the fingerprint is added as -2⁶³ (two's complement)
+    so the sum never overflows a bigint under ANSI mode. Pinned against
+    a hashlib python twin in test_ops."""
+    from .text import tokens_sql
+
+    k1 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    k2 = "cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)"
+    masked = (
+        df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _w")
+        .where(F.size("_w") > 0)
+        .selectExpr(
+            id_col,
+            "md5(concat_ws(' ', _w)) AS _tkey",
+            "size(_w) AS _n",
+            f"transform(_w, t -> {k1}) AS _m1",
+            f"transform(_w, t -> {k2}) AS _m2",
+        )
+    )
+    votes = masked.selectExpr(
+        id_col,
+        "_tkey",
+        *[
+            f"2 * aggregate(_m{1 + j // 32}, cast(0 as bigint),"
+            f" (acc, m) -> acc + (shiftright(m, {j % 32}) & 1)) - _n AS v{j}"
+            for j in range(64)
+        ],
+    )
+    hsum = " + ".join(f"if(v{j} > 0, {1 << j}, 0)" for j in range(63))
+    hsum = (
+        f"({hsum}) + if(v63 > 0,"
+        " cast(-9223372036854775808 as bigint), cast(0 as bigint))"
+    )
+    return votes.selectExpr(id_col, "_tkey", f"cast({hsum} as bigint) AS simhash")
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming, found via 4-bit band
-    blocking (equi-join on band value — no cross join).
+                       max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming, found via band
+    blocking over ``bits // 4`` -bit bands (equi-join on band value — no
+    cross join; pigeonhole over 4 bands guarantees hamming ≤ 3 recall).
+
+    ``bits=64`` is the scale path (16-bit bands, the Manku/Jain/Sarma
+    WWW'07 layout): at 16 bits the whole code space has 2¹⁶ values, so
+    past ~10⁵ documents UNRELATED fingerprints collide at hamming ≤ 3
+    with p ≈ 1.1% and both the candidate volume and the TRUE output
+    grow ∝ n² — measured in SCALE.md's x100 sweep. At 64 bits a random
+    pair lands in one 16-bit band bucket with p = 2⁻¹⁶ per band, so
+    candidates stay ~4n²/2¹⁷ (manageable) and the verified output is
+    the planted near-dup volume.
 
     Skew-hardened the same way as the MinHash path (see
     ``_rep_pairs_and_members``): the band join runs over one
@@ -1043,14 +1108,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     occupancy-bounded grid salting, and member pairs are expanded
     afterward — byte-identical output to the direct join.
     """
-    sk = _simhash_keyed(spread(df), id_col, text_col)
+    sk = _simhash_keyed(spread(df), id_col, text_col, bits)
     reps = sk.groupBy("_tkey").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("_csz"),
         F.first("simhash").alias("simhash"),
     )
     dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey", "_csz")
-    per_band = SIMHASH_BITS // SIMHASH_BANDS
+    per_band = bits // SIMHASH_BANDS
     mask = (1 << per_band) - 1
     bands = reps.select(
         F.col(id_col),
@@ -1080,7 +1145,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     # evaluated inside the join. Each pair then appears exactly once and
     # the only shuffle left in the whole operator is the band equi-join.
     x = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-    per = SIMHASH_BITS // SIMHASH_BANDS
+    per = bits // SIMHASH_BANDS
     nib = (1 << per) - 1
     first_zero_nibble = F.when(x.bitwiseAND(F.lit(nib)) == 0, 0)
     for b in range(1, SIMHASH_BANDS):

@@ -163,6 +163,65 @@ def test_simhash_deterministic(docs):
     assert a[1] == a[3]
 
 
+def _py_simhash64(txt: str) -> int | None:
+    """hashlib twin of dedup._simhash_keyed64: token hash = first 16 hex
+    digits of md5 as two 32-bit words, sign-vote per bit, bit 63 placed
+    as -2**63 (matching the signed bigint the Spark side produces)."""
+    import hashlib
+
+    toks = txt.strip().lower().split()
+    if not toks:
+        return None
+    votes = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        k1, k2 = int(h[0:8], 16), int(h[8:16], 16)
+        for j in range(32):
+            votes[j] += 1 if (k1 >> j) & 1 else -1
+            votes[32 + j] += 1 if (k2 >> j) & 1 else -1
+    v = sum(1 << j for j in range(63) if votes[j] > 0)
+    return v - (1 << 63) if votes[63] > 0 else v
+
+
+def test_simhash64_matches_python_twin(docs):
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(docs, "doc_id", "text", bits=64).collect()
+    }
+    want = {
+        r["doc_id"]: _py_simhash64(r["text"])
+        for r in docs.collect()
+        if _py_simhash64(r["text"]) is not None
+    }
+    assert got == want
+
+
+def test_simhash64_pairs_brute_force(docs):
+    """near_pairs(bits=64) ≡ brute-force hamming over the python-twin
+    fingerprints — checks banding (16-bit bands), exact-collapse and
+    member expansion against ground truth, not just internal agreement."""
+    sh = {
+        r["doc_id"]: _py_simhash64(r["text"])
+        for r in docs.collect()
+        if _py_simhash64(r["text"]) is not None
+    }
+    ids = sorted(sh)
+    want = {
+        (a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=3, bits=64
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 3)] == 0  # the planted exact dup survives the collapse
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
