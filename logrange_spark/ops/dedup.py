@@ -849,6 +849,15 @@ def repeated_spans(
     pathological hash), and the per-doc island window (partition sizes
     bounded by document length). No pair explosion anywhere: work is
     linear in total occurrences, never quadratic.
+
+    The hash-join-back carries a ``merge`` hint: the one-row-per-hash
+    frame is DATA-SCALED (duplicated-window count grows with the
+    corpus), but Catalyst's post-aggregate size estimate undershoots
+    and AQE picked a broadcast at the x100 sweep scale — the hashed
+    relation then exhausted execution memory ("Could not allocate
+    memory to grow BytesToBytesMap", 500k docs / 28M windows). SMJ
+    shuffles both sides on whash and spills instead of dying; never
+    broadcast a frame whose size grows with the data.
     """
     if min_len < 2:
         raise ValueError(f"min_len must be ≥ 2, got {min_len}")
@@ -869,7 +878,7 @@ def repeated_spans(
         .where(F.col("_n") >= 2)
     )
     dup = (
-        w.join(first, "whash")
+        w.join(first.hint("merge"), "whash")
         .where(
             (F.col(id_col) != F.col("_first.d")) | (F.col("pos") != F.col("_first.p"))
         )
@@ -917,7 +926,10 @@ def remove_repeated_spans(
 
     The rebuild is one left join of the corpus against the per-doc
     interval lists (collect_list bounded by document length) followed by
-    a map-side array filter — no per-token shuffle.
+    a map-side array filter — no per-token shuffle. The interval frame
+    is data-scaled (one row per doc containing a duplicate span), so the
+    join carries the same ``merge`` hint as ``repeated_spans``' hash
+    join-back — broadcasting it is a mis-estimate away from OOM.
     """
     toked = spread(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_tok")
@@ -931,7 +943,7 @@ def remove_repeated_spans(
             )
         ).alias("_ivs")
     )
-    joined = toked.join(ivs, id_col, "left")
+    joined = toked.join(ivs.hint("merge"), id_col, "left")
     indexed = F.transform(
         F.col("_tok"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("i"))
     )
