@@ -525,6 +525,17 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash near-pairs (Manku/Jain/Sarma WWW'07 width) — the
+    registered variant since round 12: the 16-bit layout saturates past
+    ~10⁵ docs (SCALE.md sf1 sweep), so the registry checks the
+    fingerprint the 100 TB path actually uses."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, bits=64
+    )
+
+
 def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level minhash overlap between the even-id and odd-id halves
     of the documents table — the train/test split shape whose overlap a
@@ -2072,7 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_near_duplicates": _q_near_dups,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_simhash64_pairs": _q_simhash64_pairs,
         # corpus-level train/test overlap estimate
         "corpus_overlap": _q_corpus_overlap,
         # training-data pipeline: text analysis
@@ -2165,6 +2176,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-12 rotation (for wet_documents / cc_pipeline)
         "parse_logfmt": _q_parse_logfmt,
         "ann_bucketed_topk": _q_ann_bucketed,
+        # round-12 late rotation (for dedup_simhash64_pairs — the 16-bit
+        # fingerprint stays correct at sf0.01 but saturates at web scale;
+        # the registry now checks the 64-bit variant instead)
+        "dedup_simhash_pairs": _q_simhash_pairs,
     }
 
 
@@ -2308,6 +2323,41 @@ def _simhash_sql(max_hamming: int) -> str:
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     per = bits // dedup.SIMHASH_BANDS
+    mask = (1 << per) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * per}) & {mask} AS bv FROM sh"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return (
+        f"WITH {_tok_cte()}, "
+        "tok_ex AS (SELECT doc_id, unnest(w) AS tok FROM toks), "
+        f"votes AS (SELECT doc_id, {votes} FROM tok_ex GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, CAST({hash_expr} AS BIGINT) AS simhash FROM votes), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, "
+        "  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming "
+        "FROM bands l JOIN bands r "
+        "ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id "
+        f"WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"
+    )
+
+
+def _simhash64_sql(max_hamming: int) -> str:
+    """DuckDB twin of the 64-bit fingerprint: token-hash words =
+    CAST('0x' || substr(md5(tok), 1|9, 8) AS BIGINT) — bit-identical to
+    Spark's conv(substring(md5(t), 1|9, 8), 16, 10); bit 63 enters as
+    (-9223372036854775807 - 1) so the sum stays in BIGINT range, and
+    (simhash >> s) & 65535 band values agree between engines because
+    the mask discards the arithmetic-shift fill bits."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (CAST('0x' || substr(md5(tok), {1 + 8 * (j // 32)}, 8)"
+        f" AS BIGINT) >> {j % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63)
+    ) + " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    per = 64 // dedup.SIMHASH_BANDS
     mask = (1 << per) - 1
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * per}) & {mask} AS bv FROM sh"
@@ -2777,6 +2827,7 @@ GROUP BY c_mktsegment""".strip(),
     # round-12 rotation — oracles preserved verbatim from oracle_sql()
     "parse_logfmt": _PARSE_LOGFMT_SQL,
     "ann_bucketed_topk": _ann_sql(bucketed=True),
+    "dedup_simhash_pairs": _simhash_sql(3),
     # round-10 rotation — oracles preserved verbatim from oracle_sql()
     "dedup_lsh_candidates": _lsh_pairs_sql(),
     "events_range_join": f"""
@@ -2939,7 +2990,7 @@ SELECT md5(props) AS content_hash, min(event_id) AS keep_id,
 FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "dedup_near_duplicates": _near_dup_sql(0.8),
         "dedup_clusters": _clusters_sql(0.8),
-        "dedup_simhash_pairs": _simhash_sql(3),
+        "dedup_simhash64_pairs": _simhash64_sql(3),
         "text_stats": _text_stats_sql(),
         "kn_bigram_ppl": _kn_sql(),
         "corpus_overlap": _corpus_overlap_sql(),

@@ -306,6 +306,10 @@ def _q_wet_documents(spark, sf_dir):
     return entry._q_wet_documents(spark, sf_dir)
 
 
+def _q_simhash64_pairs(spark, sf_dir):
+    return entry._q_simhash64_pairs(spark, sf_dir)
+
+
 def _q_cc_pipeline(spark, sf_dir):
     return entry._q_cc_pipeline(spark, sf_dir)
 
@@ -322,6 +326,9 @@ EXTRA_QUERIES = {
     "ann_pq_topk": (_q_pq_topk, "embeddings"),
     "ann_ivf_pq_topk": (_q_ivf_pq_topk, "embeddings"),
     "dedup_clusters": (_q_dedup_clusters, "documents"),
+    # the r12 64-bit fingerprint (registered variant; 16-bit stays
+    # in HEADLINE for round-over-round bench continuity)
+    "dedup_simhash64_pairs": (_q_simhash64_pairs, "documents"),
     "mixture_sample": (_q_mixture_sample, "documents"),
     "text_unigram_ppl": (_q_unigram_lm, "documents"),
     "text_bm25_topk": (_q_bm25, "documents"),
