@@ -2403,6 +2403,26 @@ def test_repeated_spans_matches_reference(spark):
         dedup.repeated_spans(df, min_len=1)
 
 
+def test_repeated_spans_never_broadcasts(spark):
+    """Regression for the x100 sweep OOM (SCALE.md sf1 section): the
+    one-row-per-duplicated-hash frame and the per-doc interval frame are
+    DATA-SCALED, so their joins must stay sort-merge — Catalyst's
+    post-aggregate size estimate undershoots and an unhinted plan
+    broadcast them, dying with 'Could not allocate memory to grow
+    BytesToBytesMap' at 500k docs / 28M windows."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 20) for i in range(8)],
+        "doc_id long, text string",
+    )
+    for op in (dedup.repeated_spans, dedup.remove_repeated_spans):
+        plan = (
+            op(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan, op.__name__
+        assert "BroadcastHashJoin" not in plan, op.__name__
+
+
 # ----------------------------------------------------- MJPEG-in-MP4 frames
 def _mp4_mjpeg(frames_jpeg, two_chunks=False):
     """Minimal ISO-BMFF container holding JPEG samples in an mdat, with
