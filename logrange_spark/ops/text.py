@@ -2268,6 +2268,17 @@ def kn_ngram_score(
     One pass: the event zip, then per order two key-partitioned left
     joins (counts on (ctx_k, w), contexts on ctx_k — array join keys),
     the unigram join on w, one-row totals broadcast, one per-doc mean.
+
+    Scale envelope: with an IN-FLIGHT model dict (fresh from
+    ``kn_ngram_lm``) Catalyst may broadcast model tables it estimates
+    small — fine for pruned/small-corpus models, but an UNPRUNED
+    web-scale model's top-order table is gigabytes and the broadcast
+    collect dies on ``spark.driver.maxResultSize`` (measured at the
+    x100 sweep: 28M tokens → >1 GiB collect). At that scale pass the
+    model through ``persist_kn_ngram_model`` first — every probe table
+    is bucketed by its join keys, scoring reads co-located buckets
+    with NO model-side Exchange and nothing is ever collected — or
+    prune with ``min_count`` (the KenLM/CCNet production shape).
     """
     order = model["order"]
     ev = _kn_ngram_events(docs, id_col, text_col, order)
