@@ -2403,6 +2403,25 @@ def test_repeated_spans_matches_reference(spark):
         dedup.repeated_spans(df, min_len=1)
 
 
+def test_simhash16_histogram_count_equals_operator(spark):
+    """The sf1 sweep reports the saturated 16-bit x100 output via the
+    65,536-bin fingerprint-histogram convolution instead of running the
+    pair join (SCALE.md). Pin that math: on a corpus where the join IS
+    feasible, the convolution must equal simhash_near_pairs.count()."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from sf1_sweep import simhash16_exact_pairs
+
+    rows = [
+        (i, f"w{i % 7} common token stream {'x' * (i % 3)} t{i % 11}")
+        for i in range(120)
+    ] + [(200 + i, "dup dup dup identical") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).count()
+    got = simhash16_exact_pairs(spark, df)["out_rows_exact"]
+    assert got == want and want > 0
+
+
 def test_repeated_spans_never_broadcasts(spark):
     """Regression for the x100 sweep OOM (SCALE.md sf1 section): the
     one-row-per-duplicated-hash frame and the per-doc interval frame are
