@@ -521,8 +521,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bits=16 EXPLICIT: this retired row pins the small-corpus/oracle
+    # layout (_simhash_sql); the library default is 64 since round 13.
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, bits=16
+    )
 
 
 def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2313,7 +2317,7 @@ def _clusters_sql(threshold: float) -> str:
 
 
 def _simhash_sql(max_hamming: int) -> str:
-    bits = dedup.SIMHASH_BITS
+    bits = 16  # the explicit oracle layout; the library default is 64
     votes = ", ".join(
         f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
         f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"

@@ -106,6 +106,21 @@ PREV_ROUNDS = {
         "events_sessions": 0.365, "events_asof": 0.316,
         "events_range_join": 0.309, "training_pipeline": 1.818,
     },
+    # r12 driver-measured minima, verbatim from BENCH_r12.json "parsed"
+    # (protocol: min-of-3 warm, sf0.1, local[32], 24g driver heap)
+    "r12": {
+        "lql_contains": 0.25, "lql_tail": 0.291, "lql_format": 0.317,
+        "show_partitions": 0.239, "pricing_summary": 1.372,
+        "revenue_by_segment": 1.319, "revenue_by_nation": 1.366,
+        "top_orders_per_customer": 0.32, "events_hourly": 0.424,
+        "dedup_exact": 0.217, "dedup_lsh_candidates": 1.637,
+        "dedup_near_duplicates": 1.492, "dedup_simhash_pairs": 2.228,
+        "text_stats": 0.496, "text_top_words": 0.267,
+        "ann_cosine_topk": 0.463, "ann_bucketed_topk": 0.499,
+        "dedup_embedding": 1.181, "parse_k8json": 1.552,
+        "events_sessions": 0.397, "events_asof": 0.374,
+        "events_range_join": 0.344, "training_pipeline": 2.008,
+    },
     # r09 driver-measured minima, verbatim from BENCH_r09.json "parsed"
     "r09": {
         "lql_contains": 0.336, "lql_tail": 0.388, "lql_format": 0.387,
@@ -146,6 +161,16 @@ HEADLINE = [
     "events_asof",
     "events_range_join",
     "training_pipeline",
+    # round-13 flagship additions (VERDICT r12 #3): the r10-r12 flagship
+    # surface must regress VISIBLY in BENCH_r{N}, not only in SCALE.md
+    # one-offs. The original 23 stay for round-over-round continuity;
+    # delta_total_vs_prev sums only over each prior round's own set, so
+    # totals remain comparable.
+    "gopher_stats",
+    "lang_predict",
+    "kn_bigram_ppl",
+    "wet_documents",
+    "cc_pipeline",
 ]
 
 
@@ -157,6 +182,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # The benchmark heap is part of the pinned protocol: the library
+    # default is a conservative 8g (session.py), but the r12 numbers were
+    # taken at 24g and the round-13 8g-vs-24g A/B (bench_detail.json
+    # "heap_ab") showed the heap itself moves fixed-overhead-dominated
+    # queries, so the round-over-round basis is declared here and
+    # recorded in the protocol block.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    heap = os.environ["SPARK_GRAFT_DRIVER_MEM"]
 
     spark = build_session(app_name="logrange-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -198,10 +232,11 @@ def main() -> int:
         best = min(runs)
         timings[name] = best
         total += best
-        med = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
-            (sorted(runs)[len(runs) // 2 - 1] + sorted(runs)[len(runs) // 2])
-            / 2, 3
+        srt = sorted(runs)
+        med = srt[len(runs) // 2] if len(runs) % 2 else (
+            (srt[len(runs) // 2 - 1] + srt[len(runs) // 2]) / 2
         )
+        med = round(med, 3)  # uniform formatting for any n_runs
         medians[name] = med
         total_median += med
 
@@ -229,7 +264,7 @@ def main() -> int:
     # under this exact protocol, so every consumer needs (warm, n_runs,
     # agg) plus the median to tell regression from ambient load
     protocol = {"warm": warm, "n_runs": n_runs, "agg": "min",
-                "noise_floor_pct": 10.1}
+                "noise_floor_pct": 10.1, "heap": heap}
     detail = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),

@@ -41,8 +41,8 @@ from .util import spread
 SHINGLE_N = 3
 MINHASH_SEEDS = 12
 LSH_BANDS = 6  # 2 seeds per band
-SIMHASH_BITS = 16
-SIMHASH_BANDS = 4  # 4 bits per band → guarantees hamming ≤ 3 recall
+SIMHASH_BITS = 64  # web-scale default (Manku WWW'07); 16 = explicit oracle mode
+SIMHASH_BANDS = 4  # bits/4 per band → guarantees hamming ≤ 3 recall
 
 # Skew bound for pair-generating self-joins: no task cell compares more
 # than SKEW_CAP × SKEW_CAP rows of one join-key bucket (see
@@ -983,21 +983,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash int) — sign of per-bit vote sums over tokens.
 
-    ``bits=16`` (default, DuckDB-oracle-matched): per token one md5,
-    then the first 16 hex nibbles are parsed with two ``conv`` calls
-    into ints and folded into a 16-bit mask whose bit j is the high bit
-    of nibble j (hex digit ∈ 89abcdef). Per-bit votes are then integer
-    ``aggregate``s over the mask array — far cheaper to codegen and run
-    than per-bit substring compares.
+    ``bits=64`` (DEFAULT — the web-scale fingerprint of
+    Manku/Jain/Sarma, WWW'07): the token hash is the first 64 bits of
+    md5 parsed as two 32-bit words; 64 vote aggregates, sign bit placed
+    via two's complement so the result stays a bigint under ANSI
+    arithmetic.
 
-    ``bits=64`` (the web-scale fingerprint of Manku/Jain/Sarma,
-    WWW'07): the token hash is the first 64 bits of md5 parsed as two
-    32-bit words; 64 vote aggregates, sign bit placed via two's
-    complement so the result stays a bigint under ANSI arithmetic.
-    16 bits saturate past ~10⁵ docs — random fingerprints land
+    ``bits=16`` (explicit small-corpus/oracle mode, DuckDB-matched):
+    per token one md5, then the first 16 hex nibbles are parsed with
+    two ``conv`` calls into ints and folded into a 16-bit mask whose
+    bit j is the high bit of nibble j (hex digit ∈ 89abcdef). Per-bit
+    votes are then integer ``aggregate``s over the mask array — far
+    cheaper to codegen and run than per-bit substring compares.
+    16 bits SATURATE past ~10⁵ docs — random fingerprints land
     hamming ≤ 3 apart with p = 697/2¹⁶ ≈ 1.1%, so FALSE pairs grow
-    ∝ n²; at 64 bits that probability is C(64,≤3)/2⁶⁴ ≈ 2e-15 and the
-    pair output stays the true near-dup volume.
+    ∝ n² (measured: 1.69e9 pairs at 500k docs, SCALE.md sf1 sweep);
+    at 64 bits that probability is C(64,≤3)/2⁶⁴ ≈ 2e-15 and the pair
+    output stays the true near-dup volume — hence the 64 default.
 
     Shuffle-free; votes count token *occurrences* (not distinct tokens),
     matching the unnest oracle. Documents with zero tokens are dropped

@@ -478,7 +478,15 @@ def blocklist_pattern(words: tuple[str, ...] | list[str]) -> str:
     syntax Java regex and RE2 (the DuckDB oracle engine) read
     identically: literal escaping + ``\\b`` + ``\\s``, no lookarounds.
     """
-    wl = sorted({" ".join(w.lower().split()) for w in words} - {""})
+    # longest-first: Java and RE2 alternation is leftmost-first, so with
+    # a lexicographic order a short entry shadows a longer phrase sharing
+    # its prefix ('bad' would consume 'bad word' at the same position and
+    # undercount hits when a max_hits tolerance is used); ties break
+    # lexicographically so the pattern stays deterministic.
+    wl = sorted(
+        {" ".join(w.lower().split()) for w in words} - {""},
+        key=lambda w: (-len(w), w),
+    )
     if not wl:
         raise ValueError("blocklist must contain at least one word")
     alts = []
@@ -2019,7 +2027,15 @@ def ccnet_pipeline(
             part = part.join(s, id_col)
             scored = part if scored is None else scored.unionByName(part)
         if default is not None:
-            rest = tagged.where(~F.col("lang_pred").isin(langs))
+            # NULL lang_pred routes to the default model, matching the
+            # keyed path's when(...).otherwise(default): a bare
+            # ~isin(langs) evaluates NULL for NULL and silently drops
+            # those rows, so the two branches would disagree on the
+            # same input depending on whether model orders match.
+            rest = tagged.where(
+                (~F.col("lang_pred").isin(langs))
+                | F.col("lang_pred").isNull()
+            )
             s = kn_ngram_score(
                 rest, default, id_col, text_col, discount, alpha
             ).select(id_col, "ppl")

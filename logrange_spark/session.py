@@ -45,15 +45,14 @@ def build_session(
         # pkg/partition/partition.go; stateless readers just tolerate it)
         .config("spark.sql.files.ignoreMissingFiles", "true")
         # local[32] runs 32 concurrent tasks inside ONE driver JVM, so
-        # this heap is the whole cluster's executor memory: 8g gave
-        # 0.25 GB/task — far below the 2-8 GB/core any real deployment
-        # provisions — and the round-12 x100 sweeps showed it (KN
-        # order-5 aggregation heap-OOMed; the repeated_spans broadcast
-        # failure was amplified by it). 24g ≈ 0.75 GB/task: still lean
-        # vs production, roomy enough that scale runs exercise plan
-        # shape instead of GC death, and three concurrent sessions
-        # (pytest + bench + a tool) still fit the 128 GiB sandbox.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # this heap is the whole cluster's executor memory. The LIBRARY
+        # default stays a conservative 8g so build_session starts on any
+        # reasonable host; memory-hungry entry points (bench.py, the
+        # tools/ x100 sweeps — where 8g = 0.25 GB/task starved KN
+        # order-5 aggregation and broadcast reads in round 12) export
+        # SPARK_GRAFT_DRIVER_MEM=24g themselves instead of baking a
+        # 128 GiB-sandbox assumption into every downstream session.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,11 +1,16 @@
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 import pytest
 
 from logrange_spark import Engine, build_session
+
+# the suite includes x10-scale plan/behavior tests that were tuned at the
+# bench heap; the LIBRARY default is a conservative 8g (session.py)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 @pytest.fixture(scope="session")

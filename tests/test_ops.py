@@ -2417,7 +2417,9 @@ def test_simhash16_histogram_count_equals_operator(spark):
         for i in range(120)
     ] + [(200 + i, "dup dup dup identical") for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    want = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=3).count()
+    want = dedup.simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=3, bits=16
+    ).count()
     got = simhash16_exact_pairs(spark, df)["out_rows_exact"]
     assert got == want and want > 0
 
@@ -4301,3 +4303,40 @@ def test_blocklist_gate(spark):
     with pytest.raises(ValueError):
         text.blocklist_gate(docs, [])
         text.blocklist_gate(docs, ["  "])
+
+
+def test_blocklist_pattern_longest_first(spark):
+    """Java/RE2 alternation is leftmost-FIRST, not leftmost-longest: a
+    short entry listed before a longer phrase sharing its prefix would
+    consume the prefix and the phrase entry could never match as a
+    phrase. The pattern must order alternatives longest-first so phrase
+    entries win — pinned via extraction on BOTH engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    pat = text.blocklist_pattern(["bad", "bad word"])
+    assert pat.index("bad\\s+word") < pat.index("|\\bbad\\b")
+    got = (
+        spark.range(1)
+        .select(F.regexp_extract(F.lit("a bad word here"), pat, 0).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got == "bad word"
+    twin = duckdb.sql(
+        "select regexp_extract('a bad word here', ?)", params=[pat]
+    ).fetchone()[0]
+    assert twin == "bad word"
+    # counts still agree engine-vs-oracle with prefix-sharing entries
+    rows = [(0, "bad word bad"), (1, "bad"), (2, "word")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got_hits = {
+        r["doc_id"]: r["blocklist_hits"]
+        for r in text.blocklist_gate(docs, ["bad", "bad word"]).collect()
+    }
+    twin_hits = {
+        i: duckdb.sql(
+            "select len(regexp_extract_all(lower(?), ?))", params=[t, pat]
+        ).fetchone()[0]
+        for i, t in rows
+    }
+    assert got_hits == twin_hits == {0: 2, 1: 1, 2: 0}

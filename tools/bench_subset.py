@@ -26,6 +26,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="logrange-spark-bench-subset")
     spark.sparkContext.setLogLevel("ERROR")
     warm = spark.read.parquet(f"{sf_dir}/nation.parquet")

@@ -99,6 +99,7 @@ def main() -> int:
     out: dict = {"n_chunks": N_CHUNKS, "n_srcs": N_SRCS, "log_lines": 50_000}
     try:
         truth = build(root)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
         spark = build_session(shuffle_partitions=8)
         spark.sparkContext.setLogLevel("ERROR")
 

@@ -102,6 +102,7 @@ def main() -> None:
     from logrange_spark import build_session
 
     ks = [int(a) for a in sys.argv[1:]] or [5, 25, 50]
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="ccnet-fanout-proof")
     spark.sparkContext.setLogLevel("ERROR")
     for k in ks:

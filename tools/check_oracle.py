@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [query ...] [--sf DIR]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -64,6 +65,7 @@ def main() -> int:
     if "--tuned" in sys.argv:
         from logrange_spark import build_session
 
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
         spark = build_session(app_name="check-oracle")
     else:
         # Mirror the driver harness: a VANILLA session — no engine confs.

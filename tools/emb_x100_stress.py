@@ -89,6 +89,7 @@ def main() -> None:
     from logrange_spark import build_session
     from logrange_spark.ops import ann
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="emb-x100-stress")
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(build_x100(spark))

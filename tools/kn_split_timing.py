@@ -48,6 +48,7 @@ def main() -> None:
 
     from logrange_spark import build_session
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="kn-split-timing")
     spark.sparkContext.setLogLevel("ERROR")
     x1, x10 = scale_proof.build(spark)

@@ -593,6 +593,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
 def main() -> int:
     from logrange_spark import build_session
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="logrange-spark-scale-proof")
     spark.sparkContext.setLogLevel("ERROR")
     x1, x10 = build(spark)

@@ -81,7 +81,7 @@ def simhash16_exact_pairs(spark, docs) -> dict:
 
     t0 = time.monotonic()
     hist = (
-        dedup.simhash(docs, "doc_id", "text")
+        dedup.simhash(docs, "doc_id", "text", bits=16)
         .groupBy("simhash")
         .count()
         .collect()
@@ -109,6 +109,7 @@ def main() -> None:
     from logrange_spark.ops import dedup
 
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # x100/sf0.1-scale entry point; library default is 8g
     spark = build_session(app_name="sf1-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     x100 = build_x100(spark)
