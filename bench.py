@@ -265,6 +265,15 @@ def main() -> int:
     # agg) plus the median to tell regression from ambient load
     protocol = {"warm": warm, "n_runs": n_runs, "agg": "min",
                 "noise_floor_pct": 10.1, "heap": heap}
+    # the round-13 heap A/B (tools/heap_ab.py) travels with the bench
+    # artifact so the regression attribution is readable in one file
+    heap_ab = None
+    ab_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "heap_ab.json"
+    )
+    if os.path.exists(ab_path):
+        with open(ab_path) as f:
+            heap_ab = json.load(f)
     detail = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
@@ -278,6 +287,7 @@ def main() -> int:
         "sf": sf,
         "delta_vs_prev": deltas,
         "ingest": ingest,
+        "heap_ab": heap_ab,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
