@@ -694,9 +694,13 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop set's final distinct exchange is pure waste here.
     drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8,
                                       unique=False)
-    return text.text_stats(qdocs).select("doc_id", "quality", "fingerprint").join(
-        drop, "doc_id", "left_anti"
-    )
+    # merge hint: the drop set grows with the corpus's duplicate volume
+    # and its size estimate is join-derived — an estimate-driven
+    # broadcast anti-join dies at a duplicate-heavy 100 TB corpus
+    # (round-13 suite-wide broadcast audit)
+    return text.text_stats(qdocs).select(
+        "doc_id", "quality", "fingerprint"
+    ).hint("merge").join(drop, "doc_id", "left_anti")
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -567,8 +567,13 @@ def _emb_rep_pairs(
         l = b.alias("l")
         pair_cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     r = b.alias("r")
+    # merge hint: both sides are the distinct-vector reps frame
+    # (aggregate-derived, data-scaled) — same contract as the token
+    # path's band self-join; SMJ also reuses the shared rep exchange
+    # instead of recomputing the signature map for the broadcast side
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
+        l.hint("merge")
+        .join(r, (F.col("l.bucket") == F.col("r.bucket")) & pair_cond)
         .select(
             F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
             F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
@@ -641,9 +646,12 @@ def embedding_near_duplicates(
 
     ma = members.select(F.col("_vkey").alias("_ka"), F.col(id_col).alias("_fa"))
     mb = members.select(F.col("_vkey").alias("_kb"), F.col(id_col).alias("_fb"))
+    # merge hints (round 13, suite-wide broadcast audit): rep_pairs is
+    # PAIR-VOLUME-scaled and its size estimate is join-derived — AQE
+    # would broadcast it at any scale (the repeated_spans x100 lesson)
     cross = (
-        rep_pairs.join(ma, "_ka")
-        .join(mb, "_kb")
+        rep_pairs.hint("merge").join(ma, "_ka")
+        .hint("merge").join(mb, "_kb")
         .select(
             F.least("_fa", "_fb").alias("id_a"),
             F.greatest("_fa", "_fb").alias("id_b"),
@@ -657,14 +665,16 @@ def embedding_near_duplicates(
     ).where(F.col("_selfscore") >= threshold)
     # pre-filter the within side to multi-member clusters (the count is
     # free at the collapse agg): duplicate-light corpora pay ~nothing.
-    # The carried _csz makes the salting window-free, and no merge hint:
-    # both sides are cheap membership projections, so an AQE broadcast
-    # (which needs no skew spreading at all) is welcome here.
-    dup_members = members.join(dup_keys, "_vkey")
+    # The carried _csz makes the salting window-free. merge hints: both
+    # dup_keys and selfscore are aggregate-derived and DATA-scaled
+    # (distinct-vector count), so their size estimates undershoot — an
+    # estimate-driven broadcast dies at a duplicate-heavy 100 TB corpus
+    # (suite-wide broadcast audit, round 13).
+    dup_members = members.hint("merge").join(dup_keys, "_vkey")
     wl, wr = _salted_self_sides(dup_members, ["_vkey"], id_col,
                                 size_col="_csz")
     within = (
-        wl.alias("wl")
+        wl.alias("wl").hint("merge")
         .join(
             wr.alias("wr"),
             (F.col("wl._vkey") == F.col("wr._vkey"))
@@ -672,6 +682,7 @@ def embedding_near_duplicates(
             & (F.col("wl._gj") == F.col("wr._gj"))
             & (F.col(f"wl.{id_col}") < F.col(f"wr.{id_col}")),
         )
+        .hint("merge")
         .join(selfscore.withColumnRenamed("_vkey", "_wk"),
               F.col("wl._vkey") == F.col("_wk"))
         .select(
@@ -729,12 +740,16 @@ def embedding_near_duplicate_drops(
         )
         >= threshold
     ).select("_vkey", F.col(id_col).alias("_rep"))
+    # merge hints: selfscore_ok/dropped_keys are aggregate/pair-derived
+    # and data-scaled — never estimate-broadcast (round-13 audit)
     non_reps = (
-        members.join(selfscore_ok, "_vkey")
+        members.hint("merge").join(selfscore_ok, "_vkey")
         .where(F.col(id_col) != F.col("_rep"))
         .select(id_col)
     )
-    cluster_members = members.join(dropped_keys, "_vkey").select(id_col)
+    cluster_members = (
+        members.hint("merge").join(dropped_keys, "_vkey").select(id_col)
+    )
     return non_reps.unionByName(cluster_members).distinct()
 
 
@@ -1537,8 +1552,12 @@ def semantic_dedup_drops(
     cos = F.expr(_dot_sql(f"sl.{vec_col}", f"sr.{vec_col}")) / (
         F.expr(_norm_sql(f"sl.{vec_col}")) * F.expr(_norm_sql(f"sr.{vec_col}"))
     )
+    # merge hint: both self-join sides are the corpus-sized assigned
+    # frame whose estimate is derived through the Arrow assignment —
+    # an estimate-driven broadcast re-computes the assignment AND dies
+    # at scale (round-13 suite-wide broadcast audit)
     loser_keys = (
-        sl.alias("sl")
+        sl.alias("sl").hint("merge")
         .join(
             sr.alias("sr"),
             (F.col("sl._cid") == F.col("sr._cid"))
@@ -1562,9 +1581,11 @@ def semantic_dedup_drops(
         >= threshold
     ).select("_vkey", F.col(id_col).alias("_rep"))
     non_reps = (
-        members.join(selfscore_ok, "_vkey")
+        members.hint("merge").join(selfscore_ok, "_vkey")
         .where(F.col(id_col) != F.col("_rep"))
         .select(id_col)
     )
-    loser_members = members.join(loser_keys, "_vkey").select(id_col)
+    loser_members = (
+        members.hint("merge").join(loser_keys, "_vkey").select(id_col)
+    )
     return non_reps.unionByName(loser_members).distinct()

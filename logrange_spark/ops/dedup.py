@@ -135,17 +135,21 @@ def _expand_rep_pairs(
     cluster size, so the salting needs no window at all: on
     duplicate-light data the within machinery sees ~zero rows and adds
     ~zero stages; on duplicate-heavy data the filter join carries the
-    size along. No merge hint here (unlike the band join): both sides
-    derive from the cheap membership projection — if AQE broadcasts one
-    side it re-reads the token exchange, not the signature map, and a
-    broadcast within-join needs no skew spreading at all.
+    size along.
+
+    merge hints on every join here (round 13, caught by the suite-wide
+    broadcast audit): ``rep_pairs`` is PAIR-VOLUME-scaled and ``dup_keys``
+    is aggregate-derived — Catalyst's derived size estimates undershoot,
+    so AQE would happily broadcast them at any scale and die growing the
+    hash relation at a duplicate-heavy 100 TB corpus (the repeated_spans
+    x100 lesson, SCALE.md). Sort-merge shuffles-and-spills instead.
     """
     extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b", "_ka", "_kb")]
     ma = members.select(F.col("_tkey").alias("_ka"), F.col(id_col).alias("_fa"))
     mb = members.select(F.col("_tkey").alias("_kb"), F.col(id_col).alias("_fb"))
     cross = (
-        rep_pairs.join(ma, "_ka")
-        .join(mb, "_kb")
+        rep_pairs.hint("merge").join(ma, "_ka")
+        .hint("merge").join(mb, "_kb")
         .select(
             F.least("_fa", "_fb").alias("id_a"),
             F.greatest("_fa", "_fb").alias("id_b"),
@@ -155,9 +159,9 @@ def _expand_rep_pairs(
     if dup_keys is None:
         wmembers, size_col = members, None
     else:
-        wmembers, size_col = members.join(dup_keys, "_tkey"), "_csz"
+        wmembers, size_col = members.hint("merge").join(dup_keys, "_tkey"), "_csz"
     l, r = _salted_self_sides(wmembers, ["_tkey"], id_col, size_col=size_col)
-    la, ra = l.alias("wl"), r.alias("wr")
+    la, ra = l.alias("wl").hint("merge"), r.alias("wr")
     within_pairs = la.join(
         ra,
         (F.col("wl._tkey") == F.col("wr._tkey"))
@@ -559,12 +563,17 @@ def near_duplicate_drops(
     # the collapse already computed each cluster's min id — reuse it
     # (column pruning drops the minhash aggregates from this branch)
     reps_min = reps.select("_tkey", F.col(id_col).alias("_rep"))
+    # merge hints: reps_min is aggregate-derived (distinct-content-
+    # scaled) and dropped_clusters pair-derived — their undershooting
+    # size estimates would broadcast them at any scale (round-13 audit)
     non_reps = (
-        members.join(reps_min, "_tkey")
+        members.hint("merge").join(reps_min, "_tkey")
         .where(F.col(id_col) != F.col("_rep"))
         .select(id_col)
     )
-    cluster_members = members.join(dropped_clusters, "_tkey").select(id_col)
+    cluster_members = (
+        members.hint("merge").join(dropped_clusters, "_tkey").select(id_col)
+    )
     out = non_reps.unionByName(cluster_members)
     return out.distinct() if unique else out
 

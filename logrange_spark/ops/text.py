@@ -835,8 +835,12 @@ def tfidf_keywords(
         .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    # hint('merge') enforces the "deliberately NOT broadcast" above:
+    # without it Catalyst's post-aggregate estimate undershoots and AQE
+    # broadcasts the vocabulary-sized idf table anyway (caught by the
+    # round-13 suite-wide broadcast audit)
     scored = (
-        tf.join(dfreq, "token")
+        tf.hint("merge").join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

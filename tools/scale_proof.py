@@ -83,6 +83,12 @@ DRIVER_TABLE = {
     "ann_cosine_topk": "embeddings",
     "ann_bucketed_topk": "embeddings",
     "dedup_embedding": "embeddings",
+    # round-13 flagship additions to bench.HEADLINE
+    "gopher_stats": "documents",
+    "lang_predict": "documents",
+    "kn_bigram_ppl": "documents",
+    "wet_documents": "documents",
+    "cc_pipeline": "documents",
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "orders", "customer", "events")
@@ -548,6 +554,7 @@ def run(spark, sf_dir: str, label: str, only: set[str] | None = None) -> dict:
     res = {"scale": label, "rows": counts, "queries": {}}
     all_queries = [(n, qs[n], DRIVER_TABLE[n]) for n in bench.HEADLINE] + [
         (n, fn, table) for n, (fn, table) in EXTRA_QUERIES.items()
+        if n not in bench.HEADLINE  # r13 flagships joined HEADLINE
     ]
     if only:
         all_queries = [q for q in all_queries if q[0] in only]
