@@ -274,6 +274,15 @@ def main() -> int:
     if os.path.exists(ab_path):
         with open(ab_path) as f:
             heap_ab = json.load(f)
+    # ... as does the 10M-row-store tail-follow measurement
+    # (tools/follow_scale.py — too heavy to rebuild per bench run)
+    follow_at_scale = None
+    fs_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "follow_scale.json"
+    )
+    if os.path.exists(fs_path):
+        with open(fs_path) as f:
+            follow_at_scale = json.load(f)
     detail = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
@@ -288,6 +297,7 @@ def main() -> int:
         "delta_vs_prev": deltas,
         "ingest": ingest,
         "heap_ab": heap_ab,
+        "follow_at_scale": follow_at_scale,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"

@@ -96,6 +96,7 @@ class Engine:
         # _write_lock inner; multi-src holders (append_df) acquire in
         # sorted order, so there is no cycle.
         self._src_locks: dict[str, threading.Lock] = {}
+        self._maint_locks: dict[str, threading.Lock] = {}
         # write notification: tail/wait consumers block on this condition
         # instead of polling re-scans (reference analogue: the journal
         # write signal behind WaitNewData, pkg/cursor/cursor.go:316-327)
@@ -106,6 +107,15 @@ class Engine:
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
+        # tag-resolution cache: the tag-index visit runs one small Spark
+        # job (catalog frame + compiled predicate); its answer only
+        # changes when the catalog does, so repeat visitors — every
+        # follow wakeup, every server page, every pipe restart check —
+        # hit this dict instead of paying ~0.4 s of job overhead. Keyed
+        # by the source expression's canonical string; invalidated
+        # wholesale by bumping _catalog_epoch at every catalog mutation.
+        self._resolve_cache: dict[tuple[str, bool], list[str]] = {}
+        self._catalog_epoch = 0
         # chunk-stats catalog: (records, size, min_ts, max_ts) per file,
         # recorded AT WRITE TIME so SHOW PARTITIONS / TRUNCATE read a tiny
         # driver-side dict instead of O(#files) parquet footers — the
@@ -175,7 +185,12 @@ class Engine:
                     op = rec.get("op", "add")
                     if op == "add":
                         self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
-                            k: rec[k] for k in ("records", "size", "min_ts", "max_ts")
+                            k: rec[k]
+                            for k in (
+                                "records", "size", "min_ts", "max_ts",
+                                "max_seq",
+                            )
+                            if k in rec
                         }
                     elif op == "drop":
                         self._chunk_stats.get(rec["src"], {}).pop(rec["chunk"], None)
@@ -302,7 +317,10 @@ class Engine:
         os.replace(tmp, fpath)
         return {"chunk": name, "records": n,
                 "size": os.path.getsize(fpath),
-                "min_ts": min(batch.ts), "max_ts": max(batch.ts)}
+                "min_ts": min(batch.ts), "max_ts": max(batch.ts),
+                # seq high-water for forward-cursor pruning (the chunk is
+                # one reserved range, so last_seq IS the max)
+                "max_seq": batch.last_seq}
 
     def append_df(self, df: DataFrame) -> None:
         """Append an already-normalized log DataFrame (pipe destination path).
@@ -386,6 +404,8 @@ class Engine:
             self._partitions_dirty = True
         if self._catalog.get(src) != line:
             self._catalog[src] = line
+            self._catalog_epoch += 1
+            self._resolve_cache.clear()
             tmp = self._catalog_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(self._catalog, f)
@@ -401,6 +421,10 @@ class Engine:
         lines = []
         for st in stats:
             entry = {k: st[k] for k in ("records", "size", "min_ts", "max_ts")}
+            # seq high-water (optional: legacy catalogs / stats without
+            # parquet seq statistics simply stay non-prunable by seq)
+            if st.get("max_seq") is not None:
+                entry["max_seq"] = st["max_seq"]
             if st["chunk"] not in d:
                 self._chunk_count += 1
             d[st["chunk"]] = entry
@@ -484,6 +508,19 @@ class Engine:
             lk = self._src_locks.get(src)
             if lk is None:
                 lk = self._src_locks[src] = threading.Lock()
+            return lk
+
+    def _maint_lock(self, src: str) -> threading.Lock:
+        """Per-src MAINTENANCE lock: serializes compaction vs TRUNCATE
+        (either could otherwise resurrect or double-delete the files the
+        other is rewriting) WITHOUT blocking writers — the writer path
+        takes only ``_src_lock``, which maintenance holds just for its
+        snapshot and commit phases, never across the Spark rewrite.
+        Ordering: maint → src → write."""
+        with self._write_lock:
+            lk = self._maint_locks.get(src)
+            if lk is None:
+                lk = self._maint_locks[src] = threading.Lock()
             return lk
 
     # --------------------------------------------------- write notification
@@ -600,9 +637,18 @@ class Engine:
         if source is None:
             srcs = sorted(self._catalog)
         else:
-            pred = compile_tags(source)
-            cat = self.catalog_df().where(pred).select("src")
-            srcs = sorted(r[0] for r in cat.collect())
+            key = (_source_to_str(source), self._catalog_epoch)
+            hit = self._resolve_cache.get(key)
+            if hit is not None:
+                srcs = hit
+            else:
+                pred = compile_tags(source)
+                cat = self.catalog_df().where(pred).select("src")
+                srcs = sorted(r[0] for r in cat.collect())
+                # keyed by (expr, epoch): a mutation bumps the epoch (and
+                # clears the dict), so a racing stale insert can never be
+                # read by post-mutation callers
+                self._resolve_cache[key] = srcs
         return srcs[: self.max_sources] if cap else srcs
 
     # ------------------------------------------------------------- execute
@@ -638,6 +684,16 @@ class Engine:
         - forward cursor (POSITION 'ts:src:seq', offset ≥ 0): matching
           rows have ts ≥ token ts, so chunks with max_ts below it are
           skipped — the hot paging/follow path stops re-listing history.
+          Additionally (round 13) each chunk carries its seq high-water
+          in the catalog, so a chunk whose ENTIRE key range sits at or
+          before the token — (max_ts, src, max_seq) ≤ (tok.ts, tok.src,
+          tok.seq) lexicographically, a safe upper bound on the chunk's
+          max row key — is skipped even when its max_ts EQUALS the
+          cursor ts. This is what makes tail-follow wakeups O(new
+          chunks): once the follower has consumed the newest chunk, a
+          wakeup for unrelated-partition writes prunes to ZERO files
+          (no Spark job at all), and a same-partition wakeup opens only
+          the chunks written since the cursor.
         - tail with negative offset and NO row predicates: walking chunks
           by max_ts descending, accumulate catalog record counts until
           ≥ n, then keep every chunk whose max_ts ≥ the smallest kept
@@ -670,7 +726,7 @@ class Engine:
         min_ns = sel.range.min_ns if sel.range is not None else None
         max_ns = sel.range.max_ns if sel.range is not None else None
         tail_k = None
-        back_tok = back_k = None
+        back_tok = back_k = fwd_tok = None
         pos = sel.position.pos_id.lower() if sel.position else "head"
         if pos == "tail":
             if (
@@ -689,6 +745,7 @@ class Engine:
             if (sel.offset or 0) >= 0:
                 # rows satisfy (ts,src,seq) > token ⇒ ts ≥ token.ts
                 min_ns = tok.ts if min_ns is None else max(min_ns, tok.ts)
+                fwd_tok = tok  # enables the per-chunk seq-high-water skip
             elif sel.where is None and sel.range is None:
                 back_tok, back_k = tok.ts, -sel.offset
             # (with predicates a backward cursor gets RANGE pruning only)
@@ -707,6 +764,16 @@ class Engine:
                 if chunks is None:
                     return None
                 for chunk, st in chunks.items():
+                    if (
+                        fwd_tok is not None
+                        and st.get("max_seq") is not None
+                        and (st["max_ts"], src, st["max_seq"])
+                        <= (fwd_tok.ts, fwd_tok.src, fwd_tok.seq)
+                    ):
+                        # every row key in this chunk is ≤ the cursor:
+                        # (max_ts, src, max_seq) bounds the chunk's max
+                        # (ts, src, seq) from above
+                        continue
                     if (max_ns is None or st["min_ts"] <= max_ns) and (
                         min_ns is None or st["max_ts"] >= min_ns
                     ):
@@ -752,6 +819,29 @@ class Engine:
             .option("basePath", self.logs_path)
             .parquet(*files)
         )
+
+    def chunks_after_cursor(self, src_ids: list[str], tok) -> bool:
+        """Catalog-only (no Spark job, no file system) check: could any
+        chunk of ``src_ids`` hold a row with (ts, src, seq) > ``tok``?
+        The tail-follow fast path — a wakeup triggered by a write to an
+        UNRELATED partition answers False here in microseconds instead
+        of paying a per-wakeup plan build + scan. Conservative: unknown
+        srcs or catalog entries without a seq high-water return True
+        (scan to find out); predicates are ignored (a filter can only
+        shrink the result, so False remains safe)."""
+        with self._write_lock:
+            for src in src_ids:
+                chunks = self._chunk_stats.get(src)
+                if chunks is None:
+                    return True
+                for st in chunks.values():
+                    if st.get("max_seq") is None:
+                        return True
+                    if (st["max_ts"], src, st["max_seq"]) > (
+                        tok.ts, tok.src, tok.seq
+                    ):
+                        return True
+        return False
 
     def select(self, sel: ast.Select, now_ns: int | None = None) -> DataFrame:
         src_ids = self.resolve_sources(sel.source)
@@ -832,6 +922,14 @@ class Engine:
             epoch = self.write_epoch()  # before the scan: no lost wakeup
             if cursor is None:
                 batch = self.select(stmt, None).collect()
+            elif not self.chunks_after_cursor(
+                self.resolve_sources(stmt.source), cursor
+            ):
+                # the wakeup was for an unrelated partition (or the data
+                # is already consumed): the catalog proves no row can
+                # follow the cursor — skip the scan entirely (zero Spark
+                # jobs; this is what holds follow p99 at store scale)
+                batch = []
             else:
                 nxt = ast.Select(
                     stmt.format, stmt.source, stmt.range, stmt.where,
@@ -888,19 +986,38 @@ class Engine:
             md = pq.ParquetFile(fpath)
         except FileNotFoundError:
             return None
-        ts_idx = md.schema_arrow.get_field_index("ts")
-        mn, mx = None, None
+        # resolve PHYSICAL leaf indexes by path: nested columns (the
+        # fields/tags maps) flatten into key/value leaves, so the arrow
+        # field index does not line up with row-group column order
+        ts_idx = seq_idx = None
+        if md.metadata.num_row_groups:
+            rg0 = md.metadata.row_group(0)
+            for i in range(rg0.num_columns):
+                path = rg0.column(i).path_in_schema
+                if path == "ts":
+                    ts_idx = i
+                elif path == "seq":
+                    seq_idx = i
+        mn, mx, mx_seq = None, None, None
         for rg in range(md.metadata.num_row_groups):
-            st = md.metadata.row_group(rg).column(ts_idx).statistics
-            if st is not None and st.has_min_max:
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
+            if ts_idx is not None:
+                st = md.metadata.row_group(rg).column(ts_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            if seq_idx is not None:
+                sq = md.metadata.row_group(rg).column(seq_idx).statistics
+                if sq is not None and sq.has_min_max:
+                    mx_seq = sq.max if mx_seq is None else max(mx_seq, sq.max)
         try:
             size = os.path.getsize(fpath)
         except FileNotFoundError:
             return None
-        return {"chunk": name, "records": md.metadata.num_rows,
-                "size": size, "min_ts": mn, "max_ts": mx}
+        out = {"chunk": name, "records": md.metadata.num_rows,
+               "size": size, "min_ts": mn, "max_ts": mx}
+        if mx_seq is not None:
+            out["max_seq"] = mx_seq
+        return out
 
     def describe_many(self, src_ids: list[str]) -> dict[str, dict]:
         """Partition stats for many srcs from the chunk catalog.
@@ -1037,11 +1154,14 @@ class Engine:
                 sizes[src] = 0
 
         if not stmt.dry_run:
-            # per-src lock: an in-flight writer holds it across its file
-            # commit, so deletion never interleaves with a half-landed
-            # batch (and a dir emptied here can't eat a concurrent write)
+            # maint lock first: a compaction rewrite in flight must not
+            # see its candidates deleted under it (it would resurrect the
+            # truncated rows at commit). Then the per-src writer lock: an
+            # in-flight writer holds it across its file commit, so
+            # deletion never interleaves with a half-landed batch (and a
+            # dir emptied here can't eat a concurrent write).
             for src, files in plans.items():
-                with self._src_lock(src), self._write_lock:
+                with self._maint_lock(src), self._src_lock(src), self._write_lock:
                     part_dir = os.path.join(self.logs_path, f"src={src}")
                     if files == ["*ALL*"]:
                         shutil.rmtree(part_dir, ignore_errors=True)
@@ -1058,6 +1178,8 @@ class Engine:
                     ):
                         shutil.rmtree(part_dir, ignore_errors=True)
                         self._catalog.pop(src, None)
+                        self._catalog_epoch += 1
+                        self._resolve_cache.clear()
                         self._drop_chunks(src, None)
             with self._write_lock:
                 with open(self._catalog_path + ".tmp", "w") as f:
@@ -1093,30 +1215,44 @@ class Engine:
 
         report: dict[str, dict] = {}
         for src in src_ids:
-            # per-src lock: a write landing between the listdir snapshot
-            # and the Spark read would otherwise be swept into the rewrite
-            # AND survive on disk — every one of its rows duplicated
-            with self._src_lock(src):
+            # maintenance lock for the WHOLE operation: serializes this
+            # rewrite against TRUNCATE (which could otherwise delete a
+            # candidate mid-rewrite and have its rows resurrected by the
+            # commit) and against a concurrent compaction of the same
+            # src. Writers do NOT take it — the writer-visible _src_lock
+            # is held only for the snapshot and commit phases below, so
+            # a write never stalls behind the multi-second Spark rewrite
+            # (measured: same-src compaction stalls pushed tail-follow
+            # write→yield p99 past 2 s at a busy 10M-row store).
+            mlk = self._maint_lock(src)
+            if not mlk.acquire(blocking=False):
+                continue  # src already under maintenance
+            try:
                 part_dir = os.path.join(self.logs_path, f"src={src}")
-                if not os.path.isdir(part_dir):
-                    continue
-                files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-                if small_file_bytes is not None:
-                    cand = [
-                        f for f in files
-                        if os.path.getsize(os.path.join(part_dir, f)) < small_file_bytes
-                    ]
-                else:
-                    cand = files
-                total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in cand)
+                with self._src_lock(src):
+                    if not os.path.isdir(part_dir):
+                        continue
+                    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+                    if small_file_bytes is not None:
+                        cand = [
+                            f for f in files
+                            if os.path.getsize(os.path.join(part_dir, f)) < small_file_bytes
+                        ]
+                    else:
+                        cand = files
+                    total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in cand)
                 want = max(1, math.ceil(total / target_file_bytes))
                 if len(cand) <= want:
                     continue
                 tmp = part_dir + ".compact"
                 shutil.rmtree(tmp, ignore_errors=True)
-                # files inside src=<id>/ hold every column except the src
-                # partition key; rewrite preserves the (ts, seq) order within
-                # files via sortWithinPartitions for row-group ts locality
+                # The rewrite reads the EXPLICIT candidate list, so a
+                # write landing during it can neither be swept into the
+                # rewrite nor deleted by the commit — new files and their
+                # catalog entries pass through untouched. Files inside
+                # src=<id>/ hold every column except the src partition
+                # key; rewrite preserves the (ts, seq) order within
+                # files via sortWithinPartitions for row-group ts locality.
                 (
                     self.spark.read.parquet(
                         *[os.path.join(part_dir, f) for f in cand]
@@ -1126,24 +1262,30 @@ class Engine:
                     .write.mode("overwrite")
                     .parquet(tmp)
                 )
-                for f in cand:
-                    os.remove(os.path.join(part_dir, f))
-                new_names = []
-                for f in sorted(os.listdir(tmp)):
-                    if f.endswith(".parquet"):
-                        name = f"compact-{uuid.uuid4().hex}.parquet"
-                        os.replace(os.path.join(tmp, f), os.path.join(part_dir, name))
-                        new_names.append(name)
-                shutil.rmtree(tmp, ignore_errors=True)
-                # the chunk catalog follows the rewrite: merged entries out,
-                # new files footer-read once (bounded by this pass's output)
-                stats = [self._file_stat(part_dir, n) for n in new_names]
-                with self._write_lock:
-                    self._drop_chunks(src, cand if small_file_bytes is not None else None)
-                    self._record_chunks(src, [s for s in stats if s is not None])
+                with self._src_lock(src):
+                    for f in cand:
+                        os.remove(os.path.join(part_dir, f))
+                    new_names = []
+                    for f in sorted(os.listdir(tmp)):
+                        if f.endswith(".parquet"):
+                            name = f"compact-{uuid.uuid4().hex}.parquet"
+                            os.replace(os.path.join(tmp, f), os.path.join(part_dir, name))
+                            new_names.append(name)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    # the chunk catalog follows the rewrite: merged
+                    # entries out (exactly `cand` — never drop-all, a
+                    # concurrent writer's fresh entry must survive), new
+                    # files footer-read once (bounded by this pass's
+                    # output)
+                    stats = [self._file_stat(part_dir, n) for n in new_names]
+                    with self._write_lock:
+                        self._drop_chunks(src, cand)
+                        self._record_chunks(src, [s for s in stats if s is not None])
                 report[src] = {"files_before": len(files),
                                "files_after": len(files) - len(cand) + len(new_names),
                                "bytes": total}
+            finally:
+                mlk.release()
         return report
 
     # auto-compaction policy: when a partition's chunk count crosses the

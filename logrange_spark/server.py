@@ -161,6 +161,15 @@ def query_once(engine, req: dict) -> dict:
         # of re-running the pruned scan every 0.5 s. A filter that matches
         # nothing costs ONE scan per landed write (zero while idle) rather
         # than 120 re-scans per 60 s wait window.
+        # forward value cursor: the chunk catalog can prove a wakeup
+        # irrelevant (write landed in an unrelated partition) without a
+        # scan — same fast path as engine.follow
+        wait_tok = None
+        if stmt.position and (stmt.offset or 0) >= 0:
+            try:
+                wait_tok = CursorToken.decode(stmt.position.pos_id)
+            except Exception:
+                wait_tok = None
         deadline = time.monotonic() + wait_timeout
         while not rows:
             remaining = deadline - time.monotonic()
@@ -170,6 +179,10 @@ def query_once(engine, req: dict) -> dict:
             if new_epoch == epoch:
                 continue  # timed out with no write: deadline check exits
             epoch = new_epoch
+            if wait_tok is not None and not engine.chunks_after_cursor(
+                engine.resolve_sources(stmt.source), wait_tok
+            ):
+                continue
             rows = run()
 
     if rows:

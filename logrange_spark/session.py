@@ -44,6 +44,16 @@ def build_session(
         # (the reference serializes this with journal refcounts —
         # pkg/partition/partition.go; stateless readers just tolerate it)
         .config("spark.sql.files.ignoreMissingFiles", "true")
+        # FAIR job scheduling: the engine runs maintenance (background
+        # auto-compaction, pipe micro-batches) concurrently with
+        # interactive reads in ONE SparkContext; under the default FIFO
+        # scheduler a 1-task tail-follow probe queues behind a 32-task
+        # compaction stage (measured: multi-second follow p99 spikes at
+        # a busy 10M-row store). FAIR round-robins task slots across
+        # jobs, so tiny reads land while big jobs run — on a cluster
+        # this is the same knob that keeps ad-hoc queries responsive
+        # next to ETL. Sequential single-job workloads are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
         # local[32] runs 32 concurrent tasks inside ONE driver JVM, so
         # this heap is the whole cluster's executor memory. The LIBRARY
         # default stays a conservative 8g so build_session starts on any

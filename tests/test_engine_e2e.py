@@ -776,6 +776,95 @@ def test_tail_and_cursor_queries_prune_chunks(engine):
     assert [r["msg"] for r in q3.collect()] == ["d0.2", "d0.3", "d0.4"]
 
 
+def test_forward_cursor_seq_highwater_pruning(engine):
+    """Round-13 follow optimization: each catalog entry carries the
+    chunk's seq high-water, so a forward cursor sitting AT a chunk's max
+    (ts, src, seq) prunes that chunk too — a consumed store scans ZERO
+    files on the next wakeup — while a cursor one row earlier keeps it.
+    ``chunks_after_cursor`` answers the same question with no Spark job
+    (the follow/server fast path), and entries without max_seq (legacy
+    catalogs) stay conservatively unprunable."""
+    from logrange_spark.compiler.select import CursorToken
+
+    # two rows at the SAME ts (seq breaks the tie) + one earlier row, in
+    # one chunk; then a second chunk strictly later
+    engine.write({"name": "shw"}, [(BASE_TS, "a0", {}), (BASE_TS + NS, "a1", {}),
+                                   (BASE_TS + NS, "a2", {})])
+    engine.write({"name": "shw"}, [(BASE_TS + 5 * NS, "a3", {})])
+    src = engine.execute("DESCRIBE PARTITION {name=shw}")["src"]
+    last = engine.query("SELECT FROM {name=shw} POSITION tail OFFSET -1 LIMIT 1").collect()[0]
+    assert last["msg"] == "a3"
+
+    # cursor at the very last row: nothing can follow — zero files, and
+    # the catalog-only check agrees without any scan
+    tok_end = CursorToken(last["ts"], last["src"], last["seq"])
+    q = engine.query(
+        f"SELECT FROM {{name=shw}} POSITION '{tok_end.encode()}' LIMIT 10"
+    )
+    assert q.inputFiles() == [] and q.count() == 0
+    assert engine.chunks_after_cursor([src], tok_end) is False
+
+    # cursor at (ts of a1, seq of a1): chunk 1 must be KEPT — a2 shares
+    # the ts but has a higher seq (the max_ts == tok.ts edge)
+    rows = {r["msg"]: r for r in engine.query(
+        "SELECT FROM {name=shw} LIMIT 10").collect()}
+    a1 = rows["a1"]
+    tok_mid = CursorToken(a1["ts"], a1["src"], a1["seq"])
+    q2 = engine.query(
+        f"SELECT FROM {{name=shw}} POSITION '{tok_mid.encode()}' LIMIT 10"
+    )
+    assert len(q2.inputFiles()) == 2
+    assert [r["msg"] for r in q2.collect()] == ["a2", "a3"]
+    assert engine.chunks_after_cursor([src], tok_mid) is True
+
+    # a write to an UNRELATED partition does not disturb the consumed
+    # cursor's verdict (the zero-job wakeup case)
+    engine.write({"name": "shw-other"}, [(BASE_TS + 9 * NS, "b0", {})])
+    assert engine.chunks_after_cursor([src], tok_end) is False
+    # ...but a same-partition write flips it, and the scan opens ONLY
+    # the new chunk
+    engine.write({"name": "shw"}, [(BASE_TS + 10 * NS, "a4", {})])
+    assert engine.chunks_after_cursor([src], tok_end) is True
+    q3 = engine.query(
+        f"SELECT FROM {{name=shw}} POSITION '{tok_end.encode()}' LIMIT 10"
+    )
+    assert len(q3.inputFiles()) == 1
+    assert [r["msg"] for r in q3.collect()] == ["a4"]
+
+    # legacy catalog entries (no max_seq): conservative — chunks stay,
+    # answer identical, and chunks_after_cursor says "must scan"
+    with engine._write_lock:
+        for st in engine._chunk_stats[src].values():
+            st.pop("max_seq", None)
+    q4 = engine.query(
+        f"SELECT FROM {{name=shw}} POSITION '{tok_mid.encode()}' LIMIT 10"
+    )
+    assert len(q4.inputFiles()) == 3  # all chunks kept (ts-only pruning)
+    assert [r["msg"] for r in q4.collect()] == ["a2", "a3", "a4"]
+    assert engine.chunks_after_cursor([src], tok_end) is True
+
+
+def test_compacted_chunks_carry_seq_highwater(engine):
+    """Compaction footer-reads its output files; the rewritten catalog
+    entries must carry max_seq (from the parquet seq column statistics)
+    so a long-lived store keeps the forward-cursor fast path."""
+    for i in range(4):
+        engine.write({"name": "cseq"},
+                     [(BASE_TS + (i * 3 + j) * NS, f"m{i}.{j}", {}) for j in range(3)])
+    engine.compact()
+    src = engine.execute("DESCRIBE PARTITION {name=cseq}")["src"]
+    with engine._write_lock:
+        stats = list(engine._chunk_stats[src].values())
+    assert stats
+    assert all(st.get("max_seq") is not None for st in stats)
+    assert max(st["max_seq"] for st in stats) == 12
+    last = engine.query("SELECT FROM {name=cseq} POSITION tail OFFSET -1 LIMIT 1").collect()[0]
+    from logrange_spark.compiler.select import CursorToken
+
+    tok = CursorToken(last["ts"], last["src"], last["seq"])
+    assert engine.chunks_after_cursor([src], tok) is False
+
+
 def test_backward_cursor_pruning_differential(engine):
     """Backward-cursor pruning must be a strict superset of the window:
     sweep cursor positions (chunk-interior, chunk-boundary, straddling),
