@@ -70,13 +70,18 @@ class SeqState:
         os.replace(tmp, self.path)
 
 
-def normalize_batch(
+def normalize_rows(
     tags: str | dict[str, str],
     write_fields: dict[str, str] | None,
     events: Iterable[Any],
-    seq_state: SeqState,
 ) -> NormalizedBatch:
-    """Accepts (ts_ns, msg), (ts_ns, msg, fields) or dict events; a
+    """Row normalization WITHOUT seq assignment (first/last seq 0) — the
+    expensive per-row Python work, deliberately lock-free so the write
+    path runs it outside the engine's global lock (only the seq-range
+    reservation needs serialization; holding the lock across this loop
+    serialized every concurrent writer's CPU work).
+
+    Accepts (ts_ns, msg), (ts_ns, msg, fields) or dict events; a
     None/absent ts stamps ingest time. Field merge: write-level fields
     WIN on key clash (record fields first, write fields overwrite —
     mirrors api/rpc/ingestor.go:159-230 first-match lookup)."""
@@ -103,5 +108,17 @@ def normalize_batch(
         # dict-merge: later keys win, so record fields go first and
         # write-level fields overwrite on clash (write-level wins)
         f_l.append({**fields, **wfields} if wfields else fields)
-    first, last = seq_state.next_range(src, len(ts_l))
-    return NormalizedBatch(ts_l, msg_l, f_l, tmap, src, line, first, last)
+    return NormalizedBatch(ts_l, msg_l, f_l, tmap, src, line, 0, 0)
+
+
+def normalize_batch(
+    tags: str | dict[str, str],
+    write_fields: dict[str, str] | None,
+    events: Iterable[Any],
+    seq_state: SeqState,
+) -> NormalizedBatch:
+    """`normalize_rows` + seq-range reservation in one call (callers that
+    already hold whatever lock guards ``seq_state``)."""
+    b = normalize_rows(tags, write_fields, events)
+    b.first_seq, b.last_seq = seq_state.next_range(b.src, len(b))
+    return b

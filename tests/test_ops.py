@@ -3425,6 +3425,49 @@ def test_ccnet_pipeline_end_to_end(spark):
     assert len(with_def) == 30
 
 
+def test_ccnet_pipeline_keyed_and_union_paths_agree(spark):
+    """Branch-parity pin (round-13 ADVICE): the single-pass KEYED path
+    (all model orders equal) and the per-language UNION path (mixed
+    orders) must route the same inputs to the same models — including
+    documents whose predicted language has NO model, which fall to the
+    ``None`` default in BOTH branches. The union path is forced by
+    adding a higher-order model for a language no document predicts."""
+    en = "the quick brown fox jumps over the lazy dog"
+    de = "der schnelle braune fuchs springt ueber den faulen hund"
+    fr = "le renard brun rapide saute par dessus le chien paresseux"
+    seed = spark.createDataFrame(
+        [(i, "en", en) for i in range(8)]
+        + [(100 + i, "de", de) for i in range(8)]
+        + [(200 + i, "fr", fr) for i in range(8)],
+        "doc_id long, lang string, text string")
+    w = text.train_lang_classifier(seed, iters=4)
+    import random
+
+    rng = random.Random(31)
+    docs = []
+    for i in range(24):
+        words = (en, de, fr)[i % 3].split()
+        docs.append((i, " ".join(rng.choices(words, k=rng.randrange(3, 10)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lm_en = text.kn_ngram_lm(seed.where(F.col("lang") == "en"), order=2)
+    lm_de = text.kn_ngram_lm(seed.where(F.col("lang") == "de"), order=2)
+    lm_def = text.kn_ngram_lm(seed, order=2)
+    # keyed: one shared order; fr docs have no model → default
+    keyed = {(r["doc_id"]): (r["lang_pred"], r["ppl"], r["bucket"])
+             for r in text.ccnet_pipeline(
+                 df, w, {"en": lm_en, "de": lm_de, None: lm_def}).collect()}
+    # union: a THIRD order for a language nothing predicts flips the
+    # len(orders)==1 branch; en/de/fr routing must be unchanged
+    lm_unused = text.kn_ngram_lm(seed, order=3)
+    union = {(r["doc_id"]): (r["lang_pred"], r["ppl"], r["bucket"])
+             for r in text.ccnet_pipeline(
+                 df, w, {"en": lm_en, "de": lm_de, "zz": lm_unused,
+                         None: lm_def}).collect()}
+    assert set(keyed) == set(union) == set(range(24))
+    assert keyed == union
+    assert {v[0] for v in keyed.values()} == {"en", "de", "fr"}
+
+
 def test_kn_ngram_score_keyed_equals_per_model(spark):
     """The single-pass keyed scorer is row-for-row identical to running
     kn_ngram_score per model on the matching partition — same math,
