@@ -610,6 +610,69 @@ def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.remove_boilerplate(docs)
 
 
+# Deterministic messy-URL derivation for the URL-dedup rows (round 13):
+# each 5-doc window is one "page" crawled under four cosmetic variants —
+# scheme/host case, www. prefix, default port, tracking params, query
+# order, trailing slash, fragment — plus one genuinely unique URL on a
+# second domain. The DuckDB twin below builds the identical strings, so
+# the oracle checks the normalization rules end to end.
+_URL_DERIVE = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat('https://www.Example.COM/page/', "
+    "CAST(doc_id DIV 5 AS STRING), '?z=2&id=', CAST(doc_id DIV 5 AS STRING), "
+    "'&utm_source=feed') "
+    "WHEN 1 THEN concat('http://example.com:80/page/', "
+    "CAST(doc_id DIV 5 AS STRING), '?id=', CAST(doc_id DIV 5 AS STRING), "
+    "'&z=2&gclid=g', CAST(doc_id AS STRING)) "
+    "WHEN 2 THEN concat('https://example.com/page/', "
+    "CAST(doc_id DIV 5 AS STRING), '?utm_campaign=x&id=', "
+    "CAST(doc_id DIV 5 AS STRING), '&z=2#frag') "
+    "WHEN 3 THEN concat('https://blog.example.org/post/', "
+    "CAST(doc_id AS STRING)) "
+    "ELSE concat('HTTPS://www.example.com/page/', "
+    "CAST(doc_id DIV 5 AS STRING), '/?z=2&id=', "
+    "CAST(doc_id DIV 5 AS STRING)) END"
+)
+
+_URL_DERIVE_DUCK = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'https://www.Example.COM/page/' || (doc_id // 5) "
+    "|| '?z=2&id=' || (doc_id // 5) || '&utm_source=feed' "
+    "WHEN 1 THEN 'http://example.com:80/page/' || (doc_id // 5) "
+    "|| '?id=' || (doc_id // 5) || '&z=2&gclid=g' || doc_id "
+    "WHEN 2 THEN 'https://example.com/page/' || (doc_id // 5) "
+    "|| '?utm_campaign=x&id=' || (doc_id // 5) || '&z=2#frag' "
+    "WHEN 3 THEN 'https://blog.example.org/post/' || doc_id "
+    "ELSE 'HTTPS://www.example.com/page/' || (doc_id // 5) "
+    "|| '/?z=2&id=' || (doc_id // 5) END"
+)
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", f"{_URL_DERIVE} AS url"
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level keep-best dedup (ops/url.url_dedup): normalize the
+    derived messy URLs to canonical keys (RFC 3986 §6 safe set +
+    tracking-param strip + query sort) and keep the largest document
+    per key — one map stage plus ONE hash aggregation."""
+    from logrange_spark.ops import url as url_ops
+
+    return url_ops.url_dedup(_url_docs(spark, sf_dir), quality_col="n_chars")
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl statistics (ops/url.domain_stats): the aggregate
+    a RefinedWeb-style URL-filtering stage consults — doc counts,
+    distinct canonical URLs, duplicate ratio, mean size."""
+    from logrange_spark.ops import url as url_ops
+
+    return url_ops.domain_stats(_url_docs(spark, sf_dir), chars_col="n_chars")
+
+
 # ------------------------------------------------------------------- ann
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1089,6 +1152,36 @@ SELECT doc_id, token, score, CAST(rnk AS INT) AS "rank" FROM (
   SELECT doc_id, token, score,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
   FROM sc) WHERE rnk <= {m}
+""".strip()
+
+
+def _url_dedup_sql() -> str:
+    from logrange_spark.ops.url import normalize_url_duckdb
+
+    return f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_DERIVE_DUCK} AS url FROM documents),
+n AS (SELECT doc_id, n_chars, {normalize_url_duckdb('url')} AS url_norm FROM u),
+r AS (SELECT url_norm, doc_id, n_chars,
+        row_number() OVER (PARTITION BY url_norm
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY url_norm) AS nv
+      FROM n)
+SELECT url_norm, doc_id AS kept_id, nv AS n_variants FROM r WHERE rn = 1
+""".strip()
+
+
+def _domain_stats_sql() -> str:
+    from logrange_spark.ops.url import normalize_url_duckdb, url_host_duckdb
+
+    return f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_DERIVE_DUCK} AS url FROM documents)
+SELECT {url_host_duckdb('url')} AS host,
+       count(*) AS n_docs,
+       count(DISTINCT {normalize_url_duckdb('url')}) AS n_urls,
+       avg(n_chars) AS avg_chars,
+       round(1.0 - count(DISTINCT {normalize_url_duckdb('url')}) / count(*),
+             6) AS dup_ratio
+FROM u GROUP BY 1
 """.strip()
 
 
@@ -2125,10 +2218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: round-7 ops rotated IN round 8
         "contamination": _q_contamination,
         "mixture_sample": _q_mixture_sample,
-        "text_unigram_ppl": _q_unigram_ppl,
         "text_bm25_topk": _q_bm25_topk,
-        "tfidf_keywords": _q_tfidf_keywords,
         "hamming_fp_pairs": _q_hamming_fp_pairs,
+        # round-13 rotation IN: URL-level dedup + domain statistics (the
+        # RefinedWeb URL stage, ops/url.py). text_unigram_ppl rotated OUT
+        # (LM-scoring shape stays covered by kn_bigram_ppl) and
+        # tfidf_keywords rotated OUT (tf-idf ranking shape stays covered
+        # by text_bm25_topk); both keep DuckDB oracles in
+        # tests/test_entry_contract.py.
+        "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
         # ingestion parsers (SURVEY §2.1 S5-S8; parse_logfmt rotated out
         # r12 for wet_documents — the parser family keeps k8json + text
         # autodetect in-registry; see SURVEY §8's rotation map)
@@ -2188,6 +2287,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprint stays correct at sf0.01 but saturates at web scale;
         # the registry now checks the 64-bit variant instead)
         "dedup_simhash_pairs": _q_simhash_pairs,
+        # round-13 rotation (for url_dedup / domain_stats)
+        "text_unigram_ppl": _q_unigram_ppl,
+        "tfidf_keywords": _q_tfidf_keywords,
     }
 
 
@@ -2848,6 +2950,9 @@ SELECT p.event_id, p.user_id, p.ts, count(c.cts) AS n_clicks,
 FROM p LEFT JOIN c ON p.user_id = c.user_id
  AND c.cts >= p.ts - {NS_PER_HOUR // 1000} AND c.cts < p.ts
 GROUP BY 1, 2, 3""".strip(),
+    # round-13 rotation — oracles preserved verbatim from oracle_sql()
+    "text_unigram_ppl": _unigram_sql(),
+    "tfidf_keywords": _tfidf_sql(),
 }
 
 # DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
@@ -3015,10 +3120,10 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "gopher_stats": _gopher_stats_sql(),
         "contamination": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
-        "text_unigram_ppl": _unigram_sql(),
         "text_bm25_topk": _bm25_sql(),
-        "tfidf_keywords": _tfidf_sql(),
         "hamming_fp_pairs": _hamming_fp_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "domain_stats": _domain_stats_sql(),
         "events_sessions": _SESSIONS_SQL,
         "boilerplate_removal": _BOILERPLATE_SQL,
         "dedup_embedding": _emb_neardup_sql(0.3),

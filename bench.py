@@ -171,6 +171,9 @@ HEADLINE = [
     "kn_bigram_ppl",
     "wet_documents",
     "cc_pipeline",
+    # round-13 addition: the URL stage (ops/url.py) — normalize + keep-
+    # best dedup, the RefinedWeb first-pass representative
+    "url_dedup",
 ]
 
 

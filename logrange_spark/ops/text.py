@@ -859,89 +859,9 @@ def tfidf_keywords(
     )
 
 
-# ------------------------------------------------------ URL canonicalization
-# Web-corpus curation needs URL-level dedup before content-level dedup:
-# the same page is crawled under scheme/case/tracking-param/fragment
-# variants. Canonicalization is a pure Column expression pipeline
-# (F.parse_url + regexp/array ops, JVM-side) — no UDFs.
-
-# the common click-tracking parameters (stripped by every major pipeline;
-# CommonCrawl-style dedup drops these before URL comparison)
-TRACKING_PARAMS = (
-    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "msclkid", "ref", "ref_src",
-)
-
-
-def canonical_url(col: Column) -> Column:
-    """Canonical form of an http(s) URL:
-
-    - scheme and host lowercased; explicit default ports (:80 http,
-      :443 https) stripped;
-    - fragment dropped;
-    - tracking query parameters (``TRACKING_PARAMS``) dropped, the
-      remaining parameters SORTED (param order is almost never
-      semantic; sorting merges reordered variants);
-    - trailing slash on a non-root path stripped ("/a/b/" == "/a/b");
-      empty path becomes "/".
-
-    Null for inputs ``F.try_parse_url`` cannot parse a scheme+host
-    from (ANSI mode: plain parse_url raises on malformed URLs).
-    The python twin (urllib-based) is pinned by
-    tests/test_ops.py::test_canonical_url_matches_reference.
-    """
-    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
-    raw_host = F.lower(F.try_parse_url(col, F.lit("HOST")))
-    port = F.try_parse_url(col, F.lit("AUTHORITY"))
-    # parse_url HOST excludes the port; re-attach a NON-default explicit
-    # port from the authority (default ports canonicalize away)
-    pstr = F.regexp_extract(F.coalesce(port, F.lit("")), ":([0-9]+)$", 1)
-    keep_port = (
-        (pstr != "")
-        & ~((scheme == "http") & (pstr == "80"))
-        & ~((scheme == "https") & (pstr == "443"))
-    )
-    host = F.when(keep_port, F.concat(raw_host, F.lit(":"), pstr)).otherwise(
-        raw_host
-    )
-    path = F.try_parse_url(col, F.lit("PATH"))
-    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
-    query = F.try_parse_url(col, F.lit("QUERY"))
-    kept = F.array_sort(
-        F.filter(
-            F.split(F.coalesce(query, F.lit("")), "&"),
-            lambda p: (p != "")
-            & ~F.split(p, "=")[0].isin(*TRACKING_PARAMS),
-        )
-    )
-    qpart = F.when(
-        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
-    ).otherwise(F.lit(""))
-    return F.when(
-        raw_host.isNull() | (raw_host == "") | scheme.isNull(),
-        F.lit(None).cast("string"),
-    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
-
-
-def url_duplicates(
-    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
-) -> DataFrame:
-    """(canonical_url, keep_id, dup_count) for canonical-URL groups with
-    more than one member — exact dedup after ``canonical_url``
-    normalization (one groupBy on the canonical string; unparseable
-    URLs are excluded rather than grouped together)."""
-    return (
-        df.select(canonical_url(F.col(url_col)).alias("canonical_url"),
-                  F.col(id_col))
-        .where(F.col("canonical_url").isNotNull())
-        .groupBy("canonical_url")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-    )
+# URL canonicalization / URL-level dedup moved to ops/url.py (round 13:
+# consolidated with the oracle-checkable normalize_url dedup key and the
+# domain-statistics stage under ONE tracking-param rule).
 
 
 # ------------------------------------------------------- boilerplate lines

@@ -2569,8 +2569,10 @@ def test_embedding_near_duplicate_drops_equals_pair_path(spark):
 
 # ------------------------------------------------------ URL canonicalization
 def _canon_url_ref(u):
-    """Python twin of text.canonical_url (urllib-based)."""
+    """Python twin of url.canonical_url (urllib-based)."""
     from urllib.parse import urlsplit
+
+    from logrange_spark.ops import url as url_ops
 
     try:
         p = urlsplit(u)
@@ -2590,7 +2592,9 @@ def _canon_url_ref(u):
         path = path[:-1]
     kept = sorted(
         q for q in p.query.split("&")
-        if q and q.split("=")[0] not in text.TRACKING_PARAMS
+        if q
+        and not q.split("=")[0].startswith("utm_")
+        and q.split("=")[0] not in url_ops.TRACKING_PARAMS
     )
     qpart = "?" + "&".join(kept) if kept else ""
     return f"{scheme}://{host}{path}{qpart}"
@@ -2600,6 +2604,8 @@ def test_canonical_url_matches_reference(spark):
     """canonical_url merges scheme-case/default-port/fragment/tracking/
     param-order/trailing-slash variants; value-matches the urllib twin on
     every case; url_duplicates groups the variants."""
+    from logrange_spark.ops import url as url_ops
+
     urls = [
         (1, "http://Example.com/a/b/"),
         (2, "http://example.com:80/a/b"),
@@ -2619,7 +2625,7 @@ def test_canonical_url_matches_reference(spark):
     got = {
         r["doc_id"]: r["c"]
         for r in df.select(
-            "doc_id", text.canonical_url(F.col("url")).alias("c")
+            "doc_id", url_ops.canonical_url(F.col("url")).alias("c")
         ).collect()
     }
     for i, u in urls:
@@ -2634,7 +2640,7 @@ def test_canonical_url_matches_reference(spark):
 
     dups = {
         r["canonical_url"]: (r["keep_id"], r["dup_count"])
-        for r in text.url_duplicates(df, "doc_id", "url").collect()
+        for r in url_ops.url_duplicates(df, "doc_id", "url").collect()
     }
     assert dups["http://example.com/a/b"] == (1, 4)
     assert dups["http://example.com/a/b?a=2&z=1"] == (5, 2)

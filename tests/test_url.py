@@ -1,0 +1,172 @@
+"""URL normalization / URL-level dedup / domain stats (ops/url.py).
+
+Each normalization rule gets a crafted case, the keep-best vote is
+pinned, and a DuckDB twin recomputes the canonical key for a messy
+batch so the Spark expression chain and the oracle SQL stay
+byte-identical (the registry rows depend on that).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from logrange_spark.ops import url as U
+
+CASES = [
+    # (raw, canonical)
+    ("https://www.Example.COM/page/7?z=2&id=7&utm_source=feed",
+     "example.com/page/7?id=7&z=2"),
+    ("http://example.com:80/page/7?id=7&z=2&gclid=g123",
+     "example.com/page/7?id=7&z=2"),
+    ("HTTPS://www.example.com/page/7/?z=2&id=7#frag",
+     "example.com/page/7?id=7&z=2"),
+    ("https://example.com:443/page/7?utm_campaign=x&id=7&z=2",
+     "example.com/page/7?id=7&z=2"),
+    # root path + trailing slash collapse
+    ("https://example.com/", "example.com"),
+    ("https://example.com", "example.com"),
+    # fragment-only difference
+    ("https://a.org/x#top", "a.org/x"),
+    ("https://a.org/x", "a.org/x"),
+    # query with only tracking params -> no '?'
+    ("https://a.org/x?utm_medium=mail&fbclid=f1", "a.org/x"),
+    # path/query case is PRESERVED
+    ("https://A.org/X?Q=V", "a.org/X?Q=V"),
+    # no scheme at all
+    ("www.b.net/p?b=2&a=1", "b.net/p?a=1&b=2"),
+    # msclkid stripped, empty params dropped
+    ("https://b.net/p?msclkid=m&&a=1", "b.net/p?a=1"),
+    # ref / ref_src stripped; 'reference' is NOT (exact-name rule)
+    ("https://b.net/p?ref=tw&ref_src=x&reference=keep",
+     "b.net/p?reference=keep"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", U.normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, raw
+
+
+def test_normalize_idempotent(spark):
+    """Normalizing an already-canonical key is a no-op (the canon is
+    scheme-free and sorted, so it is a fixed point)."""
+    df = spark.createDataFrame(
+        [(c,) for _, c in CASES], "url string"
+    )
+    rows = df.select(
+        F.col("url"), U.normalize_url(F.col("url")).alias("n")
+    ).collect()
+    for r in rows:
+        assert r["n"] == r["url"]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Foo.Org:8443/a?b=1#c",), ("foo.org/a",)],
+        "url string",
+    )
+    hosts = [r["h"] for r in df.select(U.url_host(F.col("url")).alias("h")).collect()]
+    assert hosts == ["foo.org", "foo.org"]
+
+
+@pytest.fixture()
+def messy(spark):
+    rows = []
+    for doc_id in range(40):
+        pid = doc_id // 5
+        v = doc_id % 5
+        raw = [
+            f"https://www.Example.COM/page/{pid}?z=2&id={pid}&utm_source=feed",
+            f"http://example.com:80/page/{pid}?id={pid}&z=2&gclid=g{doc_id}",
+            f"https://example.com/page/{pid}?utm_campaign=x&id={pid}&z=2#frag",
+            f"https://blog.example.org/post/{doc_id}",
+            f"HTTPS://www.example.com/page/{pid}/?z=2&id={pid}",
+        ][v]
+        rows.append((doc_id, raw, 100 + (doc_id % 7) * 10))
+    return spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+
+
+def test_url_dedup_keep_best(messy):
+    out = {
+        r["url_norm"]: (r["kept_id"], r["n_variants"])
+        for r in U.url_dedup(messy, quality_col="n_chars").collect()
+    }
+    # each pid in 0..7 collapses variants {0,1,2,4 mod 5}; v3 is unique
+    assert len(out) == 8 + 8
+    for pid in range(8):
+        ids = [pid * 5 + v for v in (0, 1, 2, 4)]
+        best = max(ids, key=lambda i: (100 + (i % 7) * 10, -i))
+        kept, n = out[f"example.com/page/{pid}?id={pid}&z=2"]
+        assert n == 4
+        assert kept == best
+    for doc_id in range(3, 40, 5):
+        kept, n = out[f"blog.example.org/post/{doc_id}"]
+        assert (kept, n) == (doc_id, 1)
+
+
+def test_url_dedup_default_keep_lowest_id(messy):
+    out = {
+        r["url_norm"]: r["kept_id"] for r in U.url_dedup(messy).collect()
+    }
+    for pid in range(8):
+        assert out[f"example.com/page/{pid}?id={pid}&z=2"] == pid * 5
+
+
+def test_url_duplicate_drops(messy):
+    drops = {
+        r["doc_id"]
+        for r in U.url_duplicate_drops(messy, quality_col="n_chars").collect()
+    }
+    kept = {
+        r["kept_id"]
+        for r in U.url_dedup(messy, quality_col="n_chars").collect()
+    }
+    assert drops | kept == set(range(40))
+    assert not (drops & kept)
+    assert len(drops) == 8 * 3  # each page keeps 1 of 4 variants
+
+
+def test_domain_stats(messy):
+    out = {r["host"]: r for r in U.domain_stats(messy, chars_col="n_chars").collect()}
+    assert set(out) == {"example.com", "blog.example.org"}
+    ex = out["example.com"]
+    assert (ex["n_docs"], ex["n_urls"]) == (32, 8)
+    assert ex["dup_ratio"] == 0.75
+    bl = out["blog.example.org"]
+    assert (bl["n_docs"], bl["n_urls"], bl["dup_ratio"]) == (8, 8, 0.0)
+
+
+def test_normalize_matches_duckdb_twin(spark):
+    """The registry rows rely on the DuckDB normalization computing the
+    identical canonical key — pin it on the crafted case set plus the
+    messy fixture construction."""
+    raws = [raw for raw, _ in CASES] + [
+        f"https://www.Example.COM/page/{p}?z=2&id={p}&utm_source=feed"
+        for p in range(5)
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    got_spark = [
+        r["n"]
+        for r in df.select(U.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(r,) for r in raws])
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {U.normalize_url_duckdb('url')} FROM u"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
