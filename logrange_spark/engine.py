@@ -44,9 +44,16 @@ MAX_SOURCES = 50
 
 class Engine:
     def __init__(self, spark: SparkSession, root: str, max_limit: int = MAX_LIMIT,
-                 max_sources: int = MAX_SOURCES):
+                 max_sources: int = MAX_SOURCES, read_only: bool = False):
         self.spark = spark
         self.root = root
+        # read_only opens the store WITHOUT the ownership flock (the
+        # live writer process holds it) and refuses every mutation: the
+        # query-tier mode (shard.ShardReader) — it sees the catalog and
+        # chunk state as of open time (all store state files are
+        # written atomically / append-tolerant, so a concurrent writer
+        # can never corrupt this snapshot), and re-opens to refresh.
+        self.read_only = read_only
         self.logs_path = os.path.join(root, "logs")
         self.state_dir = os.path.join(root, "state")
         self.pipes_dir = os.path.join(root, "pipes")
@@ -65,21 +72,23 @@ class Engine:
         # Engine INSTANCE on the same root within one process: flock is
         # per open-file-description.
         self._store_lock = None
-        try:
-            import fcntl
-
-            lock_file = open(os.path.join(self.state_dir, "LOCK"), "w")
+        if not read_only:
             try:
-                fcntl.flock(lock_file, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                lock_file.close()
-                raise RuntimeError(
-                    f"store {root!r} is already owned by a running Engine "
-                    "(single-writer-process contract); close() it first"
-                )
-            self._store_lock = lock_file
-        except ImportError:  # non-POSIX: contract documented, not enforced
-            pass
+                import fcntl
+
+                lock_file = open(os.path.join(self.state_dir, "LOCK"), "w")
+                try:
+                    fcntl.flock(lock_file, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    lock_file.close()
+                    raise RuntimeError(
+                        f"store {root!r} is already owned by a running "
+                        "Engine (single-writer-process contract); close() "
+                        "it first"
+                    )
+                self._store_lock = lock_file
+            except ImportError:  # non-POSIX: documented, not enforced
+                pass
         self.seq_state = SeqState(os.path.join(self.state_dir, "seq.json"))
         # serializes seq-range reservation + catalog/stat upserts: writes
         # arrive concurrently from HTTP handler threads and pipe streaming
@@ -248,6 +257,7 @@ class Engine:
         """
         from .model.schema import src_for_tag_line
 
+        self._check_writable()
         tmap = parse_tags(tags) if isinstance(tags, str) else {str(k): str(v) for k, v in tags.items()}
         src = src_for_tag_line(tag_line(tmap))
         # row normalization is the write path's Python CPU — run it
@@ -346,6 +356,7 @@ class Engine:
 
         from pyspark.sql.window import Window
 
+        self._check_writable()
         counts = {r["src"]: r["n"] for r in df.groupBy("src").agg(F.count("*").alias("n")).collect()}
         if not counts:
             return
@@ -506,6 +517,13 @@ class Engine:
             pass
         self._chunk_log_lines = 0
         self._dirty_srcs.clear()
+
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise RuntimeError(
+                "engine opened read_only (query tier): the store is owned "
+                "by its writer process; mutations must go through it"
+            )
 
     def _src_lock(self, src: str) -> threading.Lock:
         """Per-src writer lock (created on first use). Always acquired
@@ -1106,6 +1124,7 @@ class Engine:
         oldest partitions until total ≤ MAXDBSIZE; delete emptied
         partitions. DRYRUN reports without deleting.
         """
+        self._check_writable()
         src_ids = self.resolve_sources(stmt.source, cap=False)
         report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
         sizes: dict[str, int] = {}
@@ -1209,6 +1228,7 @@ class Engine:
         auto-compact path): each byte is rewritten at most once per size
         tier instead of on every pass over the whole partition.
         """
+        self._check_writable()
         return self._compact_src_ids(
             self.resolve_sources(source, cap=False), target_file_bytes,
             small_file_bytes,
@@ -1334,6 +1354,7 @@ class Engine:
     def create_pipe(self, stmt: ast.CreatePipe) -> dict:
         from .pipes.service import start_pipe
 
+        self._check_writable()
         with self._pipes_lock:
             if stmt.name in self._pipes:
                 return {"pipe": stmt.name, "status": "exists"}
@@ -1350,6 +1371,7 @@ class Engine:
         return {"pipe": stmt.name, "status": "created"}
 
     def delete_pipe(self, name: str) -> dict:
+        self._check_writable()
         with self._pipes_lock:
             q = self._pipe_queries.pop(name, None)
             if q is not None:
@@ -1489,13 +1511,15 @@ class Engine:
         another Engine (this process or another) may open the root."""
         self.stop_pipes()
         # fold the delta log into the snapshot shards (dirty srcs only)
-        # so the next boot replays nothing
-        with self._write_lock:
-            if self._chunk_log_lines > 0:
-                try:
-                    self._compact_chunk_log()
-                except OSError:
-                    pass  # read-only media: the log replays at next boot
+        # so the next boot replays nothing — writer-owned state; a
+        # read-only engine must never touch the owner's snapshots
+        if not self.read_only:
+            with self._write_lock:
+                if self._chunk_log_lines > 0:
+                    try:
+                        self._compact_chunk_log()
+                    except OSError:
+                        pass  # read-only media: the log replays at next boot
         if self._store_lock is not None:
             try:
                 self._store_lock.close()  # closing the fd drops the flock

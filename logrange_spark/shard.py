@@ -101,6 +101,130 @@ class ShardRouter:
         return out
 
 
+class ShardReader:
+    """The query tier over a sharded store: full LQL across all shards.
+
+    Opens every shard READ-ONLY (`Engine(read_only=True)` — no
+    ownership flock, mutations refused), so it runs concurrently with
+    the live writer processes. Source resolution and chunk-catalog file
+    pruning happen PER SHARD (each shard's engine prunes with its own
+    chunk stats — a narrow query still opens only the files it can
+    touch, in only the shards that hold matching partitions), and ONE
+    `compile_select` runs over the pruned union, so the global
+    (ts, src, seq) ordering, POSITION/OFFSET/LIMIT and cursor
+    semantics are exactly the single-store engine's — a src never
+    spans shards, so the union is a disjoint re-partitioning of the
+    same record stream.
+
+    Snapshot semantics: the reader sees each shard's catalog and chunk
+    state as of `refresh()` (or construction). Writers publish state
+    atomically (os.replace) or append-tolerantly (chunks.jsonl), so a
+    concurrent writer can never corrupt the snapshot — only postdate
+    it. `ignoreMissingFiles` covers chunks compacted away between
+    planning and execution, the same contract as the single store.
+    """
+
+    def __init__(self, spark: "SparkSession", root: str):
+        from .engine import Engine
+
+        self.spark = spark
+        self.root = root
+        roots = shard_roots(root)
+        if not roots:
+            raise FileNotFoundError(f"no shard-* stores under {root!r}")
+        self.engines = [Engine(spark, r, read_only=True) for r in roots]
+
+    def refresh(self) -> None:
+        """Re-open every shard's catalog/chunk state (cheap: driver-side
+        JSON reads; no Spark job)."""
+        from .engine import Engine
+
+        self.engines = [
+            Engine(self.spark, e.root, read_only=True) for e in self.engines
+        ]
+
+    # --------------------------------------------------------- query
+    def resolve_sources(self, source, cap: bool = True) -> list[str]:
+        """Union of the per-shard tag-index visits (each uses its own
+        resolution cache); the ≤50-source cursor cap applies to the
+        MERGED list, matching the single-store semantics."""
+        srcs = sorted(
+            s
+            for e in self.engines
+            for s in e.resolve_sources(source, cap=False)
+        )
+        cap_n = self.engines[0].max_sources
+        return srcs[:cap_n] if cap else srcs
+
+    def logs(self) -> "DataFrame":
+        return read_shard_logs(self.spark, self.root)
+
+    def select(self, sel, now_ns: int | None = None) -> "DataFrame":
+        from functools import reduce
+
+        from .compiler.select import compile_select
+        from .lql import ast
+
+        src_ids = self.resolve_sources(sel.source)
+        e0 = self.engines[0]
+        limit = (
+            min(sel.limit, e0.max_limit)
+            if sel.limit is not None
+            else e0.max_limit
+        )
+        sel = ast.Select(sel.format, sel.source, sel.range, sel.where,
+                         sel.position, sel.offset, limit)
+        parts = []
+        for e in self.engines:
+            mine = [s for s in src_ids if s in e._catalog]
+            if not mine:
+                continue  # tag-routed query: shard holds no match
+            df = e._pruned_logs(mine, sel)
+            parts.append(df if df is not None else e.logs())
+        if not parts:
+            parts = [e0.logs()]  # empty-match: compile against schema
+        logs = reduce(lambda a, b: a.unionByName(b), parts)
+        return compile_select(logs, sel, now_ns, src_ids=src_ids)
+
+    def query(self, lql: str, now_ns: int | None = None) -> "DataFrame":
+        from .lql import ast
+        from .lql.parser import parse_lql
+
+        stmt = parse_lql(lql, now_ns)
+        if not isinstance(stmt, ast.Select):
+            raise ValueError("query() accepts SELECT statements only")
+        return self.select(stmt, now_ns)
+
+    def sql(self, q: str) -> "DataFrame":
+        self.logs().createOrReplaceTempView("logs")
+        return self.spark.sql(q)
+
+    def show_partitions(self, stmt) -> "DataFrame":
+        """Merged SHOW PARTITIONS: per-shard metadata WITHOUT the
+        offset/limit (those are GLOBAL pagination), union, re-sort by
+        the single-store ordering, then paginate."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from .lql import ast
+
+        unpaged = ast.ShowPartitions(stmt.source, 0, None)
+        parts = [e.show_partitions(unpaged) for e in self.engines]
+        df = reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+            F.col("size").desc(), F.col("tag_line")
+        )
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    def close(self) -> None:
+        for e in self.engines:
+            e.close()
+
+
 def read_shard_logs(spark: "SparkSession", root: str) -> "DataFrame":
     """One DataFrame over every shard store's logs (standard log
     schema incl. the ``src`` partition column). Each shard tree is read

@@ -96,3 +96,136 @@ def test_router_round_trip_and_union_view(spark, sharded):
 def test_read_shard_logs_missing(spark):
     with pytest.raises(FileNotFoundError):
         sh.read_shard_logs(spark, "/nonexistent-shard-root")
+    with pytest.raises(FileNotFoundError):
+        sh.ShardReader(spark, "/nonexistent-shard-root")
+
+
+# ------------------------------------------------------------ query tier
+def _writes():
+    """Deterministic multi-partition workload, applied identically to
+    the sharded router and to a single-store engine — src ids derive
+    from tag lines and seq from write order, so every LQL answer must
+    be IDENTICAL row-for-row across the two layouts."""
+    out = []
+    for i in range(5):
+        tags = {"name": f"app{i}", "ns": "prod" if i % 2 == 0 else "dev"}
+        for batch in range(2):
+            out.append((tags, [
+                (BASE + (i * 100 + batch * 50 + j) * NS,
+                 f"msg {i}/{batch}/{j} {'ERROR' if j % 4 == 0 else 'ok'}",
+                 {"n": str(j)})
+                for j in range(25)
+            ]))
+    return out
+
+
+LQLS = [
+    "SELECT FROM {ns=prod} WHERE msg CONTAINS 'ERROR' LIMIT 10000",
+    "SELECT LIMIT 40",
+    "SELECT POSITION tail OFFSET -25 LIMIT 25",  # tail across shards
+    f'SELECT RANGE ["{BASE + 120 * NS}":"{BASE + 300 * NS}"] LIMIT 10000',
+    "SELECT FROM name=app3 OR name=app0 WHERE fields:n < '2' LIMIT 10000",
+]
+
+
+@pytest.fixture()
+def twin_stores(spark):
+    """(sharded root + live writers closed, single-store engine) with
+    identical content."""
+    sroot = tempfile.mkdtemp(prefix="lrshard-q-")
+    eroot = tempfile.mkdtemp(prefix="lrsingle-q-")
+    engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+    router = sh.ShardRouter(engines)
+    single = Engine(spark, eroot)
+    for tags, recs in _writes():
+        router.write(tags, recs)
+        single.write(tags, recs)
+    yield sroot, engines, single
+    for e in engines:
+        e.close()
+    single.close()
+    shutil.rmtree(sroot, ignore_errors=True)
+    shutil.rmtree(eroot, ignore_errors=True)
+
+
+def test_shard_reader_lql_equals_single_store(spark, twin_stores):
+    sroot, engines, single = twin_stores
+    # the reader opens read-only WHILE the writer engines still own
+    # their shards (no flock conflict)
+    reader = sh.ShardReader(spark, sroot)
+    for lql in LQLS:
+        got = [tuple(r) for r in reader.query(lql).collect()]
+        want = [tuple(r) for r in single.query(lql).collect()]
+        assert got == want and len(got) > 0, lql
+    # sql() over the union view
+    n = reader.sql("SELECT count(*) AS n FROM logs").collect()[0]["n"]
+    assert n == 5 * 2 * 25
+
+
+def test_shard_reader_cursor_paging_equals_single_store(spark, twin_stores):
+    sroot, _, single = twin_stores
+    reader = sh.ShardReader(spark, sroot)
+    # page forward from the global start in 30-row pages, both layouts
+    from logrange_spark.compiler.select import CursorToken
+
+    def pages(q):
+        tok, out = None, []
+        for _ in range(12):  # 250 rows / 30-row pages + slack
+            lql = (
+                "SELECT LIMIT 30"
+                if tok is None
+                else f"SELECT POSITION '{tok}' LIMIT 30"
+            )
+            rows = q(lql).collect()
+            if not rows:
+                break
+            out.extend(tuple(r) for r in rows)
+            last = rows[-1]
+            tok = CursorToken(last["ts"], last["src"], last["seq"]).encode()
+        return out
+
+    got, want = pages(reader.query), pages(single.query)
+    assert got == want and len(got) == 250
+
+
+def test_shard_reader_show_partitions_global_pagination(spark, twin_stores):
+    sroot, _, single = twin_stores
+    from logrange_spark.lql import ast
+
+    reader = sh.ShardReader(spark, sroot)
+    stmt = ast.ShowPartitions(None, 0, None)
+    got = [tuple(r) for r in reader.show_partitions(stmt).collect()]
+    want = [tuple(r) for r in single.show_partitions(stmt).collect()]
+    assert got == want and len(got) == 5
+    # global limit, not per-shard
+    stmt2 = ast.ShowPartitions(None, 1, 2)
+    got2 = [tuple(r) for r in reader.show_partitions(stmt2).collect()]
+    assert got2 == want[1:3]
+
+
+def test_shard_reader_is_read_only(spark, twin_stores):
+    sroot, _, _ = twin_stores
+    reader = sh.ShardReader(spark, sroot)
+    e = reader.engines[0]
+    with pytest.raises(RuntimeError, match="read_only"):
+        e.write({"name": "x"}, [(BASE, "m", {})])
+    with pytest.raises(RuntimeError, match="read_only"):
+        e.compact()
+    from logrange_spark.lql.parser import parse_lql
+
+    with pytest.raises(RuntimeError, match="read_only"):
+        e.truncate(parse_lql("TRUNCATE MAXSIZE 0"))
+
+
+def test_shard_reader_refresh_sees_new_writes(spark, twin_stores):
+    sroot, engines, _ = twin_stores
+    reader = sh.ShardReader(spark, sroot)
+    before = reader.query("SELECT LIMIT 10000").count()
+    router = sh.ShardRouter(engines)
+    router.write({"name": "late"}, [(BASE + 10_000 * NS, "late row", {})])
+    # catalog/pruning snapshots predate the write; refresh re-opens
+    reader.refresh()
+    after = reader.query("SELECT LIMIT 10000").count()
+    assert after == before + 1
+    got = reader.query("SELECT FROM {name=late} LIMIT 10").collect()
+    assert len(got) == 1 and got[0]["msg"] == "late row"

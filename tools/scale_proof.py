@@ -89,6 +89,8 @@ DRIVER_TABLE = {
     "kn_bigram_ppl": "documents",
     "wet_documents": "documents",
     "cc_pipeline": "documents",
+    # round-13 URL stage
+    "url_dedup": "documents",
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "orders", "customer", "events")
