@@ -1008,15 +1008,23 @@ def classifier_terms(col: Column, ngram: int = CLASSIFIER_NGRAM) -> Column:
     toks = tokens(col)
     parts = [toks]
     for n in range(2, ngram + 1):
-        # n-gram i joins tokens [i, i+n-1]; slice-based, map-side
-        parts.append(
-            F.transform(
-                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                lambda _, i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, n)
-                ),
+        # n-gram i joins tokens [i, i+n-1] — built by zipping n SHIFTED
+        # slices of the token array. The obvious alternative (a
+        # transform whose lambda slices `toks` per POSITION) is
+        # quadratic: a higher-order function re-evaluates captured
+        # non-attribute expressions per element, so the whole
+        # lower/trim/regex-split tokenization re-ran once per token
+        # (measured 4.5 s for 5k docs / 536k terms at sf0.1; this form
+        # is ~20x faster). zip_with's arguments evaluate once per ROW.
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        g = F.slice(toks, 1, cnt)
+        for k in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(toks, k + 1, cnt),
+                lambda a, b: F.concat_ws(" ", a, b),
             )
-        )
+        parts.append(g)
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)
