@@ -177,20 +177,25 @@ def _expand_rep_pairs(
 
 
 def _shingles_of(toks: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct word n-grams (space-joined) of an already-projected token
-    array column."""
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct word n-grams (space-joined) of a token array.
+
+    Built by zipping n SHIFTED slices of ``toks`` — the arguments of
+    zip_with evaluate once per ROW, so this stays linear even when
+    ``toks`` is a full tokenization EXPRESSION (not a projected
+    attribute). The per-position element_at lambda it replaces
+    re-evaluated the captured expression per element — higher-order
+    functions re-run captured non-attribute expressions for every
+    element, which made contamination's 8-gram shingling re-tokenize
+    each document once per token position."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    g = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(g)
 
 
 def shingles(col: Column, n: int = SHINGLE_N) -> Column:
