@@ -2036,22 +2036,30 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the gzip decode + HTML parse per branch; at 100 TB this
     # is the standard persist-the-extraction-output step every CC
     # pipeline does before fan-out
-    docs = pages.select("doc_id", "text").localCheckpoint(eager=False)
-    gok = (
-        text.gopher_gate(
-            text.gopher_quality_stats(docs),
-            min_words=CC_MIN_WORDS,
-            min_stopword_hits=1,
+    docs = pages.select("doc_id", "text")
+    # both gates are per-document predicates, so they compose as ONE
+    # map-side filter chain (keep= carries the text through) — no join
+    # back to the corpus; at 100 TB the gate stage shuffles nothing.
+    # The pipeline materializes ONCE, HERE: gated is the smallest frame
+    # every downstream consumer (dedup token frame, survivor anti-join,
+    # LM trainer+scorer) re-reads, so checkpointing after the gates —
+    # not before them — runs the gzip decode + HTML parse + gates a
+    # single time instead of once per consumer (r12 checkpointed the
+    # raw extraction; the gates then re-ran 3x)
+    gated = (
+        text.blocklist_gate(
+            text.gopher_gate(
+                text.gopher_quality_stats(docs, keep=("text",)),
+                min_words=CC_MIN_WORDS,
+                min_stopword_hits=1,
+            ).where("gopher_pass"),
+            CC_BLOCKLIST,
+            keep=("text",),
         )
-        .where("gopher_pass")
-        .select("doc_id")
-    )
-    bok = (
-        text.blocklist_gate(docs, CC_BLOCKLIST)
         .where("blocklist_pass")
-        .select("doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
-    gated = docs.join(gok, "doc_id").join(bok, "doc_id")
     drop = dedup.near_duplicate_drops(
         gated, "doc_id", "text", threshold=0.8, unique=False
     )

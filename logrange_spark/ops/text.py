@@ -368,7 +368,8 @@ GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
 
 
 def gopher_quality_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac, stopword_hits) — the Gopher
@@ -378,10 +379,13 @@ def gopher_quality_stats(
     alphabetic if it contains [a-z], and ``stopword_hits`` counts how
     many DISTINCT Gopher stop words appear. Null text = empty text
     (zero words — callers' min-word gates reject it, the signals stay
-    total)."""
+    total). ``keep`` carries extra columns through (e.g. the text
+    itself), so a gate over the stats composes as a pure MAP filter —
+    no join back to the corpus (the cc_pipeline shape)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         c.alias("_text"),
         tokens(c).alias("_w"),
         doc_lines(c).alias("_l"),
@@ -427,6 +431,7 @@ def gopher_quality_stats(
     )
     return base.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
@@ -513,6 +518,7 @@ def blocklist_gate(
     max_hits: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, blocklist_hits, blocklist_pass) — the C4 banned-word
     document filter (Raffel et al. 2020 §2.2 drop any page containing a
@@ -536,6 +542,7 @@ def blocklist_gate(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         hits.alias("blocklist_hits"),
         (hits <= F.lit(int(max_hits))).alias("blocklist_pass"),
     )
