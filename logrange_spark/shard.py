@@ -124,30 +124,90 @@ class ShardReader:
     planning and execution, the same contract as the single store.
     """
 
-    def __init__(self, spark: "SparkSession", root: str):
+    #: state files whose (mtime, size) change whenever a writer commits
+    _STATE_FILES = ("chunks.jsonl", "catalog.json", "seq.json")
+
+    def __init__(self, spark: "SparkSession", root: str,
+                 poll_s: float = 0.2):
+        import threading
+
         from .engine import Engine
 
         self.spark = spark
         self.root = root
+        self.poll_s = poll_s
         roots = shard_roots(root)
         if not roots:
             raise FileNotFoundError(f"no shard-* stores under {root!r}")
+        self._refresh_lock = threading.Lock()
         self.engines = [Engine(spark, r, read_only=True) for r in roots]
+        self._fingerprint = self._state_fingerprint()
 
     def refresh(self) -> None:
         """Re-open every shard's catalog/chunk state (cheap: driver-side
         JSON reads; no Spark job)."""
         from .engine import Engine
 
-        self.engines = [
-            Engine(self.spark, e.root, read_only=True) for e in self.engines
-        ]
+        with self._refresh_lock:
+            self.engines = [
+                Engine(self.spark, e.root, read_only=True)
+                for e in self.engines
+            ]
+            self._fingerprint = self._state_fingerprint()
+
+    # ---------------------------------------------------- freshness
+    def _state_fingerprint(self) -> int:
+        """Deterministic fold over every shard's state-file (mtime, size)
+        — a pure os.stat pass (microseconds), no Spark, no file reads.
+        Writers publish each commit by appending chunks.jsonl / replacing
+        seq.json, so the fingerprint changes iff the store did."""
+        import zlib
+
+        fp = b""
+        for e in self.engines:
+            for name in self._STATE_FILES:
+                try:
+                    st = os.stat(os.path.join(e.state_dir, name))
+                    fp += b"%d:%d;" % (st.st_mtime_ns, st.st_size)
+                except OSError:
+                    fp += b"-;"
+        return zlib.crc32(fp)
+
+    def _maybe_refresh(self) -> None:
+        """Per-query freshness: re-open the shard snapshots iff a writer
+        has committed since the last look (the query tier's equivalent
+        of the single store's always-current in-process catalog)."""
+        if self._state_fingerprint() != self._fingerprint:
+            self.refresh()
+
+    # write_epoch / wait_for_write give the server's WaitNewData loop
+    # (and Engine.follow's event wait) a cross-PROCESS signal: there is
+    # no shared condition variable with the writer processes, so the
+    # wait is a state-file poll at ``poll_s`` — write→visible latency on
+    # the query tier floors at the poll interval (documented trade; the
+    # in-process engine's event-driven follow keeps its ~130 ms p50).
+    def write_epoch(self) -> int:
+        return self._state_fingerprint()
+
+    def wait_for_write(self, epoch: int, timeout: float) -> int:
+        import time as _time
+
+        deadline = _time.monotonic() + max(0.0, timeout)
+        while True:
+            fp = self._state_fingerprint()
+            if fp != epoch:
+                self.refresh()
+                return fp
+            if _time.monotonic() >= deadline:
+                return fp
+            _time.sleep(min(self.poll_s, max(0.0, deadline - _time.monotonic())))
 
     # --------------------------------------------------------- query
     def resolve_sources(self, source, cap: bool = True) -> list[str]:
         """Union of the per-shard tag-index visits (each uses its own
         resolution cache); the ≤50-source cursor cap applies to the
         MERGED list, matching the single-store semantics."""
+        self._maybe_refresh()
         srcs = sorted(
             s
             for e in self.engines
@@ -155,6 +215,61 @@ class ShardReader:
         )
         cap_n = self.engines[0].max_sources
         return srcs[:cap_n] if cap else srcs
+
+    def chunks_after_cursor(self, src_ids: list[str], tok) -> bool:
+        """Catalog-only fast-path check across shards (Engine semantics:
+        conservative True when a src is unknown to every shard)."""
+        known = set()
+        for e in self.engines:
+            mine = [s for s in src_ids if s in e._catalog]
+            known.update(mine)
+            if mine and e.chunks_after_cursor(mine, tok):
+                return True
+        return any(s not in known for s in src_ids)
+
+    def tail_cursor(self, stmt):
+        """Seed a value cursor at the current end-of-stream (same probe
+        as Engine.tail_cursor, compiled over the shard union)."""
+        from .compiler.select import CursorToken
+        from .lql import ast
+
+        probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
+                           ast.Position("tail"), -1, 1)
+        rows = self.select(probe, None).collect()
+        if rows:
+            return CursorToken(rows[0]["ts"], rows[0]["src"], rows[0]["seq"])
+        return None
+
+    def execute(self, lql: str, now_ns: int | None = None):
+        """Query-tier LQL dispatch: SELECT / SHOW PARTITIONS / DESCRIBE
+        PARTITION. Every mutating statement (write/pipes/truncate) is
+        refused — mutations belong to the shard's writer process."""
+        from .lql import ast
+        from .lql.parser import parse_lql
+
+        stmt = parse_lql(lql, now_ns)
+        if isinstance(stmt, ast.Select):
+            return self.select(stmt, now_ns)
+        if isinstance(stmt, ast.ShowPartitions):
+            return self.show_partitions(stmt)
+        if isinstance(stmt, ast.DescribePartition):
+            return self.describe_partition(stmt)
+        raise RuntimeError(
+            "read-only query tier: mutating statements must go to the "
+            "shard's writer process"
+        )
+
+    def describe_partition(self, stmt) -> dict:
+        """DESCRIBE PARTITION, delegated to the (single) shard that owns
+        the matching partition."""
+        self._maybe_refresh()
+        last = None
+        for e in self.engines:
+            try:
+                return e.describe_partition(stmt)
+            except Exception as err:  # not on this shard
+                last = err
+        raise last if last else ValueError("no shards")
 
     def logs(self) -> "DataFrame":
         return read_shard_logs(self.spark, self.root)
@@ -199,11 +314,24 @@ class ShardReader:
         self.logs().createOrReplaceTempView("logs")
         return self.spark.sql(q)
 
+    def follow(self, lql: str, wait_timeout_s: float = 60.0,
+               poll_s: float = 0.5):
+        """tail -f across all shards: Engine.follow verbatim — it only
+        touches select / tail_cursor / write_epoch / wait_for_write /
+        chunks_after_cursor / resolve_sources, all of which this class
+        provides (the event wait becomes the cross-process state-file
+        poll, so write→visible latency floors at ``self.poll_s``)."""
+        from .engine import Engine
+
+        return Engine.follow(self, lql, wait_timeout_s, poll_s)
+
     def show_partitions(self, stmt) -> "DataFrame":
         """Merged SHOW PARTITIONS: per-shard metadata WITHOUT the
         offset/limit (those are GLOBAL pagination), union, re-sort by
         the single-store ordering, then paginate."""
         from functools import reduce
+
+        self._maybe_refresh()
 
         from pyspark.sql import functions as F
 
@@ -219,6 +347,12 @@ class ShardReader:
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
         return df
+
+    def write(self, tags, events, fields=None) -> dict:
+        raise RuntimeError(
+            "read-only query tier: writes go to the shard's writer "
+            "process (route by shard.shard_for_tags)"
+        )
 
     def close(self) -> None:
         for e in self.engines:

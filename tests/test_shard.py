@@ -217,6 +217,89 @@ def test_shard_reader_is_read_only(spark, twin_stores):
         e.truncate(parse_lql("TRUNCATE MAXSIZE 0"))
 
 
+def test_shard_reader_auto_refresh_per_query(spark, twin_stores):
+    """The query tier must see committed writes WITHOUT an explicit
+    refresh(): every query checks the shard state-file fingerprint."""
+    sroot, engines, _ = twin_stores
+    reader = sh.ShardReader(spark, sroot)
+    before = reader.query("SELECT LIMIT 10000").count()
+    sh.ShardRouter(engines).write(
+        {"name": "auto"}, [(BASE + 20_000 * NS, "auto row", {})]
+    )
+    assert reader.query("SELECT LIMIT 10000").count() == before + 1
+
+
+def test_shard_reader_serves_http(spark, twin_stores):
+    """The HTTP server runs unmodified over a ShardReader: query with
+    cursor pos, execute SHOW PARTITIONS, WaitNewData observes a write
+    from a shard's (separate) writer engine, and mutations are refused."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from logrange_spark.server import Server
+
+    sroot, engines, _ = twin_stores
+    reader = sh.ShardReader(spark, sroot, poll_s=0.1)
+    srv = Server(reader).start()
+    url = f"http://127.0.0.1:{srv.port}"
+
+    def post(path, body, expect_err=False):
+        req = urllib.request.Request(
+            url + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            if not expect_err:
+                raise
+            return {"status": e.code, **_json.loads(e.read() or b"{}")}
+
+    try:
+        res = post("/api/v1/query",
+                   {"query": "SELECT FROM {ns=prod} LIMIT 40"})
+        assert len(res["events"]) == 40 and res["err"] is None
+        nxt = res["nextQueryRequest"]
+        res2 = post("/api/v1/query", nxt)
+        assert len(res2["events"]) > 0
+        # cursor continues, no overlap
+        assert res2["events"][0] != res["events"][0]
+
+        out = post("/api/v1/execute", {"query": "SHOW PARTITIONS"})
+        assert len(out["output"].splitlines()) == 1 + 5
+
+        # WaitNewData across processes: tail + waitTimeout, then a write
+        # through the shard's WRITER engine lands while the server waits
+        def later():
+            sh.ShardRouter(engines).write(
+                {"name": "live"}, [(BASE + 30_000 * NS, "live row", {})]
+            )
+
+        t = threading.Timer(0.6, later)
+        t.start()
+        res3 = post("/api/v1/query", {
+            "query": "SELECT FROM {name=live} POSITION tail LIMIT 10",
+            "waitTimeout": 10,
+        })
+        t.join()
+        assert [e["message"] for e in res3["events"]] == ["live row"]
+
+        # mutations are refused by the read-only tier
+        ref = post("/api/v1/write", {
+            "tags": "{name=x}",
+            "events": [{"timestamp": BASE, "message": "m"}],
+        }, expect_err=True)
+        assert ref["status"] in (400, 500)
+        assert "read-only query tier" in ref["err"]
+        ref2 = post("/api/v1/execute",
+                    {"query": "TRUNCATE MAXSIZE 0"}, expect_err=True)
+        assert ref2["status"] == 400 and "read-only" in ref2["err"]
+    finally:
+        srv.stop()
+
+
 def test_shard_reader_refresh_sees_new_writes(spark, twin_stores):
     sroot, engines, _ = twin_stores
     reader = sh.ShardReader(spark, sroot)
