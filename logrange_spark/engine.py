@@ -113,9 +113,12 @@ class Engine:
         self._write_epoch = 0
         self._catalog: dict[str, str] = {}
         self._catalog_path = os.path.join(self.state_dir, "catalog.json")
+        self._catalog_stat: tuple | None = None
         if os.path.exists(self._catalog_path):
+            st = os.stat(self._catalog_path)
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
+            self._catalog_stat = (st.st_mtime_ns, st.st_size)
         # tag-resolution cache: the tag-index visit runs one small Spark
         # job (catalog frame + compiled predicate); its answer only
         # changes when the catalog does, so repeat visitors — every
@@ -191,28 +194,22 @@ class Engine:
                     # snapshot) predates these log entries, so the next
                     # compaction must rewrite them
                     self._dirty_srcs.add(rec["src"])
-                    op = rec.get("op", "add")
-                    if op == "add":
-                        self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
-                            k: rec[k]
-                            for k in (
-                                "records", "size", "min_ts", "max_ts",
-                                "max_seq",
-                            )
-                            if k in rec
-                        }
-                    elif op == "drop":
-                        self._chunk_stats.get(rec["src"], {}).pop(rec["chunk"], None)
-                    elif op == "drop_src":
-                        self._chunk_stats.pop(rec["src"], None)
-            if torn:
+                    self._apply_chunk_log_rec(rec)
+            if torn and not read_only:
                 # Truncate to the last fully-parsed record so the next
                 # append (mode 'a') starts on a clean line. Without this,
                 # the first record written after the crash concatenates
                 # onto the partial line — corrupting that record and hiding
                 # every later valid line from the next restart's replay.
+                # (A read-only engine must never touch the OWNER's file —
+                # the torn tail is simply left for the next refresh.)
                 with open(self._chunk_log_path, "r+b") as f:
                     f.truncate(good_offset)
+        # incremental-refresh bookmark (read-only engines): byte offset of
+        # the last fully-applied log record plus a tail fingerprint that
+        # detects the writer compacting the log in place underneath us
+        self._chunk_log_offset = good_offset if os.path.exists(self._chunk_log_path) else 0
+        self._chunk_log_tail = self._read_log_tail(self._chunk_log_offset)
         # live chunk count, maintained incrementally (the per-append
         # recount was O(#srcs) per write batch)
         self._chunk_count = sum(len(v) for v in self._chunk_stats.values())
@@ -524,6 +521,101 @@ class Engine:
                 "engine opened read_only (query tier): the store is owned "
                 "by its writer process; mutations must go through it"
             )
+
+    def _apply_chunk_log_rec(self, rec: dict) -> None:
+        op = rec.get("op", "add")
+        if op == "add":
+            self._chunk_stats.setdefault(rec["src"], {})[rec["chunk"]] = {
+                k: rec[k]
+                for k in ("records", "size", "min_ts", "max_ts", "max_seq")
+                if k in rec
+            }
+        elif op == "drop":
+            self._chunk_stats.get(rec["src"], {}).pop(rec["chunk"], None)
+        elif op == "drop_src":
+            self._chunk_stats.pop(rec["src"], None)
+
+    _LOG_TAIL_BYTES = 64
+
+    def _read_log_tail(self, offset: int) -> bytes:
+        """The last ≤64 bytes of the chunk log ending at ``offset`` — an
+        incremental-refresh fingerprint: if these bytes change, the
+        writer compacted (truncate + rewrite) the log in place and the
+        reader's bookmark is meaningless."""
+        k = min(self._LOG_TAIL_BYTES, offset)
+        if k <= 0:
+            return b""
+        try:
+            with open(self._chunk_log_path, "rb") as f:
+                f.seek(offset - k)
+                return f.read(k)
+        except OSError:
+            return b""
+
+    def refresh_read_only(self) -> bool:
+        """Bring a read_only engine up to date with its OWNING writer at
+        O(new state): reload catalog.json iff its stat changed, apply
+        chunk-log records appended since the bookmark. Returns False
+        when the writer compacted the log underneath (size regressed,
+        or the tail fingerprint no longer matches) — the caller
+        re-opens the store from scratch; True otherwise. A torn tail
+        line (writer mid-append) stops the replay WITHOUT advancing the
+        bookmark, so the next refresh picks the record up whole."""
+        if not self.read_only:
+            raise RuntimeError("refresh_read_only is for read_only engines")
+        # catalog: small file, atomic os.replace publication
+        try:
+            st = os.stat(self._catalog_path)
+            cstat = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            cstat = None
+        if cstat != self._catalog_stat:
+            try:
+                with open(self._catalog_path) as f:
+                    cat = json.load(f)
+            except (OSError, ValueError):
+                return False  # mid-replace flicker: re-open to be safe
+            with self._write_lock:
+                if cat != self._catalog:
+                    self._catalog = cat
+                    self._catalog_epoch += 1
+                    self._resolve_cache.clear()
+                self._catalog_stat = cstat
+        # chunk log: append-only between compactions
+        try:
+            size = os.stat(self._chunk_log_path).st_size
+        except OSError:
+            return self._chunk_log_offset == 0
+        if size < self._chunk_log_offset:
+            return False  # compacted underneath
+        if self._read_log_tail(self._chunk_log_offset) != self._chunk_log_tail:
+            return False  # compacted AND regrown past the bookmark
+        if size == self._chunk_log_offset:
+            return True
+        good = self._chunk_log_offset
+        recs = []
+        with open(self._chunk_log_path, "rb") as f:
+            f.seek(good)
+            for raw in f:
+                if not raw.endswith(b"\n"):
+                    break  # partial append in flight
+                line = raw.decode("utf-8", errors="replace").strip()
+                if line:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        break  # torn line: wait for the writer to finish
+                    recs.append(rec)
+                good += len(raw)
+        with self._write_lock:  # concurrent planners read these dicts
+            for rec in recs:
+                self._apply_chunk_log_rec(rec)
+            self._chunk_log_offset = good
+            self._chunk_log_tail = self._read_log_tail(good)
+            self._chunk_count = sum(
+                len(v) for v in self._chunk_stats.values()
+            )
+        return True
 
     def _src_lock(self, src: str) -> threading.Lock:
         """Per-src writer lock (created on first use). Always acquired

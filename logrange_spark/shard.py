@@ -144,15 +144,28 @@ class ShardReader:
         self._fingerprint = self._state_fingerprint()
 
     def refresh(self) -> None:
-        """Re-open every shard's catalog/chunk state (cheap: driver-side
-        JSON reads; no Spark job)."""
+        """Bring every shard snapshot up to date at O(new state): each
+        engine replays only the chunk-log bytes appended since its
+        bookmark (Engine.refresh_read_only) — under sustained 1M+ rec/s
+        ingest a full snapshot rebuild per query re-read the WHOLE
+        growing log. A shard whose log was compacted underneath (the
+        bookmark invalidates) re-opens from scratch; both paths are
+        driver-side JSON/stat work, no Spark job."""
         from .engine import Engine
 
         with self._refresh_lock:
-            self.engines = [
-                Engine(self.spark, e.root, read_only=True)
-                for e in self.engines
-            ]
+            fresh = []
+            for e in self.engines:
+                try:
+                    ok = e.refresh_read_only()
+                except Exception:
+                    ok = False
+                if ok:
+                    fresh.append(e)
+                else:
+                    e.close()
+                    fresh.append(Engine(self.spark, e.root, read_only=True))
+            self.engines = fresh
             self._fingerprint = self._state_fingerprint()
 
     # ---------------------------------------------------- freshness

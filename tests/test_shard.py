@@ -300,6 +300,60 @@ def test_shard_reader_serves_http(spark, twin_stores):
         srv.stop()
 
 
+def test_incremental_refresh_read_only(spark):
+    """Engine.refresh_read_only applies only appended chunk-log records
+    (bookmark advance), survives torn tails, and invalidates when the
+    writer compacts the log in place."""
+    root = tempfile.mkdtemp(prefix="lrinc-")
+    try:
+        w = Engine(spark, root)
+        w.write({"name": "a"}, [(BASE, "m0", {})])
+        r = Engine(spark, root, read_only=True)
+        assert sum(len(v) for v in r._chunk_stats.values()) == 1
+        # appended state arrives incrementally
+        w.write({"name": "a"}, [(BASE + NS, "m1", {})])
+        w.write({"name": "b"}, [(BASE + 2 * NS, "m2", {})])
+        assert r.refresh_read_only() is True
+        assert sum(len(v) for v in r._chunk_stats.values()) == 3
+        assert set(r._catalog) == set(w._catalog)
+        # no change -> no-op True, bookmark stable
+        off = r._chunk_log_offset
+        assert r.refresh_read_only() is True and r._chunk_log_offset == off
+        # torn tail: a partial line is NOT consumed
+        with open(w._chunk_log_path, "ab") as f:
+            f.write(b'{"src": "x", "chunk": "c", "op": "ad')
+        assert r.refresh_read_only() is True
+        assert r._chunk_log_offset == off
+        with open(w._chunk_log_path, "r+b") as f:
+            f.truncate(off)
+        # in-place compaction invalidates the bookmark
+        with w._write_lock:
+            w._compact_chunk_log()
+        w.write({"name": "a"}, [(BASE + 3 * NS, "m3", {})])
+        assert r.refresh_read_only() is False
+        r.close()
+        w.close()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_shard_reader_sees_writes_after_log_compaction(spark, twin_stores):
+    """ShardReader.refresh falls back to a full re-open for a shard
+    whose chunk log was compacted underneath."""
+    sroot, engines, _ = twin_stores
+    reader = sh.ShardReader(spark, sroot)
+    before = reader.query("SELECT LIMIT 10000").count()
+    for e in engines:
+        with e._write_lock:
+            e._compact_chunk_log()
+    sh.ShardRouter(engines).write(
+        {"name": "postcompact"}, [(BASE + 40_000 * NS, "pc", {})]
+    )
+    assert reader.query("SELECT LIMIT 10000").count() == before + 1
+    got = reader.query("SELECT FROM {name=postcompact} LIMIT 5").collect()
+    assert [r["msg"] for r in got] == ["pc"]
+
+
 def test_shard_reader_refresh_sees_new_writes(spark, twin_stores):
     sroot, engines, _ = twin_stores
     reader = sh.ShardReader(spark, sroot)

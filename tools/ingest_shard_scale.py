@@ -139,12 +139,50 @@ def main() -> int:
     ]
     for p in procs:
         p.start()
+
+    # the parent IS the query tier: build its session while the worker
+    # JVMs come up, then serve LQL tail reads over the union view for
+    # the whole drain — on one box this CONTENDS with the writers
+    # (deployed, the query node is separate hardware), so the measured
+    # latencies are a worst-case bound
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+    import queue as _queue
+
+    from pyspark.sql import functions as F
+
+    from logrange_spark import build_session
+    from logrange_spark.shard import ShardReader, read_shard_logs
+
+    spark = build_session(app_name="shard-query-tier")
+    spark.sparkContext.setLogLevel("ERROR")
+
     barrier.wait()  # every worker's JVM + engine is up
     t0 = time.perf_counter()
-    results = [q.get() for _ in procs]
+    reader = ShardReader(spark, root)
+    probe = per[0][0]["name"]
+    lat, results = [], []
+    while len(results) < len(procs):
+        try:
+            results.append(q.get_nowait())
+            continue
+        except _queue.Empty:
+            pass
+        t = time.perf_counter()
+        rows = reader.query(
+            f"SELECT FROM {{name={probe}}} POSITION tail OFFSET -5 LIMIT 5"
+        ).collect()
+        lat.append(time.perf_counter() - t)
+        del rows
     parent_wall = time.perf_counter() - t0
     for p in procs:
         p.join()
+    lat.sort()
+    live_query = {
+        "n": len(lat),
+        "p50_ms": round(lat[len(lat) // 2] * 1000, 1) if lat else None,
+        "p99_ms": round(lat[int(len(lat) * 0.99)] * 1000, 1) if lat else None,
+        "max_ms": round(lat[-1] * 1000, 1) if lat else None,
+    }
 
     total = sum(r["rows"] for r in results)
     # all workers leave the same barrier together, so the aggregate
@@ -161,17 +199,28 @@ def main() -> int:
         "parent_wall_sec": round(parent_wall, 3),
         "records_per_sec": round(total / wall),
         "per_shard": sorted(results, key=lambda r: r["shard"]),
+        "live_query_tail_during_drain": live_query,
+    }
+
+    # idle-box floor for the same tail read (writers done): the gap to
+    # the live numbers is CPU contention — 1+N JVMs share one box here;
+    # deployed, the query tier is separate hardware
+    idle = []
+    for _ in range(5):
+        t = time.perf_counter()
+        reader.query(
+            f"SELECT FROM {{name={probe}}} POSITION tail OFFSET -5 LIMIT 5"
+        ).collect()
+        idle.append(time.perf_counter() - t)
+    idle.sort()
+    out["idle_query_tail_after_drain"] = {
+        "n": len(idle),
+        "p50_ms": round(idle[len(idle) // 2] * 1000, 1),
+        "min_ms": round(idle[0] * 1000, 1),
     }
 
     # ---- read-side verification on the union view
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
-    from pyspark.sql import functions as F
-
-    from logrange_spark import build_session
-    from logrange_spark.shard import read_shard_logs
-
-    spark = build_session(app_name="shard-verify")
-    spark.sparkContext.setLogLevel("ERROR")
+    reader.close()
     logs = read_shard_logs(spark, root)
     n = logs.count()
     per_src = logs.groupBy("src").agg(
