@@ -3,6 +3,8 @@
 Subcommands:
 
     serve   --root DIR [--host H] [--port P]  run engine + HTTP server
+            [--shards]  serve the read-only query tier over DIR's
+                        shard-* stores (writers stay separate processes)
     query   'LQL'  [--server URL] [--follow]  run a SELECT, print events
     exec    'LQL'  [--server URL]             run an admin statement
     write   --tags 'k=v,...' [--fields ...]   read "message" lines on stdin
@@ -40,7 +42,12 @@ def cmd_serve(args) -> int:
 
     spark = build_session(app_name="logrange-spark-server")
     spark.sparkContext.setLogLevel("WARN")
-    engine = Engine(spark, args.root)
+    if getattr(args, "shards", False):
+        from .shard import ShardReader
+
+        engine = ShardReader(spark, args.root)
+    else:
+        engine = Engine(spark, args.root)
     srv = Server(engine, host=args.host, port=args.port).start()
     print(f"serving {args.root} on http://{args.host}:{srv.port}", flush=True)
     try:
@@ -201,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--root", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=9966)
+    s.add_argument("--shards", action="store_true",
+                   help="serve the read-only query tier over the "
+                        "shard-* stores under --root")
     s.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("query", help="run a SELECT")
