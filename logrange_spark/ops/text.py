@@ -2099,39 +2099,38 @@ def _kn_ngram_events(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_tok"),
     )
-    # Per-element work must be O(order), touching only the bound _tok
-    # attribute: captured NON-attribute expressions re-evaluate per
-    # element inside a higher-order function, so the earlier form —
-    # slicing a concat-built padded array per position — re-allocated
-    # an O(n)-token array for EVERY event (O(n²) per document; measured
+    # Per-element work must be O(order) over bound ATTRIBUTES: captured
+    # non-attribute expressions re-evaluate per element inside a
+    # higher-order function, so the earlier form — slicing a
+    # concat-built padded expression per position — re-allocated an
+    # O(n)-token array for EVERY event (O(n²) per document; measured
     # 12 s for 1M events from 2000-token docs on 32 cores — the
-    # long-web-document regime the 100 TB target is made of). Event i
-    # instead pads explicitly and slices the raw token attribute:
-    # ctx_i = BOS^max(order-1-(i-1),0) ++ tok[max(i-order+1,1) .. i-1],
-    # w_i = tok[i] (or </s> one past the end). 1M events now build in
-    # ~0.5 s; the python twins pin the identical event stream.
-    tok = F.col("_tok")
-    n_ctx = F.lit(order - 1)
+    # long-web-document regime the 100 TB target is made of). The
+    # padded stream and the predicted-word stream are therefore
+    # PROJECTED first (_pad/_ws attributes) and the lambda does one
+    # O(order-1) slice + one O(1) element_at: 1M long-doc events in
+    # ~0.6 s, and ~25% faster than the raw-token form on short docs
+    # too. Catalyst keeps this shape (it does not inline single-use
+    # Project aliases into lambda bodies) — pinned by
+    # tests/test_plans.py::test_kn_event_lambda_touches_attributes_only
+    # so an optimizer change can never silently restore the quadratic.
+    # The python twins pin the identical event stream.
+    pre = toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.concat(
+            F.array_repeat(F.lit(KN_BOS), order - 1), F.col("_tok")
+        ).alias("_pad"),
+        F.concat(F.col("_tok"), F.array(F.lit(KN_EOS))).alias("_ws"),
+    )
     ev = F.transform(
-        F.sequence(F.lit(1), F.size(tok) + 1),
+        F.sequence(F.lit(1), F.size(F.col("_ws"))),
         lambda i: F.struct(
-            F.concat(
-                F.array_repeat(
-                    F.lit(KN_BOS),
-                    F.greatest(n_ctx - (i - 1), F.lit(0)).cast("int"),
-                ),
-                F.slice(
-                    tok,
-                    F.greatest(i - n_ctx, F.lit(1)),
-                    F.least(i - 1, n_ctx).cast("int"),
-                ),
-            ).alias("ctx"),
-            F.coalesce(
-                F.try_element_at(tok, i.cast("int")), F.lit(KN_EOS)
-            ).alias("w"),
+            F.slice(F.col("_pad"), i, order - 1).alias("ctx"),
+            F.element_at(F.col("_ws"), i).alias("w"),
         ),
     )
-    return toks.select(
+    return pre.select(
         id_col, *extra_cols, F.explode(ev).alias("_e")
     ).select(
         id_col,

@@ -139,3 +139,28 @@ def test_bpe_encode_joins_are_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kn_event_lambda_touches_attributes_only(spark):
+    """The KN event builder's per-element lambda must reference the
+    PROJECTED _pad/_ws attributes, never a tokenization/concat
+    expression: Catalyst re-evaluates captured non-attribute
+    expressions once per array element, which turns the event stream
+    quadratic in document length (the round-13 HOF capture rule,
+    SCALE.md). Pins that CollapseProject keeps the two-Project shape —
+    an optimizer change that inlines single-use aliases into lambda
+    bodies must fail here, not silently regress 2000-token documents
+    from 0.6 s back to 12 s per million events."""
+    from logrange_spark.ops import text as T
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for order in (2, 3, 5):
+        ev = T._kn_ngram_events(df, "doc_id", "text", order)
+        plan = ev._jdf.queryExecution().optimizedPlan().toString()
+        lam = [ln for ln in plan.splitlines() if "lambdafunction" in ln
+               and "slice(" in ln]
+        assert lam, plan  # the event transform is present
+        for ln in lam:
+            # tokenization (split/lower/trim) and the padded-stream
+            # concat must stay in the Projects BELOW the lambda
+            assert "split(" not in ln and "concat(" not in ln, ln
