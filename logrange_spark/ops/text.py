@@ -610,23 +610,31 @@ def contamination(
     keeps clean documents in the output (count 0), so the result can
     anti-drive a filter without a second pass.
     """
-    from ..ops.dedup import shingles
+    from ..ops.dedup import _shingles_of
 
+    # tokenize ONCE per row into an attribute; the n-gram zip references
+    # it several times (per shifted slice), which would re-run the
+    # tokenization that many times from a raw text expression
     bench_grams = F.broadcast(
         benchmark.select(
-            F.explode(shingles(F.col(bench_text_col), n)).alias("_g")
-        ).distinct()
+            tokens(F.col(bench_text_col)).alias("_tk")
+        )
+        .select(F.explode(_shingles_of(F.col("_tk"), n)).alias("_g"))
+        .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
+    doc_toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    )
+    doc_grams = doc_toks.select(
+        F.col(id_col), F.explode(_shingles_of(F.col("_tk"), n)).alias("_g")
     )
     hits = (
         doc_grams.join(bench_grams, "_g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    totals = docs.select(
-        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_grams")
+    totals = doc_toks.select(
+        F.col(id_col), F.size(_shingles_of(F.col("_tk"), n)).alias("n_grams")
     )
     return (
         totals.join(hits, id_col, "left")
@@ -1011,8 +1019,18 @@ CLASSIFIER_NGRAM = 2  # word unigrams + bigrams
 def classifier_terms(col: Column, ngram: int = CLASSIFIER_NGRAM) -> Column:
     """Bag of word 1..``ngram``-grams (space-joined) of lowercased
     whitespace tokens — the classifier's term extractor, shared verbatim
-    by training and scoring so feature hashing agrees."""
-    toks = tokens(col)
+    by training and scoring so feature hashing agrees. Prefer
+    :func:`classifier_terms_of` over a PROJECTED token attribute in a
+    DataFrame pipeline (the zip form below evaluates ``toks`` once per
+    slice argument — ~n+2 tokenizations per row from a raw text
+    column, exactly 0 extra from an attribute)."""
+    return classifier_terms_of(tokens(col), ngram)
+
+
+def classifier_terms_of(
+    toks: Column, ngram: int = CLASSIFIER_NGRAM
+) -> Column:
+    """``classifier_terms`` over an already-tokenized array column."""
     parts = [toks]
     for n in range(2, ngram + 1):
         # n-gram i joins tokens [i, i+n-1] — built by zipping n SHIFTED
@@ -1075,9 +1093,15 @@ def _classifier_features(
     constant intercept feature -1 with x = 1.0 for every document (so
     the bias trains through the same aggregates as every other weight).
     Shared verbatim by trainer and scorer — feature-map drift between
-    the two is impossible by construction."""
+    the two is impossible by construction. The token array is projected
+    BEFORE the n-gram zip so tokenization runs once per row (the n-gram
+    construction references the attribute several times, which also
+    keeps CollapseProject from inlining it back)."""
     termed = docs.select(
-        F.col(id_col), classifier_terms(F.col(text_col), ngram).alias("_terms")
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        classifier_terms_of(F.col("_toks"), ngram).alias("_terms"),
     )
     tf = (
         termed.select(
