@@ -548,6 +548,67 @@ def blocklist_gate(
     )
 
 
+# C4 §2.2 LINE-level cleaning (Raffel et al. 2020) — the rules that come
+# BEFORE the badword filter in the paper's pipeline: keep only lines
+# that end in a terminal punctuation mark, contain ≥5 words and do not
+# mention javascript; then drop the whole page when it has fewer than 3
+# sentences, contains "lorem ipsum", or contains a curly bracket (code).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """(id, text, n_lines, n_kept, n_sentences, has_lorem_ipsum,
+    has_brace, c4_pass) — C4's line filter + page gates as ONE pure map
+    stage (zero shuffle at any scale; HOF lambdas touch only the line
+    element, per the round-13 capture rule).
+
+    ``text`` is the page rebuilt from the KEPT lines; ``c4_pass`` is
+    the page-level verdict (≥``min_sentences`` sentences counted as
+    terminal-punctuation runs in the kept text, no "lorem ipsum", no
+    '{'). Line trimming matches ``doc_lines``; word counting matches
+    ``tokens``. Compose with ``blocklist_gate`` (the paper's badword
+    step) and ``remove_boilerplate`` for the full C4 §2.2 treatment."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+    lines = F.filter(trimmed, lambda l: l != F.lit(""))
+    term = "|".join(f"\\{p}" if p in ".?" else p for p in C4_TERMINAL_PUNCT)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(f"({term})$")
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+            >= F.lit(int(min_line_words))
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]+"))
+    has_lorem = F.lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{")
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= F.lit(int(min_sentences)))
+            & ~has_lorem
+            & ~has_brace
+        ).alias("c4_pass"),
+    )
+
+
 # PII redaction patterns — restricted to syntax Java regex and RE2 (the
 # DuckDB oracle engine) interpret identically: no lookarounds, no \p
 # classes, explicit char classes. Applied in a fixed order (emails first:

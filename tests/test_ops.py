@@ -4389,3 +4389,110 @@ def test_blocklist_pattern_longest_first(spark):
         for i, t in rows
     }
     assert got_hits == twin_hits == {0: 2, 1: 1, 2: 0}
+
+
+# ------------------------------------------------------------ C4 line rules
+def test_c4_line_rules_crafted(spark):
+    """Each C4 §2.2 rule on a crafted page: terminal punctuation,
+    ≥5-word lines, javascript lines, lorem-ipsum / brace / sentence
+    page gates."""
+    page = "\n".join([
+        "This line has five words total.",      # kept
+        "Too short.",                            # <5 words
+        "this line has no terminal punctuation", # no terminal
+        "Enable javascript to view this page.",  # javascript
+        "  A padded line with exactly six words!  ",  # kept (trimmed)
+        "",                                      # blank
+        'He said "five words are enough"',       # kept (quote terminal)
+    ])
+    rows = [
+        (1, page),
+        (2, "Lorem ipsum dolor sit amet here."),       # lorem gate
+        (3, "A code page { with braces } five words."),  # brace gate
+        (4, "One good sentence of five words."),         # <3 sentences
+        (5, None),                                       # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.c4_line_rules(df).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 6 and r1["n_kept"] == 3
+    assert r1["text"].splitlines() == [
+        "This line has five words total.",
+        "A padded line with exactly six words!",
+        'He said "five words are enough"',
+    ]
+    assert r1["n_sentences"] == 2  # the quote line ends without .!?
+    assert not r1["c4_pass"]  # < 3 sentences after cleaning
+    assert out[2]["has_lorem_ipsum"] and not out[2]["c4_pass"]
+    assert out[3]["has_brace"] and not out[3]["c4_pass"]
+    assert not out[4]["c4_pass"] and out[4]["n_kept"] == 1
+    assert out[5]["n_lines"] == 0 and not out[5]["c4_pass"]
+    # a passing page: three kept sentences, no gates tripped
+    good = "\n".join(
+        f"Sentence number {i} has six words." for i in range(3)
+    )
+    g = text.c4_line_rules(
+        spark.createDataFrame([(9, good)], "doc_id long, text string")
+    ).collect()[0]
+    assert g["c4_pass"] and g["n_kept"] == 3 and g["n_sentences"] == 3
+
+
+def test_c4_line_rules_matches_duckdb(spark):
+    """Full DuckDB recomputation over a derived multi-line corpus: the
+    operator is a pure expression chain, so every column must match a
+    plain-SQL twin exactly."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    derive = (
+        "concat(text, ' more words to pass.', chr(10), "
+        "CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript now please.' "
+        "WHEN doc_id % 3 = 1 THEN 'A perfectly good sentence right here.' "
+        "ELSE 'short one.' END, chr(10), "
+        "CASE WHEN doc_id % 5 = 0 THEN 'Brace yourself { for code.' "
+        "WHEN doc_id % 5 = 1 THEN 'lorem ipsum filler text here.' "
+        "ELSE 'Another fine sentence with many words!' END)"
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id", f"{derive} AS text"
+    )
+    got = sorted(
+        tuple(r) for r in text.c4_line_rules(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    term = r'(\.|!|\?|")$'
+    sql = f"""
+WITH d AS (SELECT doc_id, {derive} AS raw FROM documents),
+l AS (SELECT doc_id, raw,
+        list_filter(list_transform(string_split(raw, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines
+      FROM d),
+k AS (SELECT doc_id, raw, lines,
+        list_filter(lines, x -> regexp_matches(x, '{term}')
+          AND len(list_filter(string_split_regex(x, '\\s+'),
+                              w -> w <> '')) >= 5
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                   '[.!?]+')) AS INT) AS n_sentences,
+       contains(lower(raw), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(raw, '{{') AS has_brace,
+       (len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+'))
+          >= 3
+        AND NOT contains(lower(raw), 'lorem ipsum')
+        AND NOT contains(raw, '{{')) AS c4_pass
+FROM k
+"""
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert len(got) == 500 and got == want
