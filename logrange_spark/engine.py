@@ -171,8 +171,12 @@ class Engine:
                     # below re-derives what it can; describe_many's footer
                     # repair path covers the rest
                     continue
+        # good_offset is bound BEFORE the exists() check: a concurrent
+        # writer can create chunks.jsonl between this stat and the
+        # bookmark line below (exactly the live-writer scenario read-only
+        # opens exist for), and the bookmark must not re-stat the path.
+        good_offset = 0
         if os.path.exists(self._chunk_log_path):
-            good_offset = 0
             torn = False
             with open(self._chunk_log_path, "rb") as f:
                 for raw in f:
@@ -208,7 +212,7 @@ class Engine:
         # incremental-refresh bookmark (read-only engines): byte offset of
         # the last fully-applied log record plus a tail fingerprint that
         # detects the writer compacting the log in place underneath us
-        self._chunk_log_offset = good_offset if os.path.exists(self._chunk_log_path) else 0
+        self._chunk_log_offset = good_offset
         self._chunk_log_tail = self._read_log_tail(self._chunk_log_offset)
         # live chunk count, maintained incrementally (the per-append
         # recount was O(#srcs) per write batch)

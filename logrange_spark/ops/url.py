@@ -24,9 +24,16 @@ DuckDB oracle compute byte-identical keys:
    query stay case-sensitive;
 3. treat ``http``/``https`` as one (dedup keys ignore the scheme:
    corpora crawl both and the content is the page, not the transport);
-4. strip a ``www.`` host prefix and the default ports ``:80``/``:443``;
+4. strip a ``www.`` host prefix and the default ports ``:80``/``:443``
+   (the dedup key is scheme-insensitive, so both family defaults
+   canonicalize away regardless of scheme); NON-default explicit ports
+   are kept — ``example.com:8443/a`` is a different resource than
+   ``example.com/a``;
 5. drop tracking parameters: any name starting with ``utm_`` plus the
-   click-id set in ``TRACKING_PARAMS``;
+   click-id set in ``TRACKING_PARAMS`` — matched case-INsensitively on
+   the parameter name (RFC 3986 makes query case-sensitive, but the
+   emitters of tracking params do not: ``UTM_SOURCE=x`` is the same
+   noise as ``utm_source=x``);
 6. sort the surviving query parameters (``a=1&b=2`` == ``b=2&a=1``:
    RFC 3986 makes query order significant, but crawl frontiers emit
    both orders for the same resource — the standard pipeline choice
@@ -69,8 +76,11 @@ TRACKING_PARAMS: tuple[str, ...] = (
 
 def _is_tracking(p: Column) -> Column:
     """True for a ``name=value`` query-param string that is tracking
-    noise: ``utm_*`` by prefix, or a name in ``TRACKING_PARAMS``."""
-    return p.startswith("utm_") | F.split(p, "=")[0].isin(*TRACKING_PARAMS)
+    noise: ``utm_*`` by prefix, or a name in ``TRACKING_PARAMS``.
+    The name test is case-insensitive (``UTM_SOURCE`` == ``utm_source``
+    == tracking; emitters are not case-consistent)."""
+    name = F.lower(F.split(p, "=")[0])
+    return name.startswith("utm_") | name.isin(*TRACKING_PARAMS)
 
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
@@ -95,7 +105,15 @@ def normalize_url(col: Column) -> Column:
     no_frag = F.regexp_replace(col, r"#.*$", "")
     after = F.regexp_replace(no_frag, _SCHEME_RE, "")
     hostport = F.regexp_extract(after, r"^([^/?]*)", 1)
-    host = url_host(col)
+    # url_host drops ANY port (right for domain grouping); the dedup key
+    # must keep a NON-default explicit port — :8443 is a different
+    # resource. The key is scheme-insensitive, so both family defaults
+    # (:80, :443) canonicalize away.
+    pstr = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.when(
+        (pstr != "") & ~pstr.isin("80", "443"),
+        F.concat(url_host(col), F.lit(":"), pstr),
+    ).otherwise(url_host(col))
     rest = F.substring(
         after, F.length(hostport) + F.lit(1), F.lit(2_147_483_647)
     )
@@ -207,7 +225,12 @@ def normalize_url_duckdb(col_sql: str) -> str:
     no_frag = f"regexp_replace({col_sql}, '#.*$', '')"
     after = f"regexp_replace({no_frag}, '{_SCHEME_RE}', '')"
     hostport = f"regexp_extract({after}, '^([^/?]*)', 1)"
-    host = url_host_duckdb(col_sql)
+    pstr = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    bare_host = url_host_duckdb(col_sql)
+    host = (
+        f"CASE WHEN {pstr} <> '' AND {pstr} NOT IN ('80', '443') "
+        f"THEN {bare_host} || ':' || {pstr} ELSE {bare_host} END"
+    )
     rest = f"substring({after}, length({hostport}) + 1)"
     path = f"regexp_extract({rest}, '^([^?]*)', 1)"
     path_norm = f"regexp_replace({path}, '/+$', '')"
@@ -217,8 +240,8 @@ def normalize_url_duckdb(col_sql: str) -> str:
     )
     kept = (
         f"list_sort(list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT starts_with(p, 'utm_') "
-        f"AND string_split(p, '=')[1] NOT IN ({tracked})))"
+        f"p -> p <> '' AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_') "
+        f"AND lower(string_split(p, '=')[1]) NOT IN ({tracked})))"
     )
     qjoin = f"array_to_string({kept}, '&')"
     return (

@@ -141,6 +141,14 @@ class ShardReader:
             raise FileNotFoundError(f"no shard-* stores under {root!r}")
         self._refresh_lock = threading.Lock()
         self.engines = [Engine(spark, r, read_only=True) for r in roots]
+        # engines replaced by refresh() are NOT closed inline: a query
+        # planned against the previous snapshot may still be reading
+        # them from another handler thread (the server is threaded).
+        # Read-only engines hold no locks or file handles, so deferring
+        # their close() to ShardReader.close() is a bounded, cheap leak
+        # (one engine per bookmark-invalidating refresh, which only
+        # happens when a writer compacts its chunk log).
+        self._retired: list["Engine"] = []
         self._fingerprint = self._state_fingerprint()
 
     def refresh(self) -> None:
@@ -151,22 +159,36 @@ class ShardReader:
         growing log. A shard whose log was compacted underneath (the
         bookmark invalidates) re-opens from scratch; both paths are
         driver-side JSON/stat work, no Spark job."""
+        with self._refresh_lock:
+            self._refresh_locked()
+
+    def _refresh_locked(self) -> None:
         from .engine import Engine
 
+        fresh = []
+        for e in self.engines:
+            try:
+                ok = e.refresh_read_only()
+            except Exception:
+                ok = False
+            if ok:
+                fresh.append(e)
+            else:
+                self._retired.append(e)
+                fresh.append(Engine(self.spark, e.root, read_only=True))
+        self.engines = fresh
+        self._fingerprint = self._state_fingerprint()
+
+    def _snapshot(self) -> list["Engine"]:
+        """Freshness check + engine-list snapshot as ONE atomic step.
+        Every query path works from the returned local list: refresh()
+        from a concurrent handler thread swaps self.engines, and a
+        query that read the attribute twice could otherwise plan
+        against two different snapshots (or a just-swapped one)."""
         with self._refresh_lock:
-            fresh = []
-            for e in self.engines:
-                try:
-                    ok = e.refresh_read_only()
-                except Exception:
-                    ok = False
-                if ok:
-                    fresh.append(e)
-                else:
-                    e.close()
-                    fresh.append(Engine(self.spark, e.root, read_only=True))
-            self.engines = fresh
-            self._fingerprint = self._state_fingerprint()
+            if self._state_fingerprint() != self._fingerprint:
+                self._refresh_locked()
+            return list(self.engines)
 
     # ---------------------------------------------------- freshness
     def _state_fingerprint(self) -> int:
@@ -190,8 +212,7 @@ class ShardReader:
         """Per-query freshness: re-open the shard snapshots iff a writer
         has committed since the last look (the query tier's equivalent
         of the single store's always-current in-process catalog)."""
-        if self._state_fingerprint() != self._fingerprint:
-            self.refresh()
+        self._snapshot()
 
     # write_epoch / wait_for_write give the server's WaitNewData loop
     # (and Engine.follow's event wait) a cross-PROCESS signal: there is
@@ -220,20 +241,21 @@ class ShardReader:
         """Union of the per-shard tag-index visits (each uses its own
         resolution cache); the ≤50-source cursor cap applies to the
         MERGED list, matching the single-store semantics."""
-        self._maybe_refresh()
+        return self._resolve_on(self._snapshot(), source, cap)
+
+    @staticmethod
+    def _resolve_on(engines: list["Engine"], source, cap: bool) -> list[str]:
         srcs = sorted(
-            s
-            for e in self.engines
-            for s in e.resolve_sources(source, cap=False)
+            s for e in engines for s in e.resolve_sources(source, cap=False)
         )
-        cap_n = self.engines[0].max_sources
+        cap_n = engines[0].max_sources
         return srcs[:cap_n] if cap else srcs
 
     def chunks_after_cursor(self, src_ids: list[str], tok) -> bool:
         """Catalog-only fast-path check across shards (Engine semantics:
         conservative True when a src is unknown to every shard)."""
         known = set()
-        for e in self.engines:
+        for e in self._snapshot():
             mine = [s for s in src_ids if s in e._catalog]
             known.update(mine)
             if mine and e.chunks_after_cursor(mine, tok):
@@ -267,22 +289,69 @@ class ShardReader:
             return self.show_partitions(stmt)
         if isinstance(stmt, ast.DescribePartition):
             return self.describe_partition(stmt)
+        if isinstance(stmt, ast.ShowPipes):
+            return self.show_pipes(stmt)
+        if isinstance(stmt, ast.DescribePipe):
+            return self.describe_pipe(stmt)
         raise RuntimeError(
             "read-only query tier: mutating statements must go to the "
             "shard's writer process"
         )
 
     def describe_partition(self, stmt) -> dict:
-        """DESCRIBE PARTITION, delegated to the (single) shard that owns
-        the matching partition."""
-        self._maybe_refresh()
-        last = None
-        for e in self.engines:
-            try:
+        """DESCRIBE PARTITION, delegated to the ONE shard whose catalog
+        owns the matching partition (srcs never span shards). An unknown
+        partition gets the single-store empty-info answer from shard 0;
+        a real failure on the owning shard propagates instead of being
+        masked by later shards' not-found."""
+        from .model.schema import src_for_tag_line
+        from .model.tags import tag_line as _tag_line
+
+        engines = self._snapshot()
+        src = src_for_tag_line(_tag_line(stmt.tags))
+        for e in engines:
+            if src in e._catalog:
                 return e.describe_partition(stmt)
-            except Exception as err:  # not on this shard
-                last = err
-        raise last if last else ValueError("no shards")
+        return engines[0].describe_partition(stmt)
+
+    # ------------------------------------------------- pipes (read-only)
+    # Pipe DEFINITIONS are per-shard writer state persisted in each
+    # store (defs.json) — the query tier can list and describe them,
+    # but lifecycle belongs to the writer processes (the reference's
+    # pipe service lives on the partition-owning host, pkg/pipe).
+    def show_pipes(self, stmt) -> "DataFrame":
+        names = sorted({n for e in self._snapshot() for n in e._pipes})
+        df = self.spark.createDataFrame([(n,) for n in names] or [],
+                                        "name string")
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
+
+    def describe_pipe(self, stmt) -> dict:
+        for e in self._snapshot():
+            d = e._pipes.get(stmt.name)
+            if d is not None:
+                out = dict(d)
+                # liveness is writer-process state the read-only tier
+                # cannot observe; report the stored definition only
+                out["active"] = None
+                out["source_srcs"] = None
+                return out
+        raise ValueError(f"pipe {stmt.name!r} does not exist")
+
+    def create_pipe(self, stmt) -> dict:
+        raise RuntimeError(
+            "read-only query tier: pipes are created on the shard's "
+            "writer process"
+        )
+
+    def delete_pipe(self, name: str) -> dict:
+        raise RuntimeError(
+            "read-only query tier: pipes are deleted on the shard's "
+            "writer process"
+        )
 
     def logs(self) -> "DataFrame":
         return read_shard_logs(self.spark, self.root)
@@ -293,8 +362,9 @@ class ShardReader:
         from .compiler.select import compile_select
         from .lql import ast
 
-        src_ids = self.resolve_sources(sel.source)
-        e0 = self.engines[0]
+        engines = self._snapshot()
+        src_ids = self._resolve_on(engines, sel.source, cap=True)
+        e0 = engines[0]
         limit = (
             min(sel.limit, e0.max_limit)
             if sel.limit is not None
@@ -303,7 +373,7 @@ class ShardReader:
         sel = ast.Select(sel.format, sel.source, sel.range, sel.where,
                          sel.position, sel.offset, limit)
         parts = []
-        for e in self.engines:
+        for e in engines:
             mine = [s for s in src_ids if s in e._catalog]
             if not mine:
                 continue  # tag-routed query: shard holds no match
@@ -344,14 +414,14 @@ class ShardReader:
         the single-store ordering, then paginate."""
         from functools import reduce
 
-        self._maybe_refresh()
+        engines = self._snapshot()
 
         from pyspark.sql import functions as F
 
         from .lql import ast
 
         unpaged = ast.ShowPartitions(stmt.source, 0, None)
-        parts = [e.show_partitions(unpaged) for e in self.engines]
+        parts = [e.show_partitions(unpaged) for e in engines]
         df = reduce(lambda a, b: a.unionByName(b), parts).orderBy(
             F.col("size").desc(), F.col("tag_line")
         )
@@ -368,8 +438,10 @@ class ShardReader:
         )
 
     def close(self) -> None:
-        for e in self.engines:
-            e.close()
+        with self._refresh_lock:
+            for e in self.engines + self._retired:
+                e.close()
+            self._retired = []
 
 
 def read_shard_logs(spark: "SparkSession", root: str) -> "DataFrame":

@@ -2593,8 +2593,8 @@ def _canon_url_ref(u):
     kept = sorted(
         q for q in p.query.split("&")
         if q
-        and not q.split("=")[0].startswith("utm_")
-        and q.split("=")[0] not in url_ops.TRACKING_PARAMS
+        and not q.split("=")[0].lower().startswith("utm_")
+        and q.split("=")[0].lower() not in url_ops.TRACKING_PARAMS
     )
     qpart = "?" + "&".join(kept) if kept else ""
     return f"{scheme}://{host}{path}{qpart}"
@@ -2620,6 +2620,7 @@ def test_canonical_url_matches_reference(spark):
         (11, "not a url"),
         (12, "mailto:user@example.com"),
         (13, "http://sub.Example.co.uk/X/Y?b=2&a=1&gclid=g"),
+        (14, "http://example.com/a/b?UTM_Source=x&GCLID=g"),  # case-insensitive strip
     ]
     df = spark.createDataFrame(urls, "doc_id long, url string")
     got = {
@@ -2633,6 +2634,7 @@ def test_canonical_url_matches_reference(spark):
     # the first three collapse; 4 joins them (tracking-only query); 5+6
     # merge on sorted params
     assert got[1] == got[2] == got[3] == got[4] == "http://example.com/a/b"
+    assert got[14] == "http://example.com/a/b"
     assert got[5] == got[6] == "http://example.com/a/b?a=2&z=1"
     assert got[7] != got[1] and got[8] != got[1]
     assert got[9] == got[10] == "https://example.com/"
@@ -2642,7 +2644,7 @@ def test_canonical_url_matches_reference(spark):
         r["canonical_url"]: (r["keep_id"], r["dup_count"])
         for r in url_ops.url_duplicates(df, "doc_id", "url").collect()
     }
-    assert dups["http://example.com/a/b"] == (1, 4)
+    assert dups["http://example.com/a/b"] == (1, 5)
     assert dups["http://example.com/a/b?a=2&z=1"] == (5, 2)
     assert dups["https://example.com/"] == (9, 2)
 

@@ -366,3 +366,93 @@ def test_shard_reader_refresh_sees_new_writes(spark, twin_stores):
     assert after == before + 1
     got = reader.query("SELECT FROM {name=late} LIMIT 10").collect()
     assert len(got) == 1 and got[0]["msg"] == "late row"
+
+def test_shard_reader_describe_partition(spark, twin_stores):
+    """Delegated to the owning shard; unknown partitions get the
+    single-store empty-info answer (never masked by a cross-shard
+    exception sweep)."""
+    sroot, _, single = twin_stores
+    from logrange_spark.lql.parser import parse_lql
+
+    reader = sh.ShardReader(spark, sroot)
+    stmt = parse_lql("DESCRIBE PARTITION {name=app1,ns=dev}")
+    got = reader.describe_partition(stmt)
+    want = single.describe_partition(stmt)
+
+    def stable(info):  # chunk file NAMES are store-local uuids
+        return {
+            **{k: v for k, v in info.items() if k != "chunks"},
+            "chunks": sorted(
+                tuple(sorted((k, v) for k, v in c.items() if k != "chunk"))
+                for c in info["chunks"]
+            ),
+        }
+
+    assert stable(got) == stable(want) and got["records"] == 50
+    stmt2 = parse_lql("DESCRIBE PARTITION {name=nope}")
+    got2 = reader.describe_partition(stmt2)
+    assert got2["records"] == 0 and got2["chunks"] == []
+
+
+def test_shard_reader_pipe_statements(spark, twin_stores):
+    """SHOW PIPES / DESCRIBE PIPE work read-only over the persisted
+    per-shard definitions; pipe lifecycle is cleanly refused (the
+    server surfaces the RuntimeError as a 400, not an AttributeError
+    500)."""
+    sroot, engines, _ = twin_stores
+    # persist a definition exactly as the writer process does
+    engines[0]._pipes["p1"] = {
+        "name": "p1", "source": "", "where": "msg CONTAINS 'ERROR'",
+    }
+    engines[0]._save_pipes()
+    reader = sh.ShardReader(spark, sroot)
+    names = [r["name"] for r in reader.execute("SHOW PIPES").collect()]
+    assert names == ["p1"]
+    d = reader.execute("DESCRIBE PIPE p1")
+    assert d["where"] == "msg CONTAINS 'ERROR'"
+    # liveness is writer-process state the read-only tier can't observe
+    assert d["active"] is None and d["source_srcs"] is None
+    with pytest.raises(ValueError, match="does not exist"):
+        reader.execute("DESCRIBE PIPE nosuch")
+    from logrange_spark.lql import ast
+
+    with pytest.raises(RuntimeError, match="read-only"):
+        reader.create_pipe(ast.CreatePipe("p2", None, None))
+    with pytest.raises(RuntimeError, match="read-only"):
+        reader.delete_pipe("p1")
+    with pytest.raises(RuntimeError, match="read-only"):
+        reader.execute("CREATE PIPE p3")
+
+
+def test_read_only_open_races_log_creation(spark, twin_stores, monkeypatch):
+    """Regression: a writer creating chunks.jsonl between the replay
+    block's exists() check and the bookmark line used to raise
+    NameError (good_offset unbound) in the read-only open path. The
+    bookmark must come from the replay, never from a re-stat."""
+    import os as _os
+
+    sroot, engines, _ = twin_stores
+    root0 = engines[0].root
+    log_path = engines[0]._chunk_log_path
+    real_exists = _os.path.exists
+    state = {"calls": 0}
+
+    def racy_exists(p):
+        if _os.fspath(p) == log_path:
+            state["calls"] += 1
+            if state["calls"] == 1:
+                return False  # "writer hasn't created it yet"
+        return real_exists(p)
+
+    monkeypatch.setattr("os.path.exists", racy_exists)
+    e = Engine(spark, root0, read_only=True)
+    monkeypatch.undo()
+    # replay was skipped, so the bookmark starts at 0 ...
+    assert e._chunk_log_offset == 0
+    # ... and the next refresh replays the whole log from there
+    assert e.refresh_read_only() is True
+    assert e._chunk_log_offset > 0
+    assert e._chunk_count == sum(
+        len(v) for v in engines[0]._chunk_stats.values()
+    )
+    e.close()

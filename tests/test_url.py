@@ -41,6 +41,13 @@ CASES = [
     # ref / ref_src stripped; 'reference' is NOT (exact-name rule)
     ("https://b.net/p?ref=tw&ref_src=x&reference=keep",
      "b.net/p?reference=keep"),
+    # NON-default explicit port is a distinct resource and is KEPT
+    ("https://example.com:8443/a", "example.com:8443/a"),
+    ("http://Example.com:8080/a?b=1", "example.com:8080/a?b=1"),
+    # both family defaults strip regardless of scheme (key is scheme-free)
+    ("http://example.com:443/a", "example.com/a"),
+    # tracking-param names match case-insensitively
+    ("https://a.org/x?UTM_Source=mail&FBCLID=f1&Keep=1", "a.org/x?Keep=1"),
 ]
 
 
