@@ -1847,7 +1847,6 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content-addressed, so reruns reuse the file.
 
 WET_URI_PREFIX = "http://docs.example/"
-CC_URI_PREFIX = "http://cc.example/"
 # header template pieces shared by the byte builder and the offset
 # oracle (ASCII, so len == octet_length)
 _WET_H1 = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
@@ -1865,11 +1864,8 @@ CC_BLOCKLIST = ("slow query",)
 CC_MIN_WORDS = 30
 CC_TERCILES = (1.0 / 3.0, 2.0 / 3.0)
 CC_SHARDS = 4
+CC_CONTAM_MAX = 0.5  # decontamination drop threshold (8-gram overlap)
 _CC_HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-_CC_PAGE = (
-    "<html><head><title>doc {id}</title></head>"
-    "<body><p>{body}</p></body></html>"
-)
 
 
 # records per .warc.gz fixture file: the gzip member is the
@@ -1987,16 +1983,75 @@ FROM r
 """.strip()
 
 
+def _cc_url(doc_id: int) -> str:
+    """Crawl-frontier URL for a fixture page — a doc_id-modulus schedule
+    of the cosmetic variants the URL stage must collapse. Docs ≡ 3
+    (mod 5) claim the PREVIOUS doc's page under a www/utm variant, so
+    the canonical key collides with doc_id-1's and URL keep-best (min
+    id) drops exactly the ≡3 class. The DuckDB twin builds identical
+    strings and runs normalize_url_duckdb over them."""
+    m = doc_id % 5
+    if m == 3:
+        return f"https://www.CC.example/page/{doc_id - 1}?utm_source=feed"
+    if m == 2:
+        return f"http://cc.example/page/{doc_id}/"
+    if m == 0:
+        return f"http://CC.example:80/page/{doc_id}?b=2&a=1#frag"
+    return f"http://cc.example/page/{doc_id}"
+
+
+# template lines on doc_id-modulus schedules: every C4/boilerplate rule
+# gets real work — <5-word lines and javascript lines die at the line
+# filter, lorem/brace pages die at the page gates, pages short a third
+# sentence (d%3==0 & odd & d%4!=0) die at the sentence gate, the three
+# high-frequency template sentences become the boilerplate dictionary,
+# and the unique contact line carries PII for the redaction stage.
+_CC_L_CONTACT = "Contact user{d}@example.com about item 123456789 today."
+_CC_L_ORDINARY = "A perfectly ordinary sentence sits right here."
+_CC_L_JS = "Please enable javascript to continue browsing."
+_CC_L_FINE = "Another fine sentence with several good words!"
+_CC_L_LOREM = "Lorem ipsum dolor sit amet consectetur adipiscing."
+_CC_L_BRACE = "Curly brace { appears here } sadly."
+_CC_L_TINY = "tiny line."
+_CC_L_FOOTER = "Subscribe to our newsletter for daily updates."
+
+
+def _cc_page_lines(doc_id: int, txt: str) -> list[str]:
+    import re as _re
+
+    body = _re.sub("[ \\t\\r\\n\\f\\v\\u00a0]+", " ", txt).strip()
+    lines = [body + "."]
+    if doc_id % 4 == 0:
+        lines.append(_CC_L_CONTACT.format(d=doc_id))
+    lines.append(_CC_L_ORDINARY)
+    lines.append(_CC_L_JS if doc_id % 3 == 0 else _CC_L_FINE)
+    if doc_id % 11 == 7:
+        lines.append(_CC_L_LOREM)
+    if doc_id % 13 == 9:
+        lines.append(_CC_L_BRACE)
+    lines.append(_CC_L_TINY)
+    if doc_id % 2 == 0:
+        lines.append(_CC_L_FOOTER)
+    return lines
+
+
 def _cc_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
     import html as _html
 
     out = bytearray(_WET_INFO)
     for doc_id, txt in rows:
-        page = _CC_PAGE.format(id=doc_id, body=_html.escape(txt))
+        paras = "".join(
+            f"<p>{_html.escape(l)}</p>" for l in _cc_page_lines(doc_id, txt)
+        )
+        page = (
+            f"<html><head><title>doc {doc_id}</title></head>"
+            f"<body>{paras}</body></html>"
+        )
         payload = _CC_HTTP + page.encode("utf-8")
         out += (
             f"WARC/1.0\r\nWARC-Type: response\r\n"
-            f"WARC-Target-URI: {CC_URI_PREFIX}{doc_id}\r\n"
+            f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+            f"WARC-Target-URI: {_cc_url(doc_id)}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("ascii")
         out += payload + b"\r\n\r\n"
@@ -2004,52 +2059,77 @@ def _cc_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
 
 
 def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CommonCrawl capstone, end-to-end in ONE DataFrame program:
-    read_warc → HTTP split → html_documents extraction → Gopher
-    document gate + C4 blocklist gate → MinHash near-dup removal
-    (keep-first) → CCNet perplexity terciles (unigram LM trained on the
-    survivors) → deterministic training shards. Returns (doc_id, ppl,
-    bucket, shard_id, shard_pos) for every surviving document; the
-    DuckDB twin recomputes the whole flow from the documents table
-    (extraction round-trips modulo whitespace normalization, which the
-    twin applies explicitly)."""
+    """CommonCrawl capstone — the FULL web-curation pipeline as ONE
+    DataFrame program (every stage a module of this repo, in the order
+    the published pipelines run them):
+
+    read_warc → URL keep-best dedup (RefinedWeb §3.1 — BEFORE any
+    content work) → html_documents extraction → C4 §2.2 line rules +
+    page gates → boilerplate line removal (dictionary trained on the
+    C4-passed corpus) → Gopher document gate + C4 blocklist gate →
+    MinHash near-dup removal (keep-first) → cross-document repeated-span
+    removal (Lee et al. ACL'22) → benchmark decontamination (8-gram
+    overlap ≥ CC_CONTAM_MAX drops) → PII redaction → CCNet perplexity
+    terciles (unigram LM trained on the final corpus) → deterministic
+    training shards.
+
+    Returns (doc_id, contamination, n_emails, ppl, bucket, shard_id,
+    shard_pos) per surviving document. The DuckDB twin recomputes every
+    stage from the documents table: the fixture builds its pages from
+    pre-normalized text lines, so HTML extraction round-trips
+    line-for-line and the twin constructs the same line lists directly.
+
+    Plan shape: two lazy localCheckpoints bound the re-execution —
+    after the C4 rebuild (gzip decode + HTML parse + line rules run
+    once; boilerplate/gates are cheap array maps over it) and after
+    span removal (the window-hash join runs once; contamination /
+    redaction / LM are maps and bounded-broadcast joins over it). All
+    data-scaled joins carry merge hints (round-13 broadcast audit)."""
     from logrange_spark.ingest import wet
     from logrange_spark.ops import html as ophtml
     from logrange_spark.ops import sampling
+    from logrange_spark.ops import url as url_ops
 
     d = _fixture_dir(
         "ccpipe",
         [_cc_fixture_bytes(c) for c in _chunked(_doc_rows(spark, sf_dir))],
     )
     warc = wet.read_warc(spark, d, glob="*.warc.gz")
-    pages = ophtml.html_documents(
-        warc.where(F.col("http_status") == 200).select(
-            F.regexp_extract("target_uri", "([0-9]+)$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            "payload",
-        )
+    recs = warc.where(F.col("http_status") == 200).select(
+        F.regexp_extract("record_id", "([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "payload",
     )
-    # the extracted corpus feeds FOUR consumers (two gates, the dedup
-    # token frame, the LM scorer) — materialize it once instead of
-    # re-running the gzip decode + HTML parse per branch; at 100 TB this
-    # is the standard persist-the-extraction-output step every CC
-    # pipeline does before fan-out
-    docs = pages.select("doc_id", "text")
-    # both gates are per-document predicates, so they compose as ONE
-    # map-side filter chain (keep= carries the text through) — no join
-    # back to the corpus; at 100 TB the gate stage shuffles nothing.
-    # The pipeline materializes ONCE, HERE: gated is the smallest frame
-    # every downstream consumer (dedup token frame, survivor anti-join,
-    # LM trainer+scorer) re-reads, so checkpointing after the gates —
-    # not before them — runs the gzip decode + HTML parse + gates a
-    # single time instead of once per consumer (r12 checkpointed the
-    # raw extraction; the gates then re-ran 3x)
+    # URL stage FIRST: collapse crawl-frontier variants to canonical
+    # keys, keep the lowest doc_id per key — pages dropped here never
+    # pay for decode/extraction. The kept-id frame is corpus-scaled →
+    # merge join, never broadcast.
+    kept_ids = url_ops.url_dedup(recs, id_col="doc_id", url_col="url").select(
+        F.col("kept_id").alias("doc_id")
+    )
+    pages = ophtml.html_documents(
+        recs.hint("merge").join(kept_ids, "doc_id")
+    )
+    # C4 line rules + page gates, then materialize ONCE: everything
+    # below re-reads this frame (dictionary pass, gate maps, dedup
+    # token frame), so the checkpoint pins decode+parse+line-rules to a
+    # single execution.
+    c4ed = (
+        text.c4_line_rules(pages.select("doc_id", "text"))
+        .where("c4_pass")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    # boilerplate dictionary trained on the C4-passed corpus (one line
+    # groupBy), applied as a one-row broadcast map; then the Gopher +
+    # blocklist gates compose as a pure map-side filter chain.
+    cleaned = text.remove_boilerplate(c4ed).select("doc_id", "text")
     gated = (
         text.blocklist_gate(
             text.gopher_gate(
-                text.gopher_quality_stats(docs, keep=("text",)),
+                text.gopher_quality_stats(cleaned, keep=("text",)),
                 min_words=CC_MIN_WORDS,
                 min_stopword_hits=1,
             ).where("gopher_pass"),
@@ -2058,13 +2138,32 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where("blocklist_pass")
         .select("doc_id", "text")
-        .localCheckpoint(eager=False)
     )
     drop = dedup.near_duplicate_drops(
         gated, "doc_id", "text", threshold=0.8, unique=False
     )
     surv = gated.join(drop, "doc_id", "left_anti")
-    scored = text.unigram_lm_score(surv, "doc_id", "text").select(
+    # substring-level dedup: every repeated ≥20-token span keeps one
+    # copy corpus-wide; rebuilt text is the lowercased token stream.
+    # Second materialization point — three consumers below.
+    spanned = (
+        dedup.remove_repeated_spans(surv)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    # benchmark decontamination: the deterministic doc_id%97 slice
+    # stands in for the eval set (bounded, broadcast inside the op);
+    # docs quoting ≥ CC_CONTAM_MAX of their 8-grams from it are dropped
+    # (the benchmark docs themselves overlap fully and go too).
+    cont = text.contamination(
+        spanned, spanned.where(F.col("doc_id") % 97 == 0), n=8
+    )
+    keep = cont.where(F.col("contamination") < CC_CONTAM_MAX).select(
+        "doc_id", F.round("contamination", 6).alias("contamination")
+    )
+    decon = spanned.hint("merge").join(keep, "doc_id")
+    red = text.redact(decon)  # (doc_id, redacted, n_emails, n_ips, n_longnums)
+    scored = text.unigram_lm_score(red, "doc_id", "redacted").select(
         "doc_id", "ppl"
     )
     labeled = text.perplexity_buckets(
@@ -2073,37 +2172,108 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppl",
         CC_TERCILES,
     )
-    return sampling.shard_corpus(
+    sharded = sampling.shard_corpus(
         labeled.select("doc_id", "ppl", "bucket"), CC_SHARDS
-    ).select("doc_id", "ppl", "bucket", "shard_id", "shard_pos")
+    )
+    attrs = keep.hint("merge").join(
+        red.select("doc_id", "n_emails"), "doc_id"
+    )
+    return (
+        sharded.hint("merge")
+        .join(attrs, "doc_id")
+        .select(
+            "doc_id", "contamination", "n_emails",
+            "ppl", "bucket", "shard_id", "shard_pos",
+        )
+    )
 
 
 def _cc_pipeline_sql() -> str:
-    """The whole capstone as one DuckDB program: normalized extraction
-    twin (cdocs), Gopher + blocklist gates, the shared MinHash CTE
-    stack rooted at the gated docs, survivor-trained unigram LM,
-    tercile thresholds via quantile_cont (the `percentile` twin the
-    order_price_percentiles row pins), and the md5 shard assignment
-    (first-8-hex fold mod k, full-digest order)."""
+    """The whole capstone as one DuckDB program, stage for stage: the
+    URL variants rebuilt and keyed by normalize_url_duckdb (keep-min);
+    the fixture page line lists reconstructed (extraction round-trips
+    line-for-line, verified by the Spark side's fixture construction);
+    C4 line filter + page gates; the boilerplate dictionary over the
+    C4-passed corpus; Gopher + blocklist gates; the shared MinHash CTE
+    stack; repeated-span removal (window md5 keep-first + islands);
+    8-gram decontamination vs the doc_id%97 slice; PII redaction;
+    survivor-trained unigram LM; tercile thresholds via quantile_cont;
+    md5 shard assignment (first-8-hex fold mod k, full-digest order)."""
+    from logrange_spark.ops.text import (
+        REDACT_EMAIL,
+        REDACT_IPV4,
+        REDACT_LONGNUM,
+    )
+    from logrange_spark.ops.url import normalize_url_duckdb
+
     pat = text.blocklist_pattern(CC_BLOCKLIST)
     f1, f2 = (repr(float(f)) for f in CC_TERCILES)
     alpha = 0.5
+    sp = dedup.SPAN_MIN_LEN
+    ukey = normalize_url_duckdb("url")
+    e_pat, i_pat, n_pat = REDACT_EMAIL, REDACT_IPV4, REDACT_LONGNUM
+    contact = _CC_L_CONTACT.replace("{d}", "' || doc_id || '")
+    term = r'(\.|!|\?|")$'
     return f"""
-WITH cdocs AS (
-  SELECT doc_id,
-         trim(regexp_replace(coalesce(text, ''),
-                             '[ \t\r\f\v\\x{{00a0}}]+', ' ', 'g')) AS text
+WITH urls AS (
+  SELECT doc_id, CASE doc_id % 5
+    WHEN 3 THEN 'https://www.CC.example/page/' || (doc_id - 1)
+                || '?utm_source=feed'
+    WHEN 2 THEN 'http://cc.example/page/' || doc_id || '/'
+    WHEN 0 THEN 'http://CC.example:80/page/' || doc_id || '?b=2&a=1#frag'
+    ELSE 'http://cc.example/page/' || doc_id END AS url
   FROM documents),
-gs AS ({_gopher_stats_sql('cdocs')}),
+ukept AS (SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, {ukey} AS k FROM urls) GROUP BY k),
+cdocs AS MATERIALIZED (
+  SELECT d.doc_id, list_filter([
+      trim(regexp_replace(coalesce(d.text, ''),
+                          '[ \t\r\n\f\v\\x{{00a0}}]+', ' ', 'g')) || '.',
+      CASE WHEN d.doc_id % 4 = 0 THEN '{contact}' END,
+      '{_CC_L_ORDINARY}',
+      CASE WHEN d.doc_id % 3 = 0 THEN '{_CC_L_JS}'
+           ELSE '{_CC_L_FINE}' END,
+      CASE WHEN d.doc_id % 11 = 7 THEN '{_CC_L_LOREM}' END,
+      CASE WHEN d.doc_id % 13 = 9 THEN '{_CC_L_BRACE}' END,
+      '{_CC_L_TINY}',
+      CASE WHEN d.doc_id % 2 = 0 THEN '{_CC_L_FOOTER}' END
+    ], x -> x IS NOT NULL) AS lines
+  FROM documents d JOIN ukept USING (doc_id)),
+c4 AS (
+  SELECT doc_id, array_to_string(lines, chr(10)) AS raw,
+         list_filter(lines, x -> regexp_matches(x, '{term}')
+           AND len(list_filter(string_split_regex(x, '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM cdocs),
+c4p AS MATERIALIZED (
+  SELECT doc_id, kept, array_to_string(kept, chr(10)) AS text
+  FROM c4
+  WHERE len(regexp_extract_all(array_to_string(kept, chr(10)),
+                               '[.!?]+')) >= 3
+    AND NOT contains(lower(raw), 'lorem ipsum')
+    AND NOT contains(raw, '{{')),
+bfreq AS (SELECT line, count(*) AS dc
+          FROM (SELECT DISTINCT doc_id, unnest(kept) AS line FROM c4p)
+          GROUP BY line),
+btot AS (SELECT count(*) AS n FROM c4p),
+bp AS (SELECT coalesce(list(line), []) AS ls
+       FROM bfreq, btot WHERE dc >= 2 AND dc >= n * 0.05),
+clean AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_filter(kept, l -> NOT list_contains(bp.ls, l)),
+                         chr(10)) AS text
+  FROM c4p, bp),
+gs AS ({_gopher_stats_sql('clean')}),
 gok AS (SELECT doc_id FROM gs
         WHERE n_words BETWEEN {CC_MIN_WORDS} AND 100000
           AND mean_word_len BETWEEN 3.0 AND 10.0
           AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
           AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
           AND stopword_hits >= 1),
-bok AS (SELECT doc_id FROM cdocs
+bok AS (SELECT doc_id FROM clean
         WHERE len(regexp_extract_all(lower(text), '{pat}')) <= 0),
-gated AS (SELECT c.doc_id, c.text FROM cdocs c
+gated AS MATERIALIZED (SELECT c.doc_id, c.text FROM clean c
           JOIN gok USING (doc_id) JOIN bok USING (doc_id)),
 {_tok_cte('gated')}, {_shingle_cte()}, {_sig_cte()}, {_bands_cte()},
 pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2117,8 +2287,66 @@ nd AS (SELECT id_a, id_b FROM (
   FROM pairs JOIN dtok a ON pairs.id_a = a.doc_id
   JOIN dtok b ON pairs.id_b = b.doc_id)
   WHERE jaccard >= 0.8),
-sex AS (SELECT doc_id, unnest(w) AS t FROM toks
-        WHERE doc_id NOT IN (SELECT id_b FROM nd)),
+sv AS MATERIALIZED (SELECT doc_id, w FROM toks
+       WHERE doc_id NOT IN (SELECT id_b FROM nd)),
+wins AS (
+  SELECT doc_id, unnest(
+    [{{'pos': i, 'whash': md5(array_to_string(w[i:i+{sp - 1}], ' '))}}
+     FOR i IN range(1, greatest(len(w) - {sp - 2}, 1))],
+    recursive := true)
+  FROM sv WHERE len(w) >= {sp}),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY whash) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+  FROM wins),
+dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER iw IS NULL
+                OR pos - lag(pos) OVER iw > {sp} THEN 1 ELSE 0 END AS is_new
+  FROM dup WINDOW iw AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+ivs AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS iv
+        FROM (SELECT doc_id, min(pos) AS s, max(pos) + {sp - 1} AS e
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id),
+srm AS MATERIALIZED (
+  SELECT sv.doc_id,
+    CASE WHEN ivs.iv IS NULL THEN w
+         ELSE [w[i] FOR i IN range(1, len(w) + 1)
+               IF len(list_filter(ivs.iv, v -> v.s <= i AND i <= v.e)) = 0]
+    END AS w2
+  FROM sv LEFT JOIN ivs USING (doc_id)),
+csh AS MATERIALIZED (SELECT doc_id, w2, list_distinct(
+  [array_to_string(w2[i:i+7], ' ')
+   FOR i IN range(1, greatest(len(w2) - 6, 1))]) AS g
+  FROM srm),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM csh WHERE doc_id % 97 = 0),
+chits AS (SELECT doc_id, count(*) AS nc
+          FROM (SELECT doc_id, unnest(g) AS gram FROM csh)
+          JOIN bench USING (gram) GROUP BY doc_id),
+cont AS (SELECT doc_id, w2,
+           round(CASE WHEN len(g) > 0
+                      THEN coalesce(nc, 0) / CAST(len(g) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS contamination
+         FROM csh LEFT JOIN chits USING (doc_id)),
+red AS MATERIALIZED (SELECT doc_id, contamination,
+          regexp_replace(regexp_replace(regexp_replace(
+            array_to_string(w2, ' '),
+            '{e_pat}', '<EMAIL>', 'g'),
+            '{i_pat}', '<IP>', 'g'),
+            '{n_pat}', '<NUM>', 'g') AS rtext,
+          CAST(len(regexp_extract_all(array_to_string(w2, ' '),
+                                      '{e_pat}')) AS INT) AS n_emails
+        FROM cont WHERE contamination < {CC_CONTAM_MAX!r}),
+sex AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(rtext)), '\\s+'), t -> t <> '')) AS t
+        FROM red),
 cnt AS (SELECT t, count(*) AS c FROM sex GROUP BY t),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM cnt),
 vocab AS (SELECT t, ln((c + {alpha!r}) / (tt + {alpha!r} * (v + 1))) AS logp
@@ -2141,10 +2369,10 @@ shr AS (SELECT doc_id, ppl, bucket, h,
             FOR i IN range(1, 9)],
            (a, b) -> a * 16 + b) % {CC_SHARDS} AS INT) AS shard_id
        FROM dig)
-SELECT doc_id, ppl, bucket, shard_id,
+SELECT shr.doc_id, red.contamination, red.n_emails, ppl, bucket, shard_id,
        CAST(row_number() OVER (
-         PARTITION BY shard_id ORDER BY h, doc_id) AS INT) AS shard_pos
-FROM shr
+         PARTITION BY shard_id ORDER BY h, shr.doc_id) AS INT) AS shard_pos
+FROM shr JOIN red ON shr.doc_id = red.doc_id
 """.strip()
 
 
