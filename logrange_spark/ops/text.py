@@ -1747,10 +1747,21 @@ def kn_bigram_score(
     continuation distribution, so no event scores zero.
 
     One pass: event zip (map-side) → left joins against the three model
-    tables (key-partitioned on u/w — no broadcast assumption) → one-row
-    totals broadcast → per-doc mean with map-side partial aggregation.
+    tables (key-partitioned on u/w) → one-row totals broadcast →
+    per-doc mean with map-side partial aggregation.
+
+    The model joins carry ``merge`` hints (round-14; the broadcast
+    audit caught the in-flight plan broadcasting ctx/cont): the model
+    tables grow with the corpus VOCABULARY, and after the bigram
+    table's lineage-cut checkpoint Catalyst's estimate for their
+    aggregates undershoots — at web scale the broadcast collect dies on
+    ``spark.driver.maxResultSize`` (same failure class measured for the
+    order-5 model, SCALE.md x100 sweep). SMJ keys the event stream by
+    u/w instead — and reads the ``persist_kn_model`` tables bucketed,
+    with no model-side Exchange at all.
     """
     big, ctx, cont, totals = model
+    big, ctx, cont = big.hint("merge"), ctx.hint("merge"), cont.hint("merge")
     ev = _kn_events(docs, id_col, text_col)
     d = F.lit(float(discount))
     a = F.lit(float(alpha))

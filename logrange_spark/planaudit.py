@@ -98,10 +98,23 @@ def _walk_for_scans(
         capped = True
     kids = _children(node)
     if not kids:
-        detail = _leaf_detail(node)
-        for marker in scaled_markers:
-            if marker in detail and derived and not capped:
-                hits.append({"scan": marker, "leaf": line[:200]})
+        if derived and not capped:
+            detail = _leaf_detail(node)
+            for marker in scaled_markers:
+                if marker in detail:
+                    hits.append({"scan": marker, "leaf": line[:200]})
+            # An RDD-scan leaf (localCheckpoint'd frame, createDataFrame)
+            # has NO path marker and NO file statistics, so a frame
+            # derived from it cannot self-correct its size estimate —
+            # treat it as scaled-by-default (a checkpointed corpus frame
+            # is exactly the case that escaped the r13 audit). Bounded
+            # literal frames that legitimately broadcast through a
+            # deriving operator get an ALLOWED entry in the suite test.
+            if "ExistingRDD" in name or "ExistingRDD" in line:
+                hits.append(
+                    {"scan": "ExistingRDD (checkpoint/local frame)",
+                     "leaf": line[:200]}
+                )
         return
     for ch in kids:
         _walk_for_scans(ch, capped, derived, scaled_markers, hits)

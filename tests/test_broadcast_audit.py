@@ -13,12 +13,14 @@ Everything else must carry an entry in ``ALLOWED`` below with the reason
 its broadcast payload is bounded — a new operator that broadcasts a
 data-scaled frame fails here instead of in a 100 TB run.
 
-Known blind spot: a ``localCheckpoint``'d frame re-enters the plan as an
-RDD scan with no file path, so a checkpointed data-scaled frame that is
-later broadcast would not match the path markers. The capstone
-(cc_pipeline) is the only checkpoint user; its joins carry explicit
-merge hints (test_plans pins repeated_spans' and the operator-level
-tests pin the rest).
+The r13 blind spot is closed (r14): a ``localCheckpoint``'d frame
+re-enters the plan as an RDD scan with no file path, so it can never
+match a path marker — the audit now treats a frame DERIVED from an
+RDD-scan leaf as scaled-by-default (``test_broadcast_violations_shapes``
+pins the checkpointed-aggregate case). Bounded literal frames
+(createDataFrame fixtures) that legitimately broadcast through a
+deriving operator need an ``ALLOWED`` entry like any other justified
+broadcast.
 """
 
 from __future__ import annotations
@@ -69,6 +71,13 @@ ALLOWED: dict[str, str] = {
     # corpus (doc_id % 97) so the audit sees a scaled scan
     "contamination": "benchmark n-gram set bounded by the eval suite; "
                      "registry stand-in is a corpus slice",
+    # the capstone's flagged broadcasts are its decontamination stage's
+    # benchmark n-gram set (same eval-suite bound as 'contamination' —
+    # the r14 RDD-leaf rule now sees it behind the localCheckpoint) and
+    # perplexity_buckets' per-group percentile thresholds (one row per
+    # group; groups are enumerable languages — here ONE literal group)
+    "cc_pipeline": "benchmark n-gram set (eval-suite bounded) + "
+                   "per-group tercile thresholds (rows = |groups|)",
 }
 
 
@@ -105,6 +114,18 @@ def test_broadcast_violations_shapes(spark):
 
     capped = fact.groupBy("k").agg(F.sum("v").alias("s")).limit(5)
     assert broadcast_violations(fact.join(F.broadcast(capped), "k"), m) == []
+
+    # the r13 blind spot: a localCheckpoint'd frame loses its path
+    # marker (RDD scan) — a frame DERIVED from it and broadcast must
+    # still be flagged, scaled-by-default
+    ck = fact.localCheckpoint(eager=True)
+    agg_ck = ck.groupBy("k").agg(F.sum("v").alias("s"))
+    v = broadcast_violations(fact.join(F.broadcast(agg_ck), "k"), m)
+    assert v and "ExistingRDD" in v[0]["scans"][0]["scan"], v
+    # ...while a one-row aggregate / limit above the checkpoint still
+    # bounds the payload
+    ck1 = ck.agg(F.sum("v").alias("t"))
+    assert broadcast_violations(fact.crossJoin(F.broadcast(ck1)), m) == []
 
 
 @needs_testdata
