@@ -8,9 +8,9 @@ toolkit (dedup, similarity search, text analysis).
 from .engine import Engine
 from .lql.parser import parse_lql, parse_source, parse_where
 from .session import build_session
-from .shard import ShardReader, ShardRouter, shard_for_tags
+from .shard import ShardReader, ShardRouter, resolve_shard, shard_for_tags
 
 __all__ = [
     "Engine", "parse_lql", "parse_source", "parse_where", "build_session",
-    "ShardReader", "ShardRouter", "shard_for_tags",
+    "ShardReader", "ShardRouter", "resolve_shard", "shard_for_tags",
 ]

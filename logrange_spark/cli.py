@@ -94,7 +94,12 @@ def cmd_write(args) -> int:
 def _embedded_engine(root: str, app: str):
     """Engine + session for daemon modes. build_session's getOrCreate may
     hand back a session someone else owns (tests, a notebook); the
-    returned stop() only stops sessions this call actually created."""
+    returned stop() only stops sessions this call actually created —
+    but ALWAYS closes the engine: the store flock is held by the open
+    LOCK fd, and leaving release to garbage collection makes a
+    subsequent same-process open race the collector (a background
+    rescan thread keeps the engine alive for seconds after the command
+    returns — observed as a flaky 'store already owned' failure)."""
     from pyspark.sql import SparkSession
 
     from .engine import Engine
@@ -103,12 +108,17 @@ def _embedded_engine(root: str, app: str):
     pre_existing = SparkSession.getActiveSession() is not None
     spark = build_session(app_name=app)
     spark.sparkContext.setLogLevel("WARN")
+    engine = Engine(spark, root)
 
     def stop():
+        try:
+            engine.close()
+        except Exception:
+            pass
         if not pre_existing:
             spark.stop()
 
-    return Engine(spark, root), spark, stop
+    return engine, spark, stop
 
 
 def cmd_collect(args) -> int:

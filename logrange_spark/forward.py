@@ -288,3 +288,238 @@ def start_forwarder(
         launch()
     engine._ensure_pipe_supervisor()  # restart-on-error covers forwarders too
     return handle
+
+# --------------------------------------------------------------------------
+# Cursor-pull tier: forwarders/pipes over the QUERY API (Engine or
+# ShardReader) — the reference forwarder's exact shape
+# (pkg/forwarder/worker.go:48-104 pulls api.Select from a saved position,
+# pushes to the sink, persists the position). The streaming-source
+# forwarder above needs filesystem access to ONE store's layout; this
+# tier needs only the query surface (select / tail_cursor / write_epoch /
+# wait_for_write / chunks_after_cursor / resolve_sources), so it runs
+# unchanged over the sharded read-only tier.
+
+
+class CursorHandle:
+    """Handle for a cursor-pull worker thread."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        self.error: Exception | None = None
+
+    def stop(self) -> None:
+        self._stop.set()
+        t = self._thread
+        if t is not None:
+            t.join(timeout=30.0)
+
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        return self._stop.wait(timeout)
+
+
+def _load_cursor(state_path: str):
+    import json as _json
+
+    from .compiler.select import CursorToken
+
+    try:
+        with open(state_path) as f:
+            tok = _json.load(f).get("cursor")
+        return CursorToken.decode(tok) if tok else None
+    except (OSError, ValueError):
+        return None
+
+
+def _save_cursor(state_path: str, cursor) -> None:
+    import json as _json
+
+    tmp = f"{state_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"cursor": cursor.encode()}, f)
+    os.replace(tmp, state_path)
+
+
+def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
+               poll_s: float = 1.0) -> None:
+    """The worker loop: saved position → select → deliver → persist
+    position (at-least-once across worker crashes: the position advances
+    only AFTER a successful delivery; a crash in between re-delivers the
+    last batch — the reference worker's semantics, worker.go:48-104).
+    Writer restarts on the store are invisible here: the query surface
+    re-snapshots per call. Late records (ts below the cursor watermark)
+    are outside the value-cursor contract, exactly as for follow()."""
+    from .compiler.select import CursorToken
+
+    stmt0 = parse_lql(lql)
+    if not isinstance(stmt0, ast.Select):
+        raise ValueError("cursor forwarder expects a SELECT query")
+    base = ast.Select(None, stmt0.source, stmt0.range, stmt0.where,
+                      None, None, stmt0.limit)
+    cursor = _load_cursor(state_path)
+    if cursor is None and stmt0.position is not None:
+        pos = stmt0.position.pos_id
+        if pos.lower() == "tail":
+            cursor = source.tail_cursor(stmt0)
+        elif pos.lower() != "head":
+            cursor = CursorToken.decode(pos)
+    while not handle._stop.is_set():
+        epoch = source.write_epoch()
+        if cursor is not None and not source.chunks_after_cursor(
+            source.resolve_sources(base.source), cursor
+        ):
+            batch = []  # catalog proves nothing follows the cursor
+        else:
+            q = base if cursor is None else ast.Select(
+                None, base.source, base.range, base.where,
+                ast.Position(cursor.encode()), None, base.limit,
+            )
+            batch = source.select(q, None).collect()
+        if batch:
+            deliver(batch)
+            last = batch[-1]
+            cursor = CursorToken(last["ts"], last["src"], last["seq"])
+            _save_cursor(state_path, cursor)
+            continue
+        source.wait_for_write(epoch, poll_s)
+
+
+def _start_pull_thread(source, name, lql, state_path, deliver) -> CursorHandle:
+    import threading
+
+    handle = CursorHandle()
+
+    def run():
+        try:
+            _pull_loop(source, lql, state_path, deliver, handle)
+        except Exception as e:  # surfaced via handle.error, loop ends
+            handle.error = e
+        finally:
+            handle._stop.set()
+
+    t = threading.Thread(target=run, name=f"cursor-fwd-{name}", daemon=True)
+    handle._thread = t
+    t.start()
+    return handle
+
+
+def start_cursor_forwarder(
+    source,
+    name: str,
+    lql: str,
+    sink,
+    template: str = "{vars} - {msg}",
+    state_dir: str | None = None,
+) -> CursorHandle:
+    """Forwarder over the query API: works on a single Engine AND on a
+    sharded root's ShardReader (which the streaming-source forwarder
+    cannot serve — its file stream is single-store). The sink receives a
+    one-column ``line`` DataFrame per pulled batch, so ``SyslogSink`` /
+    ``ConsoleSink`` plug in unchanged. The position persists under
+    ``state_dir`` (default: alongside the store root) and delivery is
+    at-least-once across forwarder crashes — position saved after the
+    sink, the reference's contract."""
+    from .model.schema import LOG_SCHEMA
+    from .model.tags import parse_tags as _parse_tags
+
+    sd = state_dir or os.path.join(source.root, "forwarder-cursors")
+    os.makedirs(sd, exist_ok=True)
+    state_path = os.path.join(sd, f"{name}.json")
+    stmt = parse_lql(lql)
+    tmpl = (stmt.format if isinstance(stmt, ast.Select) else None) or template
+    fmt = compile_format(tmpl).alias("line")
+    counter = {"n": 0}
+
+    def deliver(batch):
+        # rebuild the tags map from tag_line: format templates ({vars},
+        # {vars:k}) read it, and the default projection doesn't carry it
+        df = source.spark.createDataFrame(
+            [
+                (r["ts"], r["msg"], dict(r["fields"] or {}),
+                 _parse_tags(r["tag_line"]), r["tag_line"], r["src"],
+                 r["seq"])
+                for r in batch
+            ],
+            LOG_SCHEMA,
+        ).select(fmt)
+        counter["n"] += 1
+        sink(df, counter["n"])
+
+    return _start_pull_thread(source, name, lql, state_path, deliver)
+
+
+def start_cursor_pipe(
+    source,
+    dest_engine,
+    name: str,
+    lql: str,
+    state_dir: str | None = None,
+) -> CursorHandle:
+    """Read-only pipe over the query API, writing to a DIFFERENT store:
+    the shard-tier analogue of CREATE PIPE (the reference's pipe worker
+    also consumes the select API and writes to its own partition,
+    pkg/pipe/worker.go). ``source`` is an Engine or ShardReader;
+    ``dest_engine`` owns the destination store, where records land under
+    the ``{logrange.pipe=name}`` partition with the standard source-tag
+    enrichment and (src, seq) provenance fields.
+
+    Exactly-once: in steady state the cursor only moves forward, so
+    every delivered row is fresh; the FIRST batch after a (re)start is
+    suspicious (the previous incarnation may have crashed between the
+    dest write and the cursor save) and anti-joins the destination's
+    provenance pairs before appending — the same idempotency key the
+    in-store pipe uses (pipes/service.py)."""
+    from .pipes.service import PROV_SEQ, PROV_SRC, pipe_tags, pipe_transform
+    from .model.schema import LOG_SCHEMA, src_for_tag_line
+    from .model.tags import parse_tags as _parse_tags
+    from .model.tags import tag_line as _tag_line
+
+    sd = state_dir or os.path.join(dest_engine.root, "pipe-cursors")
+    os.makedirs(sd, exist_ok=True)
+    state_path = os.path.join(sd, f"{name}.json")
+    stmt = parse_lql(lql)
+    if not isinstance(stmt, ast.Select):
+        raise ValueError("cursor pipe expects a SELECT query")
+    dest_src = src_for_tag_line(_tag_line(pipe_tags(name)))
+    dest_dir = os.path.join(dest_engine.logs_path, f"src={dest_src}")
+    first = {"suspicious": True}
+
+    def deliver(batch):
+        # the default projection carries tag_line, not the tags map the
+        # enrichment needs — rebuild it driver-side (parse_tags is the
+        # exact inverse of tag_line's canonical quoting)
+        df = source.spark.createDataFrame(
+            [
+                (r["ts"], r["msg"], dict(r["fields"] or {}),
+                 _parse_tags(r["tag_line"]), r["tag_line"], r["src"],
+                 r["seq"])
+                for r in batch
+            ],
+            LOG_SCHEMA,
+        )
+        # filters already ran in the select; the transform re-applies
+        # them idempotently and adds enrichment + provenance + identity
+        out = pipe_transform(df, name, stmt.source, stmt.where)
+        if first["suspicious"] and os.path.isdir(dest_dir):
+            existing = (
+                dest_engine.spark.read.parquet(dest_dir)
+                .select(
+                    F.col("fields").getItem(PROV_SRC).alias("_psrc"),
+                    F.col("fields").getItem(PROV_SEQ).alias("_pseq"),
+                )
+                .where(F.col("_psrc").isNotNull())
+                .distinct()
+            )
+            out = (
+                out.withColumn("_psrc", F.col("fields").getItem(PROV_SRC))
+                .withColumn("_pseq", F.col("fields").getItem(PROV_SEQ))
+                .join(existing, ["_psrc", "_pseq"], "left_anti")
+                .drop("_psrc", "_pseq")
+            )
+        first["suspicious"] = False
+        if not out.isEmpty():
+            dest_engine.append_df(out)
+
+    return _start_pull_thread(source, name, lql, state_path, deliver)

@@ -49,6 +49,64 @@ PROV_SEQ = "logrange.pipe.seq"
 MAX_FILES_PER_TRIGGER = 64
 
 
+def pipe_transform(df, name: str, source, where):
+    """The pipe's record transform — filters, source-tag enrichment, and
+    destination identity — shared by the in-store streaming pipe
+    (``start_pipe``) and the cross-store cursor pipe
+    (``forward.start_cursor_pipe``).
+
+    Source-tag enrichment: tags become fields on the piped record
+    (reference: pkg/pipe/worker.go:67-69). On key collision the
+    record's own field wins — the reference's field lookup is
+    first-match and record fields are concatenated first
+    (pkg/model/field/field.go:143-157) — so colliding tag keys are
+    filtered out rather than letting map_concat throw
+    DUPLICATE_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION.
+    The provenance pair (the exactly-once idempotency key) is
+    prepended and WINS over any record field spoofing its name;
+    src/seq here are still the SOURCE values (overwritten at the end).
+    """
+    dest_tags = pipe_tags(name)
+    dest_line = tag_line(dest_tags)
+    dest_src = src_for_tag_line(dest_line)
+    # never re-consume our own output (or other pipes' output)
+    df = df.where(
+        F.coalesce(F.col("tags").getItem("logrange.pipe"), F.lit("")) == ""
+    )
+    if source is not None:
+        df = df.where(compile_tags(source))
+    if where is not None:
+        df = df.where(compile_where(where))
+    base_fields = F.coalesce(F.col("fields"), F.expr("map()"))
+    merged_fields = F.map_concat(
+        base_fields,
+        F.map_filter(
+            F.coalesce(F.col("tags"), F.expr("map()")),
+            lambda k, _: ~F.map_contains_key(base_fields, k),
+        ),
+    )
+    return (
+        df.withColumn(
+            "fields",
+            F.map_concat(
+                F.create_map(
+                    F.lit(PROV_SRC), F.col("src"),
+                    F.lit(PROV_SEQ), F.col("seq").cast("string"),
+                ),
+                F.map_filter(
+                    merged_fields, lambda k, _: ~k.isin(PROV_SRC, PROV_SEQ)
+                ),
+            ),
+        )
+        .withColumn(
+            "tags",
+            F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
+        )
+        .withColumn("tag_line", F.lit(dest_line))
+        .withColumn("src", F.lit(dest_src))
+    )
+
+
 def start_pipe(engine, defn: dict):
     """Start the streaming query for a pipe definition {name, source, where}."""
     name = defn["name"]
@@ -103,53 +161,7 @@ def start_pipe(engine, defn: dict):
     stream = reader.parquet(path)
 
     def transform(df):
-        # never re-consume our own output (or other pipes' output)
-        df = df.where(
-            F.coalesce(F.col("tags").getItem("logrange.pipe"), F.lit("")) == ""
-        )
-        if source is not None:
-            df = df.where(compile_tags(source))
-        if where is not None:
-            df = df.where(compile_where(where))
-
-        # source-tag enrichment: tags become fields on the piped record
-        # (reference: pkg/pipe/worker.go:67-69). On key collision the
-        # record's own field wins — the reference's field lookup is
-        # first-match and record fields are concatenated first
-        # (pkg/model/field/field.go:143-157) — so colliding tag keys are
-        # filtered out rather than letting map_concat throw
-        # DUPLICATE_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION.
-        # The provenance pair (the exactly-once idempotency key) is
-        # prepended and WINS over any record field spoofing its name;
-        # src/seq here are still the SOURCE values (overwritten below).
-        base_fields = F.coalesce(F.col("fields"), F.expr("map()"))
-        merged_fields = F.map_concat(
-            base_fields,
-            F.map_filter(
-                F.coalesce(F.col("tags"), F.expr("map()")),
-                lambda k, _: ~F.map_contains_key(base_fields, k),
-            ),
-        )
-        return (
-            df.withColumn(
-                "fields",
-                F.map_concat(
-                    F.create_map(
-                        F.lit(PROV_SRC), F.col("src"),
-                        F.lit(PROV_SEQ), F.col("seq").cast("string"),
-                    ),
-                    F.map_filter(
-                        merged_fields, lambda k, _: ~k.isin(PROV_SRC, PROV_SEQ)
-                    ),
-                ),
-            )
-            .withColumn(
-                "tags",
-                F.create_map(*[c for k, v in sorted(dest_tags.items()) for c in (F.lit(k), F.lit(v))]),
-            )
-            .withColumn("tag_line", F.lit(dest_line))
-            .withColumn("src", F.lit(dest_src))
-        )
+        return pipe_transform(df, name, source, where)
 
     checkpoint = os.path.join(engine.pipes_dir, "checkpoints", name)
     dest_dir = os.path.join(engine.logs_path, f"src={dest_src}")

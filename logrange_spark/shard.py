@@ -54,8 +54,11 @@ def shard_of(src: str, n_shards: int) -> int:
 
 
 def shard_for_tags(tags: str | dict, n_shards: int) -> int:
-    """Shard index for a write's tag set (routes exactly like the
-    engine derives src from tags, so router and engine always agree)."""
+    """Pure-hash shard index for a write's tag set (routes exactly like
+    the engine derives src from tags, so router and engine always
+    agree). This is the FRESH-store rule; on a store with history use
+    ``resolve_shard`` / ``ShardRouter`` so existing partitions keep
+    their shard across a shard-count change."""
     tmap = (
         parse_tags(tags)
         if isinstance(tags, str)
@@ -66,6 +69,33 @@ def shard_for_tags(tags: str | dict, n_shards: int) -> int:
 
 def shard_root(root: str, i: int) -> str:
     return os.path.join(root, f"shard-{i:03d}")
+
+
+def resolve_shard(root: str, src: str, n_shards: int) -> int:
+    """Growth-stable shard index for a partition id: a src whose
+    partition directory ALREADY EXISTS on some shard stays there — so
+    growing the shard count never moves (or re-ingests) old data — and
+    only unseen srcs route by hash over the CURRENT count.
+
+    Plain ``shard_of`` is ``md5 % N``: growing 8→16 shards remaps
+    ~15/16 of srcs, which at the 100 TB design point means re-ingesting
+    the store. The pin is derived from the filesystem (the partition
+    dir the writer creates on first write), so it needs no coordination
+    service and is crash-safe: every process that can see the store
+    derives the same answer. Cost is one isdir() per existing shard on
+    a MISS only — callers cache positive answers (``ShardRouter``
+    does). Two routers racing on a brand-new src both fall through to
+    the same hash, so they agree without locking. Distribution: old
+    srcs keep their layout, new srcs spread over the grown count;
+    rebalancing (moving whole src dirs and their catalog entries) is a
+    separate offline job by design.
+    """
+    for i in range(n_shards):
+        if os.path.isdir(
+            os.path.join(shard_root(root, i), "logs", f"src={src}")
+        ):
+            return i
+    return shard_of(src, n_shards)
 
 
 def shard_roots(root: str) -> list[str]:
@@ -86,16 +116,39 @@ class ShardRouter:
     is the point); this class is the in-process form used by tests and
     by single-process callers that only need the routing semantics.
     ``engines[i]`` must own ``shard_root(root, i)``.
+
+    Routing is GROWTH-STABLE (round 14): a src already present in some
+    shard's catalog keeps its shard — re-opening the store with MORE
+    engines never moves old partitions — and only unseen srcs hash over
+    the current count. The pin map seeds from the live engines'
+    catalogs and caches first-write decisions.
     """
 
     def __init__(self, engines: list["Engine"]):
         if not engines:
             raise ValueError("need at least one engine")
         self.engines = engines
+        self._pins: dict[str, int] = {}
+        for i, e in enumerate(engines):
+            for src in e._catalog:
+                self._pins[src] = i
+
+    def shard_for(self, tags: str | dict) -> int:
+        tmap = (
+            parse_tags(tags)
+            if isinstance(tags, str)
+            else {str(k): str(v) for k, v in tags.items()}
+        )
+        src = src_for_tag_line(tag_line(tmap))
+        i = self._pins.get(src)
+        if i is None:
+            i = shard_of(src, len(self.engines))
+            self._pins[src] = i
+        return i
 
     def write(self, tags: str | dict, events: list,
               fields: dict | None = None) -> dict:
-        i = shard_for_tags(tags, len(self.engines))
+        i = self.shard_for(tags)
         out = self.engines[i].write(tags, events, fields)
         out["shard"] = i
         return out

@@ -456,3 +456,267 @@ def test_read_only_open_races_log_creation(spark, twin_stores, monkeypatch):
         len(v) for v in engines[0]._chunk_stats.values()
     )
     e.close()
+
+
+def test_shard_growth_moves_no_old_srcs(spark):
+    """Growing the shard count must not move (or re-route) any existing
+    partition: srcs written at N=4 keep their shard when the store
+    re-opens at N=8 (catalog/directory pins beat the hash), only NEW
+    srcs spread over the grown count, and the union query is
+    row-identical to a never-grown single store."""
+    import os
+
+    sroot = tempfile.mkdtemp(prefix="lrshard-grow-")
+    eroot = tempfile.mkdtemp(prefix="lrsingle-grow-")
+    single = Engine(spark, eroot)
+    try:
+        engines4 = [Engine(spark, sh.shard_root(sroot, i)) for i in range(4)]
+        router4 = sh.ShardRouter(engines4)
+        old_writes = [
+            ({"name": f"app{i}"}, [(BASE + i * NS, f"old {i}", {})])
+            for i in range(20)
+        ]
+        placed_at_4 = {}
+        for tags, recs in old_writes:
+            out = router4.write(tags, recs)
+            single.write(tags, recs)
+            placed_at_4[out["src"]] = out["shard"]
+        for e in engines4:
+            e.close()
+
+        # snapshot each src's physical file set before the growth
+        def src_files():
+            out = {}
+            for i, r in enumerate(sh.shard_roots(sroot)):
+                logs = os.path.join(r, "logs")
+                if not os.path.isdir(logs):
+                    continue
+                for d in os.listdir(logs):
+                    if d.startswith("src="):
+                        files = sorted(os.listdir(os.path.join(logs, d)))
+                        out[d[4:]] = (i, files)
+            return out
+
+        before = src_files()
+
+        engines8 = [Engine(spark, sh.shard_root(sroot, i)) for i in range(8)]
+        router8 = sh.ShardRouter(engines8)
+        try:
+            # old srcs: routed to their ORIGINAL shard, not md5 % 8
+            for i, (tags, _) in enumerate(old_writes):
+                recs = [(BASE + (1000 + i) * NS, f"new {i}", {})]
+                out = router8.write(tags, recs)
+                single.write(tags, recs)
+                assert out["shard"] == placed_at_4[out["src"]], (i, out)
+            # genuinely new srcs must land beyond the old count for at
+            # least one of them (they hash over 8 now)
+            new_shards = set()
+            for i in range(30):
+                tags = {"name": f"fresh{i}"}
+                recs = [(BASE + (2000 + i) * NS, f"fresh {i}", {})]
+                out = router8.write(tags, recs)
+                single.write(tags, recs)
+                new_shards.add(out["shard"])
+            assert max(new_shards) >= 4, new_shards
+
+            # no old src directory changed shard; old files untouched
+            after = src_files()
+            for src, (i4, files4) in before.items():
+                i8, files8 = after[src]
+                assert i8 == i4, (src, i4, i8)
+                assert set(files4) <= set(files8), src
+
+            # union query row-identical to the single store
+            reader = sh.ShardReader(spark, sroot)
+            got = [tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()]
+            want = [tuple(r) for r in single.query("SELECT LIMIT 10000").collect()]
+            assert got == want and len(got) == 70
+            reader.close()
+        finally:
+            for e in engines8:
+                e.close()
+    finally:
+        single.close()
+        shutil.rmtree(sroot, ignore_errors=True)
+        shutil.rmtree(eroot, ignore_errors=True)
+
+
+def test_resolve_shard_growth_stable(spark):
+    """resolve_shard: filesystem-pinned for existing srcs from ANY
+    process (no router state), hash for unseen ones."""
+    sroot = tempfile.mkdtemp(prefix="lrshard-rs-")
+    try:
+        engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+        router = sh.ShardRouter(engines)
+        out = router.write({"name": "pinme"}, [(BASE, "x", {})])
+        for e in engines:
+            e.close()
+        src = out["src"]
+        # grown count: the existing src resolves to its directory's shard
+        assert sh.resolve_shard(sroot, src, 8) == out["shard"]
+        # unseen src falls through to the hash
+        assert sh.resolve_shard(sroot, "feedbeef00000000", 8) == sh.shard_of(
+            "feedbeef00000000", 8
+        )
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+
+
+def _wait_for(cond, timeout=30.0, step=0.2):
+    import time
+
+    end = time.monotonic() + timeout
+    while time.monotonic() < end:
+        if cond():
+            return True
+        time.sleep(step)
+    return cond()
+
+
+def test_cursor_forwarder_drains_sharded_root(spark):
+    """The cursor-pull forwarder (forward.start_cursor_forwarder) runs
+    over a ShardReader: drains existing rows, keeps following across a
+    WRITER-process restart, and a forwarder restart resumes from the
+    persisted cursor — every unique message delivered exactly once."""
+    import socketserver
+    import threading
+
+    from logrange_spark import forward as fw
+
+    class _Collector(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                self.server.lines.append(line.decode("utf-8").rstrip("\n"))
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Collector)
+    srv.lines = []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sroot = tempfile.mkdtemp(prefix="lrshard-cfwd-")
+    state = tempfile.mkdtemp(prefix="lrshard-cfwd-state-")
+    engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+    reader = handle = None
+    try:
+        router = sh.ShardRouter(engines)
+        for i in range(20):
+            router.write({"name": f"app{i % 4}"},
+                         [(BASE + i * NS, f"fwd-{i}", {})])
+        reader = sh.ShardReader(spark, sroot, poll_s=0.1)
+        sink = fw.SyslogSink(
+            fw.SyslogConfig(port=srv.server_address[1])
+        )
+        handle = fw.start_cursor_forwarder(
+            reader, "cf", 'SELECT "{msg}"', sink, state_dir=state
+        )
+        assert _wait_for(lambda: len(srv.lines) >= 20), len(srv.lines)
+
+        # WRITER restart: close every shard engine, reopen, write more
+        for e in engines:
+            e.close()
+        engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+        router = sh.ShardRouter(engines)
+        for i in range(20, 30):
+            router.write({"name": f"app{i % 4}"},
+                         [(BASE + i * NS, f"fwd-{i}", {})])
+        assert _wait_for(lambda: len(srv.lines) >= 30), len(srv.lines)
+
+        # forwarder restart: resumes from the persisted cursor — the
+        # first 30 messages must NOT re-deliver
+        handle.stop()
+        assert handle.error is None, handle.error
+        handle = fw.start_cursor_forwarder(
+            reader, "cf", 'SELECT "{msg}"', sink, state_dir=state
+        )
+        for i in range(30, 35):
+            router.write({"name": f"app{i % 4}"},
+                         [(BASE + i * NS, f"fwd-{i}", {})])
+        assert _wait_for(lambda: len(srv.lines) >= 35), len(srv.lines)
+        import time
+
+        time.sleep(2.0)  # would-be duplicates need a beat to show up
+        msgs = [l.split(": ", 1)[1] for l in srv.lines]
+        assert sorted(msgs) == sorted(f"fwd-{i}" for i in range(35)), (
+            len(msgs), sorted(set(msgs) - {f"fwd-{i}" for i in range(35)}))
+    finally:
+        if handle is not None:
+            handle.stop()
+        if reader is not None:
+            reader.close()
+        for e in engines:
+            e.close()
+        srv.shutdown()
+        shutil.rmtree(sroot, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def test_cursor_pipe_shard_to_other_store(spark):
+    """The read-only cursor pipe copies a sharded root's matching rows
+    into a DIFFERENT store's pipe partition with enrichment + provenance,
+    exactly-once across a pipe restart (first-batch provenance
+    anti-join)."""
+    from logrange_spark import forward as fw
+    from logrange_spark.pipes.service import PROV_SEQ, PROV_SRC
+
+    sroot = tempfile.mkdtemp(prefix="lrshard-cpipe-")
+    droot = tempfile.mkdtemp(prefix="lrshard-cpipe-dest-")
+    engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+    dest = Engine(spark, droot)
+    reader = handle = None
+    try:
+        router = sh.ShardRouter(engines)
+        for i in range(12):
+            router.write(
+                {"name": f"app{i % 3}", "ns": "prod"},
+                [(BASE + i * NS, f"p-{i} {'ERROR' if i % 2 == 0 else 'ok'}",
+                  {"i": str(i)})],
+            )
+        reader = sh.ShardReader(spark, sroot, poll_s=0.1)
+        handle = fw.start_cursor_pipe(
+            reader, dest, "xp",
+            "SELECT FROM {ns=prod} WHERE msg CONTAINS 'ERROR'",
+        )
+
+        def piped():
+            return dest.query(
+                "SELECT FROM {logrange.pipe=xp} LIMIT 10000"
+            ).collect()
+
+        assert _wait_for(lambda: len(piped()) >= 6), len(piped())
+        # enrichment: source tags ride as fields; provenance pair present
+        r0 = piped()[0]
+        assert r0["fields"]["ns"] == "prod"
+        assert PROV_SRC in r0["fields"] and PROV_SEQ in r0["fields"]
+
+        # restart the pipe (same dest, same state) mid-stream; new rows
+        # flow, old rows do not duplicate
+        handle.stop()
+        assert handle.error is None, handle.error
+        handle = fw.start_cursor_pipe(
+            reader, dest, "xp",
+            "SELECT FROM {ns=prod} WHERE msg CONTAINS 'ERROR'",
+        )
+        for i in range(12, 18):
+            router.write(
+                {"name": f"app{i % 3}", "ns": "prod"},
+                [(BASE + i * NS, f"p-{i} {'ERROR' if i % 2 == 0 else 'ok'}",
+                  {"i": str(i)})],
+            )
+        assert _wait_for(lambda: len(piped()) >= 9), len(piped())
+        import time
+
+        time.sleep(2.0)
+        rows = piped()
+        pairs = [(r["fields"][PROV_SRC], r["fields"][PROV_SEQ]) for r in rows]
+        assert len(pairs) == len(set(pairs)), sorted(pairs)
+        assert sorted(r["msg"] for r in rows) == sorted(
+            f"p-{i} ERROR" for i in range(0, 18, 2)
+        )
+    finally:
+        if handle is not None:
+            handle.stop()
+        if reader is not None:
+            reader.close()
+        for e in engines:
+            e.close()
+        dest.close()
+        shutil.rmtree(sroot, ignore_errors=True)
+        shutil.rmtree(droot, ignore_errors=True)
