@@ -121,6 +121,26 @@ PREV_ROUNDS = {
         "events_sessions": 0.397, "events_asof": 0.374,
         "events_range_join": 0.344, "training_pipeline": 2.008,
     },
+    # r13 driver-measured minima, verbatim from BENCH_r13.json "parsed"
+    # (first round with the 29-query flagship set; cc_pipeline at r13 ran
+    # 5 of the 11 stages the r14 capstone composes — its delta vs this
+    # pin is added WORK, attributed in SCALE.md "Round 14")
+    "r13": {
+        "lql_contains": 0.186, "lql_tail": 0.206, "lql_format": 0.223,
+        "show_partitions": 0.166, "pricing_summary": 0.912,
+        "revenue_by_segment": 0.953, "revenue_by_nation": 1.364,
+        "top_orders_per_customer": 0.36, "events_hourly": 0.427,
+        "dedup_exact": 0.232, "dedup_lsh_candidates": 2.332,
+        "dedup_near_duplicates": 2.429, "dedup_simhash_pairs": 3.858,
+        "text_stats": 0.499, "text_top_words": 0.24,
+        "ann_cosine_topk": 0.419, "ann_bucketed_topk": 0.436,
+        "dedup_embedding": 1.219, "parse_k8json": 1.488,
+        "events_sessions": 0.372, "events_asof": 0.352,
+        "events_range_join": 0.396, "training_pipeline": 2.72,
+        "gopher_stats": 0.49, "lang_predict": 1.769,
+        "kn_bigram_ppl": 1.022, "wet_documents": 0.58,
+        "cc_pipeline": 7.327, "url_dedup": 0.376,
+    },
     # r09 driver-measured minima, verbatim from BENCH_r09.json "parsed"
     "r09": {
         "lql_contains": 0.336, "lql_tail": 0.388, "lql_format": 0.387,
@@ -243,6 +263,17 @@ def main() -> int:
         medians[name] = med
         total_median += med
 
+    # x10 dedup-family block (VERDICT r13 #7): the broadcast-audit merge
+    # hints trade sf0.1 latency for scale safety, and the justification
+    # lives at x10 — measure it IN the round artifact so the next plan
+    # change shows its x10 effect here, not only in a hand-run sweep.
+    # Runs BEFORE the ingest bench: its engine leaves background threads
+    # (autocompaction, follow waiters) that inflate co-resident timings.
+    # Disable with SPARK_GRAFT_BENCH_X10=0.
+    dedup_x10 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_X10", "1") != "0":
+        dedup_x10 = _bench_dedup_x10(spark, qs, n_runs)
+
     ingest = _bench_ingest(spark)
 
     # per-query delta vs the pinned prior-round driver numbers (negative
@@ -299,6 +330,7 @@ def main() -> int:
         "sf": sf,
         "delta_vs_prev": deltas,
         "ingest": ingest,
+        "dedup_x10": dedup_x10,
         "heap_ab": heap_ab,
         "follow_at_scale": follow_at_scale,
     }
@@ -332,6 +364,11 @@ def main() -> int:
                 "n_runs": n_runs,
                 "sf": sf,
                 "delta_total_vs_prev": delta_total,
+                "dedup_x10_sec": (
+                    {n: v["sec"] for n, v in dedup_x10["queries"].items()}
+                    if dedup_x10
+                    else None
+                ),
                 "ingest_records_per_sec": ingest["records_per_sec"],
                 "ingest_sustained_records_per_sec": ingest[
                     "sustained_records_per_sec"
@@ -342,6 +379,52 @@ def main() -> int:
     )
     spark.stop()
     return 0
+
+
+# the dedup plans whose scale safety the round-13/14 merge hints buy;
+# measured at 10x documents so the artifact carries the design point
+X10_DEDUP = [
+    "dedup_near_duplicates",
+    "dedup_lsh_candidates",
+    "dedup_simhash64_pairs",
+    "semantic_dedup",
+]
+
+
+def _bench_dedup_x10(spark, qs, n_runs: int) -> dict:
+    """Min-of-n warm wall times for the dedup family at the 10x corpus
+    (tools/scale_proof.py's replicated layout, built once under /tmp and
+    reused). These rows justify the merge-hinted (never-broadcast)
+    plans: a broadcast variant wins at sf0.1 and loses (or OOMs) here.
+
+    Where scale_proof defines a DESIGN-POINT variant, that one is
+    measured — the registry queries pin sf0.01-oracle parameters that
+    are degenerate at x10 (semantic_dedup's registry row holds eps=0.3
+    and k=16 centroids, which makes ~95% of the x10 corpus one dense
+    ε-graph — the true answer, but a different workload than the
+    eps=0.97 / occupancy-scaled-k SemDeDup shape the scale claims are
+    about)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import scale_proof
+
+    _x1, x10 = scale_proof.build(spark)
+    out: dict = {"scale": "x10_documents", "queries": {}}
+    for name in X10_DEDUP:
+        fn = (
+            scale_proof.EXTRA_QUERIES[name][0]
+            if name in scale_proof.EXTRA_QUERIES
+            else qs[name]
+        )
+        fn(spark, x10).write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, x10).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out["queries"][name] = {"sec": min(runs), "runs": runs}
+    return out
 
 
 def _bench_ingest(spark) -> dict:

@@ -15,10 +15,17 @@ answer scales linearly — the benchmark is scaled, not degenerate):
   (``F.translate``). Token structure, lengths and within-replica duplicate
   structure are preserved exactly; tokens differ ACROSS replicas, so the
   near-dup pair count scales 10x, not 100x.
-- embeddings: per-replica rotation of the vector — preserves norms and all
-  intra-replica distances; cross-replica vectors land in different sign
-  buckets. Replica 0 is the identity so the fixed vec_id<10 query set is
-  untouched.
+- embeddings: per-replica deterministic SIGN FLIP of coordinates (a
+  diagonal ±1 orthogonal transform) — preserves norms and ALL
+  intra-replica inner products exactly; a vector's images under two
+  different masks have cosine ≈ a ±-weighted mean of its squared
+  coordinates, E=0 and σ≈1/√dim, so cross-replica pairs sit far below
+  any semantic threshold. (The earlier CYCLIC-SHIFT transform violated
+  this file's own design rule: adjacent-dim correlation made replica k
+  and k±1 images near-duplicates, so the x10 corpus was ~90% chained
+  semantic dups and semantic_dedup's true pair volume grew ~10x faster
+  than rows — degenerate, not scaled.) Replica 0 is the identity so the
+  fixed vec_id<10 query set is untouched.
 - lineitem/orders/customer: key-space translation — l_orderkey/o_orderkey
   bumped by k*n_orders, o_custkey/c_custkey by k*n_cust. Join fan-out per
   key is unchanged; per-customer order counts are unchanged (the
@@ -54,7 +61,10 @@ import bench  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/lrspark-scale"
+# v2: embeddings replication changed from cyclic shift to sign flips
+# (see the replication notes above) — new dir so stale x10 data from
+# the old generator can never be reused
+WORK = "/tmp/lrspark-scale-v2"
 REPLICAS = 10
 ALPHA = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
@@ -456,16 +466,22 @@ def build(spark) -> tuple[str, str]:
     if not os.path.exists(emb_out):
         emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
         n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-        dim = len(emb.select("embedding").first()[0])
         _write(
             _union(
                 [
                     emb.select(
                         (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
                         (
-                            F.concat(
-                                F.slice("embedding", k + 1, dim - k),
-                                F.slice("embedding", 1, k),
+                            # deterministic per-(replica, dim) ±1 mask
+                            F.transform(
+                                "embedding",
+                                lambda x, i: F.when(
+                                    F.pmod(
+                                        F.xxhash64(F.lit(int(k)), i), 2
+                                    )
+                                    == 0,
+                                    x,
+                                ).otherwise(-x),
                             )
                             if k
                             else F.col("embedding")
