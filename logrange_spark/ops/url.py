@@ -346,3 +346,76 @@ def domain_stats(
             F.lit(1.0) - F.col("n_urls") / F.col("n_docs"), 6
         ),
     )
+
+
+def persist_url_index(
+    spark,
+    docs: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    quality_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Materialize a crawl's URL-dedup state as ONE bucketed catalog
+    table — the cross-crawl twin of :func:`url_dedup`, completing the
+    ``persist_* / *_against`` family (MinHash, embeddings, fingerprints
+    have theirs in ops/dedup.py / ops/ann.py).
+
+    ``<name>_urls`` holds (url_norm, kept_id) — the keep-best winner
+    per canonical key — bucketed by ``url_norm``, so every later
+    crawl's probe join reads co-located buckets with NO corpus-side
+    Exchange (write-once-shuffle-never; plan-asserted in
+    tests/test_url.py). One hash aggregation + one shuffle at write
+    time; RefinedWeb-style crawl-over-crawl URL filtering then never
+    re-aggregates the old crawls.
+    """
+    from .util import persist_bucketed
+
+    kept = url_dedup(docs, id_col, url_col, quality_col).select(
+        "url_norm", "kept_id"
+    )
+    return persist_bucketed(
+        spark, kept, f"{name}_urls", f"{path}_urls", n_buckets, "url_norm"
+    )
+
+
+def url_drops_against(
+    new_docs: DataFrame,
+    corpus_urls: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """New-crawl documents to DROP under crawl-over-crawl URL dedup:
+    (a) within-crawl keep-best losers (:func:`url_duplicate_drops`
+    semantics), plus (b) the new crawl's per-key winners whose
+    canonical URL ALREADY EXISTS in the persisted index — the earlier
+    crawl keeps the page (RefinedWeb's "seen URL" rule: re-fetches of a
+    known URL never enter the corpus).
+
+    Returns one ``id_col`` row per dropped document. Plan: the new
+    crawl normalizes and keep-best-aggregates map-side+one shuffle; the
+    probe equi-join on ``url_norm`` reads the corpus index bucketed
+    with no corpus-side Exchange; the loser join-back is merge-hinted
+    (both sides crawl-scaled — the r13 audit rule).
+    """
+    kept = url_dedup(new_docs, id_col, url_col, quality_col).select(
+        "url_norm", "kept_id"
+    )
+    keyed = new_docs.select(
+        normalize_url(F.col(url_col)).alias("url_norm"), F.col(id_col)
+    )
+    within = (
+        keyed.hint("merge")
+        .join(kept, "url_norm")
+        .where(F.col(id_col) != F.col("kept_id"))
+        .select(id_col)
+    )
+    seen = (
+        kept.hint("merge")
+        .join(corpus_urls.select("url_norm"), "url_norm")
+        .select(F.col("kept_id").alias(id_col))
+    )
+    return within.unionByName(seen)

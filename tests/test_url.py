@@ -177,3 +177,68 @@ def test_normalize_matches_duckdb_twin(spark):
         ).fetchall()
     ]
     assert got_spark == got_duck
+
+
+def test_url_index_cross_crawl(spark, tmp_path_factory, messy):
+    """Crawl-over-crawl URL dedup: the first crawl's keep-best keys
+    persist bucketed; the next crawl drops its within-crawl losers AND
+    every winner whose canonical URL the index already holds — matching
+    a brute-force python recomputation exactly — and the probe plan
+    reads the index bucketed with no corpus-side Exchange."""
+    wh = str(tmp_path_factory.mktemp("urlidx"))
+    spark.sql("DROP TABLE IF EXISTS crawl0_urls")
+    try:
+        idx = U.persist_url_index(
+            spark, messy, "crawl0", f"{wh}/crawl0", quality_col="n_chars"
+        )
+        # next crawl: re-fetches pages 0..3 under NEW cosmetic variants
+        # (same canonical keys) + genuinely new pages 100..104, each
+        # crawled twice (one tracking-param variant) so within-crawl
+        # dedup has work
+        rows = []
+        for doc_id in range(1000, 1008):
+            pid = doc_id % 4  # collides with crawl-0 page pid
+            rows.append((doc_id,
+                         f"http://Example.com/page/{pid}?id={pid}&z=2&utm_term=x"))
+        for k in range(5):
+            rows.append((2000 + 2 * k, f"https://example.com/new/{k}"))
+            rows.append((2001 + 2 * k,
+                         f"https://www.example.com/new/{k}?fbclid=f{k}"))
+        new = spark.createDataFrame(rows, "doc_id long, url string")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            drops_df = U.url_drops_against(new, idx)
+            plan = drops_df._jdf.queryExecution().executedPlan().toString()
+            drops = {r["doc_id"] for r in drops_df.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        # brute force: within-crawl keep-min per key, then drop winners
+        # whose key appeared in crawl 0
+        import collections
+
+        keys = {
+            r["doc_id"]: r["n"]
+            for r in new.select(
+                "doc_id", U.normalize_url(F.col("url")).alias("n")
+            ).collect()
+        }
+        crawl0_keys = {r["url_norm"] for r in idx.collect()}
+        by_key = collections.defaultdict(list)
+        for d, k in keys.items():
+            by_key[k].append(d)
+        expect = set()
+        for k, ids in by_key.items():
+            ids = sorted(ids)
+            expect.update(ids[1:])              # within-crawl losers
+            if k in crawl0_keys:
+                expect.add(ids[0])              # seen-URL winners drop too
+        assert drops == expect
+        # the 8 re-fetches collapse to 4 keys, all seen → all 8 drop;
+        # each new page keeps exactly one of its two variants
+        assert {d for d in drops if d >= 2000} == {2001 + 2 * k for k in range(5)}
+        assert all(1000 + i in drops for i in range(8))
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS crawl0_urls")
