@@ -2162,7 +2162,10 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("contamination", 6).alias("contamination")
     )
     decon = spanned.hint("merge").join(keep, "doc_id")
-    red = text.redact(decon)  # (doc_id, redacted, n_emails, n_ips, n_longnums)
+    # keep= carries contamination through the redaction map, so the
+    # pipeline tail re-attaches attributes with ONE merge join instead
+    # of two
+    red = text.redact(decon, keep=("contamination",))
     scored = text.unigram_lm_score(red, "doc_id", "redacted").select(
         "doc_id", "ppl"
     )
@@ -2175,12 +2178,9 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = sampling.shard_corpus(
         labeled.select("doc_id", "ppl", "bucket"), CC_SHARDS
     )
-    attrs = keep.hint("merge").join(
-        red.select("doc_id", "n_emails"), "doc_id"
-    )
     return (
         sharded.hint("merge")
-        .join(attrs, "doc_id")
+        .join(red.select("doc_id", "contamination", "n_emails"), "doc_id")
         .select(
             "doc_id", "contamination", "n_emails",
             "ppl", "bucket", "shard_id", "shard_pos",

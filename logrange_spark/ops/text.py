@@ -619,14 +619,17 @@ REDACT_LONGNUM = r"[0-9]{9,}"
 
 
 def redact(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """PII scrub for training corpora: emails → ``<EMAIL>``, IPv4
     addresses → ``<IP>``, 9+-digit runs (phone/SSN/account-shaped) →
     ``<NUM>``, plus per-document match counts (counted on the ORIGINAL
     text, before any replacement). Pure regexp_replace/regexp_count
     chain — shuffle-free, UDF-free, and oracle-checkable because the
-    patterns are Java-regex/RE2 portable."""
+    patterns are Java-regex/RE2 portable. ``keep`` carries extra
+    columns through (the gopher_quality_stats convention), so a
+    pipeline tail needs no join back to recover attributes."""
     c = F.col(text_col)
     redacted = F.regexp_replace(
         F.regexp_replace(
@@ -639,6 +642,7 @@ def redact(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         redacted.alias("redacted"),
         F.regexp_count(c, F.lit(REDACT_EMAIL)).alias("n_emails"),
         F.regexp_count(c, F.lit(REDACT_IPV4)).alias("n_ips"),
