@@ -234,6 +234,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     Models", table A1 — the standard public quality filters for training
@@ -259,6 +260,7 @@ def repetition_stats(
     )
     base = docs.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         lines.alias("_l"),
         F.array_sort(lines).alias("_ls"),
         tokens(c).alias("_w"),
@@ -350,6 +352,7 @@ def repetition_stats(
 
     return base.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         n_lines.alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
         F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
@@ -558,6 +561,31 @@ C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
 
 
+def _c4_exprs(text_col: Column, min_line_words: int):
+    """The C4 §2.2 building-block expressions over a raw text column —
+    (lines, kept, cleaned, n_sentences, has_lorem, has_brace). One
+    definition shared by ``c4_line_rules`` and ``quality_signals`` so
+    the flag semantics cannot drift."""
+    raw = F.coalesce(text_col, F.lit(""))
+    trimmed = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+    lines = F.filter(trimmed, lambda l: l != F.lit(""))
+    term = "|".join(f"\\{p}" if p in ".?" else p for p in C4_TERMINAL_PUNCT)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(f"({term})$")
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+            >= F.lit(int(min_line_words))
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]+"))
+    has_lorem = F.lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{")
+    return lines, kept, cleaned, n_sent, has_lorem, has_brace
+
+
 def c4_line_rules(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -576,23 +604,9 @@ def c4_line_rules(
     '{'). Line trimming matches ``doc_lines``; word counting matches
     ``tokens``. Compose with ``blocklist_gate`` (the paper's badword
     step) and ``remove_boilerplate`` for the full C4 §2.2 treatment."""
-    raw = F.coalesce(F.col(text_col), F.lit(""))
-    trimmed = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
-    lines = F.filter(trimmed, lambda l: l != F.lit(""))
-    term = "|".join(f"\\{p}" if p in ".?" else p for p in C4_TERMINAL_PUNCT)
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike(f"({term})$")
-        & (
-            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
-            >= F.lit(int(min_line_words))
-        )
-        & ~F.lower(l).contains("javascript"),
+    lines, kept, cleaned, n_sent, has_lorem, has_brace = _c4_exprs(
+        F.col(text_col), min_line_words
     )
-    cleaned = F.array_join(kept, "\n")
-    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]+"))
-    has_lorem = F.lower(raw).contains("lorem ipsum")
-    has_brace = raw.contains("{")
     return docs.select(
         F.col(id_col),
         cleaned.alias("text"),
@@ -607,6 +621,94 @@ def c4_line_rules(
             & ~has_brace
         ).alias("c4_pass"),
     )
+
+
+def quality_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    blocklist: tuple[str, ...] = (),
+    max_hits: int = 0,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """One wide attribute row per document — EVERY map-side quality
+    signal this module computes, in ONE pass (the Dolma "attributes
+    file" shape: Soldaini et al. 2024 publish exactly this per-doc
+    signal table, computed once and consulted by every downstream
+    filter mix):
+
+    (id, n_chars, lang, — identity / language heuristic
+     n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+     ellipsis_line_frac, alpha_word_frac, stopword_hits, gopher_pass,
+     — Gopher table A1 document rules
+     n_lines, dup_line_frac, dup_line_char_frac, top_ngram_char_frac,
+     — Gopher repetition rules
+     n_kept, n_sentences, has_lorem_ipsum, has_brace, c4_pass,
+     — C4 §2.2 line/page rules (flags only; the rebuilt text is
+       c4_line_rules' job)
+     n_emails, n_ips, n_longnums
+     — PII density (redact's counters)
+     [, blocklist_hits, blocklist_pass when a blocklist is given])
+
+    Values are COLUMN-IDENTICAL to the individual operators
+    (gopher_quality_stats/gopher_gate, repetition_stats, c4_line_rules,
+    redact, blocklist_gate) — pinned by a differential test — because
+    the signal expressions are the same code: the ops chain through
+    their ``keep=`` passthroughs and the C4 flags come from the shared
+    ``_c4_exprs``. 100 TB shape: Catalyst collapses the chained
+    projections into ONE map stage — the plan contains no Exchange at
+    all (plan-asserted) — so the full signal table costs one parquet
+    scan, vs five scans + four joins for the op-at-a-time composition.
+    """
+    gcols = (
+        "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "gopher_pass",
+    )
+    g = gopher_gate(
+        gopher_quality_stats(docs, id_col, text_col, keep=(text_col,))
+    )
+    r = repetition_stats(
+        g, id_col, text_col, ngram, keep=gcols + (text_col,)
+    )
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    _lines, kept, _cleaned, n_sent, has_lorem, has_brace = _c4_exprs(
+        F.col(text_col), min_line_words
+    )
+    out = [
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        lang_id(c).alias("lang"),
+        *[F.col(k) for k in gcols],
+        F.col("n_lines"),
+        F.col("dup_line_frac"),
+        F.col("dup_line_char_frac"),
+        F.col("top_ngram_char_frac"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= F.lit(int(min_sentences))) & ~has_lorem & ~has_brace
+        ).alias("c4_pass"),
+        F.regexp_count(c, F.lit(REDACT_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(REDACT_IPV4)).alias("n_ips"),
+        F.regexp_count(c, F.lit(REDACT_LONGNUM)).alias("n_longnums"),
+    ]
+    if blocklist:
+        hits = F.coalesce(
+            F.regexp_count(
+                F.lower(F.col(text_col)), F.lit(blocklist_pattern(blocklist))
+            ),
+            F.lit(0),
+        )
+        out += [
+            hits.alias("blocklist_hits"),
+            (hits <= F.lit(int(max_hits))).alias("blocklist_pass"),
+        ]
+    return r.select(*out)
 
 
 # PII redaction patterns — restricted to syntax Java regex and RE2 (the

@@ -4498,3 +4498,77 @@ FROM k
 """
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert len(got) == 500 and got == want
+
+
+# ------------------------------------------------------ quality signals
+def test_quality_signals_matches_individual_ops(spark):
+    """The one-pass Dolma-style attribute row must be column-identical
+    to the five individual operators it composes, and its plan must be
+    a pure map — NO Exchange of any kind (one parquet scan at 100 TB,
+    vs five scans + four joins for the op-at-a-time composition)."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    derive = (
+        "concat(text, ' tail words to end.', chr(10), "
+        "CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript now please.' "
+        "ELSE 'A perfectly good sentence right here.' END, chr(10), "
+        "CASE WHEN doc_id % 5 = 0 THEN 'Brace yourself { for code.' "
+        "WHEN doc_id % 5 = 1 THEN 'lorem ipsum filler text here.' "
+        "WHEN doc_id % 7 = 0 THEN concat('Mail user', doc_id, "
+        "'@example.com about 123456789 now.') "
+        "ELSE 'Another fine sentence with many words!' END)"
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id", f"{derive} AS text"
+    )
+    blocklist = ("slow query",)
+    sig = text.quality_signals(docs, blocklist=blocklist)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert len(rows) == 500
+
+    gop = {
+        r["doc_id"]: r
+        for r in text.gopher_gate(text.gopher_quality_stats(docs)).collect()
+    }
+    rep = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    c4 = {r["doc_id"]: r for r in text.c4_line_rules(docs).collect()}
+    red = {r["doc_id"]: r for r in text.redact(docs).collect()}
+    blk = {
+        r["doc_id"]: r for r in text.blocklist_gate(docs, blocklist).collect()
+    }
+    ts = {
+        (r["doc_id"]): r
+        for r in docs.select(
+            "doc_id", F.length("text").alias("n_chars")
+        ).collect()
+    }
+    from logrange_spark.ops.text import lang_id
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    for d, r in rows.items():
+        for k in ("n_words", "mean_word_len", "symbol_word_ratio",
+                  "bullet_line_frac", "ellipsis_line_frac",
+                  "alpha_word_frac", "stopword_hits", "gopher_pass"):
+            assert r[k] == gop[d][k], (d, k)
+        for k in ("n_lines", "dup_line_frac", "dup_line_char_frac",
+                  "top_ngram_char_frac"):
+            assert r[k] == rep[d][k], (d, k)
+        for k in ("n_kept", "n_sentences", "has_lorem_ipsum", "has_brace",
+                  "c4_pass"):
+            assert r[k] == c4[d][k], (d, k)
+        for k in ("n_emails", "n_ips", "n_longnums"):
+            assert r[k] == red[d][k], (d, k)
+        for k in ("blocklist_hits", "blocklist_pass"):
+            assert r[k] == blk[d][k], (d, k)
+        assert r["n_chars"] == ts[d]["n_chars"] and r["lang"] == langs[d], d
