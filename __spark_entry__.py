@@ -887,14 +887,18 @@ FROM d
 # DuckDB twin: lines/grams via unnest+groupBy instead of sorted-array
 # folds — an independent computation of the same integer numerators and
 # denominators, so the single double division matches bit-for-bit.
-REPETITION_ORACLE_SQL = """
+def _repetition_sql(src: str = "documents") -> str:
+    return REPETITION_ORACLE_TMPL.replace("FROM __SRC__", f"FROM {src}")
+
+
+REPETITION_ORACLE_TMPL = """
 WITH l AS (
   SELECT doc_id,
          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                      x -> x <> '') AS lines,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> t <> '') AS w
-  FROM documents
+  FROM __SRC__
 ),
 lu AS (SELECT doc_id, unnest(lines) AS line FROM l),
 lg AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
@@ -936,6 +940,9 @@ FROM l LEFT JOIN lagg USING (doc_id)
        LEFT JOIN g USING (doc_id)
        LEFT JOIN gagg USING (doc_id)
 """.strip()
+
+# back-compat alias (tests reference the old constant name)
+REPETITION_ORACLE_SQL = _repetition_sql()
 
 
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,6 +1556,115 @@ def _q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs, symbol/bullet/ellipsis/alpha fractions, stop-word
     presence — a pure map stage with a full DuckDB recomputation."""
     return text.gopher_quality_stats(_t(spark, sf_dir, "documents"))
+
+
+# Derived multi-line corpus for the quality_signals row: template lines
+# on doc_id-modulus schedules give every signal family real work —
+# javascript/short lines for C4, lorem/brace page gates, a PII line for
+# the redaction counters, and a within-doc DUPLICATE of line 2 (the
+# final ELSE) for the repetition rules. Same construction in the twin.
+_QS_DERIVE = (
+    "concat(text, ' tail words to end.', chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript now please.' "
+    "ELSE 'A perfectly good sentence right here.' END, chr(10), "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Brace yourself { for code.' "
+    "WHEN doc_id % 5 = 1 THEN 'lorem ipsum filler text here.' "
+    "WHEN doc_id % 7 = 0 THEN concat('Mail user', CAST(doc_id AS STRING), "
+    "'@example.com about 123456789 now.') "
+    "ELSE 'A perfectly good sentence right here.' END)"
+)
+
+_QS_DERIVE_DUCK = (
+    "(text || ' tail words to end.' || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript now please.' "
+    "ELSE 'A perfectly good sentence right here.' END || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'Brace yourself { for code.' "
+    "WHEN doc_id % 5 = 1 THEN 'lorem ipsum filler text here.' "
+    "WHEN doc_id % 7 = 0 THEN 'Mail user' || doc_id "
+    "|| '@example.com about 123456789 now.' "
+    "ELSE 'A perfectly good sentence right here.' END)"
+)
+
+
+def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass Dolma-style attribute row (ops/text.quality_signals,
+    r14): every map-side quality signal — identity/lang, Gopher A1 +
+    repetition rules, C4 flags, PII counts, blocklist — over the
+    derived multi-line corpus, as ONE Exchange-free map stage. The
+    DuckDB twin recomputes every column from the same derivation."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_QS_DERIVE} AS text"
+    )
+    return text.quality_signals(docs, blocklist=CC_BLOCKLIST)
+
+
+def _quality_signals_sql() -> str:
+    from logrange_spark.ops.text import (
+        REDACT_EMAIL,
+        REDACT_IPV4,
+        REDACT_LONGNUM,
+    )
+
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = {l: _stopword_hits_sql(text.LANG_STOPWORDS[l]) for l in langs}
+    hit_cols = ", ".join(f"{e} AS h_{l}" for l, e in hits.items())
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    lang_case = "CASE "
+    for l in langs:
+        lang_case += f"WHEN h_{l} = best AND best > 0 THEN '{l}' "
+    lang_case += "ELSE 'und' END"
+    term = r'(\.|!|\?|")$'
+    pat = text.blocklist_pattern(CC_BLOCKLIST)
+    e_pat, i_pat, n_pat = REDACT_EMAIL, REDACT_IPV4, REDACT_LONGNUM
+    return f"""
+WITH qsd AS (SELECT doc_id, {_QS_DERIVE_DUCK} AS text FROM documents),
+{_tok_cte('qsd')},
+gs AS ({_gopher_stats_sql('qsd')}),
+rep AS ({_repetition_sql('qsd')}),
+c4k AS (SELECT doc_id, text AS raw,
+         list_filter(
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)), x -> x <> ''),
+           x -> regexp_matches(x, '{term}')
+             AND len(list_filter(string_split_regex(x, '\\s+'),
+                                 t -> t <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM qsd),
+c4f AS (SELECT doc_id,
+         CAST(len(kept) AS INT) AS n_kept,
+         CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                     '[.!?]+')) AS INT) AS n_sentences,
+         contains(lower(raw), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(raw, '{{') AS has_brace
+        FROM c4k),
+lh AS (SELECT doc_id, {hit_cols} FROM toks),
+lng AS (SELECT doc_id, {lang_case} AS lang
+        FROM (SELECT *, {best} AS best FROM lh))
+SELECT q.doc_id,
+  CAST(length(q.text) AS INT) AS n_chars,
+  lng.lang,
+  gs.n_words, gs.mean_word_len, gs.symbol_word_ratio,
+  gs.bullet_line_frac, gs.ellipsis_line_frac, gs.alpha_word_frac,
+  gs.stopword_hits,
+  (gs.n_words BETWEEN 50 AND 100000
+   AND gs.mean_word_len BETWEEN 3.0 AND 10.0
+   AND gs.symbol_word_ratio <= 0.1 AND gs.bullet_line_frac <= 0.9
+   AND gs.ellipsis_line_frac <= 0.3 AND gs.alpha_word_frac >= 0.8
+   AND gs.stopword_hits >= 2) AS gopher_pass,
+  rep.n_lines, rep.dup_line_frac, rep.dup_line_char_frac,
+  rep.top_ngram_char_frac,
+  c4f.n_kept, c4f.n_sentences, c4f.has_lorem_ipsum, c4f.has_brace,
+  (c4f.n_sentences >= 3 AND NOT c4f.has_lorem_ipsum
+   AND NOT c4f.has_brace) AS c4_pass,
+  CAST(len(regexp_extract_all(q.text, '{e_pat}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(q.text, '{i_pat}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(q.text, '{n_pat}')) AS INT) AS n_longnums,
+  CAST(len(regexp_extract_all(lower(q.text), '{pat}')) AS INT)
+    AS blocklist_hits,
+  (len(regexp_extract_all(lower(q.text), '{pat}')) <= 0) AS blocklist_pass
+FROM qsd q JOIN gs USING (doc_id) JOIN rep USING (doc_id)
+JOIN c4f USING (doc_id) JOIN lng USING (doc_id)
+""".strip()
 
 
 def _gopher_stats_sql(src: str = "documents") -> str:
@@ -2437,7 +2553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape stays covered by events_asof) and the Gopher table-A1
         # document rules (for dedup_lsh_candidates)
         "lang_predict": _q_lang_predict,
-        "gopher_stats": _q_gopher_stats,
+        # round-14 rotation: the one-pass Dolma-style attribute row
+        # replaces its strict-subset gopher_stats (retired to pytest,
+        # and its signals stay registry-checked THROUGH this superset)
+        "quality_signals": _q_quality_signals,
         # event-time streaming ops (batch-checkable session windows)
         "events_sessions": _q_events_sessions,
         # training-data pipeline: C4-style template cleaning (late r8)
@@ -2526,6 +2645,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-13 rotation (for url_dedup / domain_stats)
         "text_unigram_ppl": _q_unigram_ppl,
         "tfidf_keywords": _q_tfidf_keywords,
+        # round-14 rotation (for quality_signals — its strict superset)
+        "gopher_stats": _q_gopher_stats,
     }
 
 
@@ -3189,6 +3310,7 @@ GROUP BY 1, 2, 3""".strip(),
     # round-13 rotation — oracles preserved verbatim from oracle_sql()
     "text_unigram_ppl": _unigram_sql(),
     "tfidf_keywords": _tfidf_sql(),
+    "gopher_stats": _gopher_stats_sql(),
 }
 
 # DuckDB twin of _q_boilerplate_removal: same doc_id-modulus multi-line
@@ -3346,14 +3468,14 @@ FROM events GROUP BY md5(props) HAVING count(*) > 1""".strip(),
         "ann_cosine_topk": _ann_sql(bucketed=False),
         "ann_ivf_topk": _ivf_sql(10),
         "ann_pq_topk": _pq_sql(10),
-        "repetition_stats": REPETITION_ORACLE_SQL,
+        "repetition_stats": _repetition_sql(),
         "curation_full": _curation_full_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "dsir_logratios": _dsir_logratios_sql(),
         "quality_score": _quality_score_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "lang_predict": _lang_predict_sql(),
-        "gopher_stats": _gopher_stats_sql(),
+        "quality_signals": _quality_signals_sql(),
         "contamination": _contamination_sql(),
         "mixture_sample": _mixture_sql(),
         "text_bm25_topk": _bm25_sql(),
