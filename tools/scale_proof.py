@@ -232,6 +232,15 @@ def _q_semantic_dedup(spark, sf_dir):
                                     assign="numpy")
 
 
+def _q_quality_signals(spark, sf_dir):
+    from logrange_spark.ops import text as t
+
+    return t.quality_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        blocklist=("slow query",),
+    )
+
+
 def _q_kn_bigram(spark, sf_dir):
     from logrange_spark.ops import text as t
 
@@ -376,6 +385,9 @@ EXTRA_QUERIES = {
     "bpe_train_segment": (_q_bpe, "documents"),
     # KN bigram LM: one (u,w)-keyed count shuffle to train; scoring is
     # the event stream joined key-partitioned against the model tables
+    # one-pass attribute row: chained projections collapse to a single
+    # map stage (plan asserted Exchange-free) — must be flat-linear
+    "quality_signals": (_q_quality_signals, "documents"),
     "kn_bigram_ppl": (_q_kn_bigram, "documents"),
     # order-3 KN: ONE corpus-scaled top-order count; lower continuation
     # tables are groupBys of bounded tables; scoring adds two more
