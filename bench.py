@@ -194,6 +194,9 @@ HEADLINE = [
     # round-13 addition: the URL stage (ops/url.py) — normalize + keep-
     # best dedup, the RefinedWeb first-pass representative
     "url_dedup",
+    # round-14 addition: the one-pass Dolma-style attribute row — the
+    # new flagship surface must regress visibly in BENCH (r12 rule)
+    "quality_signals",
 ]
 
 

@@ -101,6 +101,8 @@ DRIVER_TABLE = {
     "cc_pipeline": "documents",
     # round-13 URL stage
     "url_dedup": "documents",
+    # round-14 one-pass attribute row
+    "quality_signals": "documents",
 }
 
 SCALED_TABLES = ("documents", "embeddings", "lineitem", "orders", "customer", "events")
@@ -230,15 +232,6 @@ def _q_semantic_dedup(spark, sf_dir):
     # ~10x slower already at k=160 and infeasible at the paper's k=50k)
     return ann.semantic_dedup_drops(emb, cents, threshold=0.97,
                                     assign="numpy")
-
-
-def _q_quality_signals(spark, sf_dir):
-    from logrange_spark.ops import text as t
-
-    return t.quality_signals(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
-        blocklist=("slow query",),
-    )
 
 
 def _q_kn_bigram(spark, sf_dir):
@@ -385,9 +378,6 @@ EXTRA_QUERIES = {
     "bpe_train_segment": (_q_bpe, "documents"),
     # KN bigram LM: one (u,w)-keyed count shuffle to train; scoring is
     # the event stream joined key-partitioned against the model tables
-    # one-pass attribute row: chained projections collapse to a single
-    # map stage (plan asserted Exchange-free) — must be flat-linear
-    "quality_signals": (_q_quality_signals, "documents"),
     "kn_bigram_ppl": (_q_kn_bigram, "documents"),
     # order-3 KN: ONE corpus-scaled top-order count; lower continuation
     # tables are groupBys of bounded tables; scoring adds two more
