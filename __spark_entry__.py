@@ -2174,10 +2174,15 @@ def _cc_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
     return bytes(out)
 
 
-def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_stages(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, DataFrame]]:
     """CommonCrawl capstone — the FULL web-curation pipeline as ONE
     DataFrame program (every stage a module of this repo, in the order
-    the published pipelines run them):
+    the published pipelines run them), returned as the list of named
+    CUMULATIVE stage outputs so tools/cc_stage_timing.py can attribute
+    wall time per stage; ``_q_cc_pipeline`` (the registry row) is the
+    last stage:
 
     read_warc → URL keep-best dedup (RefinedWeb §3.1 — BEFORE any
     content work) → html_documents extraction → C4 §2.2 line rules +
@@ -2294,7 +2299,7 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = sampling.shard_corpus(
         labeled.select("doc_id", "ppl", "bucket"), CC_SHARDS
     )
-    return (
+    final = (
         sharded.hint("merge")
         .join(red.select("doc_id", "contamination", "n_emails"), "doc_id")
         .select(
@@ -2302,6 +2307,20 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ppl", "bucket", "shard_id", "shard_pos",
         )
     )
+    return [
+        ("url_extract", pages.select("doc_id", "text")),
+        ("c4_line_rules", c4ed),
+        ("boilerplate_gates", gated),
+        ("minhash_dedup", surv),
+        ("span_removal", spanned),
+        ("decontamination", decon),
+        ("redact_lm_score", scored),
+        ("terciles_shards", final),
+    ]
+
+
+def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_stages(spark, sf_dir)[-1][1]
 
 
 def _cc_pipeline_sql() -> str:
