@@ -153,6 +153,44 @@ class ShardRouter:
         out["shard"] = i
         return out
 
+    def truncate(self, lql: str, now_ns: int | None = None) -> dict:
+        """Retention across the sharded store: the TRUNCATE statement
+        fans out to every shard's writer engine (each owns its
+        partitions, so per-shard runs compose without coordination) and
+        the per-shard reports merge into one.
+
+        MAXDBSIZE is interpreted as a PER-SHARD budget of
+        total/n_shards: the global oldest-partition-first order would
+        need cross-shard coordination, while the per-shard budget keeps
+        the same invariant (total ≤ MAXDBSIZE after the pass, srcs
+        hash-spread evenly) with zero coordination — the same trade the
+        hash routing itself makes. Documented deviation from the
+        single-store global order."""
+        from .lql import ast as _ast
+        from .lql.parser import parse_lql
+
+        stmt = parse_lql(lql, now_ns)
+        if not isinstance(stmt, _ast.Truncate):
+            raise ValueError("truncate() accepts TRUNCATE statements only")
+        if stmt.max_db_size is not None:
+            per = stmt.max_db_size // len(self.engines)
+            stmt = _ast.Truncate(
+                dry_run=stmt.dry_run, source=stmt.source,
+                min_size=stmt.min_size, max_size=stmt.max_size,
+                before_ns=stmt.before_ns, max_db_size=per,
+            )
+        report = {
+            "partitions": [], "deleted_files": 0, "deleted_bytes": 0,
+            "dry_run": stmt.dry_run,
+        }
+        for i, e in enumerate(self.engines):
+            r = e.truncate(stmt)
+            for p in r["partitions"]:
+                report["partitions"].append({**p, "shard": i})
+            report["deleted_files"] += r["deleted_files"]
+            report["deleted_bytes"] += r["deleted_bytes"]
+        return report
+
 
 class ShardReader:
     """The query tier over a sharded store: full LQL across all shards.

@@ -720,3 +720,29 @@ def test_cursor_pipe_shard_to_other_store(spark):
         dest.close()
         shutil.rmtree(sroot, ignore_errors=True)
         shutil.rmtree(droot, ignore_errors=True)
+
+
+def test_shard_router_truncate(spark, twin_stores):
+    """TRUNCATE fans out to every shard's writer engine and the merged
+    report matches the single-store run (same BEFORE cut); the union
+    query afterward is row-identical to the truncated single store."""
+    sroot, engines, single = twin_stores
+    router = sh.ShardRouter(engines)
+    cut = BASE + 150 * NS
+    rep = router.truncate(f'TRUNCATE BEFORE "{cut}"')
+    srep = single.truncate(
+        __import__("logrange_spark.lql.parser", fromlist=["parse_lql"])
+        .parse_lql(f'TRUNCATE BEFORE "{cut}"')
+    )
+    assert rep["deleted_files"] == srep["deleted_files"] > 0
+    assert {p["src"] for p in rep["partitions"]} == {
+        p["src"] for p in srep["partitions"]
+    }
+    assert all("shard" in p for p in rep["partitions"])
+    reader = sh.ShardReader(spark, sroot)
+    got = [tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()]
+    want = [tuple(r) for r in single.query("SELECT LIMIT 10000").collect()]
+    assert got == want
+    reader.close()
+    with pytest.raises(ValueError, match="TRUNCATE"):
+        router.truncate("SELECT LIMIT 1")
