@@ -121,3 +121,151 @@ def start_corpus_dedup_stream(
         .foreachBatch(sink)
         .start()
     )
+
+# ---------------------------------------------------------------- fingerprint
+# The same never-re-paired ingestion shape over the 64-bit simhash
+# fingerprint index (ops/dedup.persist_corpus_fingerprints) — the
+# declared 100 TB near-dup path. Cheaper per shard than the MinHash
+# stream (one fingerprint per doc vs a shingle signature) at the cost
+# of Hamming-radius rather than Jaccard-threshold semantics.
+
+
+def bootstrap_fingerprint_corpus(
+    spark,
+    corpus: DataFrame,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+):
+    """Initial build: fingerprint the seed corpus, drop within-corpus
+    near-dups keep-first, persist the banded index + the corpus rows.
+    Returns (corpus_df, fps, members) catalog tables."""
+    fp = dedup.simhash(corpus, id_col, text_col, bits=64)
+    pairs = dedup.hamming_near_pairs(fp, id_col, "simhash", 64, max_hamming)
+    kept = corpus.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    fps, members = dedup.persist_corpus_fingerprints(
+        spark, dedup.simhash(kept, id_col, text_col, bits=64),
+        name, path, id_col, "simhash", 64, max_hamming, n_buckets,
+    )
+    return spark.read.parquet(f"{path}_docs"), fps, members
+
+
+def start_fingerprint_dedup_stream(
+    spark,
+    input_dir: str,
+    name: str,
+    path: str,
+    checkpoint: str,
+    doc_schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_files_per_trigger: int = 32,
+):
+    """Continuous fingerprint dedup: each incoming shard fingerprints
+    map-side, drops within-shard near-dups keep-first, probes the
+    persisted banded index (no corpus-side Exchange), and appends only
+    novel documents — to the corpus output AND to the two index tables
+    (bucketed INSERTs preserve the bucket spec, so later shards still
+    probe Exchange-free). The members insert runs LAST, so a replayed
+    batch anti-joins away against fully recorded documents only — the
+    same replay guard as the MinHash stream above."""
+
+    def sink(batch_df, batch_id):
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            # Fingerprint ONCE and cut the lineage: the 64-bit simhash is
+            # a very deep expression tree, and foreachBatch work runs on
+            # the stream-execution thread whose JVM stack is shallower
+            # than the driver main thread's — re-analyzing plans that
+            # embed the expression several times overflows it (observed
+            # as StackOverflowError in the stream thread). The per-shard
+            # fingerprint frame is two narrow columns, so the eager
+            # checkpoint is cheap and every downstream join plans against
+            # a flat scan.
+            fp = dedup.simhash(
+                batch, id_col, text_col, bits=64
+            ).localCheckpoint(eager=True)
+            pairs = dedup.hamming_near_pairs(
+                fp, id_col, "simhash", 64, max_hamming
+            )
+            keep_fp = fp.join(
+                pairs.select(F.col("id_b").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            fps_t = spark.table(f"{name}_fps")
+            members_t = spark.table(f"{name}_fp_members")
+            matches = dedup.hamming_near_pairs_against(
+                keep_fp, fps_t, members_t, id_col, "simhash", 64, max_hamming
+            )
+            # replay guard (see the MinHash stream): ids already in the
+            # members table were fully appended by a previous attempt
+            nfp = (
+                keep_fp.join(
+                    matches.select(F.col("new_id").alias(id_col)).distinct(),
+                    id_col,
+                    "left_anti",
+                )
+                .join(members_t.select(F.col(id_col)), id_col, "left_anti")
+                .persist()
+            )
+            novel = batch.join(nfp.select(id_col), id_col)
+            try:
+                if nfp.isEmpty():
+                    return
+                novel.write.mode("append").parquet(f"{path}_docs")
+                h, _ = dedup._hamming_masked_and_bands(
+                    F.col("simhash"), 64, max_hamming
+                )
+                hashed = nfp.select(F.col(id_col), h.alias("h"))
+                bands = (
+                    hashed.select("h").distinct()
+                    .join(fps_t.select("h").distinct(), "h", "left_anti")
+                    .select(
+                        "h",
+                        F.posexplode(
+                            dedup._hamming_masked_and_bands(
+                                F.col("h"), 64, max_hamming
+                            )[1]
+                        ).alias("band", "_bv"),
+                    )
+                    .select(
+                        F.concat_ws(":", F.col("band"), F.col("_bv")).alias(
+                            "bkey"
+                        ),
+                        "band",
+                        "h",
+                    )
+                )
+                bands.select("bkey", "band", "h").write.insertInto(
+                    f"{name}_fps"
+                )
+                hashed.select("h", id_col).write.insertInto(
+                    f"{name}_fp_members"
+                )
+            finally:
+                nfp.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .foreachBatch(sink)
+        .start()
+    )

@@ -179,9 +179,12 @@ def test_continuous_embedding_dedup_stream(spark, tmp_path):
             except Exception:
                 return []
 
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while corpus_ids() != [1, 3, 11] and time.time() < deadline:
             time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
         assert corpus_ids() == [1, 3, 11], corpus_ids()
 
         # shard 2: an exact copy of shard-1's novel vector (caught by the
@@ -189,9 +192,12 @@ def test_continuous_embedding_dedup_stream(spark, tmp_path):
         spark.createDataFrame(
             [(20, v11), (21, vec())], "vec_id long, embedding array<float>"
         ).coalesce(1).write.mode("append").parquet(inp)
-        deadline = time.time() + 90
+        deadline = time.time() + 180
         while corpus_ids() != [1, 3, 11, 21] and time.time() < deadline:
             time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
         assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
     finally:
         q.stop()
@@ -463,3 +469,114 @@ def test_continuous_curation_gopher_document_gate(spark, tmp_path):
     sc = {r["doc_id"]: r["score"] for r in
           quality_classifier_score(union, weights).collect()}
     assert sc[201] >= 0.5  # the classifier alone would have kept it
+
+
+def test_continuous_fingerprint_dedup_stream(spark, tmp_path):
+    """Fingerprint-side continuous dedup parity (r14): bootstrap drops
+    an internal near-dup (hamming 7 at max_hamming=7 — fixture
+    distances pre-verified: the planted pair sits at 7, every cross
+    pair at ≥21), stream two shards — corpus dups and in-shard dups
+    drop, novel docs append to the corpus files AND the banded index,
+    and a duplicate of a FIRST-shard novel doc is caught by the
+    incrementally-updated index."""
+    import os
+    import time
+
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+        start_fingerprint_dedup_stream,
+    )
+
+    name, root = "cfd", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    base = (
+        "alpha document about spark engines and large scale shuffles "
+        "with partitions executors stages tasks codegen arrow pages "
+        "buffers metrics plans catalyst tungsten joins aggregates windows"
+    )
+    gam = (
+        "gamma text with entirely fresh content tokens describing lakehouse "
+        "tables manifests snapshots compaction clustering ordering statistics "
+        "pruning vectors embeddings sketches minhash bands signatures buckets"
+    )
+    delta = (
+        "delta payload completely unlike anything else whatsoever here "
+        "covering syslog forwarders collectors parsers offsets journals "
+        "chunks cursors positions watermarks follow tails pipes workers"
+    )
+    eps = (
+        "epsilon report enumerating benchmark protocols noise floors medians "
+        "ratios budgets heaps sweeps artifacts attribution deltas registries "
+        "oracles twins hashes rotations retirements coverage inventories"
+    )
+    seed = spark.createDataFrame(
+        [(1, base), (2, base.replace("metrics", "metric")), (3, gam)],
+        "doc_id long, text string",
+    )
+    docs, _fps, _members = bootstrap_fingerprint_corpus(
+        spark, seed, name, f"{root}/{name}", max_hamming=7, n_buckets=8
+    )
+    assert sorted(r["doc_id"] for r in docs.collect()) == [1, 3]
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    q = start_fingerprint_dedup_stream(
+        spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+        "doc_id long, text string", max_hamming=7,
+    )
+    try:
+        # shard 1: a corpus dup (exact base), one novel (+ exact in-shard dup)
+        spark.createDataFrame(
+            [(10, base), (11, delta), (12, delta)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+        def corpus_ids():
+            try:
+                return sorted(
+                    r["doc_id"]
+                    for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+                )
+            except Exception:
+                return []
+
+        deadline = time.time() + 180
+        while corpus_ids() != [1, 3, 11] and time.time() < deadline:
+            time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
+        assert corpus_ids() == [1, 3, 11], corpus_ids()
+
+        # shard 2: a dup of shard-1's novel doc (caught by the UPDATED
+        # index) and one genuinely new doc
+        spark.createDataFrame(
+            [(20, delta), (21, eps)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 180
+        while corpus_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
+        assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
+
+        # the index holds exactly the corpus docs, one hash each here —
+        # the members insert runs LAST in the batch (the replay-guard
+        # ordering), so poll rather than racing the in-flight insert
+        def member_ids():
+            return sorted(
+                r["doc_id"]
+                for r in spark.table(f"{name}_fp_members").collect()
+            )
+
+        deadline = time.time() + 60
+        while member_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+        assert member_ids() == [1, 3, 11, 21], member_ids()
+    finally:
+        q.stop()
+        for t in ("fps", "fp_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
