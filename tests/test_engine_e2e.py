@@ -626,7 +626,10 @@ def test_autocompact_merges_small_files_after_threshold(engine):
         d = os.path.join(engine.logs_path, f"src={src}")
         return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
-    deadline = _time.time() + 30
+    # generous deadline: the compact pass is a background thread racing
+    # the whole suite's Spark jobs on a shared session — 30 s flaked
+    # under a loaded sandbox (round 14) while the pass itself takes ~2 s
+    deadline = _time.time() + 120
     while _time.time() < deadline and n_files() > 8:
         _time.sleep(0.5)
     assert n_files() <= 8, f"auto-compact never ran: {n_files()} files"
