@@ -1220,6 +1220,36 @@ class Engine:
         oldest partitions until total ≤ MAXDBSIZE; delete emptied
         partitions. DRYRUN reports without deleting.
         """
+        report, plans, sizes, oldest, nfiles = self._truncate_plan(stmt)
+        if stmt.max_db_size is not None:
+            total = sum(sizes.values())
+            # oldest partitions first (by earliest record timestamp, then
+            # src for determinism — reference: partition.go:516-581)
+            order = sorted(sizes, key=lambda s: (oldest.get(s, 0), s))
+            for src in order:
+                if total <= stmt.max_db_size:
+                    break
+                plans[src] = ["*ALL*"]
+                total -= sizes[src]
+                report["deleted_bytes"] += sizes[src]
+                report["deleted_files"] += nfiles[src]
+                sizes[src] = 0
+
+        if not stmt.dry_run:
+            self._truncate_execute(plans)
+        return report
+
+    def _truncate_plan(
+        self, stmt: ast.Truncate
+    ) -> tuple[dict, dict, dict, dict, dict]:
+        """Phase-1 planning (per-partition oldest-file drops for
+        BEFORE/MINSIZE/MAXSIZE): returns ``(report, plans, sizes,
+        oldest, nfiles)`` where sizes/nfiles are POST-phase-1 values.
+        Split out so ``ShardRouter.truncate`` can run the MAXDBSIZE
+        phase GLOBALLY across shards (the single-store oldest-first
+        order) instead of guessing per-shard budgets — growth-stable
+        routing makes shard sizes skewed by design, so an even split
+        over-deletes on the loaded shards (the r14 verdict defect)."""
         self._check_writable()
         src_ids = self.resolve_sources(stmt.source, cap=False)
         report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
@@ -1259,54 +1289,44 @@ class Engine:
                 report["deleted_bytes"] += size - remaining
                 sizes[src] = remaining
                 nfiles[src] -= len(drop)
+        return report, plans, sizes, oldest, nfiles
 
-        if stmt.max_db_size is not None:
-            total = sum(sizes.values())
-            # oldest partitions first (by earliest record timestamp, then
-            # src for determinism — reference: partition.go:516-581)
-            order = sorted(sizes, key=lambda s: (oldest.get(s, 0), s))
-            for src in order:
-                if total <= stmt.max_db_size:
-                    break
-                plans[src] = ["*ALL*"]
-                total -= sizes[src]
-                report["deleted_bytes"] += sizes[src]
-                report["deleted_files"] += nfiles[src]
-                sizes[src] = 0
+    def _truncate_execute(self, plans: dict[str, list[str]]) -> None:
+        """Execute a truncate plan: per-src file deletions, ``*ALL*``
+        partition drops, emptied-dir cleanup, one atomic catalog
+        rewrite.
 
-        if not stmt.dry_run:
-            # maint lock first: a compaction rewrite in flight must not
-            # see its candidates deleted under it (it would resurrect the
-            # truncated rows at commit). Then the per-src writer lock: an
-            # in-flight writer holds it across its file commit, so
-            # deletion never interleaves with a half-landed batch (and a
-            # dir emptied here can't eat a concurrent write).
-            for src, files in plans.items():
-                with self._maint_lock(src), self._src_lock(src), self._write_lock:
-                    part_dir = os.path.join(self.logs_path, f"src={src}")
-                    if files == ["*ALL*"]:
-                        shutil.rmtree(part_dir, ignore_errors=True)
-                        self._drop_chunks(src, None)
-                    else:
-                        for name in files:
-                            try:
-                                os.remove(os.path.join(part_dir, name))
-                            except FileNotFoundError:
-                                pass
-                        self._drop_chunks(src, files)
-                    if not os.path.isdir(part_dir) or not any(
-                        f.endswith(".parquet") for f in os.listdir(part_dir)
-                    ):
-                        shutil.rmtree(part_dir, ignore_errors=True)
-                        self._catalog.pop(src, None)
-                        self._catalog_epoch += 1
-                        self._resolve_cache.clear()
-                        self._drop_chunks(src, None)
-            with self._write_lock:
-                with open(self._catalog_path + ".tmp", "w") as f:
-                    json.dump(self._catalog, f)
-                os.replace(self._catalog_path + ".tmp", self._catalog_path)
-        return report
+        maint lock first: a compaction rewrite in flight must not
+        see its candidates deleted under it (it would resurrect the
+        truncated rows at commit). Then the per-src writer lock: an
+        in-flight writer holds it across its file commit, so
+        deletion never interleaves with a half-landed batch (and a
+        dir emptied here can't eat a concurrent write)."""
+        for src, files in plans.items():
+            with self._maint_lock(src), self._src_lock(src), self._write_lock:
+                part_dir = os.path.join(self.logs_path, f"src={src}")
+                if files == ["*ALL*"]:
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                    self._drop_chunks(src, None)
+                else:
+                    for name in files:
+                        try:
+                            os.remove(os.path.join(part_dir, name))
+                        except FileNotFoundError:
+                            pass
+                    self._drop_chunks(src, files)
+                if not os.path.isdir(part_dir) or not any(
+                    f.endswith(".parquet") for f in os.listdir(part_dir)
+                ):
+                    shutil.rmtree(part_dir, ignore_errors=True)
+                    self._catalog.pop(src, None)
+                    self._catalog_epoch += 1
+                    self._resolve_cache.clear()
+                    self._drop_chunks(src, None)
+        with self._write_lock:
+            with open(self._catalog_path + ".tmp", "w") as f:
+                json.dump(self._catalog, f)
+            os.replace(self._catalog_path + ".tmp", self._catalog_path)
 
     def compact(self, source: ast.Source | None = None,
                 target_file_bytes: int = 100 << 20,

@@ -154,41 +154,66 @@ class ShardRouter:
         return out
 
     def truncate(self, lql: str, now_ns: int | None = None) -> dict:
-        """Retention across the sharded store: the TRUNCATE statement
-        fans out to every shard's writer engine (each owns its
-        partitions, so per-shard runs compose without coordination) and
-        the per-shard reports merge into one.
+        """Retention across the sharded store. BEFORE/MINSIZE/MAXSIZE
+        are per-partition rules, so they fan out to every shard's
+        writer engine unchanged (each owns its partitions; per-shard
+        runs compose without coordination).
 
-        MAXDBSIZE is interpreted as a PER-SHARD budget of
-        total/n_shards: the global oldest-partition-first order would
-        need cross-shard coordination, while the per-shard budget keeps
-        the same invariant (total ≤ MAXDBSIZE after the pass, srcs
-        hash-spread evenly) with zero coordination — the same trade the
-        hash routing itself makes. Documented deviation from the
-        single-store global order."""
+        MAXDBSIZE runs as ONE GLOBAL oldest-partition-first pass over
+        all shards — exactly the single-store order
+        (partition.go:516-581). The router already holds every shard's
+        engine, so the "coordination" is one chunk-catalog read per
+        shard (the same read a per-shard pass would do); no budget
+        split is needed. This matters because growth-stable routing
+        (``resolve_shard``) makes shard-size skew the steady state
+        after growth — an even total/n_shards split (the pre-r15
+        behavior) handed the near-empty new shards unused budget and
+        silently over-deleted history on the loaded old shards."""
         from .lql import ast as _ast
         from .lql.parser import parse_lql
 
         stmt = parse_lql(lql, now_ns)
         if not isinstance(stmt, _ast.Truncate):
             raise ValueError("truncate() accepts TRUNCATE statements only")
-        if stmt.max_db_size is not None:
-            per = stmt.max_db_size // len(self.engines)
-            stmt = _ast.Truncate(
-                dry_run=stmt.dry_run, source=stmt.source,
-                min_size=stmt.min_size, max_size=stmt.max_size,
-                before_ns=stmt.before_ns, max_db_size=per,
-            )
+        base = _ast.Truncate(
+            dry_run=stmt.dry_run, source=stmt.source,
+            min_size=stmt.min_size, max_size=stmt.max_size,
+            before_ns=stmt.before_ns, max_db_size=None,
+        )
         report = {
             "partitions": [], "deleted_files": 0, "deleted_bytes": 0,
             "dry_run": stmt.dry_run,
         }
+        # phase 1 planning per shard (post-phase-1 sizes feed phase 2,
+        # matching Engine.truncate's in-process ordering)
+        states = []
         for i, e in enumerate(self.engines):
-            r = e.truncate(stmt)
-            for p in r["partitions"]:
+            rep, plans, sizes, oldest, nfiles = e._truncate_plan(base)
+            for p in rep["partitions"]:
                 report["partitions"].append({**p, "shard": i})
-            report["deleted_files"] += r["deleted_files"]
-            report["deleted_bytes"] += r["deleted_bytes"]
+            report["deleted_files"] += rep["deleted_files"]
+            report["deleted_bytes"] += rep["deleted_bytes"]
+            states.append((e, plans, sizes, oldest, nfiles))
+        if stmt.max_db_size is not None:
+            total = sum(sum(s[2].values()) for s in states)
+            order = sorted(
+                ((oldest.get(src, 0), src, i)
+                 for i, (_, _, sizes, oldest, _) in enumerate(states)
+                 for src in sizes),
+            )
+            for _, src, i in order:
+                if total <= stmt.max_db_size:
+                    break
+                _, plans, sizes, _, nfiles = states[i]
+                plans[src] = ["*ALL*"]
+                total -= sizes[src]
+                report["deleted_bytes"] += sizes[src]
+                report["deleted_files"] += nfiles[src]
+                sizes[src] = 0
+        if not stmt.dry_run:
+            for e, plans, _, _, _ in states:
+                if plans:
+                    e._truncate_execute(plans)
         return report
 
 

@@ -746,3 +746,90 @@ def test_shard_router_truncate(spark, twin_stores):
     reader.close()
     with pytest.raises(ValueError, match="TRUNCATE"):
         router.truncate("SELECT LIMIT 1")
+
+
+def test_shard_truncate_maxdbsize_after_growth(spark):
+    """TRUNCATE MAXDBSIZE on a GROWN sharded store runs the GLOBAL
+    oldest-partition-first order (reference partition.go:516-581):
+    identical deletions and survivors to the single-store run, even
+    though growth-stable routing leaves ALL old history on the
+    original shards (the skew that made the pre-r15 even per-shard
+    budget over-delete)."""
+    import os
+
+    from logrange_spark.lql.parser import parse_lql
+
+    def du(root):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    sroot = tempfile.mkdtemp(prefix="lrshard-g-")
+    eroot = tempfile.mkdtemp(prefix="lrsingle-g-")
+    engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(2)]
+    single = Engine(spark, eroot)
+    reader = None
+    try:
+        router = sh.ShardRouter(engines)
+        # old history: early timestamps, lands on shards 0-1 only
+        for j in range(6):
+            tags = {"name": f"old{j}", "ns": "prod"}
+            recs = [
+                (BASE + (j * 50 + k) * NS, f"old-{j}-{k} " + "x" * 64, {})
+                for k in range(25)
+            ]
+            router.write(tags, recs)
+            single.write(tags, recs)
+        for e in engines:
+            e.close()
+        # grow 2 -> 4: pinned old srcs stay put, new srcs hash over 4
+        engines = [Engine(spark, sh.shard_root(sroot, i)) for i in range(4)]
+        router = sh.ShardRouter(engines)
+        for j in range(8):
+            tags = {"name": f"new{j}", "ns": "prod"}
+            recs = [
+                (BASE + (10_000 + j * 50 + k) * NS,
+                 f"new-{j}-{k} " + "y" * 64, {})
+                for k in range(25)
+            ]
+            router.write(tags, recs)
+            single.write(tags, recs)
+        # the skew is real: every old partition sits on shards 0-1
+        for i in (2, 3):
+            assert not any(
+                "old" in line for line in engines[i]._catalog.values()
+            )
+        total = du(eroot)
+        # old history is ~6/14 of total bytes; a 0.65 budget cuts 0.35
+        # — strictly inside the old partitions under oldest-first
+        budget = int(total * 0.65)
+        lql = f"TRUNCATE MAXDBSIZE {budget}"
+        # DRYRUN predicts without deleting
+        dry = router.truncate(f"TRUNCATE DRYRUN MAXDBSIZE {budget}")
+        assert du(sroot) == total
+        rep = router.truncate(lql)
+        srep = single.truncate(parse_lql(lql))
+        assert rep["deleted_bytes"] == srep["deleted_bytes"] > 0
+        assert rep["deleted_files"] == srep["deleted_files"] > 0
+        assert dry["deleted_bytes"] == rep["deleted_bytes"]
+        assert du(sroot) <= budget
+        # survivors are row-identical to the single-store global cut —
+        # in particular, NO new-src data was sacrificed to shard skew
+        reader = sh.ShardReader(spark, sroot)
+        got = [tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()]
+        want = [
+            tuple(r) for r in single.query("SELECT LIMIT 10000").collect()
+        ]
+        assert got == want and len(got) > 0
+        assert sum(1 for r in got if "new-" in r[1]) == 8 * 25
+    finally:
+        if reader is not None:
+            reader.close()
+        for e in engines:
+            e.close()
+        single.close()
+        shutil.rmtree(sroot, ignore_errors=True)
+        shutil.rmtree(eroot, ignore_errors=True)
