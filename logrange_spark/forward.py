@@ -309,6 +309,10 @@ class CursorHandle:
         self._stop = threading.Event()
         self._thread: "threading.Thread | None" = None
         self.error: Exception | None = None
+        # transient failures the loop retried past (observability: the
+        # worker keeps running, but a flapping sink shows up here)
+        self.last_retry_error: Exception | None = None
+        self.retries: int = 0
 
     def stop(self) -> None:
         self._stop.set()
@@ -343,14 +347,24 @@ def _save_cursor(state_path: str, cursor) -> None:
 
 
 def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
-               poll_s: float = 1.0) -> None:
+               poll_s: float = 1.0, retry_s: float = 5.0) -> None:
     """The worker loop: saved position → select → deliver → persist
     position (at-least-once across worker crashes: the position advances
     only AFTER a successful delivery; a crash in between re-delivers the
     last batch — the reference worker's semantics, worker.go:48-104).
     Writer restarts on the store are invisible here: the query surface
     re-snapshots per call. Late records (ts below the cursor watermark)
-    are outside the value-cursor contract, exactly as for follow()."""
+    are outside the value-cursor contract, exactly as for follow().
+
+    TRANSIENT failures (a sink connection blip, a query hiccup) do not
+    stop the worker: each iteration catches, records the error on the
+    handle (``last_retry_error``/``retries``), sleeps ``retry_s`` and
+    retries — the reference worker's 5 s retry for both query and sink
+    failures (pkg/forwarder/worker.go). The cursor only advances after
+    a successful delivery, so a retried iteration re-delivers the same
+    batch (at-least-once) instead of dropping it. Only ``stop()`` ends
+    the loop; ``handle.error`` is reserved for non-retryable setup
+    failures (bad LQL) raised before the loop starts."""
     from .compiler.select import CursorToken
 
     stmt0 = parse_lql(lql)
@@ -366,34 +380,41 @@ def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
         elif pos.lower() != "head":
             cursor = CursorToken.decode(pos)
     while not handle._stop.is_set():
-        epoch = source.write_epoch()
-        if cursor is not None and not source.chunks_after_cursor(
-            source.resolve_sources(base.source), cursor
-        ):
-            batch = []  # catalog proves nothing follows the cursor
-        else:
-            q = base if cursor is None else ast.Select(
-                None, base.source, base.range, base.where,
-                ast.Position(cursor.encode()), None, base.limit,
-            )
-            batch = source.select(q, None).collect()
-        if batch:
-            deliver(batch)
-            last = batch[-1]
-            cursor = CursorToken(last["ts"], last["src"], last["seq"])
-            _save_cursor(state_path, cursor)
-            continue
-        source.wait_for_write(epoch, poll_s)
+        try:
+            epoch = source.write_epoch()
+            if cursor is not None and not source.chunks_after_cursor(
+                source.resolve_sources(base.source), cursor
+            ):
+                batch = []  # catalog proves nothing follows the cursor
+            else:
+                q = base if cursor is None else ast.Select(
+                    None, base.source, base.range, base.where,
+                    ast.Position(cursor.encode()), None, base.limit,
+                )
+                batch = source.select(q, None).collect()
+            if batch:
+                deliver(batch)
+                last = batch[-1]
+                cursor = CursorToken(last["ts"], last["src"], last["seq"])
+                _save_cursor(state_path, cursor)
+                continue
+            source.wait_for_write(epoch, poll_s)
+        except Exception as e:  # noqa: BLE001 — retry transient failures
+            handle.last_retry_error = e
+            handle.retries += 1
+            handle._stop.wait(retry_s)
 
 
-def _start_pull_thread(source, name, lql, state_path, deliver) -> CursorHandle:
+def _start_pull_thread(source, name, lql, state_path, deliver,
+                       retry_s: float = 5.0) -> CursorHandle:
     import threading
 
     handle = CursorHandle()
 
     def run():
         try:
-            _pull_loop(source, lql, state_path, deliver, handle)
+            _pull_loop(source, lql, state_path, deliver, handle,
+                       retry_s=retry_s)
         except Exception as e:  # surfaced via handle.error, loop ends
             handle.error = e
         finally:
@@ -412,6 +433,7 @@ def start_cursor_forwarder(
     sink,
     template: str = "{vars} - {msg}",
     state_dir: str | None = None,
+    retry_s: float = 5.0,
 ) -> CursorHandle:
     """Forwarder over the query API: works on a single Engine AND on a
     sharded root's ShardReader (which the streaming-source forwarder
@@ -447,7 +469,8 @@ def start_cursor_forwarder(
         counter["n"] += 1
         sink(df, counter["n"])
 
-    return _start_pull_thread(source, name, lql, state_path, deliver)
+    return _start_pull_thread(source, name, lql, state_path, deliver,
+                              retry_s=retry_s)
 
 
 def start_cursor_pipe(
@@ -456,6 +479,7 @@ def start_cursor_pipe(
     name: str,
     lql: str,
     state_dir: str | None = None,
+    retry_s: float = 5.0,
 ) -> CursorHandle:
     """Read-only pipe over the query API, writing to a DIFFERENT store:
     the shard-tier analogue of CREATE PIPE (the reference's pipe worker
@@ -522,4 +546,5 @@ def start_cursor_pipe(
         if not out.isEmpty():
             dest_engine.append_df(out)
 
-    return _start_pull_thread(source, name, lql, state_path, deliver)
+    return _start_pull_thread(source, name, lql, state_path, deliver,
+                              retry_s=retry_s)

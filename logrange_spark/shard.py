@@ -550,7 +550,8 @@ class ShardReader:
     def write(self, tags, events, fields=None) -> dict:
         raise RuntimeError(
             "read-only query tier: writes go to the shard's writer "
-            "process (route by shard.shard_for_tags)"
+            "process (route via ShardRouter.shard_for / resolve_shard "
+            "— growth-stable: existing srcs keep their original shard)"
         )
 
     def close(self) -> None:

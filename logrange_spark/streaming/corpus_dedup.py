@@ -177,7 +177,11 @@ def start_fingerprint_dedup_stream(
     (bucketed INSERTs preserve the bucket spec, so later shards still
     probe Exchange-free). The members insert runs LAST, so a replayed
     batch anti-joins away against fully recorded documents only — the
-    same replay guard as the MinHash stream above."""
+    same replay guard as the MinHash stream above, with the same
+    at-least-once caveat on ``{path}_docs``: a crash BETWEEN the docs
+    append and the members insert re-appends those documents on
+    replay, so consumers must key by ``id_col`` (the members table is
+    the exactly-once source of truth for corpus membership)."""
 
     def sink(batch_df, batch_id):
         batch = batch_df.persist()

@@ -833,3 +833,46 @@ def test_shard_truncate_maxdbsize_after_growth(spark):
         single.close()
         shutil.rmtree(sroot, ignore_errors=True)
         shutil.rmtree(eroot, ignore_errors=True)
+
+
+def test_cursor_forwarder_retries_transient_sink_failures(spark):
+    """A sink blip must NOT stop the cursor forwarder: the loop records
+    the error on the handle, waits retry_s and re-delivers the same
+    batch (at-least-once — the reference worker's 5 s retry,
+    pkg/forwarder/worker.go). Only stop() ends the worker."""
+    from logrange_spark import forward as fw
+
+    root = tempfile.mkdtemp(prefix="lrshard-retry-")
+    state = tempfile.mkdtemp(prefix="lrshard-retry-state-")
+    e = Engine(spark, root)
+    handle = None
+    try:
+        for i in range(6):
+            e.write({"name": "app"}, [(BASE + i * NS, f"r-{i}", {})])
+        got: list[str] = []
+        fails = {"n": 2}
+
+        def sink(df, _n):
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                raise ConnectionResetError("sink blip")
+            got.extend(r["line"] for r in df.collect())
+
+        handle = fw.start_cursor_forwarder(
+            e, "rt", 'SELECT "{msg}"', sink, state_dir=state, retry_s=0.1
+        )
+        assert _wait_for(lambda: len(got) >= 6), (len(got), handle.error)
+        assert handle.error is None
+        assert handle.retries >= 2
+        assert isinstance(handle.last_retry_error, ConnectionResetError)
+        # the failed deliveries were retried, not skipped: every row
+        # arrives (duplicates allowed by the at-least-once contract,
+        # but none were produced here — the cursor never advanced on
+        # the failed attempts)
+        assert sorted(set(got)) == [f"r-{i}" for i in range(6)]
+    finally:
+        if handle is not None:
+            handle.stop()
+        e.close()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
