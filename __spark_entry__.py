@@ -1172,7 +1172,7 @@ r AS (SELECT url_norm, doc_id, n_chars,
         row_number() OVER (PARTITION BY url_norm
                            ORDER BY n_chars DESC, doc_id) AS rn,
         count(*) OVER (PARTITION BY url_norm) AS nv
-      FROM n)
+      FROM n WHERE url_norm IS NOT NULL)
 SELECT url_norm, doc_id AS kept_id, nv AS n_variants FROM r WHERE rn = 1
 """.strip()
 
@@ -2229,6 +2229,11 @@ def _cc_stages(
     # merge join, never broadcast.
     kept_ids = url_ops.url_dedup(recs, id_col="doc_id", url_col="url").select(
         F.col("kept_id").alias("doc_id")
+    ).unionByName(
+        # null-key docs are automatic keepers: url_dedup excludes null
+        # canonical keys (no same-page evidence), so the keep-join must
+        # pass them through, not silently drop them
+        recs.where(F.col("url").isNull()).select("doc_id")
     )
     pages = ophtml.html_documents(
         recs.hint("merge").join(kept_ids, "doc_id")
@@ -2359,7 +2364,10 @@ WITH urls AS (
     ELSE 'http://cc.example/page/' || doc_id END AS url
   FROM documents),
 ukept AS (SELECT min(doc_id) AS doc_id
-          FROM (SELECT doc_id, {ukey} AS k FROM urls) GROUP BY k),
+          FROM (SELECT doc_id, {ukey} AS k FROM urls)
+          WHERE k IS NOT NULL GROUP BY k
+          UNION ALL
+          SELECT doc_id FROM urls WHERE url IS NULL),
 cdocs AS MATERIALIZED (
   SELECT d.doc_id, list_filter([
       trim(regexp_replace(coalesce(d.text, ''),

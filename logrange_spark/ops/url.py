@@ -267,6 +267,15 @@ def url_dedup(
     normalization + ONE hash aggregation on the canonical key
     (map-side partial aggregation applies); nothing is collected,
     nothing is broadcast — linear at any corpus size.
+
+    NULL canonical keys (null/unparseable ``url_col``) are EXCLUDED —
+    same rule as :func:`url_duplicates`. A null key carries no "same
+    page" evidence, so grouping the null rows would collapse every
+    url-less document onto one arbitrary survivor; consumers that
+    keep-join against ``kept_id`` treat the excluded docs as automatic
+    keepers instead (see ``cc_pipeline``), and the drop-list consumers
+    (:func:`url_duplicate_drops`, :func:`url_drops_against`) never
+    match them because a null key joins nothing.
     """
     key = normalize_url(F.col(url_col)).alias("url_norm")
     if quality_col is None:
@@ -278,6 +287,7 @@ def url_dedup(
         )
     return (
         docs.select(key, F.col(id_col), order.alias("_ord"))
+        .where(F.col("url_norm").isNotNull())
         .groupBy("url_norm")
         .agg(
             F.max_by(id_col, F.col("_ord")).alias("kept_id"),

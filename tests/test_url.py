@@ -242,3 +242,56 @@ def test_url_index_cross_crawl(spark, tmp_path_factory, messy):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS crawl0_urls")
+
+
+def test_url_dedup_null_urls_are_not_grouped(spark):
+    """NULL canonical keys must NOT form a dedup group: a null URL
+    carries no same-page evidence, so url-less docs are all automatic
+    keepers — never collapsed onto one survivor, never in a drop list
+    (the r14 verdict's silent-data-loss defect)."""
+    rows = [
+        (1, "https://a.org/x?utm_source=f"),
+        (2, "https://www.a.org/x"),  # dup of 1
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.url_dedup(docs).collect()
+    # one group (a.org/x) — no null-key group at all
+    assert {r["url_norm"] for r in out} == {"a.org/x"}
+    assert out[0]["kept_id"] == 1 and out[0]["n_variants"] == 2
+    # drop list: only the real duplicate; every null-URL doc survives
+    drops = {r["doc_id"] for r in U.url_duplicate_drops(docs).collect()}
+    assert drops == {2}
+    # DuckDB twin in lockstep: same WHERE guard
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 'https://a.org/x?utm_source=f'), (2, 'https://www.a.org/x'), "
+        "(3, NULL), (4, NULL), (5, NULL)) t(doc_id, url)"
+    )
+    twin = con.execute(
+        f"""
+        SELECT url_norm, min(doc_id) AS kept_id, count(*) AS nv FROM
+          (SELECT doc_id, {U.normalize_url_duckdb('url')} AS url_norm FROM d)
+        WHERE url_norm IS NOT NULL GROUP BY url_norm
+        """
+    ).fetchall()
+    assert twin == [("a.org/x", 1, 2)]
+
+
+def test_url_drops_against_null_urls_survive(spark):
+    """Cross-crawl URL filtering: null-URL docs in the new crawl are
+    never dropped, even when the corpus index is non-empty."""
+    corpus = spark.createDataFrame(
+        [("a.org/x", 10)], "url_norm string, kept_id long"
+    )
+    new = spark.createDataFrame(
+        [(1, "http://a.org/x"), (2, None), (3, None)],
+        "doc_id long, url string",
+    )
+    drops = {r["doc_id"] for r in U.url_drops_against(new, corpus).collect()}
+    assert drops == {1}  # seen URL dropped; null-URL docs survive
