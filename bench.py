@@ -200,6 +200,92 @@ HEADLINE = [
 ]
 
 
+# Calibration reference: min-of-6 of the fixed probe (_calibration_probe)
+# measured on the round-15 sandbox in a run whose legacy-23 total was
+# 1.125x the r13 pin (within the protocol's ambient envelope; the same
+# run re-pinned wet_documents to 1.16x and lang_predict to 1.01x r13,
+# closing the r14 attribution gap as load, not code). Future rounds
+# divide their probe minimum by this to get a LOAD FACTOR: a probe at
+# 2x ref says the sandbox was ~2x contended, and per-query deltas of
+# that size are ambient, not code.
+CAL_REF_SEC = 0.126
+
+DUCK_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _calibration_probe(spark, sf_dir: str, n: int) -> list[float]:
+    """Fixed ambient-load probe: a 32-bucket sum/avg/count over a CACHED
+    lineitem projection — pure executor CPU + one tiny shuffle, no disk,
+    no code under test. Its wall time moves ONLY with sandbox load, so
+    it calibrates every other number in the artifact."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .cache()
+    )
+    df.count()  # materialize untimed
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        (
+            df.groupBy((F.col("l_partkey") % 32).alias("b"))
+            .agg(
+                F.sum("l_quantity").alias("s"),
+                F.avg("l_extendedprice").alias("a"),
+                F.count("*").alias("n"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        runs.append(round(time.time() - t0, 3))
+    df.unpersist()
+    return runs
+
+
+def _bench_duckdb(entry_mod, sf_dir: str, n_runs: int) -> dict:
+    """DuckDB wall time for every headline query's oracle twin, same
+    machine, same min-of-n-warm discipline — the absolute single-node
+    referent the 'within 2x of BASELINE' bar lacked (the reference
+    publishes README claims, not numbers; VERDICT r14 #6).
+
+    Read the ratios with two caveats: (1) the twins are CORRECTNESS
+    oracles — several are deliberately window-function-shaped where the
+    Spark plan is a hash aggregate; (2) at sf0.1 Spark pays a fixed
+    ~0.2 s per-job overhead that dominates sub-second rows, flattering
+    an in-process engine. The ratio is a referent, not a grade; the
+    scale story lives in dedup_x10 / SCALE.md."""
+    import duckdb
+
+    allsql = {**entry_mod._RETIRED_ORACLES, **entry_mod.oracle_sql()}
+    con = duckdb.connect()
+    for t in DUCK_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    queries: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        sql = allsql.get(name)
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            runs.append(round(time.time() - t0, 3))
+        queries[name] = min(runs)
+        raw[name] = runs
+    con.close()
+    return {
+        "queries": queries,
+        "runs": raw,
+        "total": round(sum(queries.values()), 3),
+    }
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -242,6 +328,7 @@ def main() -> int:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+    cal_start = _calibration_probe(spark, sf_dir, max(3, n_runs))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -265,6 +352,27 @@ def main() -> int:
         med = round(med, 3)  # uniform formatting for any n_runs
         medians[name] = med
         total_median += med
+    cal_end = _calibration_probe(spark, sf_dir, max(3, n_runs))
+    cal_min = min(cal_start + cal_end)
+    calibration = {
+        "start_runs": cal_start,
+        "end_runs": cal_end,
+        "min_sec": cal_min,
+        "ref_sec": CAL_REF_SEC,
+        "load_factor": round(cal_min / CAL_REF_SEC, 2),
+    }
+
+    # DuckDB comparator (VERDICT r14 #6): absolute single-node referent
+    # for every headline row, same trial discipline. Skippable with
+    # SPARK_GRAFT_BENCH_DUCKDB=0 (adds ~60 s at sf0.1).
+    duck = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        duck = _bench_duckdb(entry_mod, sf_dir, n_runs)
+        duck["ratio"] = {
+            n: round(timings[n] / duck["queries"][n], 2)
+            for n in duck["queries"]
+            if duck["queries"][n] > 0
+        }
 
     # x10 dedup-family block (VERDICT r13 #7): the broadcast-audit merge
     # hints trade sf0.1 latency for scale safety, and the justification
@@ -301,7 +409,8 @@ def main() -> int:
     # under this exact protocol, so every consumer needs (warm, n_runs,
     # agg) plus the median to tell regression from ambient load
     protocol = {"warm": warm, "n_runs": n_runs, "agg": "min",
-                "noise_floor_pct": 10.1, "heap": heap}
+                "noise_floor_pct": 10.1, "heap": heap,
+                "calibration": calibration}
     # the round-13 heap A/B (tools/heap_ab.py) travels with the bench
     # artifact so the regression attribution is readable in one file
     heap_ab = None
@@ -333,6 +442,7 @@ def main() -> int:
         "sf": sf,
         "delta_vs_prev": deltas,
         "ingest": ingest,
+        "duckdb": duck,
         "dedup_x10": dedup_x10,
         "heap_ab": heap_ab,
         "follow_at_scale": follow_at_scale,
@@ -367,6 +477,10 @@ def main() -> int:
                 "n_runs": n_runs,
                 "sf": sf,
                 "delta_total_vs_prev": delta_total,
+                "duckdb_total_sec": duck["total"] if duck else None,
+                "spark_vs_duckdb_total_ratio": (
+                    round(total / duck["total"], 2) if duck else None
+                ),
                 "dedup_x10_sec": (
                     {n: v["sec"] for n, v in dedup_x10["queries"].items()}
                     if dedup_x10
