@@ -2200,12 +2200,17 @@ def _cc_stages(
     pre-normalized text lines, so HTML extraction round-trips
     line-for-line and the twin constructs the same line lists directly.
 
-    Plan shape: two lazy localCheckpoints bound the re-execution —
+    Plan shape: three lazy localCheckpoints bound the re-execution —
     after the C4 rebuild (gzip decode + HTML parse + line rules run
-    once; boilerplate/gates are cheap array maps over it) and after
-    span removal (the window-hash join runs once; contamination /
-    redaction / LM are maps and bounded-broadcast joins over it). All
-    data-scaled joins carry merge hints (round-13 broadcast audit)."""
+    once; boilerplate/gates are cheap array maps over it), after span
+    removal (the window-hash join runs once; the kept token array is
+    checkpointed alongside the text), and after redaction (the LM's
+    train + score passes and the final attribute join share one
+    execution of the regex chain). The corpus is TOKENIZED ONCE at the
+    gated frame; MinHash, span removal and contamination all consume
+    that single spread token stream (r15 — each previously re-split
+    the text). All data-scaled joins carry merge hints (round-13
+    broadcast audit)."""
     from logrange_spark.ingest import wet
     from logrange_spark.ops import html as ophtml
     from logrange_spark.ops import sampling
@@ -2265,24 +2270,47 @@ def _cc_stages(
         .where("blocklist_pass")
         .select("doc_id", "text")
     )
+    # tokenize ONCE at the gated frame (r15, VERDICT r14 #3): MinHash,
+    # span removal and the contamination n-grams previously each split
+    # the corpus text independently; one spread token frame now feeds
+    # them all — the minhash consumer filters its ≥SHINGLE_N gate above
+    # the shared exchange, and the span/rebuild consumers take the
+    # anti-joined survivor slice of the SAME tokens (tokens of surv ≡
+    # anti-join of tokens of gated, since dedup never edits tokens).
+    toked_all = dedup.spread(
+        gated.selectExpr("doc_id", f"{text.tokens_sql('text')} AS _tok")
+    )
+    toked_mh = toked_all.where(
+        (F.size("_tok") >= dedup.SHINGLE_N) & F.col("doc_id").isNotNull()
+    )
     drop = dedup.near_duplicate_drops(
-        gated, "doc_id", "text", threshold=0.8, unique=False
+        gated, "doc_id", "text", threshold=0.8, unique=False, toked=toked_mh
     )
     surv = gated.join(drop, "doc_id", "left_anti")
+    toked_surv = toked_all.join(drop, "doc_id", "left_anti")
     # substring-level dedup: every repeated ≥20-token span keeps one
     # copy corpus-wide; rebuilt text is the lowercased token stream.
-    # Second materialization point — three consumers below.
-    spanned = (
-        dedup.remove_repeated_spans(surv)
-        .select("doc_id", "text")
+    # Second materialization point — three consumers below; the kept
+    # token array travels WITH the checkpoint (with_tokens) so the
+    # contamination stage never re-splits the rebuilt text.
+    spanned_t = (
+        dedup.remove_repeated_spans(
+            surv, toked=toked_surv, with_tokens=True
+        )
+        .select("doc_id", "text", "tokens")
         .localCheckpoint(eager=False)
     )
+    spanned = spanned_t.select("doc_id", "text")
     # benchmark decontamination: the deterministic doc_id%97 slice
     # stands in for the eval set (bounded, broadcast inside the op);
     # docs quoting ≥ CC_CONTAM_MAX of their 8-grams from it are dropped
     # (the benchmark docs themselves overlap fully and go too).
     cont = text.contamination(
-        spanned, spanned.where(F.col("doc_id") % 97 == 0), n=8
+        spanned_t,
+        spanned_t.where(F.col("doc_id") % 97 == 0),
+        n=8,
+        tokens_col="tokens",
+        bench_tokens_col="tokens",
     )
     keep = cont.where(F.col("contamination") < CC_CONTAM_MAX).select(
         "doc_id", F.round("contamination", 6).alias("contamination")
@@ -2290,8 +2318,13 @@ def _cc_stages(
     decon = spanned.hint("merge").join(keep, "doc_id")
     # keep= carries contamination through the redaction map, so the
     # pipeline tail re-attaches attributes with ONE merge join instead
-    # of two
-    red = text.redact(decon, keep=("contamination",))
+    # of two. Third materialization point: the LM trains AND scores
+    # over red's exploded tokens and the final join reads it a third
+    # time — without the checkpoint the decon join + redact regex
+    # chain re-executed for each.
+    red = text.redact(decon, keep=("contamination",)).localCheckpoint(
+        eager=False
+    )
     scored = text.unigram_lm_score(red, "doc_id", "redacted").select(
         "doc_id", "ppl"
     )

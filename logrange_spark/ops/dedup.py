@@ -525,6 +525,7 @@ def near_duplicate_drops(
     threshold: float = 0.8,
     transitive: bool = False,
     unique: bool = True,
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """The documents to DROP under keep-first near-dedup — one id per
     dropped document, equal by construction to
@@ -559,7 +560,8 @@ def near_duplicate_drops(
     if transitive:
         cl = near_duplicate_clusters(df, id_col, text_col, threshold)
         return cl.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
-    toked = _token_frame(df, id_col, text_col)
+    if toked is None:
+        toked = _token_frame(df, id_col, text_col)
     rep_pairs, members, _dup_keys, reps = _rep_pairs_and_members(toked, id_col)
     verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
@@ -845,6 +847,7 @@ def repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = SPAN_MIN_LEN,
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """(id, start, length) maximal DUPLICATE spans: token intervals
     (1-based ``start``) covered by at least one ``min_len``-token window
@@ -877,9 +880,10 @@ def repeated_spans(
         raise ValueError(f"min_len must be ≥ 2, got {min_len}")
     from pyspark.sql.window import Window
 
-    toked = spread(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
-    )
+    if toked is None:
+        toked = spread(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+        )
     w = _window_hashes(toked, id_col, min_len)
     first = (
         w.groupBy("whash")
@@ -930,6 +934,8 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = SPAN_MIN_LEN,
+    toked: DataFrame | None = None,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """(id, text, n_tokens, n_removed) — the span-removal transform:
     every token covered by a duplicate span (``repeated_spans``) is
@@ -945,10 +951,11 @@ def remove_repeated_spans(
     join carries the same ``merge`` hint as ``repeated_spans``' hash
     join-back — broadcasting it is a mis-estimate away from OOM.
     """
-    toked = spread(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tok")
-    )
-    spans = repeated_spans(df, id_col, text_col, min_len)
+    if toked is None:
+        toked = spread(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_tok")
+        )
+    spans = repeated_spans(df, id_col, text_col, min_len, toked=toked)
     ivs = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
@@ -973,11 +980,13 @@ def remove_repeated_spans(
             lambda s: s["t"],
         )
     )
+    extra = [kept.alias("tokens")] if with_tokens else []
     return joined.select(
         F.col(id_col),
         F.concat_ws(" ", kept).alias(text_col),
         F.size("_tok").alias("n_tokens"),
         (F.size("_tok") - F.size(kept)).alias("n_removed"),
+        *extra,
     )
 
 

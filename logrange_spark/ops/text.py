@@ -759,6 +759,8 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    tokens_col: str | None = None,
+    bench_tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination signal: per-document overlap with an
     evaluation set's word n-grams (the standard pre-training hygiene
@@ -782,16 +784,27 @@ def contamination(
     # tokenize ONCE per row into an attribute; the n-gram zip references
     # it several times (per shifted slice), which would re-run the
     # tokenization that many times from a raw text expression
+    # tokens_col/bench_tokens_col: consume a PRE-TOKENIZED array column
+    # instead of re-splitting text — the tokenize-once contract a
+    # pipeline tail uses when an upstream stage (span removal) already
+    # produced the exact token stream (r15; the r13 HOF rule showed
+    # single-tokenization is the dominant win on these maps)
+    bench_tk = (
+        F.col(bench_tokens_col)
+        if bench_tokens_col is not None
+        else tokens(F.col(bench_text_col))
+    )
     bench_grams = F.broadcast(
-        benchmark.select(
-            tokens(F.col(bench_text_col)).alias("_tk")
-        )
+        benchmark.select(bench_tk.alias("_tk"))
         .select(F.explode(_shingles_of(F.col("_tk"), n)).alias("_g"))
         .distinct()
     )
-    doc_toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    doc_tk = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.col(text_col))
     )
+    doc_toks = docs.select(F.col(id_col), doc_tk.alias("_tk"))
     doc_grams = doc_toks.select(
         F.col(id_col), F.explode(_shingles_of(F.col("_tk"), n)).alias("_g")
     )
@@ -828,6 +841,7 @@ def unigram_lm_score(
     vocab: DataFrame | None = None,
     vocab_size: int = 50_000,
     alpha: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document unigram language-model score — the CCNet-style LM
     quality signal (Wenzek et al., "CCNet", LREC 2020 use a wiki-trained
@@ -851,7 +865,12 @@ def unigram_lm_score(
     side shuffle-free) and the per-doc average partial-aggregates to one
     row per doc before its only shuffle. No Python, no collect.
     """
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+    tk = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
+    toks = docs.select(F.col(id_col), tk.alias("_tok"))
     exploded = toks.select(id_col, F.explode("_tok").alias("_w"))
     if vocab is None:
         counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
