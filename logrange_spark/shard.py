@@ -33,6 +33,7 @@ tools/ingest_shard_scale.py (SCALE.md round-13 ingest section).
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from typing import TYPE_CHECKING
 
@@ -215,6 +216,106 @@ class ShardRouter:
                 if plans:
                     e._truncate_execute(plans)
         return report
+
+
+def rebalance_shards(engines: list["Engine"], dry_run: bool = False) -> dict:
+    """OFFLINE rebalance: move every src to its pure-hash home under the
+    CURRENT shard count.
+
+    Growth-stable routing (``resolve_shard``) pins existing srcs to
+    their original shards forever, so a grown store stays permanently
+    imbalanced — all old data on the original shards, new shards
+    near-empty (the deliberate deferral at the routing layer). This
+    job completes the design: run it with exclusive ownership of every
+    shard store (the passed engines must be the only writers, and no
+    live ShardReader/ShardRouter should be serving during the drill —
+    rebuild them afterwards, their catalog snapshots and pin maps go
+    stale) and each mis-homed src's whole directory moves to
+    ``shard_of(src, n)``. Afterwards the store is laid out exactly as
+    a fresh n-shard store would be, so pure hashing, ``resolve_shard``
+    and the pin map all agree again.
+
+    Per move: ``os.rename`` of the src directory into the target store
+    (shard roots share one parent, same filesystem) is the COMMIT
+    POINT — data lives in exactly one shard tree at every instant, so
+    a union read never double-counts. Metadata then transfers target-
+    first, source-last: the target registers the tag-line catalog
+    entry, the chunk stats (one chunk-log append — the same write-time
+    bookkeeping a native write does) and the seq high-water mark, each
+    persisted atomically; only then does the source drop its entries.
+    A crash anywhere leaves a state a RERUN completes: the src is
+    still listed in the source catalog (drop is last), the planner
+    re-plans the same move, and every step is idempotent (rename
+    skipped when the target directory already exists, catalog/stat
+    registration overwrites, seq high-water merges by max).
+
+    Reference: the reference has no rebalancer (single-node); this is
+    the shard tier's OPTIMIZE-analogue admin job, sized in SCALE.md
+    (round 15 drill)."""
+    import time as _time
+
+    n = len(engines)
+    if n == 0:
+        raise ValueError("need at least one engine")
+    t0 = _time.time()
+    plan: list[tuple[str, int, int, str]] = []
+    for i, e in enumerate(engines):
+        for src, line in sorted(e._catalog.items()):
+            home = shard_of(src, n)
+            if home != i:
+                plan.append((src, i, home, line))
+    report: dict = {"n_shards": n, "moves": [], "bytes_moved": 0,
+                    "files_moved": 0, "dry_run": dry_run}
+    for src, i, home, line in plan:
+        a, b = engines[i], engines[home]
+        a._check_writable()
+        b._check_writable()
+        with a._write_lock:
+            stats = {k: dict(v) for k, v in a._chunk_stats.get(src, {}).items()}
+            seq_hw = a.seq_state._hw.get(src)
+        nbytes = sum(st["size"] for st in stats.values())
+        report["moves"].append({"src": src, "from": i, "to": home,
+                                "files": len(stats), "bytes": nbytes})
+        report["bytes_moved"] += nbytes
+        report["files_moved"] += len(stats)
+        if dry_run:
+            continue
+        src_dir = os.path.join(a.logs_path, f"src={src}")
+        dst_dir = os.path.join(b.logs_path, f"src={src}")
+        # lock order per engine is the standard maint -> src -> write;
+        # the two engines' locks never interleave with another mover
+        # (moves run sequentially) so there is no cross-engine cycle
+        with a._maint_lock(src), a._src_lock(src), b._src_lock(src):
+            if os.path.isdir(src_dir) and not os.path.isdir(dst_dir):
+                os.makedirs(b.logs_path, exist_ok=True)
+                os.rename(src_dir, dst_dir)  # commit point
+            with b._write_lock:
+                b._catalog[src] = line
+                b._record_chunks(
+                    src, [{"chunk": k, **v} for k, v in sorted(stats.items())]
+                )
+                if seq_hw is not None:
+                    b.seq_state._hw[src] = max(
+                        seq_hw, b.seq_state._hw.get(src, 0)
+                    )
+                    b.seq_state.save()
+                b._catalog_epoch += 1
+                b._resolve_cache.clear()
+                with open(b._catalog_path + ".tmp", "w") as f:
+                    json.dump(b._catalog, f)
+                os.replace(b._catalog_path + ".tmp", b._catalog_path)
+            with a._write_lock:
+                a._drop_chunks(src, None)
+                a._catalog.pop(src, None)
+                if a.seq_state._hw.pop(src, None) is not None:
+                    a.seq_state.save()
+                a._catalog_epoch += 1
+                a._resolve_cache.clear()
+                with open(a._catalog_path + ".tmp", "w") as f:
+                    json.dump(a._catalog, f)
+                os.replace(a._catalog_path + ".tmp", a._catalog_path)
+    report["wall_sec"] = round(_time.time() - t0, 3)
+    return report
 
 
 class ShardReader:
@@ -575,7 +676,20 @@ def read_shard_logs(spark: "SparkSession", root: str) -> "DataFrame":
     parts = []
     for r in roots:
         logs = os.path.join(r, "logs")
+        # a shard with no data yet (freshly grown, or fully drained by
+        # rebalance/TRUNCATE) has nothing to infer a schema from — skip
+        # it; it contributes zero rows either way
+        if not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(logs)
+            for f in fs
+        ):
+            continue
         parts.append(
             spark.read.option("basePath", logs).parquet(logs)
         )
+    if not parts:
+        from .model.schema import LOG_SCHEMA
+
+        return spark.createDataFrame([], LOG_SCHEMA)
     return reduce(lambda a, b: a.unionByName(b), parts)

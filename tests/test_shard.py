@@ -876,3 +876,102 @@ def test_cursor_forwarder_retries_transient_sink_failures(spark):
         e.close()
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_rebalance_shards_after_growth(spark):
+    """Offline rebalance moves every src to its pure-hash home under
+    the grown count: row-identical union before/after, catalogs and
+    chunk stats travel with the data, seq high-water continues on the
+    new owner, and a second run is a no-op."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-rb-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        last_seq = {}
+        for j in range(8):
+            tags = {"name": f"rb{j}", "ns": "prod"}
+            out = router.write(
+                tags,
+                [(BASE + (j * 40 + k) * NS, f"rb-{j}-{k}", {"k": str(k)})
+                 for k in range(20)],
+            )
+            last_seq[out["src"]] = out["last_seq"]
+        for e in engines:
+            e.close()
+        # grow 2 -> 4 and add new srcs (these hash over 4 natively)
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        router = sh.ShardRouter(engines)
+        for j in range(8, 14):
+            tags = {"name": f"rb{j}", "ns": "prod"}
+            out = router.write(
+                tags,
+                [(BASE + (j * 40 + k) * NS, f"rb-{j}-{k}", {"k": str(k)})
+                 for k in range(20)],
+            )
+            last_seq[out["src"]] = out["last_seq"]
+        before = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+        # mis-homed srcs exist (2-shard-era srcs whose md5 % 4 != pin)
+        mis = [
+            src
+            for i, e in enumerate(engines)
+            for src in e._catalog
+            if sh.shard_of(src, 4) != i
+        ]
+        assert mis, "fixture should produce at least one mis-homed src"
+
+        dry = sh.rebalance_shards(engines, dry_run=True)
+        assert {m["src"] for m in dry["moves"]} == set(mis)
+        assert sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        ) == before  # dry run moved nothing
+
+        rep = sh.rebalance_shards(engines)
+        assert rep["files_moved"] > 0 and rep["bytes_moved"] > 0
+        # every src now sits at its pure-hash home, catalog included
+        for i, e in enumerate(engines):
+            for src in e._catalog:
+                assert sh.shard_of(src, 4) == i
+                assert os.path.isdir(
+                    os.path.join(e.logs_path, f"src={src}")
+                )
+        after = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+        assert after == before
+        # chunk stats travelled: SHOW PARTITIONS still zero-footer-read
+        reader = sh.ShardReader(spark, root)
+        from logrange_spark.lql import ast as _ast
+
+        shown = reader.show_partitions(
+            _ast.ShowPartitions(None, 0, None)
+        ).collect()
+        assert len(shown) == 14 and all(r["records"] == 20 for r in shown)
+        reader.close()
+        # seq continues on the new owner: write through a fresh router
+        router = sh.ShardRouter(engines)
+        out = router.write(
+            {"name": "rb0", "ns": "prod"}, [(BASE + 10_000 * NS, "cont", {})]
+        )
+        assert out["last_seq"] == last_seq[out["src"]] + 1
+        assert out["shard"] == sh.shard_of(out["src"], 4)
+        # idempotent: a second pass plans nothing
+        again = sh.rebalance_shards(engines)
+        assert again["moves"] == [] and again["files_moved"] == 0
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
