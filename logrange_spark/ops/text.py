@@ -834,6 +834,51 @@ def contamination(
     )
 
 
+def unigram_lm_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The (token, logp, _oov) model table :func:`unigram_lm_score`
+    trains when no vocab is given — exposed so a streaming curation
+    tier can train it ONCE offline, persist it (bounded: ≤vocab_size
+    rows) and broadcast it per micro-batch (streaming/cc_ingest.py).
+    Top ``vocab_size`` tokens by count with add-alpha smoothing; OOV
+    mass is the true tail mass (total + V computed before the cut)."""
+    tk = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
+    counts = (
+        docs.select(tk.alias("_tok"))
+        .select(F.explode("_tok").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # total + V must be computed before the top-k cut so OOV mass is
+    # the true tail mass; both are tiny aggregate scalars
+    tot = counts.agg(F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v"))
+    return (
+        counts.orderBy(F.desc("_c"), "_w")
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_w").alias("token"),
+            F.log(
+                (F.col("_c") + F.lit(alpha))
+                / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
+            ).alias("logp"),
+            F.log(
+                F.lit(alpha)
+                / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
+            ).alias("_oov"),
+        )
+    )
+
+
 def unigram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -873,27 +918,8 @@ def unigram_lm_score(
     toks = docs.select(F.col(id_col), tk.alias("_tok"))
     exploded = toks.select(id_col, F.explode("_tok").alias("_w"))
     if vocab is None:
-        counts = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-        # total + V must be computed before the top-k cut so OOV mass is
-        # the true tail mass; both are tiny aggregate scalars
-        tot = counts.agg(
-            F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
-        )
-        vocab = (
-            counts.orderBy(F.desc("_c"), "_w")
-            .limit(vocab_size)
-            .crossJoin(F.broadcast(tot))
-            .select(
-                F.col("_w").alias("token"),
-                F.log(
-                    (F.col("_c") + F.lit(alpha))
-                    / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
-                ).alias("logp"),
-                F.log(
-                    F.lit(alpha)
-                    / (F.col("_t") + F.lit(alpha) * (F.col("_v") + 1))
-                ).alias("_oov"),
-            )
+        vocab = unigram_lm_vocab(
+            docs, text_col, vocab_size, alpha, tokens_col
         )
     if "_oov" in vocab.columns:
         oov_col = "_oov"

