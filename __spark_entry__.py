@@ -1989,7 +1989,14 @@ _CC_HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
 # for the scan to scale — 1000 docs/file gives 1 task at sf0.01 and 50
 # at the 10x scale-proof size, exactly CommonCrawl's many-small-shards
 # layout
-WET_FIXTURE_CHUNK = 1000
+# 250 docs per .warc.gz member: binaryFile parallelism is per FILE (gzip
+# is unsplittable), so the sf0.1 fixture yields 20 decode tasks instead
+# of 5 — the decode stage is the capstone's x1 bottleneck and 5 tasks
+# left 27 of 32 cores idle (r15). Offsets/record ids derive from this
+# constant on BOTH the Spark and oracle sides, so the twins move
+# together; x100 (500k docs) becomes 2000 members, still the
+# many-small-shards CommonCrawl layout.
+WET_FIXTURE_CHUNK = 250
 
 
 def _fixture_dir(tag: str, blobs: list[bytes]) -> str:
