@@ -141,6 +141,23 @@ PREV_ROUNDS = {
         "kn_bigram_ppl": 1.022, "wet_documents": 0.58,
         "cc_pipeline": 7.327, "url_dedup": 0.376,
     },
+    # r14 driver-measured minima, verbatim from BENCH_r14.json "parsed".
+    # Read WITH the r14 verdict's load context: the artifact's own
+    # median/min gap was 37%% and the same-code same-day spread 38.8-50.2 s
+    # — r15's calibration probe exists precisely because these pins were
+    # taken under unmeasured contention.
+    "r14": {
+        "lql_contains": 0.241, "lql_tail": 0.243, "lql_format": 0.261,
+        "show_partitions": 0.194, "pricing_summary": 1.169, "revenue_by_segment": 1.305,
+        "revenue_by_nation": 1.489, "top_orders_per_customer": 0.333, "events_hourly": 0.427,
+        "dedup_exact": 0.231, "dedup_lsh_candidates": 2.521, "dedup_near_duplicates": 3.033,
+        "dedup_simhash_pairs": 4.89, "text_stats": 0.481, "text_top_words": 0.327,
+        "ann_cosine_topk": 0.533, "ann_bucketed_topk": 0.518, "dedup_embedding": 1.012,
+        "parse_k8json": 1.249, "events_sessions": 0.378, "events_asof": 0.405,
+        "events_range_join": 0.426, "training_pipeline": 3.292, "gopher_stats": 0.696,
+        "lang_predict": 2.86, "kn_bigram_ppl": 2.428, "wet_documents": 1.254,
+        "cc_pipeline": 18.352, "url_dedup": 0.528, "quality_signals": 3.34,
+    },
     # r09 driver-measured minima, verbatim from BENCH_r09.json "parsed"
     "r09": {
         "lql_contains": 0.336, "lql_tail": 0.388, "lql_format": 0.387,
