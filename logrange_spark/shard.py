@@ -257,6 +257,16 @@ def rebalance_shards(engines: list["Engine"], dry_run: bool = False) -> dict:
     n = len(engines)
     if n == 0:
         raise ValueError("need at least one engine")
+    # the list ORDER is the routing function: engines[i] must own
+    # shard_root(root, i), or every "home" computed below is wrong and
+    # the job would shuffle data to the wrong shards
+    for i, e in enumerate(engines):
+        base = os.path.basename(os.path.normpath(e.root))
+        if base != f"shard-{i:03d}":
+            raise ValueError(
+                f"engines[{i}] owns {base!r}, expected 'shard-{i:03d}' — "
+                "pass the engines in shard-index order"
+            )
     t0 = _time.time()
     plan: list[tuple[str, int, int, str]] = []
     for i, e in enumerate(engines):

@@ -975,3 +975,89 @@ def test_rebalance_shards_after_growth(spark):
             e.close()
         shutil.rmtree(root, ignore_errors=True)
 
+
+
+def test_rebalance_shards_crash_resume(spark):
+    """The documented recovery contract: a crash right after the
+    os.rename commit point (data in the target tree, BOTH catalogs
+    untouched) is completed by simply rerunning rebalance_shards —
+    rename skips, target registers, source drops. Also pins the
+    engine-order guard and the all-shards-empty union read."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-cr-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        for j in range(6):
+            router.write(
+                {"name": f"cr{j}"},
+                [(BASE + (j * 10 + k) * NS, f"cr-{j}-{k}", {})
+                 for k in range(10)],
+            )
+        for e in engines:
+            e.close()
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        # engine-order guard: a shuffled list must be refused
+        with pytest.raises(ValueError, match="shard-index order"):
+            sh.rebalance_shards(list(reversed(engines)))
+        # simulate the crash: manually rename ONE mis-homed src into its
+        # target tree, leaving every catalog as-is
+        moved = None
+        for i, e in enumerate(engines):
+            for src in sorted(e._catalog):
+                home = sh.shard_of(src, 4)
+                if home != i:
+                    a, b = engines[i], engines[home]
+                    os.makedirs(b.logs_path, exist_ok=True)
+                    os.rename(
+                        os.path.join(a.logs_path, f"src={src}"),
+                        os.path.join(b.logs_path, f"src={src}"),
+                    )
+                    moved = (src, i, home)
+                    break
+            if moved:
+                break
+        assert moved, "fixture should produce a mis-homed src"
+        before = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+        assert len(before) == 60  # the renamed dir is read exactly once
+        # the rerun completes the half-move and every other move
+        rep = sh.rebalance_shards(engines)
+        src, frm, home = moved
+        assert any(m["src"] == src for m in rep["moves"])
+        for i, e in enumerate(engines):
+            for s in e._catalog:
+                assert sh.shard_of(s, 4) == i
+        after = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+        assert after == before
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_read_shard_logs_all_empty(spark):
+    """A grown-but-unwritten store (every shard tree empty) reads as an
+    empty frame with the standard log schema instead of failing parquet
+    schema inference."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-empty-")
+    try:
+        for i in range(2):
+            os.makedirs(os.path.join(sh.shard_root(root, i), "logs"))
+        df = sh.read_shard_logs(spark, root)
+        assert df.count() == 0
+        assert "ts" in df.columns and "src" in df.columns
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
