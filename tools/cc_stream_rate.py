@@ -8,7 +8,12 @@ each other by the fingerprint index) through the full per-shard stack
 bucket — as N parquet shard files, and reports end-to-end docs/sec
 from first shard landing to last survivor committed.
 
-Usage: python tools/cc_stream_rate.py [n_shards]
+Usage: python tools/cc_stream_rate.py [n_shards] [input_parquet]
+
+``input_parquet`` defaults to the sf0.1 documents table (5k docs);
+pass the scale_proof x10 table (50k docs) to measure real
+CommonCrawl-sized shards — the fixed per-micro-batch cost (~12 s of
+job rounds across the six stages) amortizes with shard size.
 """
 
 from __future__ import annotations
@@ -78,8 +83,13 @@ def main() -> int:
         # replay guard doesn't collide with seed ids (sf0.1 embeds the
         # sf0.01 rows — those stream docs are true near-dups and the
         # index correctly drops them)
+        in_path = (
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else "/root/testdata/sf0.1/documents.parquet"
+        )
         incoming = pages(
-            spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            spark.read.parquet(in_path)
             .select(
                 (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
                 "text",
