@@ -211,12 +211,16 @@ def start_cc_ingest_stream(
 
     def sink(batch_df, batch_id):
         batch = batch_df.persist()
+        gated = None
         try:
             if batch.isEmpty():
                 return
+            # pin the gate stack: the fingerprint checkpoint and the
+            # novel-docs write chain both read it — without the persist
+            # the C4/boilerplate/Gopher maps run twice per batch
             gated = _gate_stack(
                 batch, bp, blocklist, gopher_kw, id_col, text_col
-            )
+            ).persist()
             # fingerprint ONCE behind an eager checkpoint (the 64-wide
             # simhash expression re-analyzed on the stream-execution
             # thread overflows its shallower JVM stack — see the
@@ -295,6 +299,8 @@ def start_cc_ingest_stream(
             finally:
                 nfp.unpersist()
         finally:
+            if gated is not None:
+                gated.unpersist()
             batch.unpersist()
 
     return (
