@@ -11,6 +11,8 @@ Subcommands:
     shell   [--server URL]                    interactive prompt
     collect --root DIR --glob PAT [...]       collector: files → store
     forward --root DIR --query LQL --sink ... forwarder: store → syslog
+    rebalance --root DIR [--shards N] [--dry-run]   offline shard rebalance
+    truncate 'TRUNCATE ...' --root DIR [--shards N] sharded retention
 
 query/exec/write/shell talk to a running server over HTTP; collect and
 forward run an embedded engine against --root, mirroring the reference's
@@ -175,6 +177,76 @@ def cmd_forward(args) -> int:
         stop()
 
 
+def _embedded_shard_engines(root: str, app: str, n: int | None):
+    """Shard-tier analogue of ``_embedded_engine``: opens engines[i] over
+    shard_root(root, i) for i in 0..n-1 (n defaults to the existing
+    shard-* count; pass a LARGER n to grow the store). Same
+    session-ownership rule: stop() closes every engine always, stops
+    the session only if this call created it."""
+    from pyspark.sql import SparkSession
+
+    from . import shard as sh
+    from .engine import Engine
+    from .session import build_session
+
+    roots = sh.shard_roots(root)
+    count = n or len(roots)
+    if count <= 0:
+        raise SystemExit(f"no shard-* stores under {root!r} (pass --shards N)")
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name=app)
+    spark.sparkContext.setLogLevel("WARN")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(count)]
+
+    def stop():
+        try:
+            for e in engines:
+                e.close()
+        finally:
+            if not pre_existing:
+                spark.stop()
+
+    return engines, spark, stop
+
+
+def cmd_rebalance(args) -> int:
+    """Offline shard rebalance (shard.rebalance_shards): move every
+    mis-homed src to its pure-hash home under the current (or grown)
+    shard count. Requires exclusive store ownership — the per-shard
+    flocks refuse if writer processes are still up."""
+    import json as _json
+
+    from . import shard as sh
+
+    engines, _spark, stop = _embedded_shard_engines(
+        args.root, "logrange-spark-rebalance", args.shards
+    )
+    try:
+        print(_json.dumps(sh.rebalance_shards(engines, dry_run=args.dry_run)))
+        return 0
+    finally:
+        stop()
+
+
+def cmd_truncate(args) -> int:
+    """Sharded retention: run one TRUNCATE statement across every shard
+    store (MAXDBSIZE as the global oldest-first order). For a single
+    store, use `exec 'TRUNCATE ...'` against a running server."""
+    import json as _json
+
+    from . import shard as sh
+
+    engines, _spark, stop = _embedded_shard_engines(
+        args.root, "logrange-spark-truncate", args.shards
+    )
+    try:
+        rep = sh.ShardRouter(engines).truncate(args.lql)
+        print(_json.dumps(rep))
+        return 0
+    finally:
+        stop()
+
+
 def cmd_shell(args) -> int:
     c = Client(args.server)
     print(f"connected to {args.server} — LQL statements; 'exit' to quit")
@@ -265,6 +337,24 @@ def main(argv: list[str] | None = None) -> int:
     fw.add_argument("--root-ca", default="")
     fw.add_argument("--framing", default="rfc3164", choices=["rfc3164", "rfc5424"])
     fw.set_defaults(fn=cmd_forward)
+
+    rb = sub.add_parser(
+        "rebalance",
+        help="offline shard rebalance: move srcs to their hash homes",
+    )
+    rb.add_argument("--root", required=True, help="directory of shard-* stores")
+    rb.add_argument("--shards", type=int, default=None,
+                    help="shard count (default: existing; larger = grow)")
+    rb.add_argument("--dry-run", action="store_true")
+    rb.set_defaults(fn=cmd_rebalance)
+
+    tr = sub.add_parser(
+        "truncate", help="sharded retention: TRUNCATE across shard stores"
+    )
+    tr.add_argument("lql", help="TRUNCATE statement (quote it)")
+    tr.add_argument("--root", required=True, help="directory of shard-* stores")
+    tr.add_argument("--shards", type=int, default=None)
+    tr.set_defaults(fn=cmd_truncate)
 
     args = p.parse_args(argv)
     return args.fn(args)

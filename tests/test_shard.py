@@ -1061,3 +1061,71 @@ def test_read_shard_logs_all_empty(spark):
         assert "ts" in df.columns and "src" in df.columns
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cli_rebalance_and_truncate(spark):
+    """The CLI admin wrappers wire through to rebalance_shards /
+    ShardRouter.truncate (embedded-engine mode, safe session stop)."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    from logrange_spark.cli import main as cli_main
+
+    root = tempfile.mkdtemp(prefix="lrshard-cli-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        for j in range(6):
+            router.write(
+                {"name": f"cli{j}"},
+                [(BASE + (j * 10 + k) * NS, f"cli-{j}-{k}", {})
+                 for k in range(10)],
+            )
+        for e in engines:
+            e.close()
+        engines = []
+        # grow to 4 via the CLI (--shards 4), dry run first
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli_main(
+                ["rebalance", "--root", root, "--shards", "4", "--dry-run"]
+            ) == 0
+        dry = json.loads(buf.getvalue())
+        assert dry["dry_run"] and dry["n_shards"] == 4
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli_main(
+                ["rebalance", "--root", root, "--shards", "4"]
+            ) == 0
+        rep = json.loads(buf.getvalue())
+        assert rep["files_moved"] == dry["files_moved"]
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        for i, e in enumerate(engines):
+            for s in e._catalog:
+                assert sh.shard_of(s, 4) == i
+        for e in engines:
+            e.close()
+        engines = []
+        # sharded TRUNCATE through the CLI (everything is old → all cut)
+        cut = BASE + 10_000 * NS
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert cli_main(
+                ["truncate", f'TRUNCATE BEFORE "{cut}"', "--root", root]
+            ) == 0
+        trep = json.loads(buf.getvalue())
+        assert trep["deleted_files"] > 0
+        assert not any(
+            f.endswith(".parquet")
+            for i in range(4)
+            for _, _, fs in os.walk(
+                os.path.join(sh.shard_root(root, i), "logs")
+            )
+            for f in fs
+        )
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
