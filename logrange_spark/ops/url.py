@@ -285,18 +285,23 @@ def url_dedup(
         order = F.struct(
             F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie")
         )
-    # the null-key filter runs POST-aggregate: a pre-aggregate filter on
-    # the projected key gets pushed below the Project and re-evaluates
-    # the whole normalize_url regex chain per row (measured +30% on the
-    # bench row); after the groupBy it drops exactly one group row
+    # The null-key filter is expressed as ``url IS NOT NULL``: every
+    # function in the normalize_url chain (regexp_*, split/filter/
+    # array_*, when/otherwise over them) is null-PRESERVING and never
+    # null-INTRODUCING, so url_norm IS NULL ⟺ url IS NULL — and the
+    # raw-column predicate pushes to the scan for free. Filtering on
+    # url_norm itself (pre- OR post-aggregate) is a trap: Catalyst
+    # pushes isnotnull(<group key expr>) through the aggregate and
+    # below the Project, re-evaluating the whole regex chain per row
+    # (observed as +30% on the bench row in both placements).
     return (
-        docs.select(key, F.col(id_col), order.alias("_ord"))
+        docs.where(F.col(url_col).isNotNull())
+        .select(key, F.col(id_col), order.alias("_ord"))
         .groupBy("url_norm")
         .agg(
             F.max_by(id_col, F.col("_ord")).alias("kept_id"),
             F.count("*").alias("n_variants"),
         )
-        .where(F.col("url_norm").isNotNull())
     )
 
 
