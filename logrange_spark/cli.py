@@ -193,6 +193,14 @@ def _embedded_shard_engines(root: str, app: str, n: int | None):
     count = n or len(roots)
     if count <= 0:
         raise SystemExit(f"no shard-* stores under {root!r} (pass --shards N)")
+    if count < len(roots):
+        # an admin job over a SUBSET of the shards is never right:
+        # truncate's global MAXDBSIZE order would budget against half
+        # the store, and rebalance would re-home srcs mod the wrong N
+        raise SystemExit(
+            f"--shards {count} is smaller than the {len(roots)} existing "
+            "shard-* stores — refusing to run over a partial store"
+        )
     pre_existing = SparkSession.getActiveSession() is not None
     spark = build_session(app_name=app)
     spark.sparkContext.setLogLevel("WARN")

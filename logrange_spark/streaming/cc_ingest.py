@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..ops import dedup
+from .corpus_dedup import fingerprint_probe_and_commit
 
 CC_BUCKET_LABELS = ("head", "middle", "tail")
 
@@ -76,7 +77,10 @@ def _gate_stack(
         **gopher_kw,
     ).where("gopher_pass")
     return (
-        blocklist_gate(gated, blocklist, keep=(text_col,))
+        blocklist_gate(
+            gated, blocklist, id_col=id_col, text_col=text_col,
+            keep=(text_col,),
+        )
         .where("blocklist_pass")
         .select(id_col, text_col)
     )
@@ -111,18 +115,17 @@ def bootstrap_cc_corpus(
     Returns the reloaded state dict the stream consumes. Thresholds
     are FROZEN at bootstrap (CCNet trains its LM and cuts once, then
     scores every shard against them); re-run bootstrap to re-cut."""
-    from ..ops.text import (
-        boilerplate_lines,
-        redact,
-        unigram_lm_score,
-        unigram_lm_vocab,
-    )
+    from ..ops.text import redact, unigram_lm_score, unigram_lm_vocab
 
     from .curation import persist_boilerplate_dict
 
     gopher_kw = dict(gopher_kw or {})
     bp = persist_boilerplate_dict(spark, seed, f"{path}_bp", **bp_kw)
-    gated = _gate_stack(seed, bp, blocklist, gopher_kw, id_col, text_col)
+    # pin the gate stack and the redaction: five consumers each re-ran
+    # the whole regex chain over the seed without these (r15 review)
+    gated = _gate_stack(
+        seed, bp, blocklist, gopher_kw, id_col, text_col
+    ).persist()
     # within-corpus fingerprint keep-first, then persist the index
     fp = dedup.simhash(gated, id_col, text_col, bits=64).localCheckpoint(
         eager=True
@@ -137,7 +140,7 @@ def bootstrap_cc_corpus(
         spark, dedup.simhash(kept, id_col, text_col, bits=64),
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
     )
-    red = redact(kept, id_col, text_col)
+    red = redact(kept, id_col, text_col).persist()
     vocab = unigram_lm_vocab(red, "redacted", vocab_size)
     vocab.write.mode("overwrite").parquet(f"{path}_vocab")
     vocab = spark.read.parquet(f"{path}_vocab")
@@ -165,6 +168,8 @@ def bootstrap_cc_corpus(
         id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
     )
     out.write.mode("overwrite").parquet(f"{path}_docs")
+    red.unpersist()
+    gated.unpersist()
     return {
         "docs": spark.read.parquet(f"{path}_docs"),
         "boilerplate": bp,
@@ -221,39 +226,11 @@ def start_cc_ingest_stream(
             gated = _gate_stack(
                 batch, bp, blocklist, gopher_kw, id_col, text_col
             ).persist()
-            # fingerprint ONCE behind an eager checkpoint (the 64-wide
-            # simhash expression re-analyzed on the stream-execution
-            # thread overflows its shallower JVM stack — see the
-            # fingerprint dedup stream's note)
-            fp = dedup.simhash(
-                gated, id_col, text_col, bits=64
-            ).localCheckpoint(eager=True)
-            pairs = dedup.hamming_near_pairs(
-                fp, id_col, "simhash", 64, max_hamming
-            )
-            keep_fp = fp.join(
-                pairs.select(F.col("id_b").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-            fps_t = spark.table(f"{name}_fps")
-            members_t = spark.table(f"{name}_fp_members")
-            matches = dedup.hamming_near_pairs_against(
-                keep_fp, fps_t, members_t, id_col, "simhash", 64, max_hamming
-            )
-            nfp = (
-                keep_fp.join(
-                    matches.select(F.col("new_id").alias(id_col)).distinct(),
-                    id_col,
-                    "left_anti",
-                )
-                .join(members_t.select(F.col(id_col)), id_col, "left_anti")
-                .persist()
-            )
-            try:
-                if nfp.isEmpty():
-                    return
-                novel = gated.join(nfp.select(id_col), id_col)
+            # the probe/commit sequence lives in ONE place
+            # (corpus_dedup.fingerprint_probe_and_commit — members-last
+            # replay guard, eager-checkpointed simhash); this sink only
+            # supplies the score-attaching transform for the docs write
+            def attach_scores(novel):
                 red = redact(novel, id_col, text_col)
                 scored = novel.join(
                     unigram_lm_score(
@@ -261,43 +238,14 @@ def start_cc_ingest_stream(
                     ).select(id_col, "ppl"),
                     id_col,
                 ).join(red.select(id_col, "n_emails"), id_col)
-                out = scored.select(
+                return scored.select(
                     id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
                 )
-                out.write.mode("append").parquet(f"{path}_docs")
-                # index appends — bucketed inserts, members LAST (the
-                # replay guard; same sequence as the dedup streams)
-                h, _ = dedup._hamming_masked_and_bands(
-                    F.col("simhash"), 64, max_hamming
-                )
-                hashed = nfp.select(F.col(id_col), h.alias("h"))
-                bands = (
-                    hashed.select("h").distinct()
-                    .join(fps_t.select("h").distinct(), "h", "left_anti")
-                    .select(
-                        "h",
-                        F.posexplode(
-                            dedup._hamming_masked_and_bands(
-                                F.col("h"), 64, max_hamming
-                            )[1]
-                        ).alias("band", "_bv"),
-                    )
-                    .select(
-                        F.concat_ws(":", F.col("band"), F.col("_bv")).alias(
-                            "bkey"
-                        ),
-                        "band",
-                        "h",
-                    )
-                )
-                bands.select("bkey", "band", "h").write.insertInto(
-                    f"{name}_fps"
-                )
-                hashed.select("h", id_col).write.insertInto(
-                    f"{name}_fp_members"
-                )
-            finally:
-                nfp.unpersist()
+
+            fingerprint_probe_and_commit(
+                spark, gated, name, path, id_col, text_col, max_hamming,
+                transform=attach_scores,
+            )
         finally:
             if gated is not None:
                 gated.unpersist()

@@ -158,6 +158,93 @@ def bootstrap_fingerprint_corpus(
     return spark.read.parquet(f"{path}_docs"), fps, members
 
 
+def fingerprint_probe_and_commit(
+    spark,
+    docs,
+    name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    transform=None,
+) -> None:
+    """The invariant-bearing fingerprint ingestion sequence, shared by
+    ``start_fingerprint_dedup_stream`` and the streaming capstone
+    (streaming/cc_ingest.py): simhash ONCE behind an eager checkpoint,
+    within-shard keep-first, probe the persisted banded index, apply
+    the members replay guard, then commit the NOVEL documents — docs
+    append first (optionally through ``transform(novel)``, e.g. to
+    attach scores), bands insert, members insert LAST. Keep this in
+    one place: the members-last ordering IS the replay guard, and a
+    second copy of this block is how exactly-once breaks silently
+    (r15 review finding).
+
+    Why the eager checkpoint: the 64-bit simhash is a very deep
+    expression tree, and foreachBatch work runs on the stream-execution
+    thread whose JVM stack is shallower than the driver main thread's —
+    re-analyzing plans that embed the expression several times
+    overflows it (observed as StackOverflowError in the stream
+    thread). The per-shard fingerprint frame is two narrow columns, so
+    the checkpoint is cheap and every downstream join plans against a
+    flat scan."""
+    fp = dedup.simhash(
+        docs, id_col, text_col, bits=64
+    ).localCheckpoint(eager=True)
+    pairs = dedup.hamming_near_pairs(fp, id_col, "simhash", 64, max_hamming)
+    keep_fp = fp.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    fps_t = spark.table(f"{name}_fps")
+    members_t = spark.table(f"{name}_fp_members")
+    matches = dedup.hamming_near_pairs_against(
+        keep_fp, fps_t, members_t, id_col, "simhash", 64, max_hamming
+    )
+    # replay guard (see the MinHash stream): ids already in the
+    # members table were fully appended by a previous attempt
+    nfp = (
+        keep_fp.join(
+            matches.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        .join(members_t.select(F.col(id_col)), id_col, "left_anti")
+        .persist()
+    )
+    novel = docs.join(nfp.select(id_col), id_col)
+    try:
+        if nfp.isEmpty():
+            return
+        out = novel if transform is None else transform(novel)
+        out.write.mode("append").parquet(f"{path}_docs")
+        h, _ = dedup._hamming_masked_and_bands(
+            F.col("simhash"), 64, max_hamming
+        )
+        hashed = nfp.select(F.col(id_col), h.alias("h"))
+        bands = (
+            hashed.select("h").distinct()
+            .join(fps_t.select("h").distinct(), "h", "left_anti")
+            .select(
+                "h",
+                F.posexplode(
+                    dedup._hamming_masked_and_bands(
+                        F.col("h"), 64, max_hamming
+                    )[1]
+                ).alias("band", "_bv"),
+            )
+            .select(
+                F.concat_ws(":", F.col("band"), F.col("_bv")).alias("bkey"),
+                "band",
+                "h",
+            )
+        )
+        bands.select("bkey", "band", "h").write.insertInto(f"{name}_fps")
+        hashed.select("h", id_col).write.insertInto(f"{name}_fp_members")
+    finally:
+        nfp.unpersist()
+
+
 def start_fingerprint_dedup_stream(
     spark,
     input_dir: str,
@@ -188,78 +275,9 @@ def start_fingerprint_dedup_stream(
         try:
             if batch.isEmpty():
                 return
-            # Fingerprint ONCE and cut the lineage: the 64-bit simhash is
-            # a very deep expression tree, and foreachBatch work runs on
-            # the stream-execution thread whose JVM stack is shallower
-            # than the driver main thread's — re-analyzing plans that
-            # embed the expression several times overflows it (observed
-            # as StackOverflowError in the stream thread). The per-shard
-            # fingerprint frame is two narrow columns, so the eager
-            # checkpoint is cheap and every downstream join plans against
-            # a flat scan.
-            fp = dedup.simhash(
-                batch, id_col, text_col, bits=64
-            ).localCheckpoint(eager=True)
-            pairs = dedup.hamming_near_pairs(
-                fp, id_col, "simhash", 64, max_hamming
+            fingerprint_probe_and_commit(
+                spark, batch, name, path, id_col, text_col, max_hamming
             )
-            keep_fp = fp.join(
-                pairs.select(F.col("id_b").alias(id_col)).distinct(),
-                id_col,
-                "left_anti",
-            )
-            fps_t = spark.table(f"{name}_fps")
-            members_t = spark.table(f"{name}_fp_members")
-            matches = dedup.hamming_near_pairs_against(
-                keep_fp, fps_t, members_t, id_col, "simhash", 64, max_hamming
-            )
-            # replay guard (see the MinHash stream): ids already in the
-            # members table were fully appended by a previous attempt
-            nfp = (
-                keep_fp.join(
-                    matches.select(F.col("new_id").alias(id_col)).distinct(),
-                    id_col,
-                    "left_anti",
-                )
-                .join(members_t.select(F.col(id_col)), id_col, "left_anti")
-                .persist()
-            )
-            novel = batch.join(nfp.select(id_col), id_col)
-            try:
-                if nfp.isEmpty():
-                    return
-                novel.write.mode("append").parquet(f"{path}_docs")
-                h, _ = dedup._hamming_masked_and_bands(
-                    F.col("simhash"), 64, max_hamming
-                )
-                hashed = nfp.select(F.col(id_col), h.alias("h"))
-                bands = (
-                    hashed.select("h").distinct()
-                    .join(fps_t.select("h").distinct(), "h", "left_anti")
-                    .select(
-                        "h",
-                        F.posexplode(
-                            dedup._hamming_masked_and_bands(
-                                F.col("h"), 64, max_hamming
-                            )[1]
-                        ).alias("band", "_bv"),
-                    )
-                    .select(
-                        F.concat_ws(":", F.col("band"), F.col("_bv")).alias(
-                            "bkey"
-                        ),
-                        "band",
-                        "h",
-                    )
-                )
-                bands.select("bkey", "band", "h").write.insertInto(
-                    f"{name}_fps"
-                )
-                hashed.select("h", id_col).write.insertInto(
-                    f"{name}_fp_members"
-                )
-            finally:
-                nfp.unpersist()
         finally:
             batch.unpersist()
 

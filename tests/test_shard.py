@@ -1129,3 +1129,21 @@ def test_cli_rebalance_and_truncate(spark):
         for e in engines:
             e.close()
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cli_refuses_partial_store(spark):
+    """--shards smaller than the on-disk shard count must be refused:
+    a truncate over half the store would budget MAXDBSIZE against a
+    partial total, and a rebalance would re-home srcs mod the wrong N."""
+    import os
+
+    from logrange_spark.cli import main as cli_main
+
+    root = tempfile.mkdtemp(prefix="lrshard-partial-")
+    try:
+        for i in range(4):
+            os.makedirs(os.path.join(sh.shard_root(root, i), "logs"))
+        with pytest.raises(SystemExit, match="partial store"):
+            cli_main(["rebalance", "--root", root, "--shards", "2"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -108,12 +108,15 @@ def main() -> int:
             t0 = time.time()
             incoming.repartition(n_shards).write.mode("append").parquet(inp)
 
+            # recentProgress is a RING (last ~100 updates) — summing it
+            # directly under-counts once batches outnumber the buffer;
+            # accumulate per batchId instead (r15 review finding)
+            seen: dict = {}
+
             def processed():
-                # every batch commits through the checkpoint; poll the
-                # streaming progress for total input rows
-                return sum(
-                    p["numInputRows"] for p in q.recentProgress
-                ) if q.recentProgress else 0
+                for pr in q.recentProgress:
+                    seen[pr["batchId"]] = pr["numInputRows"]
+                return sum(seen.values())
 
             deadline = time.time() + 1200
             while processed() < n_in and time.time() < deadline:
