@@ -217,25 +217,34 @@ HEADLINE = [
 ]
 
 
-# Calibration reference: min-of-6 of the fixed probe (_calibration_probe)
-# measured on the round-15 sandbox in a run whose legacy-23 total was
-# 1.125x the r13 pin (within the protocol's ambient envelope; the same
-# run re-pinned wet_documents to 1.16x and lang_predict to 1.01x r13,
-# closing the r14 attribution gap as load, not code). Future rounds
-# divide their probe minimum by this to get a LOAD FACTOR: a probe at
-# 2x ref says the sandbox was ~2x contended, and per-query deltas of
-# that size are ambient, not code.
-CAL_REF_SEC = 0.126
+# Calibration references: min-of-6 of each probe, pinned on the
+# QUIETEST window observed in round 15 — the run whose legacy-23 total
+# landed at 1.009x the r13 pins (BENCH artifact of 2026-08-16 16:55;
+# the same run re-pinned wet_documents to 0.91x and lang_predict to
+# 1.19x r13, closing the r14 attribution gap as load, not code).
+# Future rounds divide their probe minima by these to get LOAD
+# FACTORS: a probe at 2x ref says the sandbox was ~2x contended, and
+# per-query deltas of that size are ambient, not code.
+CAL_REF_SEC = 0.094
+# The cached-frame probe measures CPU contention ONLY — a disk/IO
+# burst (observed mid-r15: shuffle-heavy rows 2-3x slow while the
+# probe read 0.93x) is invisible to it. The shuffle probe below reads
+# orders UNCACHED and shuffles it, so its wall moves with disk + spill
+# contention too; both refs pinned on the same quiet window.
+CAL_SHUFFLE_REF_SEC = 0.139
 
 DUCK_TABLES = ["region", "nation", "customer", "supplier", "part",
                "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def _calibration_probe(spark, sf_dir: str, n: int) -> list[float]:
-    """Fixed ambient-load probe: a 32-bucket sum/avg/count over a CACHED
-    lineitem projection — pure executor CPU + one tiny shuffle, no disk,
-    no code under test. Its wall time moves ONLY with sandbox load, so
-    it calibrates every other number in the artifact."""
+    """Fixed ambient-load probes, returned as (cpu_runs, shuffle_runs):
+    a 32-bucket sum/avg/count over a CACHED lineitem projection (pure
+    executor CPU — moves only with CPU contention) and an UNCACHED
+    orders scan + 64-bucket shuffle agg (moves with disk and shuffle-
+    spill contention too; the r15 mid-round incident showed a pure-CPU
+    probe reading 0.93x while an IO burst ran shuffle-heavy rows
+    2-3x slow)."""
     from pyspark.sql import functions as F
 
     df = (
@@ -258,7 +267,17 @@ def _calibration_probe(spark, sf_dir: str, n: int) -> list[float]:
         )
         runs.append(round(time.time() - t0, 3))
     df.unpersist()
-    return runs
+    shuffle_runs = []
+    for _ in range(n):
+        t0 = time.time()
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy((F.col("o_custkey") % 64).alias("b"))
+            .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        shuffle_runs.append(round(time.time() - t0, 3))
+    return runs, shuffle_runs
 
 
 def _bench_duckdb(entry_mod, sf_dir: str, n_runs: int) -> dict:
@@ -345,7 +364,7 @@ def main() -> int:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-    cal_start = _calibration_probe(spark, sf_dir, max(3, n_runs))
+    cal_start, cal_sh_start = _calibration_probe(spark, sf_dir, max(3, n_runs))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -369,14 +388,20 @@ def main() -> int:
         med = round(med, 3)  # uniform formatting for any n_runs
         medians[name] = med
         total_median += med
-    cal_end = _calibration_probe(spark, sf_dir, max(3, n_runs))
+    cal_end, cal_sh_end = _calibration_probe(spark, sf_dir, max(3, n_runs))
     cal_min = min(cal_start + cal_end)
+    cal_sh_min = min(cal_sh_start + cal_sh_end)
     calibration = {
         "start_runs": cal_start,
         "end_runs": cal_end,
         "min_sec": cal_min,
         "ref_sec": CAL_REF_SEC,
         "load_factor": round(cal_min / CAL_REF_SEC, 2),
+        "shuffle_start_runs": cal_sh_start,
+        "shuffle_end_runs": cal_sh_end,
+        "shuffle_min_sec": cal_sh_min,
+        "shuffle_ref_sec": CAL_SHUFFLE_REF_SEC,
+        "shuffle_load_factor": round(cal_sh_min / CAL_SHUFFLE_REF_SEC, 2),
     }
 
     # DuckDB comparator (VERDICT r14 #6): absolute single-node referent
