@@ -214,7 +214,24 @@ HEADLINE = [
     # round-14 addition: the one-pass Dolma-style attribute row — the
     # new flagship surface must regress visibly in BENCH (r12 rule)
     "quality_signals",
+    # round-16 addition (VERDICT r15 #5): the 64-bit simhash row IS the
+    # declared 100 TB fingerprint path since r12 — it benches in
+    # HEADLINE per the r12 flagship-visibility rule; the 16-bit
+    # dedup_simhash_pairs row stays for round-over-round continuity
+    "dedup_simhash64_pairs",
 ]
+
+# Apples-to-apples DuckDB comparison rule (VERDICT r15 #3): the total
+# ratio mixes rows where DuckDB finishes in 8-100 ms — there Spark's
+# fixed ~0.2 s/job session overhead IS the measurement (it amortizes at
+# real scale) — with compute-bound rows where both engines do real work.
+# The COMPUTE-BOUND subset keeps rows whose DuckDB side is >= this
+# floor, and excludes cc_pipeline: its twin starts from the documents
+# table and skips the WARC/gzip/HTML decode that dominates the Spark
+# side, so the two sides don't run the same work. Both ratios publish
+# on the parsed line; BASELINE.md states the rule.
+DUCK_COMPUTE_FLOOR_SEC = 0.3
+DUCK_NON_COMPARABLE = {"cc_pipeline"}
 
 
 # Calibration references: min-of-6 of each probe, pinned on the
@@ -415,6 +432,31 @@ def main() -> int:
             for n in duck["queries"]
             if duck["queries"][n] > 0
         }
+        # compute-bound subset (the official apples-to-apples reading —
+        # see DUCK_COMPUTE_FLOOR_SEC above and BASELINE.md)
+        comp = [
+            n
+            for n, v in duck["queries"].items()
+            if v >= DUCK_COMPUTE_FLOOR_SEC and n not in DUCK_NON_COMPARABLE
+        ]
+        duck["compute_bound"] = {
+            "rule": (
+                f"duckdb_sec >= {DUCK_COMPUTE_FLOOR_SEC}"
+                f", excluding {sorted(DUCK_NON_COMPARABLE)}"
+            ),
+            "queries": comp,
+            "duckdb_sec": round(sum(duck["queries"][n] for n in comp), 3),
+            "spark_sec": round(sum(timings[n] for n in comp), 3),
+        }
+        duck["compute_bound"]["ratio"] = (
+            round(
+                duck["compute_bound"]["spark_sec"]
+                / duck["compute_bound"]["duckdb_sec"],
+                2,
+            )
+            if duck["compute_bound"]["duckdb_sec"] > 0
+            else None
+        )
 
     # x10 dedup-family block (VERDICT r13 #7): the broadcast-audit merge
     # hints trade sf0.1 latency for scale safety, and the justification
@@ -522,6 +564,18 @@ def main() -> int:
                 "duckdb_total_sec": duck["total"] if duck else None,
                 "spark_vs_duckdb_total_ratio": (
                     round(total / duck["total"], 2) if duck else None
+                ),
+                # the official apples-to-apples reading (VERDICT r15 #3):
+                # rows where DuckDB does >= 0.3 s of real work, minus the
+                # decode-asymmetric cc_pipeline — see BASELINE.md
+                "spark_vs_duckdb_compute_ratio": (
+                    duck["compute_bound"]["ratio"] if duck else None
+                ),
+                "duckdb_compute_sec": (
+                    duck["compute_bound"]["duckdb_sec"] if duck else None
+                ),
+                "spark_compute_sec": (
+                    duck["compute_bound"]["spark_sec"] if duck else None
                 ),
                 "dedup_x10_sec": (
                     {n: v["sec"] for n, v in dedup_x10["queries"].items()}

@@ -24,10 +24,11 @@ per-record transforms and store-wide maintenance).
 
 Exactly-once/replay: identical to the fingerprint dedup stream
 (streaming/corpus_dedup.py) — the members insert runs LAST, so a
-replayed batch anti-joins away against fully recorded documents; a
-crash BETWEEN the docs append and the members insert re-appends those
-documents on replay (at-least-once on ``{path}_docs``; consumers key
-by doc id, members is the source of truth).
+replayed batch anti-joins away against fully recorded documents, and
+every docs write lands in a per-batch OVERWRITE partition, so a crash
+BETWEEN the docs write and the members insert replaces rather than
+duplicates on replay: exactly-once on ``{path}_docs`` (see
+``fingerprint_probe_and_commit`` for the full crash-replay matrix).
 
 reference: no analogue (the reference is a log engine); this completes
 the beyond-reference streaming-curation story (SURVEY §2.8) by
@@ -39,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..ops import dedup
-from .corpus_dedup import fingerprint_probe_and_commit
+from .corpus_dedup import (
+    BOOTSTRAP_BATCH,
+    fingerprint_probe_and_commit,
+    reset_docs_dir,
+    write_docs_batch,
+)
 
 CC_BUCKET_LABELS = ("head", "middle", "tail")
 
@@ -167,7 +173,8 @@ def bootstrap_cc_corpus(
     out = scored.select(
         id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
     )
-    out.write.mode("overwrite").parquet(f"{path}_docs")
+    reset_docs_dir(spark, f"{path}_docs")
+    write_docs_batch(out, f"{path}_docs", BOOTSTRAP_BATCH)
     red.unpersist()
     gated.unpersist()
     return {
@@ -244,7 +251,7 @@ def start_cc_ingest_stream(
 
             fingerprint_probe_and_commit(
                 spark, gated, name, path, id_col, text_col, max_hamming,
-                transform=attach_scores,
+                transform=attach_scores, batch_id=batch_id,
             )
         finally:
             if gated is not None:

@@ -16,8 +16,12 @@ The corpus is never joined against itself after the initial build; each
 shard pays one banding map-stage plus joins against co-located buckets.
 Offsets/recovery are Spark's (checkpointed file source); the dedup
 decision is deterministic, so a replayed batch re-derives the same novel
-set and the output append is guarded by a provenance anti-join against
-the corpus membership (same idea as the engine's exactly-once pipes).
+set, the append is guarded by a provenance anti-join against the corpus
+membership, and every docs write lands in its own per-batch OVERWRITE
+partition (``_batch=<id>`` — streaming/curation.py's pattern), so a
+crash anywhere inside the commit sequence REPLACES rather than
+duplicates on replay: exactly-once on ``{path}_docs`` (r15 review
+finding #1; same idea as the engine's exactly-once pipes).
 """
 
 from __future__ import annotations
@@ -25,6 +29,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..ops import dedup
+
+# the bootstrap (seed) corpus lands in this pseudo-batch partition so the
+# directory layout is uniform with the stream's per-batch partitions —
+# Spark refuses to read a parquet root that mixes leaf files with
+# partition directories
+BOOTSTRAP_BATCH = -1
+
+
+def reset_docs_dir(spark, docs_path: str) -> None:
+    """Remove a previous ``{path}_docs`` tree before a (re-)bootstrap:
+    the seed write overwrites only its own ``_batch=-1`` partition, so
+    stale stream partitions from an earlier run must go explicitly.
+    Hadoop FS API, not shutil — works for any scheme the store uses."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(docs_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def write_docs_batch(df: DataFrame, docs_path: str, batch_id) -> None:
+    """Commit one batch's documents under a per-batch OVERWRITE
+    partition: a replayed batch REPLACES its previous (possibly
+    partial) attempt instead of appending next to it — exactly-once on
+    the docs files without reading the docs table (no per-batch scan
+    of an ever-growing output)."""
+    df.write.mode("overwrite").parquet(f"{docs_path}/_batch={batch_id}")
 
 
 def bootstrap_corpus(
@@ -41,7 +71,8 @@ def bootstrap_corpus(
     bands, toks, members) catalog tables."""
     drops = dedup.near_duplicate_drops(corpus, id_col, text_col)
     kept = corpus.join(drops, id_col, "left_anti")
-    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    reset_docs_dir(spark, f"{path}_docs")
+    write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
     bands, toks, members = dedup.persist_corpus_lsh(
         spark, kept, name, path, id_col, text_col, n_buckets
     )
@@ -88,17 +119,17 @@ def start_corpus_dedup_stream(
             # novel set, but those ids are in the corpus members now —
             # anti-join makes the append idempotent. The members insert
             # runs LAST, so the probe state only ever records fully
-            # appended documents: exactly-once on the probe tables,
-            # at-least-once on the _docs files across a crash INSIDE the
-            # append sequence (consumers key by id; the members table is
-            # the corpus source of truth).
+            # appended documents; the docs write itself is a per-batch
+            # OVERWRITE partition, so a crash INSIDE the append sequence
+            # replaces rather than duplicates on replay — exactly-once
+            # on both the probe tables and the _docs files.
             novel = novel.join(
                 members_t.select(F.col(id_col)), id_col, "left_anti"
             ).persist()
             try:
                 if novel.isEmpty():
                     return
-                novel.write.mode("append").parquet(f"{path}_docs")
+                write_docs_batch(novel, f"{path}_docs", batch_id)
                 nb, nt, nm = dedup._collapsed_probe_state(novel, id_col, text_col)
                 # bucketed appends: insertInto preserves the bucket spec,
                 # so future probes stay Exchange-free on the corpus side;
@@ -150,7 +181,8 @@ def bootstrap_fingerprint_corpus(
         id_col,
         "left_anti",
     )
-    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    reset_docs_dir(spark, f"{path}_docs")
+    write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
     fps, members = dedup.persist_corpus_fingerprints(
         spark, dedup.simhash(kept, id_col, text_col, bits=64),
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
@@ -167,17 +199,40 @@ def fingerprint_probe_and_commit(
     text_col: str = "text",
     max_hamming: int = 3,
     transform=None,
+    batch_id=None,
 ) -> None:
     """The invariant-bearing fingerprint ingestion sequence, shared by
     ``start_fingerprint_dedup_stream`` and the streaming capstone
     (streaming/cc_ingest.py): simhash ONCE behind an eager checkpoint,
     within-shard keep-first, probe the persisted banded index, apply
     the members replay guard, then commit the NOVEL documents — docs
-    append first (optionally through ``transform(novel)``, e.g. to
-    attach scores), bands insert, members insert LAST. Keep this in
-    one place: the members-last ordering IS the replay guard, and a
+    write first (optionally through ``transform(novel)``, e.g. to
+    attach scores) into the per-batch OVERWRITE partition
+    ``_batch=<batch_id>``, bands insert, members insert LAST. Keep this
+    in one place: the members-last ordering IS the replay guard, and a
     second copy of this block is how exactly-once breaks silently
     (r15 review finding).
+
+    Crash-replay matrix (r16 — exactly-once on ``{path}_docs``):
+    a crash before the docs write finishes → the replayed batch
+    OVERWRITES the partial partition; between docs and members → the
+    guard still sees the docs as novel, recomputes the same set
+    (deterministic) and overwrites byte-identically; after the members
+    insert → the guard empties the novel set and the partition from the
+    completed attempt stands. The one non-idempotent residue is a crash
+    between the bands insert and the members insert: the replay
+    re-inserts those band rows (duplicate ``(bkey, band, h)`` rows in
+    ``{name}_fps``), which costs duplicate CANDIDATE pairs that every
+    consumer already collapses with ``distinct()`` — never a missed or
+    duplicated document.
+
+    The band-insert dedup anti-joins ``{name}_fp_members`` (bucketed by
+    ``h``), NOT ``{name}_fps`` (bucketed by ``bkey``): membership is
+    equivalent — every committed document's masked fingerprint is in
+    both tables — and the members side reads co-located buckets with no
+    corpus-side Exchange, so the commit path carries the same plan
+    contract as the probe path (r15 review finding #2; plan-asserted in
+    tests/test_bucketing.py).
 
     Why the eager checkpoint: the 64-bit simhash is a very deep
     expression tree, and foreachBatch work runs on the stream-execution
@@ -217,32 +272,49 @@ def fingerprint_probe_and_commit(
         if nfp.isEmpty():
             return
         out = novel if transform is None else transform(novel)
-        out.write.mode("append").parquet(f"{path}_docs")
+        write_docs_batch(out, f"{path}_docs", batch_id)
         h, _ = dedup._hamming_masked_and_bands(
             F.col("simhash"), 64, max_hamming
         )
         hashed = nfp.select(F.col(id_col), h.alias("h"))
-        bands = (
-            hashed.select("h").distinct()
-            .join(fps_t.select("h").distinct(), "h", "left_anti")
-            .select(
-                "h",
-                F.posexplode(
-                    dedup._hamming_masked_and_bands(
-                        F.col("h"), 64, max_hamming
-                    )[1]
-                ).alias("band", "_bv"),
-            )
-            .select(
-                F.concat_ws(":", F.col("band"), F.col("_bv")).alias("bkey"),
-                "band",
-                "h",
-            )
-        )
+        bands = novel_band_rows(hashed, members_t, max_hamming)
         bands.select("bkey", "band", "h").write.insertInto(f"{name}_fps")
         hashed.select("h", id_col).write.insertInto(f"{name}_fp_members")
     finally:
         nfp.unpersist()
+
+
+def novel_band_rows(
+    hashed: DataFrame, members_t: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Expand a batch's novel masked fingerprints ``(id, h)`` to the
+    ``(bkey, band, h)`` rows the fps index stores, deduping against
+    fingerprints already committed. The dedup anti-joins the MEMBERS
+    table — bucketed by ``h``, the join key — so the index side reads
+    co-located buckets with NO Exchange; anti-joining the fps table
+    itself (bucketed by ``bkey``) would shuffle + distinct the ENTIRE
+    index every micro-batch (r15 review finding #2). h-in-members ⟺
+    h-in-fps: both tables gain a fingerprint in the same commit, and
+    the only divergence window (crash between the two inserts) costs a
+    duplicate band row, not a wrong answer (see
+    ``fingerprint_probe_and_commit``)."""
+    return (
+        hashed.select("h").distinct()
+        .join(members_t.select("h").hint("merge"), "h", "left_anti")
+        .select(
+            "h",
+            F.posexplode(
+                dedup._hamming_masked_and_bands(
+                    F.col("h"), 64, max_hamming
+                )[1]
+            ).alias("band", "_bv"),
+        )
+        .select(
+            F.concat_ws(":", F.col("band"), F.col("_bv")).alias("bkey"),
+            "band",
+            "h",
+        )
+    )
 
 
 def start_fingerprint_dedup_stream(
@@ -263,12 +335,12 @@ def start_fingerprint_dedup_stream(
     novel documents — to the corpus output AND to the two index tables
     (bucketed INSERTs preserve the bucket spec, so later shards still
     probe Exchange-free). The members insert runs LAST, so a replayed
-    batch anti-joins away against fully recorded documents only — the
-    same replay guard as the MinHash stream above, with the same
-    at-least-once caveat on ``{path}_docs``: a crash BETWEEN the docs
-    append and the members insert re-appends those documents on
-    replay, so consumers must key by ``id_col`` (the members table is
-    the exactly-once source of truth for corpus membership)."""
+    batch anti-joins away against fully recorded documents only, and
+    the docs write is a per-batch OVERWRITE partition, so a crash
+    BETWEEN the docs write and the members insert replaces rather than
+    duplicates on replay — exactly-once on ``{path}_docs`` (see
+    ``fingerprint_probe_and_commit`` for the full crash-replay
+    matrix)."""
 
     def sink(batch_df, batch_id):
         batch = batch_df.persist()
@@ -276,7 +348,8 @@ def start_fingerprint_dedup_stream(
             if batch.isEmpty():
                 return
             fingerprint_probe_and_commit(
-                spark, batch, name, path, id_col, text_col, max_hamming
+                spark, batch, name, path, id_col, text_col, max_hamming,
+                batch_id=batch_id,
             )
         finally:
             batch.unpersist()

@@ -18,8 +18,10 @@ count) and must be threaded to the stream unchanged. Zero-norm vectors
 have no cosine (null score) and are therefore never considered
 duplicates anywhere in the family — consistent with the batch
 operators. Offsets/recovery are Spark's (checkpointed file source); a
-replayed batch re-derives the same novel set and the append is guarded
-by a provenance anti-join against the corpus membership.
+replayed batch re-derives the same novel set, the append is guarded by
+a provenance anti-join against the corpus membership, and every docs
+write lands in a per-batch OVERWRITE partition (exactly-once on
+``{path}_docs`` across crash replay — see streaming/corpus_dedup.py).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..ops import ann
+from .corpus_dedup import BOOTSTRAP_BATCH, reset_docs_dir, write_docs_batch
 
 
 def bootstrap_embedding_corpus(
@@ -47,7 +50,8 @@ def bootstrap_embedding_corpus(
         corpus, threshold, id_col, vec_col, dims=dims
     )
     kept = corpus.join(drops, id_col, "left_anti")
-    kept.write.mode("overwrite").parquet(f"{path}_docs")
+    reset_docs_dir(spark, f"{path}_docs")
+    write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
     vecs_t, members_t, dims = ann.persist_corpus_embeddings(
         spark, kept, name, path, id_col, vec_col, dims=dims,
         n_buckets=n_buckets,
@@ -98,14 +102,16 @@ def start_embedding_dedup_stream(
             )
             # 3. replay guard (same contract as corpus_dedup: members is
             # the source of truth and is written LAST, so the probe
-            # state only ever records fully appended vectors)
+            # state only ever records fully appended vectors; the docs
+            # write is a per-batch overwrite partition — exactly-once
+            # across crash replay)
             novel = novel.join(
                 members_t.select(F.col("id").alias(id_col)), id_col, "left_anti"
             ).persist()
             try:
                 if novel.isEmpty():
                     return
-                novel.write.mode("append").parquet(f"{path}_docs")
+                write_docs_batch(novel, f"{path}_docs", batch_id)
                 keyed = novel.select(
                     F.col(id_col), F.col(vec_col),
                     ann._emb_vkey(vec_col).alias("_vkey"),

@@ -583,3 +583,64 @@ def test_incremental_fingerprint_dedup_against_persisted_corpus(
     finally:
         for t in ("inc_fp_fps", "inc_fp_fp_members"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_band_insert_no_corpus_exchange(spark, tmp_path_factory):
+    """r15 review finding #2: the streaming commit path's band-insert
+    dedup must carry the SAME plan contract as the probe path — the
+    persisted index side reads co-located buckets with no Exchange.
+    ``novel_band_rows`` anti-joins the members table (bucketed by the
+    join key ``h``), so the only Exchange in the plan hashes the
+    BATCH side; anti-joining the fps table (bucketed by ``bkey``, the
+    r15 code) shuffled + distinct'ed the entire index per micro-batch."""
+    import random
+
+    from logrange_spark.ops import dedup
+    from logrange_spark.streaming.corpus_dedup import novel_band_rows
+
+    rng = random.Random(2026)
+
+    def to_signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    corpus = spark.createDataFrame(
+        [(i, to_signed(rng.getrandbits(64))) for i in range(200)],
+        "doc_id long, simhash long",
+    )
+    wh = str(tmp_path_factory.mktemp("bandins"))
+    for t in ("bi_fps", "bi_fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        fps_t, members_t = dedup.persist_corpus_fingerprints(
+            spark, corpus, "bi", f"{wh}/bi", max_hamming=3
+        )
+        h, _ = dedup._hamming_masked_and_bands(F.col("simhash"), 64, 3)
+        batch = spark.createDataFrame(
+            [(1000 + i, to_signed(rng.getrandbits(64))) for i in range(5)],
+            "doc_id long, simhash long",
+        ).select(F.col("doc_id"), h.alias("h"))
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bands = novel_band_rows(batch, members_t, 3)
+            plan = bands._jdf.queryExecution().executedPlan().toString()
+            n = bands.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        # 5 novel fingerprints × 4 pigeonhole bands
+        assert n == 20, n
+        # members scan is bucketed and contributes NO Exchange: every
+        # Exchange sits on the BATCH branch of the anti-join (the ':'
+        # continuation prefix in the tree print — the batch side pays
+        # its distinct + the re-hash onto the 64-bucket layout; the
+        # index side reads co-located buckets)
+        assert "Bucketed: true" in plan, plan
+        ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+        assert ex_lines and all(":" in l for l in ex_lines), plan
+        # regression tripwire: the fps table must not appear in the
+        # commit-dedup plan at all (it was the r15 full-scan side)
+        assert "bi_fps" not in plan, plan
+    finally:
+        for t in ("bi_fps", "bi_fp_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

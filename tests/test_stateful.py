@@ -5,6 +5,8 @@ import json
 import os
 import time
 
+import pytest
+
 
 def test_stateful_dedupe_across_batches(spark, tmp_path):
     """Two files processed as separate micro-batches (maxFilesPerTrigger=1):
@@ -726,3 +728,155 @@ def test_streaming_cc_capstone(spark, tmp_path):
             assert row["bucket"] == exp
     finally:
         q.stop()
+
+
+def _fp_corpus_fixture(spark, tmp_path, name):
+    """Bootstrapped fingerprint corpus (2 docs) + texts for the replay
+    drills; planted distances mirror test_continuous_fingerprint_*."""
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+    )
+
+    base = (
+        "alpha document about spark engines and large scale shuffles "
+        "with partitions executors stages tasks codegen arrow pages "
+        "buffers metrics plans catalyst tungsten joins aggregates windows"
+    )
+    delta = (
+        "delta payload completely unlike anything else whatsoever here "
+        "covering syslog forwarders collectors parsers offsets journals "
+        "chunks cursors positions watermarks follow tails pipes workers"
+    )
+    eps = (
+        "epsilon report enumerating benchmark protocols noise floors medians "
+        "ratios budgets heaps sweeps artifacts attribution deltas registries "
+        "oracles twins hashes rotations retirements coverage inventories"
+    )
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    seed = spark.createDataFrame(
+        [(1, base), (2, eps)], "doc_id long, text string"
+    )
+    bootstrap_fingerprint_corpus(
+        spark, seed, name, f"{tmp_path}/{name}", max_hamming=7, n_buckets=8
+    )
+    return delta
+
+
+def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
+    """Run fingerprint_probe_and_commit, kill it after ``crash_after``
+    insertInto calls (0 = between the docs write and the bands insert,
+    1 = between the bands insert and the members insert), replay the
+    SAME batch, and assert exactly-once on ``_docs`` + index catch."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from logrange_spark.streaming.corpus_dedup import (
+        fingerprint_probe_and_commit,
+    )
+
+    delta = _fp_corpus_fixture(spark, tmp_path, name)
+    path = f"{tmp_path}/{name}"
+    batch = spark.createDataFrame(
+        [(11, delta)], "doc_id long, text string"
+    )
+
+    real_insert = DataFrameWriter.insertInto
+    calls = {"n": 0}
+
+    def failing_insert(self, table, overwrite=None):
+        if calls["n"] == crash_after:
+            calls["n"] += 1
+            raise RuntimeError("injected crash inside the commit sequence")
+        calls["n"] += 1
+        if overwrite is None:
+            return real_insert(self, table)
+        return real_insert(self, table, overwrite)
+
+    def commit():
+        fingerprint_probe_and_commit(
+            spark, batch, name, path, max_hamming=7,
+            transform=transform, batch_id=7,
+        )
+
+    DataFrameWriter.insertInto = failing_insert
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            commit()
+    finally:
+        DataFrameWriter.insertInto = real_insert
+
+    # the docs write landed before the crash (partial commit on disk),
+    # but doc 11 is NOT in members — the index never half-records
+    docs = spark.read.parquet(f"{path}_docs")
+    assert [r["doc_id"] for r in docs.where("doc_id = 11").collect()] == [11]
+    assert (
+        spark.table(f"{name}_fp_members").where("doc_id = 11").count() == 0
+    )
+
+    # REPLAY the same batch (foreachBatch redelivers the same epoch):
+    # the per-batch overwrite partition replaces the partial attempt —
+    # zero duplicate doc rows — and the index completes
+    commit()
+    docs = spark.read.parquet(f"{path}_docs")
+    dup = (
+        docs.groupBy("doc_id").count().where("count > 1").collect()
+    )
+    assert dup == [], dup
+    assert docs.where("doc_id = 11").count() == 1
+    assert (
+        spark.table(f"{name}_fp_members").where("doc_id = 11").count() == 1
+    )
+
+    # the completed index catches a near-dup of the replayed doc
+    probe = spark.createDataFrame(
+        [(20, delta)], "doc_id long, text string"
+    )
+    fingerprint_probe_and_commit(
+        spark, probe, name, path, max_hamming=7, transform=transform,
+        batch_id=8,
+    )
+    docs = spark.read.parquet(f"{path}_docs")
+    assert docs.where("doc_id = 20").count() == 0
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    return docs
+
+
+def test_fingerprint_commit_crash_before_bands_is_exactly_once(
+    spark, tmp_path
+):
+    """r15 review finding #1: a crash BETWEEN the docs write and the
+    bands insert must not duplicate docs on replay — the per-batch
+    overwrite partition replaces the partial attempt."""
+    _crash_replay_drill(spark, tmp_path, "cr0", crash_after=0)
+
+
+def test_fingerprint_commit_crash_between_bands_and_members(
+    spark, tmp_path
+):
+    """The other crash window: bands landed, members didn't. Replay
+    must not duplicate docs OR lose the document; the only residue is
+    a (harmless, distinct()-collapsed) duplicate band row."""
+    _crash_replay_drill(spark, tmp_path, "cr1", crash_after=1)
+
+
+def test_cc_capstone_commit_crash_replay_exactly_once(spark, tmp_path):
+    """The capstone stream shares fingerprint_probe_and_commit with a
+    score-attaching transform — same exactly-once contract, and the
+    transform's columns survive the replay overwrite."""
+    from pyspark.sql import functions as F
+
+    def attach(novel):
+        return novel.withColumn("score", F.length("text").cast("double"))
+
+    _crash_replay_drill(
+        spark, tmp_path, "cr2", crash_after=0, transform=attach
+    )
+    # the drill's seed partition predates the transform column
+    # (bootstrap_cc_corpus writes the full scored schema in real use);
+    # mergeSchema surfaces the stream partitions' score here
+    docs = spark.read.option("mergeSchema", "true").parquet(
+        f"{tmp_path}/cr2_docs"
+    )
+    row = docs.where("doc_id = 11").collect()[0]
+    assert row["score"] == float(len(row["text"]))
