@@ -1166,7 +1166,10 @@ def _url_dedup_sql() -> str:
     from logrange_spark.ops.url import normalize_url_duckdb
 
     return f"""
-WITH u AS (SELECT doc_id, n_chars, {_URL_DERIVE_DUCK} AS url FROM documents),
+WITH u AS (SELECT doc_id, n_chars, {_URL_DERIVE_DUCK} AS url FROM documents
+           WHERE url IS NOT NULL AND trim(url,
+             ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+           ) <> ''),
 n AS (SELECT doc_id, n_chars, {normalize_url_duckdb('url')} AS url_norm FROM u),
 r AS (SELECT url_norm, doc_id, n_chars,
         row_number() OVER (PARTITION BY url_norm

@@ -236,6 +236,34 @@ def cmd_rebalance(args) -> int:
         stop()
 
 
+def cmd_maintain(args) -> int:
+    """Periodic corpus-global maintenance over a streamed curation
+    corpus (streaming/maintenance.maintain_cc_corpus): repeated-span
+    removal + benchmark decontamination over the accumulated
+    ``{path}_docs``, atomic rewrite, fingerprint-index refresh. The
+    ingest stream must be STOPPED while this runs."""
+    import json as _json
+
+    from . import build_session
+    from .streaming.maintenance import maintain_cc_corpus
+
+    spark = build_session(app_name="logrange-spark-maintain")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        report = maintain_cc_corpus(
+            spark, args.name, args.path, benchmark=bench,
+            contam_max=args.contam_max, ngram=args.ngram,
+            max_hamming=args.max_hamming, n_buckets=args.n_buckets,
+        )
+        print(_json.dumps(report))
+        return 0
+    finally:
+        spark.stop()
+
+
 def cmd_truncate(args) -> int:
     """Sharded retention: run one TRUNCATE statement across every shard
     store (MAXDBSIZE as the global oldest-first order). For a single
@@ -355,6 +383,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="shard count (default: existing; larger = grow)")
     rb.add_argument("--dry-run", action="store_true")
     rb.set_defaults(fn=cmd_rebalance)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="corpus maintenance: span removal + decontamination over a "
+             "streamed corpus (stream must be stopped)",
+    )
+    mt.add_argument("--name", required=True,
+                    help="index table prefix (the stream's name)")
+    mt.add_argument("--path", required=True,
+                    help="corpus path prefix (the stream's path)")
+    mt.add_argument("--benchmark", default="",
+                    help="parquet path of the eval set to decontaminate "
+                         "against (omit to skip decontamination)")
+    mt.add_argument("--contam-max", type=float, default=0.5)
+    mt.add_argument("--ngram", type=int, default=8)
+    mt.add_argument("--max-hamming", type=int, default=3,
+                    help="must match the bootstrap value")
+    mt.add_argument("--n-buckets", type=int, default=64,
+                    help="must match the bootstrap value")
+    mt.set_defaults(fn=cmd_maintain)
 
     tr = sub.add_parser(
         "truncate", help="sharded retention: TRUNCATE across shard stores"

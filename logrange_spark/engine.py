@@ -217,6 +217,37 @@ class Engine:
         # live chunk count, maintained incrementally (the per-append
         # recount was O(#srcs) per write batch)
         self._chunk_count = sum(len(v) for v in self._chunk_stats.values())
+        # self-heal at open (r15 review, shard.py rebalance crash
+        # window): a crash between a rebalance move's target-side
+        # registration and its source-side drop leaves THIS store
+        # listing a src whose directory already MOVED to its new home —
+        # a catalog entry with zero on-disk data. A writer opening such
+        # a store must drop the stale entry, or the shard router would
+        # pin the src ambiguously (both shards list it) and a write
+        # could land beside the departed data (split-brain). Data is
+        # never touched — the directory lives in the target shard; a
+        # rebalance rerun completes the metadata transfer there. The
+        # write path registers the catalog entry only AFTER the data
+        # file lands (see write()), so entry-without-directory is
+        # always this crash signature, never a live partition.
+        # Read-only opens skip the heal (they must not mutate the
+        # owner's state) — their union read is already safe: the moved
+        # data is read once from the target tree, and the stale
+        # source-side entry scans an absent directory.
+        if not read_only:
+            stale = [
+                s for s in self._catalog
+                if not os.path.isdir(os.path.join(self.logs_path, f"src={s}"))
+            ]
+            if stale:
+                for s in stale:
+                    self._catalog.pop(s, None)
+                    self._drop_chunks(s, None)
+                self._catalog_epoch += 1
+                self._resolve_cache.clear()
+                with open(self._catalog_path + ".tmp", "w") as f:
+                    json.dump(self._catalog, f)
+                os.replace(self._catalog_path + ".tmp", self._catalog_path)
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         # per-pipe pruned src set (None = no tag condition / no pruning);
@@ -1220,7 +1251,9 @@ class Engine:
         oldest partitions until total ≤ MAXDBSIZE; delete emptied
         partitions. DRYRUN reports without deleting.
         """
-        report, plans, sizes, oldest, nfiles = self._truncate_plan(stmt)
+        report, plans, sizes, oldest, nfiles, survivors = (
+            self._truncate_plan(stmt)
+        )
         if stmt.max_db_size is not None:
             total = sum(sizes.values())
             # oldest partitions first (by earliest record timestamp, then
@@ -1229,7 +1262,14 @@ class Engine:
             for src in order:
                 if total <= stmt.max_db_size:
                     break
-                plans[src] = ["*ALL*"]
+                # whole-partition drop as the EXPLICIT plan-time file
+                # list, not a wildcard: a write that lands between
+                # planning and execution was not counted against the
+                # MAXDBSIZE budget and must survive (r15 review — the
+                # old "*ALL*" rmtree deleted it uncounted); the emptied-
+                # dir cleanup in _truncate_execute retires the partition
+                # only if nothing new arrived
+                plans[src] = plans.get(src, []) + survivors[src]
                 total -= sizes[src]
                 report["deleted_bytes"] += sizes[src]
                 report["deleted_files"] += nfiles[src]
@@ -1241,21 +1281,26 @@ class Engine:
 
     def _truncate_plan(
         self, stmt: ast.Truncate
-    ) -> tuple[dict, dict, dict, dict, dict]:
+    ) -> tuple[dict, dict, dict, dict, dict, dict]:
         """Phase-1 planning (per-partition oldest-file drops for
         BEFORE/MINSIZE/MAXSIZE): returns ``(report, plans, sizes,
-        oldest, nfiles)`` where sizes/nfiles are POST-phase-1 values.
-        Split out so ``ShardRouter.truncate`` can run the MAXDBSIZE
-        phase GLOBALLY across shards (the single-store oldest-first
-        order) instead of guessing per-shard budgets — growth-stable
-        routing makes shard sizes skewed by design, so an even split
-        over-deletes on the loaded shards (the r14 verdict defect)."""
+        oldest, nfiles, survivors)`` where sizes/nfiles are
+        POST-phase-1 values and ``survivors`` lists each src's
+        remaining chunk names — the MAXDBSIZE phase plans
+        whole-partition drops as these EXPLICIT names so a write landed
+        after planning is never deleted uncounted. Split out so
+        ``ShardRouter.truncate`` can run the MAXDBSIZE phase GLOBALLY
+        across shards (the single-store oldest-first order) instead of
+        guessing per-shard budgets — growth-stable routing makes shard
+        sizes skewed by design, so an even split over-deletes on the
+        loaded shards (the r14 verdict defect)."""
         self._check_writable()
         src_ids = self.resolve_sources(stmt.source, cap=False)
         report = {"partitions": [], "deleted_files": 0, "deleted_bytes": 0, "dry_run": stmt.dry_run}
         sizes: dict[str, int] = {}
         oldest: dict[str, int] = {}
         nfiles: dict[str, int] = {}
+        survivors: dict[str, list[str]] = {}
         plans: dict[str, list[str]] = {}
 
         infos = self.describe_many(src_ids)
@@ -1281,6 +1326,7 @@ class Engine:
                     remaining -= c["size"]
                 else:
                     break
+            survivors[src] = [c["chunk"] for c in files[len(drop):]]
             if drop:
                 plans[src] = drop
                 report["partitions"].append({"src": src, "tag_line": self._catalog.get(src, ""),
@@ -1289,12 +1335,15 @@ class Engine:
                 report["deleted_bytes"] += size - remaining
                 sizes[src] = remaining
                 nfiles[src] -= len(drop)
-        return report, plans, sizes, oldest, nfiles
+        return report, plans, sizes, oldest, nfiles, survivors
 
     def _truncate_execute(self, plans: dict[str, list[str]]) -> None:
-        """Execute a truncate plan: per-src file deletions, ``*ALL*``
-        partition drops, emptied-dir cleanup, one atomic catalog
-        rewrite.
+        """Execute a truncate plan: per-src file deletions, emptied-dir
+        cleanup, one atomic catalog rewrite. Whole-partition drops
+        arrive as explicit plan-time file lists (see truncate()), so a
+        chunk written after planning survives both the deletions and
+        the cleanup; the legacy ``*ALL*`` wildcard branch remains for
+        externally-built plans.
 
         maint lock first: a compaction rewrite in flight must not
         see its candidates deleted under it (it would resurrect the

@@ -310,9 +310,18 @@ class CursorHandle:
         self._thread: "threading.Thread | None" = None
         self.error: Exception | None = None
         # transient failures the loop retried past (observability: the
-        # worker keeps running, but a flapping sink shows up here)
+        # worker keeps running, but a flapping sink shows up here —
+        # HEALTH CONTRACT: a live-looking handle with a growing
+        # ``consecutive_retries`` is a worker making no progress;
+        # callers monitoring forwarder health must poll it, or pass
+        # ``max_retries`` so a permanently-failing loop escalates to
+        # ``error`` and terminates instead of spinning silently).
+        # ``consecutive_retries`` resets on the next successful
+        # iteration; ``last_retry_error``/``retries`` are sticky
+        # forensics (the most recent retried error, the lifetime count).
         self.last_retry_error: Exception | None = None
         self.retries: int = 0
+        self.consecutive_retries: int = 0
 
     def stop(self) -> None:
         self._stop.set()
@@ -347,7 +356,8 @@ def _save_cursor(state_path: str, cursor) -> None:
 
 
 def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
-               poll_s: float = 1.0, retry_s: float = 5.0) -> None:
+               poll_s: float = 1.0, retry_s: float = 5.0,
+               max_retries: int | None = None) -> None:
     """The worker loop: saved position → select → deliver → persist
     position (at-least-once across worker crashes: the position advances
     only AFTER a successful delivery; a crash in between re-delivers the
@@ -362,9 +372,21 @@ def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
     retries — the reference worker's 5 s retry for both query and sink
     failures (pkg/forwarder/worker.go). The cursor only advances after
     a successful delivery, so a retried iteration re-delivers the same
-    batch (at-least-once) instead of dropping it. Only ``stop()`` ends
-    the loop; ``handle.error`` is reserved for non-retryable setup
-    failures (bad LQL) raised before the loop starts."""
+    batch (at-least-once) instead of dropping it.
+
+    A PERMANENT failure (dead sink, programming error in deliver) would
+    otherwise spin here forever while the handle looks alive — the r15
+    review finding. ``max_retries`` bounds CONSECUTIVE failed
+    iterations: when exceeded, the loop raises the last error, which
+    ``_start_pull_thread`` surfaces as ``handle.error`` and the worker
+    terminates — the loud-death escalation. ``None`` (the default,
+    matching the reference worker's retry-forever loop,
+    worker.go:74-83) keeps retrying; callers choosing it MUST poll
+    ``handle.consecutive_retries`` for health (it resets on the next
+    successful iteration; ``last_retry_error``/``retries`` are sticky
+    forensics). ``handle.error`` is
+    otherwise reserved for non-retryable setup failures (bad LQL)
+    raised before the loop starts."""
     from .compiler.select import CursorToken
 
     stmt0 = parse_lql(lql)
@@ -397,16 +419,28 @@ def _pull_loop(source, lql: str, state_path: str, deliver, handle: CursorHandle,
                 last = batch[-1]
                 cursor = CursorToken(last["ts"], last["src"], last["seq"])
                 _save_cursor(state_path, cursor)
-                continue
-            source.wait_for_write(epoch, poll_s)
+            else:
+                source.wait_for_write(epoch, poll_s)
+            # a FULL successful iteration (delivered, or verified-empty)
+            # resets the consecutive counter: the prior failure was
+            # transient. Reset sits after deliver/save so a permanently
+            # failing sink still counts CONSECUTIVE failures.
+            handle.consecutive_retries = 0
         except Exception as e:  # noqa: BLE001 — retry transient failures
             handle.last_retry_error = e
             handle.retries += 1
+            handle.consecutive_retries += 1
+            if (
+                max_retries is not None
+                and handle.consecutive_retries > max_retries
+            ):
+                raise  # escalate: _start_pull_thread sets handle.error
             handle._stop.wait(retry_s)
 
 
 def _start_pull_thread(source, name, lql, state_path, deliver,
-                       retry_s: float = 5.0) -> CursorHandle:
+                       retry_s: float = 5.0,
+                       max_retries: int | None = None) -> CursorHandle:
     import threading
 
     handle = CursorHandle()
@@ -414,7 +448,7 @@ def _start_pull_thread(source, name, lql, state_path, deliver,
     def run():
         try:
             _pull_loop(source, lql, state_path, deliver, handle,
-                       retry_s=retry_s)
+                       retry_s=retry_s, max_retries=max_retries)
         except Exception as e:  # surfaced via handle.error, loop ends
             handle.error = e
         finally:
@@ -434,6 +468,7 @@ def start_cursor_forwarder(
     template: str = "{vars} - {msg}",
     state_dir: str | None = None,
     retry_s: float = 5.0,
+    max_retries: int | None = None,
 ) -> CursorHandle:
     """Forwarder over the query API: works on a single Engine AND on a
     sharded root's ShardReader (which the streaming-source forwarder
@@ -470,7 +505,7 @@ def start_cursor_forwarder(
         sink(df, counter["n"])
 
     return _start_pull_thread(source, name, lql, state_path, deliver,
-                              retry_s=retry_s)
+                              retry_s=retry_s, max_retries=max_retries)
 
 
 def start_cursor_pipe(
@@ -480,6 +515,7 @@ def start_cursor_pipe(
     lql: str,
     state_dir: str | None = None,
     retry_s: float = 5.0,
+    max_retries: int | None = None,
 ) -> CursorHandle:
     """Read-only pipe over the query API, writing to a DIFFERENT store:
     the shard-tier analogue of CREATE PIPE (the reference's pipe worker
@@ -547,4 +583,4 @@ def start_cursor_pipe(
             dest_engine.append_df(out)
 
     return _start_pull_thread(source, name, lql, state_path, deliver,
-                              retry_s=retry_s)
+                              retry_s=retry_s, max_retries=max_retries)

@@ -268,14 +268,17 @@ def url_dedup(
     (map-side partial aggregation applies); nothing is collected,
     nothing is broadcast — linear at any corpus size.
 
-    NULL canonical keys (null/unparseable ``url_col``) are EXCLUDED —
-    same rule as :func:`url_duplicates`. A null key carries no "same
-    page" evidence, so grouping the null rows would collapse every
-    url-less document onto one arbitrary survivor; consumers that
-    keep-join against ``kept_id`` treat the excluded docs as automatic
-    keepers instead (see ``cc_pipeline``), and the drop-list consumers
+    NULL and BLANK (empty/whitespace-only) ``url_col`` values are
+    EXCLUDED — same rule as :func:`url_duplicates`. Neither carries any
+    "same page" evidence (the WET parser emits null for a missing
+    header; other ingests may emit ``""``), so grouping them would
+    collapse every url-less document onto one arbitrary survivor — the
+    r15 silent-drop class. Consumers that keep-join against ``kept_id``
+    treat the excluded docs as automatic keepers instead (see
+    ``cc_pipeline``), and the drop-list consumers
     (:func:`url_duplicate_drops`, :func:`url_drops_against`) never
-    match them because a null key joins nothing.
+    match them: a null key joins nothing, and a blank url's key is
+    absent from the kept side.
     """
     key = normalize_url(F.col(url_col)).alias("url_norm")
     if quality_col is None:
@@ -285,17 +288,23 @@ def url_dedup(
         order = F.struct(
             F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie")
         )
-    # The null-key filter is expressed as ``url IS NOT NULL``: every
-    # function in the normalize_url chain (regexp_*, split/filter/
-    # array_*, when/otherwise over them) is null-PRESERVING and never
-    # null-INTRODUCING, so url_norm IS NULL ⟺ url IS NULL — and the
-    # raw-column predicate pushes to the scan for free. Filtering on
-    # url_norm itself (pre- OR post-aggregate) is a trap: Catalyst
-    # pushes isnotnull(<group key expr>) through the aggregate and
-    # below the Project, re-evaluating the whole regex chain per row
-    # (observed as +30% on the bench row in both placements).
+    # Both filters are expressed on the RAW column: every function in
+    # the normalize_url chain (regexp_*, split/filter/array_*,
+    # when/otherwise over them) is null-PRESERVING and never
+    # null-INTRODUCING, so url_norm IS NULL ⟺ url IS NULL, and a
+    # blank/whitespace-only url is detected by one btrim (explicit
+    # whitespace set — plain trim() strips SPACES only in both Spark
+    # and DuckDB) — cheap raw-column predicates the scan can evaluate
+    # first. Filtering on url_norm itself (pre- OR post-aggregate) is a
+    # trap: Catalyst pushes isnotnull(<group key expr>) through the
+    # aggregate and below the Project, re-evaluating the whole regex
+    # chain per row (observed as +30% on the bench row in both
+    # placements).
     return (
-        docs.where(F.col(url_col).isNotNull())
+        docs.where(
+            F.col(url_col).isNotNull()
+            & (F.btrim(F.col(url_col), F.lit(" \t\n\r\f\v")) != "")
+        )
         .select(key, F.col(id_col), order.alias("_ord"))
         .groupBy("url_norm")
         .agg(

@@ -189,30 +189,37 @@ class ShardRouter:
         # matching Engine.truncate's in-process ordering)
         states = []
         for i, e in enumerate(self.engines):
-            rep, plans, sizes, oldest, nfiles = e._truncate_plan(base)
+            rep, plans, sizes, oldest, nfiles, survivors = (
+                e._truncate_plan(base)
+            )
             for p in rep["partitions"]:
                 report["partitions"].append({**p, "shard": i})
             report["deleted_files"] += rep["deleted_files"]
             report["deleted_bytes"] += rep["deleted_bytes"]
-            states.append((e, plans, sizes, oldest, nfiles))
+            states.append((e, plans, sizes, oldest, nfiles, survivors))
         if stmt.max_db_size is not None:
             total = sum(sum(s[2].values()) for s in states)
             order = sorted(
                 ((oldest.get(src, 0), src, i)
-                 for i, (_, _, sizes, oldest, _) in enumerate(states)
+                 for i, (_, _, sizes, oldest, _, _) in enumerate(states)
                  for src in sizes),
             )
             for _, src, i in order:
                 if total <= stmt.max_db_size:
                     break
-                _, plans, sizes, _, nfiles = states[i]
-                plans[src] = ["*ALL*"]
+                _, plans, sizes, _, nfiles, survivors = states[i]
+                # explicit plan-time file list, not a wildcard: the
+                # plan→execute window is wide here (phase 1 plans EVERY
+                # shard before any executes), so a write landing on a
+                # planned src in between must survive — it was never
+                # counted against the MAXDBSIZE budget (r15 review)
+                plans[src] = plans.get(src, []) + survivors[src]
                 total -= sizes[src]
                 report["deleted_bytes"] += sizes[src]
                 report["deleted_files"] += nfiles[src]
                 sizes[src] = 0
         if not stmt.dry_run:
-            for e, plans, _, _, _ in states:
+            for e, plans, *_ in states:
                 if plans:
                     e._truncate_execute(plans)
         return report
@@ -392,6 +399,20 @@ class ShardReader:
     def _refresh_locked(self) -> None:
         from .engine import Engine
 
+        # shard-SET change (growth, or an offline rebalance that added
+        # stores): a snapshot built on the old root list would silently
+        # miss every src that moved to a shard it never opened — the
+        # r15 stale-reader hazard. Rebuild the engine list from the
+        # current root set; the fingerprint folds the root list, so the
+        # per-query freshness check trips on growth too.
+        roots = shard_roots(self.root)
+        if roots != [e.root for e in self.engines]:
+            self._retired.extend(self.engines)
+            self.engines = [
+                Engine(self.spark, r, read_only=True) for r in roots
+            ]
+            self._fingerprint = self._state_fingerprint()
+            return
         fresh = []
         for e in self.engines:
             try:
@@ -425,7 +446,11 @@ class ShardReader:
         seq.json, so the fingerprint changes iff the store did."""
         import zlib
 
-        fp = b""
+        # the root list is part of the state: a new shard-NNN store
+        # must flip the fingerprint even before anything writes to it
+        fp = ";".join(
+            os.path.basename(r) for r in shard_roots(self.root)
+        ).encode() + b"|"
         for e in self.engines:
             for name in self._STATE_FILES:
                 try:

@@ -1,0 +1,209 @@
+"""Periodic corpus-GLOBAL maintenance over a streamed corpus — the
+batch other-half of the streaming capstone (VERDICT r15 #4).
+
+The continuous streams (streaming/cc_ingest.py, corpus_dedup.py) run
+every PER-DOCUMENT and PER-SHARD stage online, but two of the batch
+capstone's passes are corpus-global by definition and deliberately stay
+out of the per-shard loop (cc_ingest.py module docstring): cross-document
+repeated-span removal (Lee et al. ACL'22 — a span repeated across shards
+is invisible inside any one micro-batch) and benchmark decontamination
+(the contamination fraction is a property of the final text). This job
+runs them PERIODICALLY over the accumulated ``{path}_docs``:
+
+    read {path}_docs ─► tokenize ONCE ─► repeated-span removal
+    ─► benchmark decontamination (drop ≥ contam_max)
+    ─► re-score against the PERSISTED bounded models, if present
+       ({path}_vocab / {path}_thresholds — the stream's frozen CCNet
+       state; the maintained text changed, so its ppl/bucket must too)
+    ─► rewrite {path}_docs ATOMICALLY (tmp build + rename commit point)
+    ─► refresh the fingerprint index from the post-span text
+
+Offline contract (same as shard.rebalance_shards): the stream must be
+STOPPED while this runs — the job rewrites the docs tree and the index
+tables the stream's foreachBatch reads. Restart the stream afterwards;
+its checkpoint is untouched (a replayed epoch's novel set anti-joins the
+rebuilt members table, whose doc ids are preserved, so replay stays
+idempotent across a maintenance run).
+
+Crash-rerunnable: the maintained corpus is fully materialized under
+``{path}_docs.maint`` before any destructive step; the single rename of
+``.maint`` onto ``{path}_docs`` is the commit point (the old tree moves
+aside first and is deleted last). A rerun from any crash state
+completes: a leftover ``.maint`` with ``_docs`` present is a pre-commit
+residue and is rebuilt; a missing ``_docs`` with ``.maint`` present is a
+mid-swap crash and the swap is finished before anything else. The index
+refresh runs LAST, from the committed on-disk docs, so rerunning the job
+always converges index to docs.
+
+reference: the reference splits per-record pipes from store-wide
+maintenance jobs the same way (pkg/partition/partition.go:408-490 —
+truncate/sync run over the whole store while writers are idle); this is
+that split for the curation corpus.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops import dedup, text
+from .cc_ingest import _bucket_col
+from .corpus_dedup import BOOTSTRAP_BATCH, write_docs_batch
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _exists(spark, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.exists(p)
+
+
+def _delete(spark, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _rename(spark, src: str, dst: str) -> None:
+    fs, p = _fs(spark, src)
+    jvm = spark._jvm
+    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def maintain_cc_corpus(
+    spark,
+    name: str,
+    path: str,
+    benchmark: DataFrame | None = None,
+    contam_max: float = 0.5,
+    ngram: int = 8,
+    min_len: int = dedup.SPAN_MIN_LEN,
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Run the corpus-global maintenance pass over ``{path}_docs`` and
+    return a report dict. ``benchmark`` is the eval set to
+    decontaminate against (rows with a ``text_col`` column); ``None``
+    skips the decontamination stage (span removal still runs).
+    ``max_hamming``/``n_buckets`` must match the values the index was
+    bootstrapped with — the probe recomputes bands from them.
+
+    The stage order is the BATCH capstone's (__spark_entry__._cc_stages:
+    span removal → decontamination → redact → LM score → bucket), and
+    the scoring state is the STREAM's (frozen ``{path}_vocab`` /
+    ``{path}_thresholds``), so after maintenance the docs table equals
+    the batch recomputation of the streaming semantics over the
+    accumulated corpus — the e2e equality tests/test_stateful.py pins.
+    """
+    t0 = time.time()
+    healed = heal_cc_corpus(spark, path)  # finish any crashed prior run
+    base = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
+    n_before = base.count()
+
+    # tokenize ONCE (the r15 capstone contract): span removal and the
+    # contamination n-grams consume the same spread token stream
+    toked = dedup.spread(
+        base.selectExpr(id_col, f"{text.tokens_sql(text_col)} AS _tok")
+    )
+    spanned = (
+        dedup.remove_repeated_spans(
+            base, id_col, text_col, min_len, toked=toked, with_tokens=True
+        )
+        .localCheckpoint(eager=False)
+    )
+    report: dict = {"docs_before": n_before, "heal": healed}
+
+    if benchmark is not None:
+        cont = text.contamination(
+            spanned, benchmark, n=ngram, id_col=id_col,
+            text_col=text_col, bench_text_col=text_col,
+            tokens_col="tokens",
+        )
+        keep_ids = cont.where(
+            F.col("contamination") < contam_max
+        ).select(id_col)
+        maintained = spanned.hint("merge").join(keep_ids, id_col)
+    else:
+        maintained = spanned
+    maintained = maintained.select(id_col, text_col)
+
+    # re-score against the stream's frozen bounded models, if this is a
+    # scored (capstone) corpus — the maintained text changed, so the
+    # persisted per-doc attributes must be recomputed the same way the
+    # stream computes them (redact → unigram LM → fixed tercile cuts)
+    rescored = _exists(spark, f"{path}_vocab") and _exists(
+        spark, f"{path}_thresholds"
+    )
+    if rescored:
+        vocab = spark.read.parquet(f"{path}_vocab")
+        t1, t2 = spark.read.parquet(
+            f"{path}_thresholds"
+        ).collect()[0]["_thr"]
+        red = text.redact(maintained, id_col, text_col)
+        maintained = (
+            maintained.join(
+                text.unigram_lm_score(
+                    red, id_col, "redacted", vocab=vocab
+                ).select(id_col, "ppl"),
+                id_col,
+            )
+            .join(red.select(id_col, "n_emails"), id_col)
+            .select(
+                id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
+            )
+        )
+    report["rescored"] = rescored
+
+    # ---- atomic rewrite ----------------------------------------------
+    # (heal_cc_corpus above already finished a mid-swap crash and swept
+    # pre-commit .maint residue, so both staging paths start clear)
+    maint, old = f"{path}_docs.maint", f"{path}_docs.old"
+    write_docs_batch(maintained, maint, BOOTSTRAP_BATCH)  # materialize
+    n_after = spark.read.parquet(maint).count()
+    _delete(spark, old)
+    _rename(spark, f"{path}_docs", old)
+    _rename(spark, maint, f"{path}_docs")  # commit point
+    _delete(spark, old)
+
+    # ---- index refresh (LAST, from the committed docs) ---------------
+    final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
+    dedup.persist_corpus_fingerprints(
+        spark, dedup.simhash(final, id_col, text_col, bits=64),
+        name, path, id_col, "simhash", 64, max_hamming, n_buckets,
+    )
+
+    report.update(
+        {
+            "docs_after": n_after,
+            "dropped_contaminated": (
+                n_before - n_after if benchmark is not None else 0
+            ),
+            "decontaminated": benchmark is not None,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+    )
+    return report
+
+
+def heal_cc_corpus(spark, path: str) -> str:
+    """Finish a maintenance run that crashed mid-swap: if ``_docs`` is
+    missing and ``.maint`` exists, complete the rename; return what was
+    done ('healed', 'clean', or 'residue-removed'). Safe to call before
+    opening the corpus read-only after an unclean maintenance stop."""
+    maint, docs = f"{path}_docs.maint", f"{path}_docs"
+    if not _exists(spark, docs) and _exists(spark, maint):
+        _rename(spark, maint, docs)
+        _delete(spark, f"{path}_docs.old")
+        return "healed"
+    if _exists(spark, maint):
+        _delete(spark, maint)
+        return "residue-removed"
+    _delete(spark, f"{path}_docs.old")
+    return "clean"

@@ -1147,3 +1147,296 @@ def test_cli_refuses_partial_store(spark):
             cli_main(["rebalance", "--root", root, "--shards", "2"])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rebalance_crash_between_register_and_drop(spark):
+    """r15 review (shard.py:330): a crash AFTER the target registered a
+    move but BEFORE the source dropped its entries leaves the src in
+    BOTH shard catalogs with the data directory only on the target.
+    Pins: (a) a read-only union over the mid-crash store is
+    row-identical (the rename moved the data atomically; the stale
+    source entry scans an absent directory), (b) reopening the source
+    engine WRITABLE self-heals the stale entry at open, so routing is
+    unambiguous again, (c) a rebalance rerun completes every remaining
+    move, (d) writes to the moved src land on the new home with seq
+    continuing."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-reg-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        last_seq = {}
+        for j in range(6):
+            out = router.write(
+                {"name": f"rg{j}"},
+                [(BASE + (j * 10 + k) * NS, f"rg-{j}-{k}", {})
+                 for k in range(10)],
+            )
+            last_seq[out["src"]] = out["last_seq"]
+        for e in engines:
+            e.close()
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        before = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+
+        # crash injection: the source-side drop is the FIRST
+        # _drop_chunks call rebalance makes (target side only
+        # _record_chunks) — raising there stops the run with the target
+        # fully registered and the source untouched
+        real_drop = Engine._drop_chunks
+
+        def failing_drop(self, src, chunks):
+            raise RuntimeError("injected crash before the source drop")
+
+        Engine._drop_chunks = failing_drop
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                sh.rebalance_shards(engines)
+        finally:
+            Engine._drop_chunks = real_drop
+
+        # the ambiguous state exists: exactly one src listed twice
+        listed = {}
+        for i, e in enumerate(engines):
+            for src in e._catalog:
+                listed.setdefault(src, []).append(i)
+        doubled = {s: v for s, v in listed.items() if len(v) > 1}
+        assert len(doubled) == 1, doubled
+        (src, (src_shard, dst_shard)), = doubled.items()
+        assert sh.shard_of(src, 4) == dst_shard
+        assert not os.path.isdir(
+            os.path.join(engines[src_shard].logs_path, f"src={src}")
+        )
+        assert os.path.isdir(
+            os.path.join(engines[dst_shard].logs_path, f"src={src}")
+        )
+
+        # (a) read-only union over the mid-crash store: row-identical
+        assert sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        ) == before
+        reader = sh.ShardReader(spark, root)
+        assert reader.query("SELECT LIMIT 10000").count() == len(before)
+        reader.close()
+
+        # (b) reopening the source engine writable self-heals its stale
+        # entry (catalog AND chunk stats)
+        engines[src_shard].close()
+        engines[src_shard] = Engine(spark, sh.shard_root(root, src_shard))
+        assert src not in engines[src_shard]._catalog
+        assert src not in engines[src_shard]._chunk_stats
+
+        # (c) the rerun completes the remaining moves; everything homed
+        rep = sh.rebalance_shards(engines)
+        assert all(m["src"] != src for m in rep["moves"])
+        for i, e in enumerate(engines):
+            for s in e._catalog:
+                assert sh.shard_of(s, 4) == i
+        after = sorted(
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("ts", "msg", "src", "seq")
+            .collect()
+        )
+        assert after == before
+
+        # (d) routing is unambiguous and seq continues on the new home
+        router = sh.ShardRouter(engines)
+        tags = {"name": f"rg{[k for k in range(6) if True][0]}"}
+        # find the tag whose src is the healed one
+        moved_tag = None
+        for j in range(6):
+            from logrange_spark.model.schema import src_for_tag_line
+            from logrange_spark.model.tags import tag_line
+            if src_for_tag_line(tag_line({"name": f"rg{j}"})) == src:
+                moved_tag = {"name": f"rg{j}"}
+                break
+        assert moved_tag is not None
+        out = router.write(moved_tag, [(BASE + 99_999 * NS, "cont", {})])
+        assert out["shard"] == dst_shard
+        assert out["last_seq"] == last_seq[src] + 1
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_shard_reader_live_across_growth_and_rebalance(spark):
+    """VERDICT r15 #6 — the live-reader drill: a ShardReader opened
+    BEFORE a grow + rebalance must not silently miss moved srcs. The
+    reader's freshness fingerprint folds the shard ROOT LIST, so its
+    next query detects the changed shard set, rebuilds its snapshot
+    onto the new roots, and returns row-identical results; a reader
+    built fresh after the move agrees."""
+    root = tempfile.mkdtemp(prefix="lrshard-live-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    reader = None
+    reader2 = None
+    try:
+        router = sh.ShardRouter(engines)
+        for j in range(6):
+            router.write(
+                {"name": f"lv{j}"},
+                [(BASE + (j * 10 + k) * NS, f"lv-{j}-{k}", {})
+                 for k in range(10)],
+            )
+        reader = sh.ShardReader(spark, root)
+        rows0 = sorted(
+            tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()
+        )
+        assert len(rows0) == 60
+        old_engines = list(reader.engines)
+
+        # offline grow 2 -> 4 and rebalance (writers exclusive)
+        for e in engines:
+            e.close()
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        rep = sh.rebalance_shards(engines)
+        assert rep["files_moved"] > 0
+
+        # the STALE reader's next query rebuilds onto the 4-shard set
+        rows1 = sorted(
+            tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()
+        )
+        assert rows1 == rows0
+        assert len(reader.engines) == 4
+        assert reader.engines is not old_engines
+
+        # a reader built after the move agrees
+        reader2 = sh.ShardReader(spark, root)
+        rows2 = sorted(
+            tuple(r) for r in reader2.query("SELECT LIMIT 10000").collect()
+        )
+        assert rows2 == rows0
+    finally:
+        if reader is not None:
+            reader.close()
+        if reader2 is not None:
+            reader2.close()
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_truncate_maxdbsize_spares_post_plan_write(spark):
+    """r15 review (shard.py:190): MAXDBSIZE plans whole-partition drops
+    as EXPLICIT plan-time file lists, so a chunk that lands on a
+    planned src between planning and execution survives — it was never
+    counted against the budget. Simulated by injecting the write from
+    inside the planner seam (after every shard planned, before any
+    executed)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-ttw-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        outs = {}
+        for j in range(4):
+            out = router.write(
+                {"name": f"tw{j}"},
+                [(BASE + (j * 10 + k) * NS, f"tw-{j}-{k}", {"pad": "x" * 200})
+                 for k in range(10)],
+            )
+            outs[out["src"]] = out
+        # victim: the globally oldest src (tw0) — MAXDBSIZE 0 plans
+        # every partition away
+        real_plan = Engine._truncate_plan
+        injected = {"done": False}
+
+        def plan_then_write(self, stmt):
+            res = real_plan(self, stmt)
+            # after the LAST shard planned, land a late write on tw0
+            if self is engines[-1] and not injected["done"]:
+                injected["done"] = True
+                router.write(
+                    {"name": "tw0"},
+                    [(BASE + 999 * NS, "late survivor", {})],
+                )
+            return res
+
+        Engine._truncate_plan = plan_then_write
+        try:
+            router.truncate("TRUNCATE MAXDBSIZE 0")
+        finally:
+            Engine._truncate_plan = real_plan
+        rows = [
+            tuple(r)
+            for r in sh.read_shard_logs(spark, root)
+            .select("msg").collect()
+        ]
+        assert rows == [("late survivor",)], rows
+        # the late chunk kept its src alive (catalog + routing intact);
+        # every fully-planned partition is gone
+        from logrange_spark.model.schema import src_for_tag_line
+        from logrange_spark.model.tags import tag_line
+
+        src0 = src_for_tag_line(tag_line({"name": "tw0"}))
+        live = [
+            (i, s) for i, e in enumerate(engines) for s in e._catalog
+        ]
+        assert live == [(router.shard_for({"name": "tw0"}), src0)], live
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cursor_forwarder_max_retries_escalates(spark):
+    """r15 review (forward.py): a PERMANENTLY failing sink must not
+    spin behind a live-looking handle forever — with ``max_retries``
+    the worker dies loud: ``handle.error`` carries the failure, the
+    thread terminates, and the cursor never advanced (a fixed sink
+    redelivers from the same position)."""
+    from logrange_spark import forward as fw
+
+    root = tempfile.mkdtemp(prefix="lrshard-esc-")
+    state = tempfile.mkdtemp(prefix="lrshard-esc-state-")
+    e = Engine(spark, root)
+    handle = None
+    try:
+        for i in range(3):
+            e.write({"name": "app"}, [(BASE + i * NS, f"e-{i}", {})])
+
+        def dead_sink(df, _n):
+            raise ConnectionResetError("sink is gone for good")
+
+        handle = fw.start_cursor_forwarder(
+            e, "esc", 'SELECT "{msg}"', dead_sink, state_dir=state,
+            retry_s=0.05, max_retries=3,
+        )
+        assert handle.awaitTermination(30.0), "worker should die loud"
+        assert isinstance(handle.error, ConnectionResetError)
+        assert handle.consecutive_retries > 3
+        # the position never advanced: a replacement forwarder with a
+        # healthy sink delivers everything from the start
+        got: list[str] = []
+
+        def good_sink(df, _n):
+            got.extend(r["line"] for r in df.collect())
+
+        handle2 = fw.start_cursor_forwarder(
+            e, "esc", 'SELECT "{msg}"', good_sink, state_dir=state,
+            retry_s=0.05,
+        )
+        try:
+            assert _wait_for(lambda: len(got) >= 3), got
+            assert sorted(got) == [f"e-{i}" for i in range(3)]
+            assert handle2.error is None
+            assert handle2.consecutive_retries == 0
+        finally:
+            handle2.stop()
+    finally:
+        if handle is not None:
+            handle.stop()
+        e.close()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -880,3 +880,232 @@ def test_cc_capstone_commit_crash_replay_exactly_once(spark, tmp_path):
     )
     row = docs.where("doc_id = 11").collect()[0]
     assert row["score"] == float(len(row["text"]))
+
+
+def test_cc_corpus_maintenance_job(spark, tmp_path):
+    """VERDICT r15 #4 — the streaming capstone's corpus-GLOBAL other
+    half: stream shards through cc_ingest, then run
+    maintenance.maintain_cc_corpus and assert (a) the maintained docs
+    equal the batch recomputation (span removal → decontamination →
+    redact → frozen-LM score → fixed-tercile bucket) over the same
+    accumulated corpus, (b) the fingerprint index is refreshed to the
+    POST-span text, (c) the stream resumes from its checkpoint after
+    maintenance with dedup catches and appends intact. Fixture
+    distances pre-verified: planted cross-doc pairs all ≥17 hamming at
+    max_hamming=3; the 27-token shared span is the only ≥20-token
+    repeat (keep-first keeps doc 10's copy, doc 20 loses 27 tokens);
+    the benchmark quotes doc 11 verbatim (contamination 1.0 ≥ 0.5)."""
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops import dedup
+    from logrange_spark.ops import text as T
+    from logrange_spark.streaming.cc_ingest import (
+        _bucket_col,
+        bootstrap_cc_corpus,
+        start_cc_ingest_stream,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "ccm", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+    SPAN = (
+        "the shared span tokens alpha beta gamma delta epsilon zeta eta"
+        " must repeat.\n"
+        "the same span continues theta iota kappa lambda mu nu xi"
+        " across documents."
+    )
+    filler_b = [
+        "the second document starts from a different angle on lakehouse"
+        " manifests now.",
+        "the second document proceeds to cover clustering ordering"
+        " statistics pruning vectors.",
+        "the second document ends by discussing snapshot compaction"
+        " ordering statistics.",
+    ]
+    doc_a = "\n".join([
+        "the first document opens with a unique preamble about spark"
+        " engines today.",
+        SPAN,
+        "the first document closes with its own distinct shuffle"
+        " partition epilogue.",
+    ])
+    doc_b = "\n".join(filler_b[:1] + [SPAN] + filler_b[1:])
+    doc_c = "\n".join([
+        "the contaminated document quotes benchmark material about"
+        " syslog forwarders here.",
+        "the quoted benchmark rows describe collectors parsers offsets"
+        " journals chunks fully.",
+        "the benchmark overlap must push this document over the"
+        " contamination threshold.",
+    ])
+    seed1 = "\n".join([
+        "the seed corpus begins with a calm note about registries"
+        " oracles twins hashes.",
+        "the seed corpus explains rotations retirements coverage"
+        " inventories in detail.",
+        "the seed corpus finishes with medians ratios budgets heaps"
+        " sweeps artifacts.",
+    ])
+    seed2 = "\n".join([
+        "the other seed document tells a story about watermarks follow"
+        " tails pipes workers.",
+        "the other seed document continues with cursors positions and"
+        " stream triggers.",
+        "the other seed document stops after describing catalyst"
+        " tungsten joins windows.",
+    ])
+    gop = {"min_words": 8, "min_stopword_hits": 1,
+           "max_symbol_word_ratio": 1.0}
+    seed = spark.createDataFrame(
+        [(1, seed1), (2, seed2)], "doc_id long, text string"
+    )
+    bootstrap_cc_corpus(
+        spark, seed, name, f"{root}/{name}", ["casino"], gopher_kw=gop,
+        max_hamming=3, n_buckets=8, min_docs=2, min_doc_frac=0.5,
+    )
+
+    inp = f"{root}/incoming"
+    os.makedirs(inp, exist_ok=True)
+
+    def corpus_ids():
+        try:
+            return sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    f"{root}/{name}_docs"
+                ).select("doc_id").collect()
+            )
+        except Exception:
+            return []
+
+    def start():
+        return start_cc_ingest_stream(
+            spark, inp, name, f"{root}/{name}", f"{root}/ckpt",
+            "doc_id long, text string", ["casino"], gopher_kw=gop,
+            max_hamming=3,
+        )
+
+    def wait_for(ids, q):
+        deadline = time.time() + 180
+        while corpus_ids() != ids and time.time() < deadline:
+            time.sleep(0.5)
+            if q.exception():
+                break
+        assert q.exception() is None, q.exception()
+        assert corpus_ids() == ids, corpus_ids()
+
+    q = start()
+    try:
+        spark.createDataFrame(
+            [(10, doc_a), (11, doc_c)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        wait_for([1, 2, 10, 11], q)
+        spark.createDataFrame(
+            [(20, doc_b)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        wait_for([1, 2, 10, 11, 20], q)
+    finally:
+        q.stop()
+
+    # ---- batch twin over the SAME accumulated corpus ------------------
+    pre = (
+        spark.read.parquet(f"{root}/{name}_docs")
+        .select("doc_id", "text")
+        .localCheckpoint()  # pin: the maintenance below rewrites the files
+    )
+    bench = spark.createDataFrame([(99, doc_c)], "doc_id long, text string")
+    spanned = dedup.remove_repeated_spans(pre, with_tokens=True)
+    cont = T.contamination(spanned, bench, n=8, tokens_col="tokens")
+    kept = spanned.join(
+        cont.where(F.col("contamination") < 0.5).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    vocab = spark.read.parquet(f"{root}/{name}_vocab")
+    t1, t2 = spark.read.parquet(
+        f"{root}/{name}_thresholds"
+    ).collect()[0]["_thr"]
+    red = T.redact(kept)
+    twin = (
+        kept.join(
+            T.unigram_lm_score(red, "doc_id", "redacted", vocab=vocab)
+            .select("doc_id", "ppl"),
+            "doc_id",
+        )
+        .join(red.select("doc_id", "n_emails"), "doc_id")
+        .select("doc_id", "text", "n_emails", "ppl", _bucket_col(t1, t2))
+    )
+    expect = {r["doc_id"]: r for r in twin.collect()}
+    # structure sanity on the twin itself: 11 decontaminated away, 20
+    # lost its span copy, 10 kept it
+    assert sorted(expect) == [1, 2, 10, 20]
+    assert "alpha beta gamma" in expect[10]["text"]
+    assert "alpha beta gamma" not in expect[20]["text"]
+
+    report = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report["docs_before"] == 5 and report["docs_after"] == 4
+    assert report["rescored"] and report["decontaminated"]
+
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{root}/{name}_docs")
+        .select("doc_id", "text", "n_emails", "ppl", "bucket")
+        .collect()
+    }
+    assert sorted(got) == sorted(expect)
+    for i, row in expect.items():
+        for c in ("text", "n_emails", "ppl", "bucket"):
+            assert got[i][c] == row[c], (i, c, got[i][c], row[c])
+
+    # ---- the index is refreshed to the POST-span text ----------------
+    h_expr, _ = dedup._hamming_masked_and_bands(F.col("simhash"), 64, 3)
+    want_members = {
+        (r["h"], r["doc_id"])
+        for r in dedup.simhash(twin.select("doc_id", "text"),
+                               "doc_id", "text", bits=64)
+        .select(h_expr.alias("h"), "doc_id")
+        .collect()
+    }
+    got_members = {
+        (r["h"], r["doc_id"])
+        for r in spark.table(f"{name}_fp_members").collect()
+    }
+    assert got_members == want_members
+    # doc 20's fingerprint CHANGED (its span is gone) — the old one must
+    # not linger in the refreshed index
+    old20 = dedup.simhash(
+        spark.createDataFrame([(20, doc_b)], "doc_id long, text string"),
+        "doc_id", "text", bits=64,
+    ).select(h_expr.alias("h")).collect()[0]["h"]
+    assert (old20, 20) not in got_members
+
+    # ---- the stream resumes across maintenance -----------------------
+    q = start()
+    try:
+        spark.createDataFrame(
+            [
+                # exact re-crawl of doc 10 (its fingerprint is
+                # span-stable: maintenance kept its span copy, and the
+                # rebuilt text tokenizes identically) — must be caught
+                # by the REFRESHED index at hamming 0
+                (30, doc_a),
+                # genuinely novel
+                (31, "\n".join([
+                    "the entirely new page talks about approximate"
+                    " nearest neighbor codebooks calmly.",
+                    "the entirely new page mentions product quantization"
+                    " lookup tables and probes.",
+                    "the entirely new page wraps up with inverted lists"
+                    " and residual distances.",
+                ])),
+            ],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+        wait_for([1, 2, 10, 20, 31], q)
+    finally:
+        q.stop()
+        for t in ("fps", "fp_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")

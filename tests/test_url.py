@@ -295,3 +295,44 @@ def test_url_drops_against_null_urls_survive(spark):
     )
     drops = {r["doc_id"] for r in U.url_drops_against(new, corpus).collect()}
     assert drops == {1}  # seen URL dropped; null-URL docs survive
+
+
+def test_url_dedup_blank_urls_are_not_grouped(spark):
+    """r15 review: a non-null but BLANK/whitespace-only URL normalizes
+    to a non-null key, so without the trim guard every such doc would
+    collapse onto one arbitrary survivor — the same silent-drop class
+    as null keys. Blank-URL docs must be automatic keepers, in the op
+    AND in lockstep with the DuckDB twin's guard."""
+    rows = [
+        (1, "https://a.org/x?utm_source=f"),
+        (2, "https://www.a.org/x"),  # dup of 1
+        (3, ""),
+        (4, "   "),
+        (5, "\t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = U.url_dedup(docs).collect()
+    assert {r["url_norm"] for r in out} == {"a.org/x"}
+    assert out[0]["kept_id"] == 1 and out[0]["n_variants"] == 2
+    drops = {r["doc_id"] for r in U.url_duplicate_drops(docs).collect()}
+    assert drops == {2}
+    # DuckDB twin in lockstep: same raw-column guard
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 'https://a.org/x?utm_source=f'), (2, 'https://www.a.org/x'), "
+        "(3, ''), (4, '   '), (5, chr(9))) t(doc_id, url)"
+    )
+    twin = con.execute(
+        f"""
+        SELECT url_norm, min(doc_id) AS kept_id, count(*) AS nv FROM
+          (SELECT doc_id, {U.normalize_url_duckdb('url')} AS url_norm
+           FROM d WHERE url IS NOT NULL AND trim(url,
+             ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+           ) <> '')
+        GROUP BY url_norm
+        """
+    ).fetchall()
+    assert twin == [("a.org/x", 1, 2)]
