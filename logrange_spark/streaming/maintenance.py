@@ -116,9 +116,19 @@ def maintain_cc_corpus(
         dedup.remove_repeated_spans(
             base, id_col, text_col, min_len, toked=toked, with_tokens=True
         )
+        # a document whose ENTIRE text was a duplicate span is fully
+        # redundant content — drop it, keeping the corpus 1:1 with the
+        # fingerprint index (simhash has no fingerprint for an empty
+        # token stream, so such rows would be unprobeable ghosts)
+        .where(F.size("tokens") > 0)
         .localCheckpoint(eager=False)
     )
-    report: dict = {"docs_before": n_before, "heal": healed}
+    n_spanned = spanned.count()
+    report: dict = {
+        "docs_before": n_before,
+        "dropped_empty_after_spans": n_before - n_spanned,
+        "heal": healed,
+    }
 
     if benchmark is not None:
         cont = text.contamination(
@@ -183,7 +193,7 @@ def maintain_cc_corpus(
         {
             "docs_after": n_after,
             "dropped_contaminated": (
-                n_before - n_after if benchmark is not None else 0
+                n_spanned - n_after if benchmark is not None else 0
             ),
             "decontaminated": benchmark is not None,
             "wall_sec": round(time.time() - t0, 3),

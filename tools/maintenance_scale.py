@@ -1,0 +1,91 @@
+"""Wall-clock datapoint for the corpus-maintenance job at the x10
+corpus (VERDICT r15 #4 done-criterion).
+
+Bootstraps the streaming capstone state over the scale_proof x10
+documents table (50k docs — the accumulated-streamed-corpus stand-in),
+then runs streaming/maintenance.maintain_cc_corpus with the capstone's
+deterministic doc_id%97 benchmark slice and records the report + wall.
+
+Usage: python tools/maintenance_scale.py
+Writes maintenance_scale.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    from pyspark.sql import functions as F
+
+    import scale_proof
+    from logrange_spark import build_session
+    from logrange_spark.streaming.cc_ingest import bootstrap_cc_corpus
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    spark = build_session(app_name="maintenance-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    _x1, x10 = scale_proof.build(spark)
+    name, root = "mscale", tempfile.mkdtemp(prefix="lr-maint-scale-")
+    out: dict = {}
+    try:
+        for t in ("fps", "fp_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+        line = F.concat(
+            F.lit("the content of this page is "),
+            F.col("text"),
+            F.lit(" and that must be the end."),
+        )
+        seed = spark.read.parquet(f"{x10}/documents.parquet").select(
+            "doc_id", F.concat_ws("\n", line, line, line).alias("text")
+        )
+        out["corpus_docs_in"] = seed.count()
+        t0 = time.time()
+        bootstrap_cc_corpus(
+            spark, seed, name, f"{root}/{name}", ["casino"],
+            gopher_kw={"min_words": 8, "min_stopword_hits": 0,
+                       "max_symbol_word_ratio": 1.0},
+            max_hamming=3, n_buckets=16, min_docs=3, min_doc_frac=0.05,
+        )
+        out["bootstrap_sec"] = round(time.time() - t0, 1)
+        docs = spark.read.parquet(f"{root}/{name}_docs")
+        bench = docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        ).localCheckpoint()
+        out["bench_docs"] = bench.count()
+        t0 = time.time()
+        report = maintain_cc_corpus(
+            spark, name, f"{root}/{name}", benchmark=bench,
+            max_hamming=3, n_buckets=16,
+        )
+        out["maintenance"] = report
+        out["maintenance_wall_sec"] = round(time.time() - t0, 1)
+        out["fps_rows_after"] = spark.table(f"{name}_fps").count()
+        out["members_after"] = spark.table(f"{name}_fp_members").count()
+    finally:
+        for t in ("fps", "fp_members"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+        shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "maintenance_scale.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
