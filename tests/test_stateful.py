@@ -1109,3 +1109,104 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         q.stop()
         for t in ("fps", "fp_members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_write_docs_batch_overwrite_semantics(spark, tmp_path):
+    """The family-wide docs-commit primitive: same batch id REPLACES
+    (replay), different batch ids coexist (normal progress), and the
+    bootstrap partition (-1) lives alongside stream partitions in one
+    readable tree."""
+    from logrange_spark.streaming.corpus_dedup import (
+        BOOTSTRAP_BATCH,
+        reset_docs_dir,
+        write_docs_batch,
+    )
+
+    path = f"{tmp_path}/wdb_docs"
+    reset_docs_dir(spark, path)
+    write_docs_batch(
+        spark.createDataFrame([(1, "seed")], "doc_id long, text string"),
+        path, BOOTSTRAP_BATCH,
+    )
+    write_docs_batch(
+        spark.createDataFrame(
+            [(10, "attempt-1"), (11, "attempt-1")],
+            "doc_id long, text string",
+        ),
+        path, 7,
+    )
+    # replay of epoch 7 with the (deterministically) recomputed batch:
+    # replaces, never appends
+    write_docs_batch(
+        spark.createDataFrame(
+            [(10, "attempt-2"), (11, "attempt-2")],
+            "doc_id long, text string",
+        ),
+        path, 7,
+    )
+    write_docs_batch(
+        spark.createDataFrame([(20, "next")], "doc_id long, text string"),
+        path, 8,
+    )
+    rows = {
+        r["doc_id"]: (r["text"], r["_batch"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        1: ("seed", -1),
+        10: ("attempt-2", 7),
+        11: ("attempt-2", 7),
+        20: ("next", 8),
+    }
+    # reset clears the whole tree for a re-bootstrap
+    reset_docs_dir(spark, path)
+    import os
+    assert not os.path.exists(path)
+
+
+def test_maintenance_heal_mid_swap(spark, tmp_path):
+    """heal_cc_corpus finishes a maintenance run that crashed mid-swap:
+    a missing ``_docs`` with ``.maint`` present completes the rename;
+    a stale ``.maint`` beside a live ``_docs`` is pre-commit residue
+    and is swept; a clean tree is a no-op."""
+    import os
+
+    from logrange_spark.streaming.corpus_dedup import (
+        BOOTSTRAP_BATCH,
+        write_docs_batch,
+    )
+    from logrange_spark.streaming.maintenance import heal_cc_corpus
+
+    path = f"{tmp_path}/hl"
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    write_docs_batch(df, f"{path}_docs", BOOTSTRAP_BATCH)
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{path}_docs").collect()
+    )
+
+    # mid-swap crash: the old tree moved aside, the new one not yet
+    # renamed in — _docs missing, .maint holds the maintained corpus
+    os.rename(f"{path}_docs", f"{path}_docs.maint")
+    assert heal_cc_corpus(spark, path) == "healed"
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{path}_docs").collect()
+    )
+    assert got == want
+    assert not os.path.exists(f"{path}_docs.maint")
+
+    # pre-commit residue: a crashed run left .maint beside a live tree
+    os.makedirs(f"{path}_docs.maint")
+    assert heal_cc_corpus(spark, path) == "residue-removed"
+    assert not os.path.exists(f"{path}_docs.maint")
+
+    # clean tree: no-op
+    assert heal_cc_corpus(spark, path) == "clean"
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{path}_docs").collect()
+    )
+    assert got == want
