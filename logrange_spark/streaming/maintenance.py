@@ -157,14 +157,17 @@ def maintain_cc_corpus(
             f"{path}_thresholds"
         ).collect()[0]["_thr"]
         red = text.redact(maintained, id_col, text_col)
+        # both attribute joins are corpus-scaled on BOTH sides — merge,
+        # never broadcast (the r13 audit rule; an estimate-driven
+        # broadcast of a per-doc score frame dies at 100 TB)
         maintained = (
             maintained.join(
                 text.unigram_lm_score(
                     red, id_col, "redacted", vocab=vocab
-                ).select(id_col, "ppl"),
+                ).select(id_col, "ppl").hint("merge"),
                 id_col,
             )
-            .join(red.select(id_col, "n_emails"), id_col)
+            .join(red.select(id_col, "n_emails").hint("merge"), id_col)
             .select(
                 id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
             )
