@@ -2245,10 +2245,15 @@ def _cc_stages(
     kept_ids = url_ops.url_dedup(recs, id_col="doc_id", url_col="url").select(
         F.col("kept_id").alias("doc_id")
     ).unionByName(
-        # null-key docs are automatic keepers: url_dedup excludes null
-        # canonical keys (no same-page evidence), so the keep-join must
-        # pass them through, not silently drop them
-        recs.where(F.col("url").isNull()).select("doc_id")
+        # null- AND blank-key docs are automatic keepers: url_dedup
+        # excludes both (no same-page evidence — r16: the keeper
+        # predicate must mirror url_dedup's full exclusion set, or the
+        # keep-join silently drops what the dedup merely declined to
+        # group), so the keep-join passes them through
+        recs.where(
+            F.col("url").isNull()
+            | (F.btrim(F.col("url"), F.lit(" \t\n\r\f\v")) == "")
+        ).select("doc_id")
     )
     pages = ophtml.html_documents(
         recs.hint("merge").join(kept_ids, "doc_id")
@@ -2407,10 +2412,16 @@ WITH urls AS (
     ELSE 'http://cc.example/page/' || doc_id END AS url
   FROM documents),
 ukept AS (SELECT min(doc_id) AS doc_id
-          FROM (SELECT doc_id, {ukey} AS k FROM urls)
+          FROM (SELECT doc_id, {ukey} AS k FROM urls
+                WHERE url IS NOT NULL AND trim(url,
+                  ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+                ) <> '')
           WHERE k IS NOT NULL GROUP BY k
           UNION ALL
-          SELECT doc_id FROM urls WHERE url IS NULL),
+          SELECT doc_id FROM urls
+          WHERE url IS NULL OR trim(url,
+            ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)
+          ) = ''),
 cdocs AS MATERIALIZED (
   SELECT d.doc_id, list_filter([
       trim(regexp_replace(coalesce(d.text, ''),

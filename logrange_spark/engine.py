@@ -217,37 +217,21 @@ class Engine:
         # live chunk count, maintained incrementally (the per-append
         # recount was O(#srcs) per write batch)
         self._chunk_count = sum(len(v) for v in self._chunk_stats.values())
-        # self-heal at open (r15 review, shard.py rebalance crash
-        # window): a crash between a rebalance move's target-side
-        # registration and its source-side drop leaves THIS store
-        # listing a src whose directory already MOVED to its new home —
-        # a catalog entry with zero on-disk data. A writer opening such
-        # a store must drop the stale entry, or the shard router would
-        # pin the src ambiguously (both shards list it) and a write
-        # could land beside the departed data (split-brain). Data is
-        # never touched — the directory lives in the target shard; a
-        # rebalance rerun completes the metadata transfer there. The
-        # write path registers the catalog entry only AFTER the data
-        # file lands (see write()), so entry-without-directory is
-        # always this crash signature, never a live partition.
-        # Read-only opens skip the heal (they must not mutate the
-        # owner's state) — their union read is already safe: the moved
-        # data is read once from the target tree, and the stale
-        # source-side entry scans an absent directory.
-        if not read_only:
-            stale = [
-                s for s in self._catalog
-                if not os.path.isdir(os.path.join(self.logs_path, f"src={s}"))
-            ]
-            if stale:
-                for s in stale:
-                    self._catalog.pop(s, None)
-                    self._drop_chunks(s, None)
-                self._catalog_epoch += 1
-                self._resolve_cache.clear()
-                with open(self._catalog_path + ".tmp", "w") as f:
-                    json.dump(self._catalog, f)
-                os.replace(self._catalog_path + ".tmp", self._catalog_path)
+        # NOTE on rebalance crash residue (r15 review, r16 revision): a
+        # crash between a rebalance move's target-side registration and
+        # its source-side drop leaves THIS store listing a src whose
+        # directory already moved — a catalog entry with no on-disk
+        # data. The engine does NOT heal that at open: dropping the
+        # entry here would be catastrophic in the OTHER crash window
+        # (rename committed, target not yet registered — the source
+        # entry is then the only copy of the src's tag_line, and
+        # dropping it orphans the moved data from every catalog). Both
+        # windows are instead resolved by rerunning rebalance_shards
+        # (idempotent: rename skips, target re-registers, source
+        # drops), reads over the mid-crash store are safe (the stale
+        # entry scans an absent directory), and ShardRouter pins a
+        # double-listed src to the shard that HOLDS its directory, so
+        # routed writes never split-brain (shard.py).
         self._pipes: dict[str, dict] = {}
         self._pipe_queries: dict[str, Any] = {}
         # per-pipe pruned src set (None = no tag condition / no pruning);

@@ -132,6 +132,29 @@ class ShardRouter:
         self._pins: dict[str, int] = {}
         for i, e in enumerate(engines):
             for src in e._catalog:
+                if src in self._pins:
+                    # double-listed src: the signature of a rebalance
+                    # move that crashed between the target's catalog
+                    # registration and the source's drop. The rename
+                    # commit point means the DATA lives in exactly one
+                    # shard — pin to the directory holder, so a routed
+                    # write lands beside the data instead of
+                    # resurrecting the departed tree on the source
+                    # (r16 review; a rebalance rerun clears the
+                    # residual double listing)
+                    j = self._pins[src]
+                    holder = next(
+                        (
+                            k
+                            for k in (j, i)
+                            if os.path.isdir(os.path.join(
+                                engines[k].logs_path, f"src={src}"
+                            ))
+                        ),
+                        i,
+                    )
+                    self._pins[src] = holder
+                    continue
                 self._pins[src] = i
 
     def shard_for(self, tags: str | dict) -> int:

@@ -37,15 +37,42 @@ from ..ops import dedup
 BOOTSTRAP_BATCH = -1
 
 
+def fs_path(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — the one
+    shared jvm-FS entry point for the streaming family (corpus resets,
+    the maintenance job's atomic swap)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_exists(spark, path: str) -> bool:
+    fs, p = fs_path(spark, path)
+    return fs.exists(p)
+
+
+def fs_delete(spark, path: str) -> None:
+    fs, p = fs_path(spark, path)
+    fs.delete(p, True)
+
+
+def fs_rename(spark, src: str, dst: str) -> None:
+    fs, p = fs_path(spark, src)
+    if not fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def reset_docs_dir(spark, docs_path: str) -> None:
     """Remove a previous ``{path}_docs`` tree before a (re-)bootstrap:
     the seed write overwrites only its own ``_batch=-1`` partition, so
-    stale stream partitions from an earlier run must go explicitly.
+    stale stream partitions from an earlier run must go explicitly —
+    along with any maintenance staging residue (``.maint``/``.old``)
+    and tombstones: a stale ``.maint`` left by a run that crashed
+    before its commit would otherwise be 'healed' over the freshly
+    re-bootstrapped corpus by the next maintenance pass (r16 review).
     Hadoop FS API, not shutil — works for any scheme the store uses."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(docs_path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    for suffix in ("", ".maint", ".old"):
+        fs_delete(spark, docs_path + suffix)
 
 
 def write_docs_batch(df: DataFrame, docs_path: str, batch_id) -> None:
@@ -199,7 +226,8 @@ def fingerprint_probe_and_commit(
     text_col: str = "text",
     max_hamming: int = 3,
     transform=None,
-    batch_id=None,
+    *,
+    batch_id: int,
 ) -> None:
     """The invariant-bearing fingerprint ingestion sequence, shared by
     ``start_fingerprint_dedup_stream`` and the streaming capstone

@@ -21,9 +21,16 @@ runs them PERIODICALLY over the accumulated ``{path}_docs``:
 Offline contract (same as shard.rebalance_shards): the stream must be
 STOPPED while this runs — the job rewrites the docs tree and the index
 tables the stream's foreachBatch reads. Restart the stream afterwards;
-its checkpoint is untouched (a replayed epoch's novel set anti-joins the
-rebuilt members table, whose doc ids are preserved, so replay stays
-idempotent across a maintenance run).
+its checkpoint is untouched. Replay stays idempotent across a
+maintenance run because the rebuilt members table preserves EVERY
+pre-maintenance doc id: live docs re-fingerprint from their post-span
+text, and maintenance-DROPPED ids (contaminated, fully-redundant)
+persist as TOMBSTONE member rows — without them, a crash-replayed
+epoch would re-commit a dropped document with its original
+unmaintained text (r16 review). A tombstone suppresses only the SAME
+id; a re-crawl of removed content under a new id is admitted by
+design (the stream has no decontamination stage — the next
+maintenance pass re-drops it).
 
 Crash-rerunnable: the maintained corpus is fully materialized under
 ``{path}_docs.maint`` before any destructive step; the single rename of
@@ -49,30 +56,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..ops import dedup, text
 from .cc_ingest import _bucket_col
-from .corpus_dedup import BOOTSTRAP_BATCH, write_docs_batch
-
-
-def _fs(spark, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
-
-
-def _exists(spark, path: str) -> bool:
-    fs, p = _fs(spark, path)
-    return fs.exists(p)
-
-
-def _delete(spark, path: str) -> None:
-    fs, p = _fs(spark, path)
-    fs.delete(p, True)
-
-
-def _rename(spark, src: str, dst: str) -> None:
-    fs, p = _fs(spark, src)
-    jvm = spark._jvm
-    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
-        raise IOError(f"rename failed: {src} -> {dst}")
+from .corpus_dedup import (
+    BOOTSTRAP_BATCH,
+    fs_delete,
+    fs_exists,
+    fs_rename,
+    write_docs_batch,
+)
 
 
 def maintain_cc_corpus(
@@ -124,6 +114,14 @@ def maintain_cc_corpus(
         .localCheckpoint(eager=False)
     )
     n_spanned = spanned.count()
+    # pin the fully-redundant drop ids NOW: ``base`` lazily reads
+    # {path}_docs, which the atomic swap below REPLACES — evaluating
+    # this frame after the swap would read the maintained tree
+    empty_ids = (
+        base.select(id_col)
+        .join(spanned.select(id_col), id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
     report: dict = {
         "docs_before": n_before,
         "dropped_empty_after_spans": n_before - n_spanned,
@@ -148,7 +146,7 @@ def maintain_cc_corpus(
     # scored (capstone) corpus — the maintained text changed, so the
     # persisted per-doc attributes must be recomputed the same way the
     # stream computes them (redact → unigram LM → fixed tercile cuts)
-    rescored = _exists(spark, f"{path}_vocab") and _exists(
+    rescored = fs_exists(spark, f"{path}_vocab") and fs_exists(
         spark, f"{path}_thresholds"
     )
     if rescored:
@@ -180,10 +178,10 @@ def maintain_cc_corpus(
     maint, old = f"{path}_docs.maint", f"{path}_docs.old"
     write_docs_batch(maintained, maint, BOOTSTRAP_BATCH)  # materialize
     n_after = spark.read.parquet(maint).count()
-    _delete(spark, old)
-    _rename(spark, f"{path}_docs", old)
-    _rename(spark, maint, f"{path}_docs")  # commit point
-    _delete(spark, old)
+    fs_delete(spark, old)
+    fs_rename(spark, f"{path}_docs", old)
+    fs_rename(spark, maint, f"{path}_docs")  # commit point
+    fs_delete(spark, old)
 
     # ---- index refresh (LAST, from the committed docs) ---------------
     final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
@@ -191,6 +189,31 @@ def maintain_cc_corpus(
         spark, dedup.simhash(final, id_col, text_col, bits=64),
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
     )
+    # TOMBSTONES: every maintenance-dropped id stays a member row, so a
+    # crash-replayed stream epoch cannot re-commit a dropped document
+    # (the replay guard anti-joins members by id — Exchange-free on the
+    # bucketed side, zero added per-batch cost; see the module
+    # docstring). Contaminated drops carry their post-span fingerprint
+    # (a live doc sharing that h expands a match to the tombstone id,
+    # which only ever SUPPRESSES an incoming duplicate — correct for
+    # removed-as-contaminated content); fully-redundant drops have no
+    # tokens, hence no fingerprint — they get h=0 sentinel rows.
+    h_expr, _bv = dedup._hamming_masked_and_bands(
+        F.col("simhash"), 64, max_hamming
+    )
+    final_ids = final.select(id_col)
+    contaminated = (
+        dedup.simhash(
+            spanned.select(id_col, text_col), id_col, text_col, bits=64
+        )
+        .join(final_ids, id_col, "left_anti")
+        .select(h_expr.alias("h"), F.col(id_col))
+    )
+    emptied = empty_ids.select(
+        F.lit(0).cast("long").alias("h"), F.col(id_col)
+    )
+    tombstones = contaminated.unionByName(emptied)
+    tombstones.write.insertInto(f"{name}_fp_members")
 
     report.update(
         {
@@ -211,12 +234,12 @@ def heal_cc_corpus(spark, path: str) -> str:
     done ('healed', 'clean', or 'residue-removed'). Safe to call before
     opening the corpus read-only after an unclean maintenance stop."""
     maint, docs = f"{path}_docs.maint", f"{path}_docs"
-    if not _exists(spark, docs) and _exists(spark, maint):
-        _rename(spark, maint, docs)
-        _delete(spark, f"{path}_docs.old")
+    if not fs_exists(spark, docs) and fs_exists(spark, maint):
+        fs_rename(spark, maint, docs)
+        fs_delete(spark, f"{path}_docs.old")
         return "healed"
-    if _exists(spark, maint):
-        _delete(spark, maint)
+    if fs_exists(spark, maint):
+        fs_delete(spark, maint)
         return "residue-removed"
-    _delete(spark, f"{path}_docs.old")
+    fs_delete(spark, f"{path}_docs.old")
     return "clean"

@@ -1155,11 +1155,14 @@ def test_rebalance_crash_between_register_and_drop(spark):
     BOTH shard catalogs with the data directory only on the target.
     Pins: (a) a read-only union over the mid-crash store is
     row-identical (the rename moved the data atomically; the stale
-    source entry scans an absent directory), (b) reopening the source
-    engine WRITABLE self-heals the stale entry at open, so routing is
-    unambiguous again, (c) a rebalance rerun completes every remaining
-    move, (d) writes to the moved src land on the new home with seq
-    continuing."""
+    source entry scans an absent directory), (b) a ShardRouter built on
+    the mid-crash store pins the double-listed src to the DIRECTORY
+    holder — a write lands beside the data with seq continuing, never
+    resurrecting the departed source tree (an engine-open auto-heal
+    was rejected: it cannot distinguish this window from the
+    rename→register one, where dropping the source entry orphans the
+    moved data — r16 review), (c) a rebalance rerun completes the
+    interrupted move's metadata and every remaining move."""
     import os
 
     root = tempfile.mkdtemp(prefix="lrshard-reg-")
@@ -1227,42 +1230,48 @@ def test_rebalance_crash_between_register_and_drop(spark):
         assert reader.query("SELECT LIMIT 10000").count() == len(before)
         reader.close()
 
-        # (b) reopening the source engine writable self-heals its stale
-        # entry (catalog AND chunk stats)
-        engines[src_shard].close()
-        engines[src_shard] = Engine(spark, sh.shard_root(root, src_shard))
-        assert src not in engines[src_shard]._catalog
-        assert src not in engines[src_shard]._chunk_stats
+        # (b) a router built on the mid-crash store pins the
+        # double-listed src to the DIRECTORY holder: the write lands
+        # beside the data, seq continues from the target's merged
+        # high-water, and the source tree is never resurrected
+        from logrange_spark.model.schema import src_for_tag_line
+        from logrange_spark.model.tags import tag_line
 
-        # (c) the rerun completes the remaining moves; everything homed
+        moved_tag = None
+        for j in range(6):
+            if src_for_tag_line(tag_line({"name": f"rg{j}"})) == src:
+                moved_tag = {"name": f"rg{j}"}
+                break
+        assert moved_tag is not None
+        router = sh.ShardRouter(engines)
+        out = router.write(moved_tag, [(BASE + 99_999 * NS, "cont", {})])
+        assert out["shard"] == dst_shard
+        assert out["last_seq"] == last_seq[src] + 1
+        assert not os.path.isdir(
+            os.path.join(engines[src_shard].logs_path, f"src={src}")
+        )
+
+        # (c) the rerun COMPLETES the interrupted move's metadata
+        # (plans it from the surviving source entry; rename skips,
+        # target re-registers, source drops) and every remaining move;
+        # the post-crash write survives with its chunk stats intact
         rep = sh.rebalance_shards(engines)
-        assert all(m["src"] != src for m in rep["moves"])
+        assert any(m["src"] == src for m in rep["moves"])
+        listed2 = {}
         for i, e in enumerate(engines):
             for s in e._catalog:
                 assert sh.shard_of(s, 4) == i
+                listed2.setdefault(s, []).append(i)
+        assert all(len(v) == 1 for v in listed2.values()), listed2
         after = sorted(
             tuple(r)
             for r in sh.read_shard_logs(spark, root)
             .select("ts", "msg", "src", "seq")
             .collect()
         )
-        assert after == before
-
-        # (d) routing is unambiguous and seq continues on the new home
-        router = sh.ShardRouter(engines)
-        tags = {"name": f"rg{[k for k in range(6) if True][0]}"}
-        # find the tag whose src is the healed one
-        moved_tag = None
-        for j in range(6):
-            from logrange_spark.model.schema import src_for_tag_line
-            from logrange_spark.model.tags import tag_line
-            if src_for_tag_line(tag_line({"name": f"rg{j}"})) == src:
-                moved_tag = {"name": f"rg{j}"}
-                break
-        assert moved_tag is not None
-        out = router.write(moved_tag, [(BASE + 99_999 * NS, "cont", {})])
-        assert out["shard"] == dst_shard
-        assert out["last_seq"] == last_seq[src] + 1
+        assert after == sorted(
+            before + [(BASE + 99_999 * NS, "cont", src, last_seq[src] + 1)]
+        )
     finally:
         for e in engines:
             e.close()

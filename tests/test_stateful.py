@@ -1062,18 +1062,30 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
 
     # ---- the index is refreshed to the POST-span text ----------------
     h_expr, _ = dedup._hamming_masked_and_bands(F.col("simhash"), 64, 3)
-    want_members = {
+    want_live = {
         (r["h"], r["doc_id"])
         for r in dedup.simhash(twin.select("doc_id", "text"),
                                "doc_id", "text", bits=64)
         .select(h_expr.alias("h"), "doc_id")
         .collect()
     }
+    # maintenance-DROPPED ids persist as tombstone member rows (the
+    # stream-replay guard; r16 review) — here the contaminated doc 11,
+    # fingerprinted from its post-span text
+    dropped = spanned.join(twin.select("doc_id"), "doc_id", "left_anti")
+    want_tomb = {
+        (r["h"], r["doc_id"])
+        for r in dedup.simhash(dropped.select("doc_id", "text"),
+                               "doc_id", "text", bits=64)
+        .select(h_expr.alias("h"), "doc_id")
+        .collect()
+    }
+    assert {i for _h, i in want_tomb} == {11}
     got_members = {
         (r["h"], r["doc_id"])
         for r in spark.table(f"{name}_fp_members").collect()
     }
-    assert got_members == want_members
+    assert got_members == want_live | want_tomb
     # doc 20's fingerprint CHANGED (its span is gone) — the old one must
     # not linger in the refreshed index
     old20 = dedup.simhash(
@@ -1092,6 +1104,12 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
                 # rebuilt text tokenizes identically) — must be caught
                 # by the REFRESHED index at hamming 0
                 (30, doc_a),
+                # crash-replay shape: the maintenance-DROPPED doc is
+                # redelivered under its ORIGINAL id — the tombstone
+                # member row must keep it out (r16 review: without it,
+                # the replay guard would re-commit the contaminated
+                # text)
+                (11, doc_c),
                 # genuinely novel
                 (31, "\n".join([
                     "the entirely new page talks about approximate"

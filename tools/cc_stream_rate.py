@@ -240,12 +240,21 @@ def run_concurrent(k: int, n_shards: int) -> int:
                 break
             time.sleep(1.0)
         time.sleep(3.0)
-        wall = max(d for d in done_at if d is not None)
         block["per_stream_done_sec"] = [
             round(d, 1) if d is not None else None for d in done_at
         ]
-        block["wall_sec"] = round(wall, 1)
-        block["aggregate_docs_per_sec"] = round(sum(n_ins) / wall)
+        finished = [
+            (n, d) for n, d in zip(n_ins, done_at) if d is not None
+        ]
+        block["timed_out_streams"] = len(n_ins) - len(finished)
+        if finished:
+            # aggregate over FINISHED streams only — dividing the full
+            # input by a partial wall would overstate the rate
+            wall = max(d for _n, d in finished)
+            block["wall_sec"] = round(wall, 1)
+            block["aggregate_docs_per_sec"] = round(
+                sum(n for n, _d in finished) / wall
+            )
         block["per_stream_docs_per_sec"] = [
             round(n / d) if d else None for n, d in zip(n_ins, done_at)
         ]

@@ -29,6 +29,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     import scale_proof
+    from cc_stream_rate import _pages  # the ONE C4-passing page wrapper
     from logrange_spark import build_session
     from logrange_spark.streaming.cc_ingest import bootstrap_cc_corpus
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
@@ -41,13 +42,9 @@ def main() -> int:
     try:
         for t in ("fps", "fp_members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
-        line = F.concat(
-            F.lit("the content of this page is "),
-            F.col("text"),
-            F.lit(" and that must be the end."),
-        )
-        seed = spark.read.parquet(f"{x10}/documents.parquet").select(
-            "doc_id", F.concat_ws("\n", line, line, line).alias("text")
+        seed = _pages(
+            spark.read.parquet(f"{x10}/documents.parquet")
+            .select("doc_id", "text")
         )
         out["corpus_docs_in"] = seed.count()
         t0 = time.time()
