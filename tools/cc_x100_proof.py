@@ -35,18 +35,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-
-    import __spark_entry__ as entry
+def build_corpus(spark) -> str:
+    """Build (or reuse) the 500k-doc x100 corpus directory: sf0.1
+    documents replicated 100x with per-replica token prefixes, Gopher
+    stop words left intact (see the module docstring). Returns the
+    directory whose documents.parquet holds the corpus — shared by the
+    capstone proof below and tools/maintenance_scale.py's x100 mode."""
     import sf1_sweep
     from pyspark.sql import functions as F
 
-    from logrange_spark import build_session
     from logrange_spark.ops.text import GOPHER_STOPWORDS
-
-    spark = build_session(app_name="logrange-spark-cc-x100")
-    spark.sparkContext.setLogLevel("ERROR")
 
     x100 = os.path.join(sf1_sweep.WORK, "x100cc")
     os.makedirs(x100, exist_ok=True)
@@ -75,7 +73,24 @@ def main() -> int:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.repartition(64).write.mode("overwrite").parquet(out_path)
-    n_docs = spark.read.parquet(out_path).count()
+    return x100
+
+
+def main() -> int:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from logrange_spark import build_session
+
+    spark = build_session(app_name="logrange-spark-cc-x100")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    x100 = build_corpus(spark)
+    n_docs = spark.read.parquet(
+        os.path.join(x100, "documents.parquet")
+    ).count()
 
     # fixture build (content-addressed; a re-run reuses it)
     t0 = time.monotonic()

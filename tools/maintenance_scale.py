@@ -1,13 +1,16 @@
-"""Wall-clock datapoint for the corpus-maintenance job at the x10
-corpus (VERDICT r15 #4 done-criterion).
+"""Wall-clock datapoints for the corpus-maintenance job.
 
-Bootstraps the streaming capstone state over the scale_proof x10
-documents table (50k docs — the accumulated-streamed-corpus stand-in),
-then runs streaming/maintenance.maintain_cc_corpus with the capstone's
+Bootstraps the streaming capstone state over a scaled documents table
+(the accumulated-streamed-corpus stand-in), then runs
+streaming/maintenance.maintain_cc_corpus with the capstone's
 deterministic doc_id%97 benchmark slice and records the report + wall.
 
-Usage: python tools/maintenance_scale.py
-Writes maintenance_scale.json at the repo root.
+Usage:
+  python tools/maintenance_scale.py          # x10 (50k docs)
+  python tools/maintenance_scale.py x100     # 500k docs (existence proof)
+
+Writes/updates maintenance_scale.json at the repo root (the x100 run
+lands under the "x100" key).
 """
 
 from __future__ import annotations
@@ -34,16 +37,24 @@ def main() -> int:
     from logrange_spark.streaming.cc_ingest import bootstrap_cc_corpus
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
 
+    scale = sys.argv[1] if len(sys.argv) > 1 else "x10"
     spark = build_session(app_name="maintenance-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    _x1, x10 = scale_proof.build(spark)
+    if scale == "x100":
+        import cc_x100_proof
+
+        corpus_dir = cc_x100_proof.build_corpus(spark)
+        n_buckets = 64
+    else:
+        _x1, corpus_dir = scale_proof.build(spark)
+        n_buckets = 16
     name, root = "mscale", tempfile.mkdtemp(prefix="lr-maint-scale-")
-    out: dict = {}
+    out: dict = {"scale": scale}
     try:
         for t in ("fps", "fp_members"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
         seed = _pages(
-            spark.read.parquet(f"{x10}/documents.parquet")
+            spark.read.parquet(f"{corpus_dir}/documents.parquet")
             .select("doc_id", "text")
         )
         out["corpus_docs_in"] = seed.count()
@@ -52,7 +63,8 @@ def main() -> int:
             spark, seed, name, f"{root}/{name}", ["casino"],
             gopher_kw={"min_words": 8, "min_stopword_hits": 0,
                        "max_symbol_word_ratio": 1.0},
-            max_hamming=3, n_buckets=16, min_docs=3, min_doc_frac=0.05,
+            max_hamming=3, n_buckets=n_buckets,
+            min_docs=3, min_doc_frac=0.05,
         )
         out["bootstrap_sec"] = round(time.time() - t0, 1)
         docs = spark.read.parquet(f"{root}/{name}_docs")
@@ -63,7 +75,7 @@ def main() -> int:
         t0 = time.time()
         report = maintain_cc_corpus(
             spark, name, f"{root}/{name}", benchmark=bench,
-            max_hamming=3, n_buckets=16,
+            max_hamming=3, n_buckets=n_buckets,
         )
         out["maintenance"] = report
         out["maintenance_wall_sec"] = round(time.time() - t0, 1)
@@ -77,8 +89,21 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "..",
         "maintenance_scale.json",
     )
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    if scale == "x100":
+        merged["x100"] = out
+    else:
+        merged = {**out, "x100": merged.get("x100")}
+        if merged["x100"] is None:
+            merged.pop("x100")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps(out))
     spark.stop()
     return 0
