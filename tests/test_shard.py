@@ -1449,3 +1449,52 @@ def test_cursor_forwarder_max_retries_escalates(spark):
         e.close()
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_shard_reader_sees_grown_but_unwritten_shards(spark):
+    """Growth without a rebalance: adding empty shard-NNN stores must
+    flip the reader's freshness fingerprint (the root list is part of
+    the state), so the next query rebuilds onto the wider set — and
+    returns identical rows, since the new shards are empty."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-grow-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    reader = None
+    try:
+        router = sh.ShardRouter(engines)
+        for j in range(4):
+            router.write(
+                {"name": f"gw{j}"},
+                [(BASE + (j * 10 + k) * NS, f"gw-{j}-{k}", {})
+                 for k in range(10)],
+            )
+        reader = sh.ShardReader(spark, root)
+        rows0 = sorted(
+            tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()
+        )
+        assert len(rows0) == 40 and len(reader.engines) == 2
+        # grow: two empty stores appear (no writes, no rebalance)
+        for i in (2, 3):
+            os.makedirs(os.path.join(sh.shard_root(root, i), "logs"))
+        rows1 = sorted(
+            tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()
+        )
+        assert rows1 == rows0
+        assert len(reader.engines) == 4
+        # a write routed to a NEW shard is visible on the next query
+        engines2 = [Engine(spark, sh.shard_root(root, i)) for i in (2,)]
+        try:
+            engines2[0].write(
+                {"name": "gw-new"}, [(BASE + 999 * NS, "fresh", {})]
+            )
+            rows2 = reader.query("SELECT LIMIT 10000").collect()
+            assert len(rows2) == 41
+        finally:
+            engines2[0].close()
+    finally:
+        if reader is not None:
+            reader.close()
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)

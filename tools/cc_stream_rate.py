@@ -265,7 +265,9 @@ def run_concurrent(k: int, n_shards: int) -> int:
             except Exception:
                 pass
         shutil.rmtree(root, ignore_errors=True)
-    _merge_out("concurrency", block)
+    # keyed by stream count so multiple k-points coexist (a scaling
+    # curve, not a single overwritten sample)
+    _merge_out(f"concurrency_k{k}", block)
     spark.stop()
     return 0
 
