@@ -1228,3 +1228,83 @@ def test_maintenance_heal_mid_swap(spark, tmp_path):
         for r in spark.read.parquet(f"{path}_docs").collect()
     )
     assert got == want
+
+
+def test_maintenance_on_unscored_fingerprint_corpus(spark, tmp_path):
+    """maintain_cc_corpus over a PLAIN fingerprint-dedup corpus (no
+    persisted vocab/thresholds — the generic corpus_dedup stream, not
+    the capstone): span removal + decontamination run, the docs
+    rewrite keeps the bare (id, text) schema (rescored=False), the
+    index rebuilds from post-span text, and dropped ids tombstone."""
+    from pyspark.sql import functions as F
+
+    from logrange_spark.ops import dedup
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+        fingerprint_probe_and_commit,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "mgen", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    span = (
+        "one repeated stretch of twenty or more tokens aa bb cc dd ee "
+        "ff gg hh ii jj kk ll mm nn oo pp qq rr"
+    )
+    rows = [
+        (1, "first doc distinct head words " + span),
+        (2, "second doc other head tokens entirely " + span),
+        (3, "third doc quoting the benchmark corpus verbatim here with "
+            "plenty of unique overlap tokens to count"),
+        (4, "fourth doc clean and unrelated content about parquet row "
+            "groups and page indexes"),
+    ]
+    seed = spark.createDataFrame(rows[:1], "doc_id long, text string")
+    bootstrap_fingerprint_corpus(
+        spark, seed, name, f"{root}/{name}", max_hamming=3, n_buckets=8
+    )
+    fingerprint_probe_and_commit(
+        spark,
+        spark.createDataFrame(rows[1:], "doc_id long, text string"),
+        name, f"{root}/{name}", max_hamming=3, batch_id=1,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+    ) == [1, 2, 3, 4]
+
+    bench = spark.createDataFrame([(99, rows[2][1])],
+                                  "doc_id long, text string")
+    report = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report["rescored"] is False
+    assert report["docs_before"] == 4 and report["docs_after"] == 3
+    assert report["dropped_contaminated"] == 1
+
+    docs = spark.read.parquet(f"{root}/{name}_docs")
+    assert sorted(r["doc_id"] for r in docs.collect()) == [1, 2, 4]
+    # bare schema: no score columns were invented
+    assert set(docs.columns) == {"doc_id", "text", "_batch"}
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # keep-first: doc 1 retains the span, doc 2 lost it
+    assert "aa bb cc" in got[1] and "aa bb cc" not in got[2]
+    # index: live fingerprints for 1/2/4 plus a tombstone for 3
+    member_ids = sorted(
+        r["doc_id"] for r in spark.table(f"{name}_fp_members").collect()
+    )
+    assert member_ids == [1, 2, 3, 4]
+    # replay shape: redelivering the dropped id leaves the corpus alone
+    fingerprint_probe_and_commit(
+        spark,
+        spark.createDataFrame([rows[2]], "doc_id long, text string"),
+        name, f"{root}/{name}", max_hamming=3, batch_id=2,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+    ) == [1, 2, 4]
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
