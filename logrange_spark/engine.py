@@ -1289,6 +1289,18 @@ class Engine:
 
         infos = self.describe_many(src_ids)
         for src in src_ids:
+            # phantom residue guard (r16 review): a src whose directory
+            # is ABSENT is the signature of a rebalance move interrupted
+            # before the source-side drop — its bytes live (and are
+            # budgeted) on the target shard. Counting the stale stats
+            # here would double-count the moved bytes into a MAXDBSIZE
+            # total (over-deleting real history elsewhere), and a
+            # whole-partition drop would pop the catalog entry — in the
+            # rename→register window that entry is the only surviving
+            # copy of the src's tag_line. Skip; the rebalance rerun
+            # clears the residue.
+            if not os.path.isdir(os.path.join(self.logs_path, f"src={src}")):
+                continue
             info = infos[src]
             files = info["chunks"]
             size = info["size"]

@@ -173,7 +173,45 @@ class ShardRouter:
     def write(self, tags: str | dict, events: list,
               fields: dict | None = None) -> dict:
         i = self.shard_for(tags)
-        out = self.engines[i].write(tags, events, fields)
+        tmap = (
+            parse_tags(tags)
+            if isinstance(tags, str)
+            else {str(k): str(v) for k, v in tags.items()}
+        )
+        src = src_for_tag_line(tag_line(tmap))
+        # fail-loud on the rename→register rebalance crash window: the
+        # src is cataloged here but its directory already MOVED to
+        # another shard that hasn't registered it yet (single-listed,
+        # so the pin-to-directory-holder rule above can't see it).
+        # Writing here would recreate the source tree; the rebalance
+        # rerun then skips the rename (the destination exists) and the
+        # new chunk's file would be stranded — refusing the write keeps
+        # the store admin-recoverable (rerun rebalance, then retry).
+        # One isdir stat per batch; the cross-shard scan only runs in
+        # the anomalous cataloged-but-dirless case.
+        e = self.engines[i]
+        if src in e._catalog and not os.path.isdir(
+            os.path.join(e.logs_path, f"src={src}")
+        ):
+            holder = next(
+                (
+                    j
+                    for j, o in enumerate(self.engines)
+                    if j != i
+                    and os.path.isdir(
+                        os.path.join(o.logs_path, f"src={src}")
+                    )
+                ),
+                None,
+            )
+            if holder is not None:
+                raise RuntimeError(
+                    f"src {src} is cataloged on shard {i} but its data "
+                    f"directory sits on shard {holder} — an interrupted "
+                    "rebalance move; run rebalance_shards to completion, "
+                    "then retry the write"
+                )
+        out = e.write(tags, events, fields)
         out["shard"] = i
         return out
 

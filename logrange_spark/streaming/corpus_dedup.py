@@ -63,16 +63,22 @@ def fs_rename(spark, src: str, dst: str) -> None:
 
 
 def reset_docs_dir(spark, docs_path: str) -> None:
-    """Remove a previous ``{path}_docs`` tree before a (re-)bootstrap:
-    the seed write overwrites only its own ``_batch=-1`` partition, so
-    stale stream partitions from an earlier run must go explicitly —
-    along with any maintenance staging residue (``.maint``/``.old``)
-    and tombstones: a stale ``.maint`` left by a run that crashed
-    before its commit would otherwise be 'healed' over the freshly
-    re-bootstrapped corpus by the next maintenance pass (r16 review).
-    Hadoop FS API, not shutil — works for any scheme the store uses."""
+    """Remove a previous ``{path}_docs`` tree before a (re-)bootstrap,
+    along with every maintenance artifact tied to the old corpus: the
+    seed write overwrites only its own ``_batch=-1`` partition, so
+    stale stream partitions must go explicitly; a stale ``.maint``
+    left by a run that crashed before its commit would otherwise be
+    'healed' over the freshly re-bootstrapped corpus by the next
+    maintenance pass; and the durable ``{path}_tombstones`` id set
+    belongs to the OLD corpus' id space — carrying it forward would
+    suppress legitimately novel documents whose ids collide with the
+    previous incarnation's drops (r16 review). Hadoop FS API, not
+    shutil — works for any scheme the store uses."""
     for suffix in ("", ".maint", ".old"):
         fs_delete(spark, docs_path + suffix)
+    if docs_path.endswith("_docs"):
+        fs_delete(spark, docs_path[: -len("_docs")] + "_tombstones")
+        fs_delete(spark, docs_path[: -len("_docs")] + "_tombstones.tmp")
 
 
 def write_docs_batch(df: DataFrame, docs_path: str, batch_id) -> None:

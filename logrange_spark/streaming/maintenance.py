@@ -25,12 +25,17 @@ its checkpoint is untouched. Replay stays idempotent across a
 maintenance run because the rebuilt members table preserves EVERY
 pre-maintenance doc id: live docs re-fingerprint from their post-span
 text, and maintenance-DROPPED ids (contaminated, fully-redundant)
-persist as TOMBSTONE member rows — without them, a crash-replayed
-epoch would re-commit a dropped document with its original
-unmaintained text (r16 review). A tombstone suppresses only the SAME
-id; a re-crawl of removed content under a new id is admitted by
-design (the stream has no decontamination stage — the next
-maintenance pass re-drops it).
+persist as TOMBSTONE member rows with h = NULL — without them, a
+crash-replayed epoch would re-commit a dropped document with its
+original unmaintained text (r16 review). NULL keeps a tombstone
+invisible to every h-join (a real h in members without fps band rows
+would break the h-in-members ⟺ h-in-fps equivalence the stream's
+band-insert dedup rests on); the accumulated id set is durable in
+``{path}_tombstones`` (tmp+rename before each table rebuild), so
+reruns and LATER maintenance passes carry every prior tombstone
+forward. A tombstone suppresses only the SAME id; a re-crawl of
+removed content under a new id is admitted by design (the stream has
+no decontamination stage — the next maintenance pass re-drops it).
 
 Crash-rerunnable: the maintained corpus is fully materialized under
 ``{path}_docs.maint`` before any destructive step; the single rename of
@@ -114,14 +119,6 @@ def maintain_cc_corpus(
         .localCheckpoint(eager=False)
     )
     n_spanned = spanned.count()
-    # pin the fully-redundant drop ids NOW: ``base`` lazily reads
-    # {path}_docs, which the atomic swap below REPLACES — evaluating
-    # this frame after the swap would read the maintained tree
-    empty_ids = (
-        base.select(id_col)
-        .join(spanned.select(id_col), id_col, "left_anti")
-        .localCheckpoint(eager=True)
-    )
     report: dict = {
         "docs_before": n_before,
         "dropped_empty_after_spans": n_before - n_spanned,
@@ -183,37 +180,52 @@ def maintain_cc_corpus(
     fs_rename(spark, maint, f"{path}_docs")  # commit point
     fs_delete(spark, old)
 
-    # ---- index refresh (LAST, from the committed docs) ---------------
+    # ---- tombstones (durable), then index refresh ---------------------
+    # TOMBSTONES: every id ever dropped by maintenance stays a member
+    # row, so a crash-replayed stream epoch cannot re-commit a dropped
+    # document (the per-batch replay guard anti-joins members by id).
+    # Two review-driven invariants (r16):
+    # - tombstones carry h = NULL, never a real fingerprint: a real h
+    #   in members without matching fps band rows breaks the
+    #   h-in-members ⟺ h-in-fps equivalence novel_band_rows' dedup
+    #   rests on — a later-admitted doc sharing that h would silently
+    #   skip its band insert and become unprobeable forever. NULL never
+    #   equals anything in a join, so the tombstone is invisible to
+    #   BOTH h-joins and acts only through the id anti-join.
+    # - the id set is DURABLE across reruns and later passes: the
+    #   rebuilt members table starts from live docs only, and each run
+    #   re-derives only its own drops, so without a carried-forward
+    #   record a second pass would erase the first one's tombstones.
+    #   The accumulated set persists in {path}_tombstones (tmp+rename,
+    #   written BEFORE the table rebuild), each run unioning the file,
+    #   the pre-rebuild members ids and its own drops minus the live
+    #   set — any crash point replays to the same set.
     final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
+    final_ids = final.select(id_col)
+    tomb_path = f"{path}_tombstones"
+    old_members_ids = spark.table(f"{name}_fp_members").select(id_col)
+    tomb_ids = old_members_ids
+    if fs_exists(spark, tomb_path):
+        tomb_ids = tomb_ids.unionByName(
+            spark.read.parquet(tomb_path).select(id_col)
+        )
+    tomb_ids = (
+        tomb_ids.join(final_ids, id_col, "left_anti")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin before the table rebuild
+    )
+    tomb_ids.write.mode("overwrite").parquet(f"{tomb_path}.tmp")
+    fs_delete(spark, tomb_path)
+    fs_rename(spark, f"{tomb_path}.tmp", tomb_path)
     dedup.persist_corpus_fingerprints(
         spark, dedup.simhash(final, id_col, text_col, bits=64),
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
     )
-    # TOMBSTONES: every maintenance-dropped id stays a member row, so a
-    # crash-replayed stream epoch cannot re-commit a dropped document
-    # (the replay guard anti-joins members by id — Exchange-free on the
-    # bucketed side, zero added per-batch cost; see the module
-    # docstring). Contaminated drops carry their post-span fingerprint
-    # (a live doc sharing that h expands a match to the tombstone id,
-    # which only ever SUPPRESSES an incoming duplicate — correct for
-    # removed-as-contaminated content); fully-redundant drops have no
-    # tokens, hence no fingerprint — they get h=0 sentinel rows.
-    h_expr, _bv = dedup._hamming_masked_and_bands(
-        F.col("simhash"), 64, max_hamming
-    )
-    final_ids = final.select(id_col)
-    contaminated = (
-        dedup.simhash(
-            spanned.select(id_col, text_col), id_col, text_col, bits=64
-        )
-        .join(final_ids, id_col, "left_anti")
-        .select(h_expr.alias("h"), F.col(id_col))
-    )
-    emptied = empty_ids.select(
-        F.lit(0).cast("long").alias("h"), F.col(id_col)
-    )
-    tombstones = contaminated.unionByName(emptied)
-    tombstones.write.insertInto(f"{name}_fp_members")
+    spark.read.parquet(tomb_path).select(
+        F.lit(None).cast("long").alias("h"), F.col(id_col)
+    ).write.insertInto(f"{name}_fp_members")
+    n_tomb = tomb_ids.count()
+    report["tombstones_total"] = n_tomb
 
     report.update(
         {

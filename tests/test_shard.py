@@ -1498,3 +1498,117 @@ def test_shard_reader_sees_grown_but_unwritten_shards(spark):
         for e in engines:
             e.close()
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_router_write_refuses_mid_move_src(spark):
+    """r16 review: in the rename→register crash window the src is
+    single-listed on the SOURCE with its directory already on the
+    target — a routed write must fail loud (writing would recreate the
+    source tree and the rebalance rerun would strand the new chunk),
+    and succeed after the rerun completes the move."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-refuse-")
+    engines = [Engine(spark, sh.shard_root(root, i)) for i in range(2)]
+    try:
+        router = sh.ShardRouter(engines)
+        last_seq = {}
+        for j in range(6):
+            out = router.write(
+                {"name": f"rf{j}"},
+                [(BASE + (j * 10 + k) * NS, f"rf-{j}-{k}", {})
+                 for k in range(10)],
+            )
+            last_seq[out["src"]] = out["last_seq"]
+        for e in engines:
+            e.close()
+        engines = [Engine(spark, sh.shard_root(root, i)) for i in range(4)]
+        # simulate the crash: rename ONE mis-homed src's directory into
+        # its target tree, catalogs untouched (the crash_resume shape)
+        moved = None
+        for i, e in enumerate(engines):
+            for src in sorted(e._catalog):
+                home = sh.shard_of(src, 4)
+                if home != i:
+                    os.makedirs(engines[home].logs_path, exist_ok=True)
+                    os.rename(
+                        os.path.join(e.logs_path, f"src={src}"),
+                        os.path.join(engines[home].logs_path, f"src={src}"),
+                    )
+                    moved = (src, i, home)
+                    break
+            if moved:
+                break
+        assert moved
+        src, src_shard, dst_shard = moved
+        moved_tag = None
+        for j in range(6):
+            from logrange_spark.model.schema import src_for_tag_line
+            from logrange_spark.model.tags import tag_line
+            if src_for_tag_line(tag_line({"name": f"rf{j}"})) == src:
+                moved_tag = {"name": f"rf{j}"}
+                break
+        assert moved_tag is not None
+        router = sh.ShardRouter(engines)
+        with pytest.raises(RuntimeError, match="interrupted rebalance"):
+            router.write(moved_tag, [(BASE + 777 * NS, "refused", {})])
+        # other srcs write fine through the same router
+        ok_tag = next(
+            {"name": f"rf{j}"} for j in range(6)
+            if {"name": f"rf{j}"} != moved_tag
+        )
+        router.write(ok_tag, [(BASE + 778 * NS, "fine", {})])
+        # after the rerun completes the move, the write succeeds on the
+        # new home with seq continuing
+        sh.rebalance_shards(engines)
+        router = sh.ShardRouter(engines)
+        out = router.write(moved_tag, [(BASE + 779 * NS, "landed", {})])
+        assert out["shard"] == dst_shard
+        assert out["last_seq"] == last_seq[src] + 1
+    finally:
+        for e in engines:
+            e.close()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_truncate_skips_phantom_dirless_src(spark):
+    """r16 review: a src whose directory moved away mid-rebalance must
+    not be counted into a MAXDBSIZE budget (its bytes live on the
+    target) nor have its catalog entry popped by a whole-partition
+    drop — the plan skips it; a rebalance rerun owns the residue."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="lrshard-phantom-")
+    e = Engine(spark, sh.shard_root(root, 0))
+    stash = tempfile.mkdtemp(prefix="lrshard-phantom-stash-")
+    try:
+        for j in range(2):
+            e.write(
+                {"name": f"ph{j}"},
+                [(BASE + (j * 10 + k) * NS, f"ph-{j}-{k}",
+                  {"pad": "x" * 100})
+                 for k in range(10)],
+            )
+        srcs = sorted(e._catalog)
+        phantom = srcs[0]
+        os.rename(
+            os.path.join(e.logs_path, f"src={phantom}"),
+            os.path.join(stash, f"src={phantom}"),
+        )
+        from logrange_spark.lql.parser import parse_lql
+
+        rep = e.truncate(parse_lql("TRUNCATE MAXDBSIZE 0"))
+        # only the REAL src was planned and deleted; the phantom's
+        # bytes never entered the budget and its entry survives
+        assert phantom in e._catalog and phantom in e._chunk_stats
+        assert srcs[1] not in e._catalog
+        # restore the directory (the "rebalance rerun"): rows readable
+        os.rename(
+            os.path.join(stash, f"src={phantom}"),
+            os.path.join(e.logs_path, f"src={phantom}"),
+        )
+        assert e.query("SELECT LIMIT 10000").count() == 10
+    finally:
+        e.close()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(stash, ignore_errors=True)

@@ -1069,18 +1069,11 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         .select(h_expr.alias("h"), "doc_id")
         .collect()
     }
-    # maintenance-DROPPED ids persist as tombstone member rows (the
-    # stream-replay guard; r16 review) — here the contaminated doc 11,
-    # fingerprinted from its post-span text
-    dropped = spanned.join(twin.select("doc_id"), "doc_id", "left_anti")
-    want_tomb = {
-        (r["h"], r["doc_id"])
-        for r in dedup.simhash(dropped.select("doc_id", "text"),
-                               "doc_id", "text", bits=64)
-        .select(h_expr.alias("h"), "doc_id")
-        .collect()
-    }
-    assert {i for _h, i in want_tomb} == {11}
+    # maintenance-DROPPED ids persist as NULL-h tombstone member rows
+    # (the stream-replay guard; r16 review — NULL so the tombstone is
+    # invisible to every h-join: a real h without fps band rows would
+    # break the band-insert dedup's membership equivalence)
+    want_tomb = {(None, 11)}
     got_members = {
         (r["h"], r["doc_id"])
         for r in spark.table(f"{name}_fp_members").collect()
@@ -1093,6 +1086,21 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         "doc_id", "text", bits=64,
     ).select(h_expr.alias("h")).collect()[0]["h"]
     assert (old20, 20) not in got_members
+
+    # ---- tombstones survive a SECOND maintenance pass -----------------
+    # (r16 review: the rebuilt members table starts from live docs, so
+    # without the durable {path}_tombstones carry-forward a later pass
+    # would erase the first one's tombstones and a crash-replayed epoch
+    # could resurrect the dropped doc)
+    report2 = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report2["tombstones_total"] == 1
+    assert (None, 11) in {
+        (r["h"], r["doc_id"])
+        for r in spark.table(f"{name}_fp_members").collect()
+    }
 
     # ---- the stream resumes across maintenance -----------------------
     q = start()
