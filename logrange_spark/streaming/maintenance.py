@@ -45,7 +45,18 @@ completes: a leftover ``.maint`` with ``_docs`` present is a pre-commit
 residue and is rebuilt; a missing ``_docs`` with ``.maint`` present is a
 mid-swap crash and the swap is finished before anything else. The index
 refresh runs LAST, from the committed on-disk docs, so rerunning the job
-always converges index to docs.
+always converges index to docs — including a crash INSIDE the index
+rebuild itself (the persist_bucketed DROP → saveAsTable window can lose
+the members table; the rerun tolerates its absence because the durable
+tombstones file, committed strictly before any table rebuild, already
+carries every non-live member id).
+
+Schema contract: the rewritten ``{path}_docs`` keeps the INPUT schema —
+caller-supplied columns beyond (id, text) ride through by id-join, the
+score columns (n_emails, ppl, bucket) are recomputed from the frozen
+models when present, and a scored corpus whose frozen state is missing
+is REFUSED (ValueError) rather than silently rewritten without its
+score columns.
 
 reference: the reference splits per-record pipes from store-wide
 maintenance jobs the same way (pkg/partition/partition.go:408-490 —
@@ -68,6 +79,11 @@ from .corpus_dedup import (
     fs_rename,
     write_docs_batch,
 )
+
+# the per-doc attributes the capstone stream derives from its frozen
+# models (cc_ingest.bootstrap_cc_corpus) — recomputed here when the
+# models are present, refused (never silently dropped) when they are not
+_SCORE_COLS = ("n_emails", "ppl", "bucket")
 
 
 def maintain_cc_corpus(
@@ -99,7 +115,19 @@ def maintain_cc_corpus(
     """
     t0 = time.time()
     healed = heal_cc_corpus(spark, path)  # finish any crashed prior run
-    base = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
+    base_full = spark.read.parquet(f"{path}_docs")
+    # the output schema is the INPUT schema: every column the stream
+    # persisted next to (id, text) — a caller doc_schema's url/lang/ts —
+    # rides through maintenance by id-join; only text (span removal) and
+    # the frozen-model score columns (recomputed below) change. Without
+    # this, maintaining a generic-stream corpus silently truncated it to
+    # bare (id, text) (r16 review).
+    score_cols = [c for c in _SCORE_COLS if c in base_full.columns]
+    extra_cols = [
+        c for c in base_full.columns
+        if c not in (id_col, text_col, "_batch") and c not in _SCORE_COLS
+    ]
+    base = base_full.select(id_col, text_col)
     n_before = base.count()
 
     # tokenize ONCE (the r15 capstone contract): span removal and the
@@ -138,6 +166,11 @@ def maintain_cc_corpus(
     else:
         maintained = spanned
     maintained = maintained.select(id_col, text_col)
+    if extra_cols:
+        # corpus-scaled on both sides — merge, never broadcast
+        maintained = maintained.join(
+            base_full.select(id_col, *extra_cols).hint("merge"), id_col
+        )
 
     # re-score against the stream's frozen bounded models, if this is a
     # scored (capstone) corpus — the maintained text changed, so the
@@ -146,6 +179,18 @@ def maintain_cc_corpus(
     rescored = fs_exists(spark, f"{path}_vocab") and fs_exists(
         spark, f"{path}_thresholds"
     )
+    if score_cols and not rescored:
+        # the corpus carries scored attributes but the frozen state that
+        # produced them is gone — rewriting without them would silently
+        # DESTROY the score columns (and a later stream restart would
+        # fail on the narrowed schema). Fail loud; the operator either
+        # restores {path}_vocab/{path}_thresholds or drops the columns
+        # deliberately (r16 review).
+        raise ValueError(
+            f"{path}_docs carries score columns {score_cols} but "
+            f"{path}_vocab/{path}_thresholds are missing; refusing to "
+            "rewrite the corpus without its frozen scoring state"
+        )
     if rescored:
         vocab = spark.read.parquet(f"{path}_vocab")
         t1, t2 = spark.read.parquet(
@@ -164,9 +209,16 @@ def maintain_cc_corpus(
             )
             .join(red.select(id_col, "n_emails").hint("merge"), id_col)
             .select(
-                id_col, text_col, "n_emails", "ppl", _bucket_col(t1, t2)
+                id_col, text_col, *extra_cols, "n_emails", "ppl",
+                _bucket_col(t1, t2),
             )
         )
+    # output column ORDER is the input's (so stream appends after
+    # maintenance keep one stable parquet schema across batches)
+    out_cols = [c for c in base_full.columns if c != "_batch"]
+    if rescored:
+        out_cols += [c for c in _SCORE_COLS if c not in out_cols]
+    maintained = maintained.select(*out_cols)
     report["rescored"] = rescored
 
     # ---- atomic rewrite ----------------------------------------------
@@ -203,8 +255,19 @@ def maintain_cc_corpus(
     final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
     final_ids = final.select(id_col)
     tomb_path = f"{path}_tombstones"
-    old_members_ids = spark.table(f"{name}_fp_members").select(id_col)
-    tomb_ids = old_members_ids
+    if spark.catalog.tableExists(f"{name}_fp_members"):
+        tomb_ids = spark.table(f"{name}_fp_members").select(id_col)
+    else:
+        # the members table can be ABSENT here: a prior run that crashed
+        # inside persist_corpus_fingerprints' members rebuild (the
+        # persist_bucketed DROP → saveAsTable window) lost the table —
+        # but only AFTER that run committed its durable tombstones file
+        # (written strictly before any table rebuild), so the file alone
+        # already carries every prior member id that is not live; the
+        # live ids re-derive from the committed docs below. Without this
+        # branch a rerun threw before reaching the rebuild, making the
+        # crash permanent (r16 review).
+        tomb_ids = final_ids.limit(0)
     if fs_exists(spark, tomb_path):
         tomb_ids = tomb_ids.unionByName(
             spark.read.parquet(tomb_path).select(id_col)

@@ -1316,3 +1316,149 @@ def test_maintenance_on_unscored_fingerprint_corpus(spark, tmp_path):
     ) == [1, 2, 4]
     for t in ("fps", "fp_members"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_maintenance_preserves_caller_columns(spark, tmp_path):
+    """maintain_cc_corpus over a corpus whose stream-side doc_schema
+    carried columns BEYOND (id, text): the rewrite preserves them, with
+    values intact for survivors and the input's column order (r16
+    review — the first cut silently truncated such a corpus to bare
+    (id, text))."""
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "mcols", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    span = (
+        "one repeated stretch of twenty or more tokens aa bb cc dd ee "
+        "ff gg hh ii jj kk ll mm nn oo pp qq rr"
+    )
+    rows = [
+        (1, "first doc distinct head words " + span, "http://a", 10),
+        (2, "second doc other head tokens entirely " + span,
+         "http://b", 20),
+        (3, "third doc quoting the benchmark corpus verbatim here with "
+            "plenty of unique overlap tokens to count", "http://c", 30),
+    ]
+    schema = "doc_id long, text string, url string, ts long"
+    bootstrap_fingerprint_corpus(
+        spark, spark.createDataFrame(rows, schema), name,
+        f"{root}/{name}", max_hamming=3, n_buckets=8,
+    )
+    bench = spark.createDataFrame([(99, rows[2][1])],
+                                  "doc_id long, text string")
+    report = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report["rescored"] is False
+    docs = spark.read.parquet(f"{root}/{name}_docs")
+    # schema: caller columns survive, in the input order
+    assert [c for c in docs.columns if c != "_batch"] == [
+        "doc_id", "text", "url", "ts"
+    ]
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert sorted(got) == [1, 2]  # doc 3 decontaminated away
+    assert got[1]["url"] == "http://a" and got[1]["ts"] == 10
+    assert got[2]["url"] == "http://b" and got[2]["ts"] == 20
+    # the maintained TEXT still changed (keep-first span removal)
+    assert "aa bb cc" in got[1]["text"]
+    assert "aa bb cc" not in got[2]["text"]
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_maintenance_refuses_scored_corpus_without_models(
+    spark, tmp_path
+):
+    """A corpus carrying score columns (n_emails/ppl/bucket) whose
+    frozen {path}_vocab/{path}_thresholds are ABSENT is refused with
+    ValueError instead of silently rewritten without its score columns
+    (r16 review — before, `rescored` quietly flipped to False and the
+    attributes vanished)."""
+    import pytest as _pytest
+
+    from logrange_spark.streaming.corpus_dedup import (
+        BOOTSTRAP_BATCH,
+        write_docs_batch,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "mrefuse", str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 0, 12.5, "head")],
+        "doc_id long, text string, n_emails int, ppl double, "
+        "bucket string",
+    )
+    write_docs_batch(df, f"{root}/{name}_docs", BOOTSTRAP_BATCH)
+    with _pytest.raises(ValueError, match="frozen scoring state"):
+        maintain_cc_corpus(spark, name, f"{root}/{name}")
+    # and the refusal happened BEFORE any destructive step
+    assert spark.read.parquet(f"{root}/{name}_docs").count() == 1
+
+
+def test_maintenance_rerun_after_members_rebuild_crash(spark, tmp_path):
+    """A crash inside persist_corpus_fingerprints' members rebuild (the
+    persist_bucketed DROP → saveAsTable window) loses the members
+    table; the RERUN must complete and converge — the durable
+    tombstones file committed before the rebuild carries every non-live
+    member id (r16 review — before, the rerun threw AnalysisException
+    at the members read, making the crash permanent)."""
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+        fingerprint_probe_and_commit,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "mcrash", str(tmp_path)
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    rows = [
+        (1, "first doc distinct head words entirely unrelated content"),
+        (2, "second doc quoting the benchmark corpus verbatim here "
+            "with plenty of unique overlap tokens to count"),
+        (3, "third doc clean and unrelated content about parquet row "
+            "groups and page indexes"),
+    ]
+    seed = spark.createDataFrame(rows, "doc_id long, text string")
+    bootstrap_fingerprint_corpus(
+        spark, seed, name, f"{root}/{name}", max_hamming=3, n_buckets=8
+    )
+    bench = spark.createDataFrame([(99, rows[1][1])],
+                                  "doc_id long, text string")
+    maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    # crash-state: the run's tombstones file is durable (written before
+    # any table rebuild) but the members saveAsTable never completed
+    spark.sql(f"DROP TABLE {name}_fp_members")
+
+    report = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report["docs_after"] == 2
+    # converged: live fingerprints for 1/3 plus the tombstone for 2
+    members = {
+        r["doc_id"]: r["h"]
+        for r in spark.table(f"{name}_fp_members").collect()
+    }
+    assert sorted(members) == [1, 2, 3]
+    assert members[2] is None  # tombstone, invisible to h-joins
+    assert members[1] is not None and members[3] is not None
+    # and the tombstone still suppresses a replay of the dropped id
+    fingerprint_probe_and_commit(
+        spark,
+        spark.createDataFrame([rows[1]], "doc_id long, text string"),
+        name, f"{root}/{name}", max_hamming=3, batch_id=7,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+    ) == [1, 3]
+    for t in ("fps", "fp_members"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
