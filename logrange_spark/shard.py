@@ -157,28 +157,31 @@ class ShardRouter:
                     continue
                 self._pins[src] = i
 
-    def shard_for(self, tags: str | dict) -> int:
+    def _src_of(self, tags: str | dict) -> str:
         tmap = (
             parse_tags(tags)
             if isinstance(tags, str)
             else {str(k): str(v) for k, v in tags.items()}
         )
-        src = src_for_tag_line(tag_line(tmap))
+        return src_for_tag_line(tag_line(tmap))
+
+    def _shard_of_src(self, src: str) -> int:
         i = self._pins.get(src)
         if i is None:
             i = shard_of(src, len(self.engines))
             self._pins[src] = i
         return i
 
+    def shard_for(self, tags: str | dict) -> int:
+        return self._shard_of_src(self._src_of(tags))
+
     def write(self, tags: str | dict, events: list,
               fields: dict | None = None) -> dict:
-        i = self.shard_for(tags)
-        tmap = (
-            parse_tags(tags)
-            if isinstance(tags, str)
-            else {str(k): str(v) for k, v in tags.items()}
-        )
-        src = src_for_tag_line(tag_line(tmap))
+        # one tag-line canonicalization per batch: write needs BOTH the
+        # src (crash-window check below) and its shard, so derive the
+        # shard from the src instead of re-parsing via shard_for
+        src = self._src_of(tags)
+        i = self._shard_of_src(src)
         # fail-loud on the rename→register rebalance crash window: the
         # src is cataloged here but its directory already MOVED to
         # another shard that hasn't registered it yet (single-listed,
@@ -468,12 +471,24 @@ class ShardReader:
         # per-query freshness check trips on growth too.
         roots = shard_roots(self.root)
         if roots != [e.root for e in self.engines]:
-            self._retired.extend(self.engines)
+            # reuse the engine of every root that PERSISTS across the
+            # change (its content may have moved under rebalance — the
+            # incremental per-engine refresh below picks that up via
+            # bookmark replay or invalidation re-open); only genuinely
+            # new roots pay a from-scratch open, removed roots retire.
+            # Retiring all N engines here re-read the WHOLE multi-shard
+            # chunk log on every growth event — the exact O(whole-log)
+            # cost the bookmark path exists to avoid (r16 review).
+            by_root = {e.root: e for e in self.engines}
+            keep = set(roots)
+            self._retired.extend(
+                e for e in self.engines if e.root not in keep
+            )
             self.engines = [
-                Engine(self.spark, r, read_only=True) for r in roots
+                by_root[r] if r in by_root
+                else Engine(self.spark, r, read_only=True)
+                for r in roots
             ]
-            self._fingerprint = self._state_fingerprint()
-            return
         fresh = []
         for e in self.engines:
             try:

@@ -1474,6 +1474,7 @@ def test_shard_reader_sees_grown_but_unwritten_shards(spark):
             tuple(r) for r in reader.query("SELECT LIMIT 10000").collect()
         )
         assert len(rows0) == 40 and len(reader.engines) == 2
+        old_by_root = {e.root: e for e in reader.engines}
         # grow: two empty stores appear (no writes, no rebalance)
         for i in (2, 3):
             os.makedirs(os.path.join(sh.shard_root(root, i), "logs"))
@@ -1482,6 +1483,14 @@ def test_shard_reader_sees_grown_but_unwritten_shards(spark):
         )
         assert rows1 == rows0
         assert len(reader.engines) == 4
+        # the UNCHANGED shards kept their engines (r16 review: a
+        # set-change rebuild must not re-open every snapshot from
+        # scratch — that re-reads the whole multi-shard chunk log on
+        # each growth event; only the new roots pay an open)
+        for e in reader.engines:
+            if e.root in old_by_root:
+                assert e is old_by_root[e.root]
+        assert not reader._retired
         # a write routed to a NEW shard is visible on the next query
         engines2 = [Engine(spark, sh.shard_root(root, i)) for i in (2,)]
         try:

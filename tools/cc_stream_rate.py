@@ -96,11 +96,16 @@ def _processed(q, seen):
     return sum(seen.values())
 
 
-def _merge_out(block_name, block):
+def _merge_out(block_name, block, path=None):
+    """Merge ``block`` into the JSON artifact at ``path`` (default:
+    this tool's cc_stream_rate.json) — under ``block_name``, or into
+    the top level when None. The one merge protocol every scale tool
+    shares (maintenance_scale.py reuses it; r16 review)."""
+    path = path or OUT_PATH
     out = {}
-    if os.path.exists(OUT_PATH):
+    if os.path.exists(path):
         try:
-            with open(OUT_PATH) as f:
+            with open(path) as f:
                 out = json.load(f)
         except ValueError:
             out = {}
@@ -108,7 +113,7 @@ def _merge_out(block_name, block):
         out.update(block)
     else:
         out[block_name] = block
-    with open(OUT_PATH, "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(block))
 
@@ -159,10 +164,16 @@ def run_single(n_shards: int, in_path: str) -> int:
                 time.sleep(1.0)
                 if q.exception():
                     raise RuntimeError(str(q.exception()))
+            done = _processed(q, seen) >= n_in
             time.sleep(3.0)  # drain the trailing commit
             wall = time.time() - t0
             out["stream_wall_sec"] = round(wall, 1)
-            out["docs_per_sec"] = round(n_in / wall)
+            # a deadline exit publishes NO rate — dividing the FULL
+            # input by a truncated wall overstates it (run_concurrent's
+            # guard, applied to the single-stream path; r16 review)
+            out["timed_out"] = not done
+            out["docs_processed"] = _processed(q, seen)
+            out["docs_per_sec"] = round(n_in / wall) if done else None
             surv = spark.read.parquet(f"{root}/{name}_docs")
             out["corpus_docs"] = surv.count()
             out["buckets"] = {
@@ -319,6 +330,7 @@ def run_index_growth(n_shards: int) -> int:
                     time.sleep(1.0)
                     if q.exception():
                         raise RuntimeError(str(q.exception()))
+                done = _processed(q, seen) >= n_in
                 time.sleep(3.0)
                 wall = time.time() - t0
             finally:
@@ -328,12 +340,17 @@ def run_index_growth(n_shards: int) -> int:
                 "fps_rows": fps_n,
                 "bootstrap_sec": boot,
                 "stream_wall_sec": round(wall, 1),
-                "docs_per_sec": round(n_in / wall),
+                # a deadline exit must not fabricate the very
+                # no-degradation datapoint this mode exists to prove
+                # (full-input / truncated-wall overstates; r16 review)
+                "timed_out": not done,
+                "docs_processed": _processed(q, seen),
+                "docs_per_sec": round(n_in / wall) if done else None,
             }
-        block["rate_ratio_large_over_small"] = round(
-            block["large_index"]["docs_per_sec"]
-            / block["small_index"]["docs_per_sec"],
-            2,
+        r_small = block["small_index"]["docs_per_sec"]
+        r_large = block["large_index"]["docs_per_sec"]
+        block["rate_ratio_large_over_small"] = (
+            round(r_large / r_small, 2) if r_small and r_large else None
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

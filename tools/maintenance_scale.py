@@ -15,7 +15,6 @@ lands under the "x100" key).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys
@@ -32,7 +31,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     import scale_proof
-    from cc_stream_rate import _pages  # the ONE C4-passing page wrapper
+    # the ONE C4-passing page wrapper + the shared JSON merge protocol
+    from cc_stream_rate import _merge_out, _pages
     from logrange_spark import build_session
     from logrange_spark.streaming.cc_ingest import bootstrap_cc_corpus
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
@@ -89,22 +89,10 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "..",
         "maintenance_scale.json",
     )
-    merged = {}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                merged = json.load(f)
-        except ValueError:
-            merged = {}
-    if scale == "x100":
-        merged["x100"] = out
-    else:
-        merged = {**out, "x100": merged.get("x100")}
-        if merged["x100"] is None:
-            merged.pop("x100")
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=1)
-    print(json.dumps(out))
+    # one shared merge protocol (cc_stream_rate._merge_out): x100 lands
+    # under its own block, the x10 datapoint merges at the top level —
+    # each preserves the other across reruns
+    _merge_out("x100" if scale == "x100" else None, out, path=path)
     spark.stop()
     return 0
 
