@@ -783,8 +783,10 @@ def persist_corpus_embeddings(
     n_rows: int | None = None,
     n_buckets: int = 64,
 ):
-    """Materialize the corpus' embedding near-dup probe state as two
-    catalog tables; returns (vecs_table, members_table, dims).
+    """Materialize the corpus' embedding near-dup probe state as three
+    catalog tables; returns (vecs_table, members_table, dims) — the
+    id-bucketed ``<name>_ids`` replay-guard sidecar is persisted
+    alongside.
 
     - ``<name>_vecs`` (bucket, rid, vec, norm): ONE row per distinct
       vector (exact-collapse — a boilerplate cluster of identical
@@ -820,6 +822,11 @@ def persist_corpus_embeddings(
                               n_buckets, "bucket")
     members_t = persist_bucketed(spark, members, f"{name}_members",
                                  f"{path}_members", n_buckets, "rid")
+    # id-bucketed replay-guard sidecar (see dedup.persist_corpus_lsh):
+    # the stream anti-joins it on its own bucket key per micro-batch,
+    # so the corpus side pays no Exchange
+    persist_bucketed(spark, corpus.select(F.col(id_col).alias("id")),
+                     f"{name}_ids", f"{path}_ids", n_buckets, "id")
     return vecs_t, members_t, dims
 
 

@@ -1277,7 +1277,11 @@ def persist_corpus_lsh(
     - ``<name>_toks`` (tkey, tok) bucketed by tkey for exact-Jaccard
       verification with no corpus-side Exchange either;
     - ``<name>_members`` (tkey, id) bucketed by tkey for expanding rep
-      matches back to every duplicate member.
+      matches back to every duplicate member;
+    - ``<name>_ids`` (id) bucketed by id — the stream's replay guard
+      (anti-joined per micro-batch on its own bucket key, so the
+      corpus side pays no Exchange; guarding against the tkey-bucketed
+      members table shuffled it whole every batch).
 
     One shuffle each at write time; probing pays none."""
     from .util import persist_bucketed
@@ -1290,6 +1294,7 @@ def persist_corpus_lsh(
             ("bands", bands, "bkey"),
             ("toks", toks, "tkey"),
             ("members", members, "tkey"),
+            ("ids", corpus.select(F.col(id_col)), id_col),
         )
     ]
     return out[0], out[1], out[2]
@@ -1475,10 +1480,18 @@ def persist_corpus_fingerprints(
       only when the bucket spec covers ALL join keys.
     - ``<name>_fp_members`` (h, id) bucketed by ``h`` — expands verified
       fingerprint matches back to every document carrying that
-      fingerprint.
+      fingerprint. LIVE documents only, so h-in-members ⟺ h-in-fps
+      holds unconditionally.
+    - ``<name>_fp_ids`` (id) bucketed by ``id`` — the streams' replay
+      guard: every id ever committed (plus, after maintenance, every
+      tombstoned id). Guarding by anti-join against the h-bucketed
+      members table shuffled the whole corpus-side table per
+      micro-batch; this sidecar is one long per document and its
+      bucket key IS the guard's join key.
 
-    One shuffle each at write time; every later crawl's probe pays NO
-    corpus-side Exchange (plan-asserted in tests/test_bucketing.py).
+    One shuffle each at write time; every later crawl's probe AND the
+    commit path's two guards pay NO corpus-side Exchange (plan-asserted
+    in tests/test_bucketing.py).
     """
     from .util import persist_bucketed
 
@@ -1506,7 +1519,11 @@ def persist_corpus_fingerprints(
         spark, members, f"{name}_fp_members", f"{path}_fp_members",
         n_buckets, "h",
     )
-    return fps_t, members_t
+    ids_t = persist_bucketed(
+        spark, hashed.select(F.col(id_col)), f"{name}_fp_ids",
+        f"{path}_fp_ids", n_buckets, id_col,
+    )
+    return fps_t, members_t, ids_t
 
 
 def hamming_near_pairs_against(

@@ -114,7 +114,8 @@ def bootstrap_cc_corpus(
     - ``{path}_bp``          boilerplate line dictionary (bounded)
     - ``{path}_vocab``       unigram-LM (token, logp, _oov) table
     - ``{path}_thresholds``  the two fixed ppl tercile cuts (1 row)
-    - ``{path}_fps`` / ``{path}_fp_members``  banded fingerprint index
+    - ``{path}_fps`` / ``{path}_fp_members`` / ``{path}_fp_ids``
+      banded fingerprint index + id-bucketed replay-guard sidecar
     - ``{path}_docs``        scored corpus (id, text, n_emails, ppl,
       bucket)
 

@@ -149,29 +149,51 @@ def start_corpus_dedup_stream(
                 "left_anti",
             )
             # 3. replay guard: a redelivered batch re-derives the same
-            # novel set, but those ids are in the corpus members now —
-            # anti-join makes the append idempotent. The members insert
-            # runs LAST, so the probe state only ever records fully
-            # appended documents; the docs write itself is a per-batch
-            # OVERWRITE partition, so a crash INSIDE the append sequence
-            # replaces rather than duplicates on replay — exactly-once
-            # on both the probe tables and the _docs files.
+            # novel set, but those ids are in the guard table now —
+            # anti-join makes the append idempotent. The guard insert
+            # runs LAST, so it only ever records fully appended
+            # documents; the docs write itself is a per-batch OVERWRITE
+            # partition, so a crash INSIDE the append sequence replaces
+            # rather than duplicates on replay — exactly-once on both
+            # the probe tables and the _docs files. The guard is the
+            # id-BUCKETED {name}_ids sidecar (no corpus-side Exchange
+            # per batch — the members anti-join shuffled the whole
+            # tkey-bucketed table); pre-sidecar stores fall back to
+            # members.
+            has_ids_t = spark.catalog.tableExists(f"{name}_ids")
+            guard_t = (
+                spark.table(f"{name}_ids")
+                if has_ids_t
+                else members_t.select(F.col(id_col))
+            )
             novel = novel.join(
-                members_t.select(F.col(id_col)), id_col, "left_anti"
-            ).persist()
-            try:
-                if novel.isEmpty():
-                    return
-                write_docs_batch(novel, f"{path}_docs", batch_id)
-                nb, nt, nm = dedup._collapsed_probe_state(novel, id_col, text_col)
-                # bucketed appends: insertInto preserves the bucket spec,
-                # so future probes stay Exchange-free on the corpus side;
-                # members goes LAST (see the replay-guard note above)
-                nb.select("tkey", "bkey").write.insertInto(f"{name}_bands")
-                nt.select("tkey", "tok").write.insertInto(f"{name}_toks")
-                nm.select("tkey", id_col).write.insertInto(f"{name}_members")
-            finally:
-                novel.unpersist()
+                guard_t.select(F.col(id_col)), id_col, "left_anti"
+            # EAGER lineage cut, NOT persist: each insertInto below
+            # invalidates cached plans referencing the modified table;
+            # a persist recomputed after the members insert sees the
+            # batch fully in the probe state and empties itself, so the
+            # guard-id insert would silently write nothing (see
+            # fingerprint_probe_and_commit)
+            ).localCheckpoint(eager=True)
+            if novel.isEmpty():
+                return
+            write_docs_batch(novel, f"{path}_docs", batch_id)
+            nb, nt, nm = dedup._collapsed_probe_state(novel, id_col, text_col)
+            # bucketed appends: insertInto preserves the bucket spec,
+            # so future probes stay Exchange-free on the corpus side;
+            # the guard goes LAST (see the replay-guard note above)
+            nb.select("tkey", "bkey").write.insertInto(f"{name}_bands")
+            nt.select("tkey", "tok").write.insertInto(f"{name}_toks")
+            nm.select("tkey", id_col).write.insertInto(f"{name}_members")
+            if has_ids_t:
+                novel.select(id_col).write.insertInto(f"{name}_ids")
+            # explicit refresh: the batch frames belong to the CLONED
+            # streaming session, so the inserts do not refresh the base
+            # session's relation cache (see fingerprint_probe_and_commit)
+            for t in ("bands", "toks", "members") + (
+                ("ids",) if has_ids_t else ()
+            ):
+                spark.catalog.refreshTable(f"{name}_{t}")
         finally:
             batch.unpersist()
 
@@ -206,7 +228,8 @@ def bootstrap_fingerprint_corpus(
 ):
     """Initial build: fingerprint the seed corpus, drop within-corpus
     near-dups keep-first, persist the banded index + the corpus rows.
-    Returns (corpus_df, fps, members) catalog tables."""
+    Returns (corpus_df, fps, members) catalog tables (the id-bucketed
+    ``{name}_fp_ids`` replay-guard sidecar is persisted alongside)."""
     fp = dedup.simhash(corpus, id_col, text_col, bits=64)
     pairs = dedup.hamming_near_pairs(fp, id_col, "simhash", 64, max_hamming)
     kept = corpus.join(
@@ -216,7 +239,7 @@ def bootstrap_fingerprint_corpus(
     )
     reset_docs_dir(spark, f"{path}_docs")
     write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
-    fps, members = dedup.persist_corpus_fingerprints(
+    fps, members, _ids = dedup.persist_corpus_fingerprints(
         spark, dedup.simhash(kept, id_col, text_col, bits=64),
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
     )
@@ -239,26 +262,37 @@ def fingerprint_probe_and_commit(
     ``start_fingerprint_dedup_stream`` and the streaming capstone
     (streaming/cc_ingest.py): simhash ONCE behind an eager checkpoint,
     within-shard keep-first, probe the persisted banded index, apply
-    the members replay guard, then commit the NOVEL documents — docs
+    the id replay guard, then commit the NOVEL documents — docs
     write first (optionally through ``transform(novel)``, e.g. to
     attach scores) into the per-batch OVERWRITE partition
-    ``_batch=<batch_id>``, bands insert, members insert LAST. Keep this
-    in one place: the members-last ordering IS the replay guard, and a
-    second copy of this block is how exactly-once breaks silently
-    (r15 review finding).
+    ``_batch=<batch_id>``, bands insert, members insert, guard-id
+    insert LAST. Keep this in one place: the guard-last ordering IS
+    the replay guard, and a second copy of this block is how
+    exactly-once breaks silently (r15 review finding).
 
     Crash-replay matrix (r16 — exactly-once on ``{path}_docs``):
     a crash before the docs write finishes → the replayed batch
-    OVERWRITES the partial partition; between docs and members → the
-    guard still sees the docs as novel, recomputes the same set
-    (deterministic) and overwrites byte-identically; after the members
-    insert → the guard empties the novel set and the partition from the
-    completed attempt stands. The one non-idempotent residue is a crash
-    between the bands insert and the members insert: the replay
-    re-inserts those band rows (duplicate ``(bkey, band, h)`` rows in
-    ``{name}_fps``), which costs duplicate CANDIDATE pairs that every
-    consumer already collapses with ``distinct()`` — never a missed or
-    duplicated document.
+    OVERWRITES the partial partition; between docs and bands → the
+    probe misses and the guard still sees the docs as novel, so the
+    replay recomputes the same set (deterministic) and overwrites
+    byte-identically; after the guard-id insert → the guard empties
+    the novel set and the partition from the completed attempt stands.
+    Two non-idempotent-but-benign residues: (a) a crash between the
+    bands insert and the members insert — the probe's candidate rows
+    exist but verify through the missing members rows, so the replay
+    still sees the docs as novel and re-inserts the band rows
+    (duplicate ``(bkey, band, h)`` rows in ``{name}_fps``, costing
+    duplicate CANDIDATE pairs every consumer already collapses with
+    ``distinct()``); (b) a crash between the members insert and the
+    guard-id insert — the replay's probe now fully verifies, so the
+    epoch's docs are (correctly) not novel and their ``{name}_fp_ids``
+    rows are never inserted. That gap is benign: the probe itself
+    guards any replay of those ids while their fingerprints are live,
+    and the next maintenance pass closes it — its tombstone derivation
+    unions the MEMBERS ids (which that epoch did insert) with the old
+    sidecar and the durable tombstones file, so even a document
+    maintenance drops while sitting in this gap stays tombstoned —
+    never a missed or duplicated document in any window.
 
     The band-insert dedup anti-joins ``{name}_fp_members`` (bucketed by
     ``h``), NOT ``{name}_fps`` (bucketed by ``bkey``): membership is
@@ -290,32 +324,63 @@ def fingerprint_probe_and_commit(
     matches = dedup.hamming_near_pairs_against(
         keep_fp, fps_t, members_t, id_col, "simhash", 64, max_hamming
     )
-    # replay guard (see the MinHash stream): ids already in the
-    # members table were fully appended by a previous attempt
+    # replay guard (see the MinHash stream): ids already committed by a
+    # previous attempt — or tombstoned by maintenance — anti-joined
+    # against the id-BUCKETED {name}_fp_ids sidecar, so the corpus side
+    # reads co-located buckets with no per-batch Exchange (guarding
+    # against the h-bucketed members table shuffled the whole corpus
+    # table every micro-batch). Pre-sidecar stores fall back to the
+    # members guard (which then still carries any legacy tombstones).
+    has_ids_t = spark.catalog.tableExists(f"{name}_fp_ids")
+    guard_ids = (
+        spark.table(f"{name}_fp_ids")
+        if has_ids_t
+        else members_t.select(F.col(id_col))
+    )
     nfp = (
         keep_fp.join(
             matches.select(F.col("new_id").alias(id_col)).distinct(),
             id_col,
             "left_anti",
         )
-        .join(members_t.select(F.col(id_col)), id_col, "left_anti")
-        .persist()
+        .join(guard_ids.select(F.col(id_col)), id_col, "left_anti")
+        # EAGER lineage cut, NOT persist: each insertInto below
+        # invalidates every cached plan that references the modified
+        # table, and a persist recomputed after the members insert sees
+        # the batch's OWN rows fully in the index — the probe then
+        # filters them out and the guard-id insert silently writes
+        # NOTHING (observed; the pre-sidecar inserts were immune only
+        # because match verification expands through the not-yet-
+        # inserted members table). A checkpoint severs the plan from
+        # the tables, so every insert reads the same computed batch.
+        .localCheckpoint(eager=True)
     )
     novel = docs.join(nfp.select(id_col), id_col)
-    try:
-        if nfp.isEmpty():
-            return
-        out = novel if transform is None else transform(novel)
-        write_docs_batch(out, f"{path}_docs", batch_id)
-        h, _ = dedup._hamming_masked_and_bands(
-            F.col("simhash"), 64, max_hamming
-        )
-        hashed = nfp.select(F.col(id_col), h.alias("h"))
-        bands = novel_band_rows(hashed, members_t, max_hamming)
-        bands.select("bkey", "band", "h").write.insertInto(f"{name}_fps")
-        hashed.select("h", id_col).write.insertInto(f"{name}_fp_members")
-    finally:
-        nfp.unpersist()
+    if nfp.isEmpty():
+        return
+    out = novel if transform is None else transform(novel)
+    write_docs_batch(out, f"{path}_docs", batch_id)
+    h, _ = dedup._hamming_masked_and_bands(
+        F.col("simhash"), 64, max_hamming
+    )
+    hashed = nfp.select(F.col(id_col), h.alias("h"))
+    bands = novel_band_rows(hashed, members_t, max_hamming)
+    bands.select("bkey", "band", "h").write.insertInto(f"{name}_fps")
+    hashed.select("h", id_col).write.insertInto(f"{name}_fp_members")
+    if has_ids_t:
+        nfp.select(id_col).write.insertInto(f"{name}_fp_ids")
+    # under foreachBatch these insert frames belong to Spark's CLONED
+    # streaming session, so the inserts refresh the CLONE's relation
+    # cache only — the base session's next probe (spark.table here)
+    # would read a STALE file listing and miss everything this batch
+    # committed. The persist-era code was saved by an accident: the
+    # shared CacheManager's recache of the persisted novel set happened
+    # to re-resolve the table relations; the lineage-cut checkpoint
+    # removed that side effect, so refresh EXPLICITLY (metadata-only).
+    spark.catalog.refreshTable(f"{name}_fps")
+    spark.catalog.refreshTable(f"{name}_fp_members")
+    if has_ids_t:
+        spark.catalog.refreshTable(f"{name}_fp_ids")
 
 
 def novel_band_rows(

@@ -100,38 +100,61 @@ def start_embedding_dedup_stream(
                 id_col,
                 "left_anti",
             )
-            # 3. replay guard (same contract as corpus_dedup: members is
-            # the source of truth and is written LAST, so the probe
-            # state only ever records fully appended vectors; the docs
-            # write is a per-batch overwrite partition — exactly-once
-            # across crash replay)
+            # 3. replay guard (same contract as corpus_dedup: the guard
+            # table is the source of truth and is written LAST, so the
+            # probe state only ever records fully appended vectors; the
+            # docs write is a per-batch overwrite partition —
+            # exactly-once across crash replay). The guard is the
+            # id-BUCKETED {name}_ids sidecar — anti-joining the
+            # rid-bucketed members table shuffled the whole corpus-side
+            # table per micro-batch; pre-sidecar stores fall back.
+            has_ids_t = spark.catalog.tableExists(f"{name}_ids")
+            guard_t = (
+                spark.table(f"{name}_ids")
+                if has_ids_t
+                else members_t
+            )
             novel = novel.join(
-                members_t.select(F.col("id").alias(id_col)), id_col, "left_anti"
-            ).persist()
-            try:
-                if novel.isEmpty():
-                    return
-                write_docs_batch(novel, f"{path}_docs", batch_id)
-                keyed = novel.select(
-                    F.col(id_col), F.col(vec_col),
-                    ann._emb_vkey(vec_col).alias("_vkey"),
-                )
-                reps = keyed.groupBy("_vkey").agg(
-                    F.min(id_col).alias("rid"), F.first(vec_col).alias(vec_col)
-                )
-                vecs = reps.select(
-                    ann.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-                    F.col("rid"),
-                    F.col(vec_col).alias("vec"),
-                    ann._norm(F.col(vec_col)).alias("norm"),
-                )
-                members = keyed.join(reps.select("_vkey", "rid"), "_vkey").select(
-                    F.col("rid"), F.col(id_col).alias("id")
-                )
-                vecs.write.insertInto(f"{name}_vecs")
-                members.write.insertInto(f"{name}_members")
-            finally:
-                novel.unpersist()
+                guard_t.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            # EAGER lineage cut, NOT persist: each insertInto below
+            # invalidates cached plans referencing the modified table;
+            # a persist recomputed after the members insert sees the
+            # batch fully in the probe state and empties itself, so the
+            # guard-id insert would silently write nothing (see
+            # fingerprint_probe_and_commit)
+            ).localCheckpoint(eager=True)
+            if novel.isEmpty():
+                return
+            write_docs_batch(novel, f"{path}_docs", batch_id)
+            keyed = novel.select(
+                F.col(id_col), F.col(vec_col),
+                ann._emb_vkey(vec_col).alias("_vkey"),
+            )
+            reps = keyed.groupBy("_vkey").agg(
+                F.min(id_col).alias("rid"), F.first(vec_col).alias(vec_col)
+            )
+            vecs = reps.select(
+                ann.sign_bucket(F.col(vec_col), dims).alias("bucket"),
+                F.col("rid"),
+                F.col(vec_col).alias("vec"),
+                ann._norm(F.col(vec_col)).alias("norm"),
+            )
+            members = keyed.join(reps.select("_vkey", "rid"), "_vkey").select(
+                F.col("rid"), F.col(id_col).alias("id")
+            )
+            vecs.write.insertInto(f"{name}_vecs")
+            members.write.insertInto(f"{name}_members")
+            if has_ids_t:
+                novel.select(
+                    F.col(id_col).alias("id")
+                ).write.insertInto(f"{name}_ids")
+            # explicit refresh: the batch frames belong to the CLONED
+            # streaming session, so the inserts do not refresh the base
+            # session's relation cache (see fingerprint_probe_and_commit)
+            for t in ("vecs", "members") + (
+                ("ids",) if has_ids_t else ()
+            ):
+                spark.catalog.refreshTable(f"{name}_{t}")
         finally:
             batch.unpersist()
 

@@ -22,15 +22,17 @@ Offline contract (same as shard.rebalance_shards): the stream must be
 STOPPED while this runs — the job rewrites the docs tree and the index
 tables the stream's foreachBatch reads. Restart the stream afterwards;
 its checkpoint is untouched. Replay stays idempotent across a
-maintenance run because the rebuilt members table preserves EVERY
-pre-maintenance doc id: live docs re-fingerprint from their post-span
-text, and maintenance-DROPPED ids (contaminated, fully-redundant)
-persist as TOMBSTONE member rows with h = NULL — without them, a
-crash-replayed epoch would re-commit a dropped document with its
-original unmaintained text (r16 review). NULL keeps a tombstone
-invisible to every h-join (a real h in members without fps band rows
-would break the h-in-members ⟺ h-in-fps equivalence the stream's
-band-insert dedup rests on); the accumulated id set is durable in
+maintenance run because the rebuilt ``{name}_fp_ids`` replay-guard
+sidecar preserves EVERY pre-maintenance doc id: live docs re-enter it
+(and re-fingerprint into members/fps from their post-span text), and
+maintenance-DROPPED ids (contaminated, fully-redundant) persist as
+TOMBSTONE rows in the sidecar — without them, a crash-replayed epoch
+would re-commit a dropped document with its original unmaintained
+text (r16 review). Tombstones live ONLY in the id sidecar, never in
+members: members holds live fingerprints alone, so the
+h-in-members ⟺ h-in-fps equivalence the stream's band-insert dedup
+rests on holds unconditionally, and the guard acts purely through the
+bucketed id anti-join. The accumulated id set is durable in
 ``{path}_tombstones`` (tmp+rename before each table rebuild), so
 reruns and LATER maintenance passes carry every prior tombstone
 forward. A tombstone suppresses only the SAME id; a re-crawl of
@@ -47,9 +49,9 @@ mid-swap crash and the swap is finished before anything else. The index
 refresh runs LAST, from the committed on-disk docs, so rerunning the job
 always converges index to docs — including a crash INSIDE the index
 rebuild itself (the persist_bucketed DROP → saveAsTable window can lose
-the members table; the rerun tolerates its absence because the durable
-tombstones file, committed strictly before any table rebuild, already
-carries every non-live member id).
+any of the index tables; the rerun tolerates their absence because the
+durable tombstones file, committed strictly before any table rebuild,
+already carries every non-live guarded id).
 
 Schema contract: the rewritten ``{path}_docs`` keeps the INPUT schema —
 caller-supplied columns beyond (id, text) ride through by id-join, the
@@ -233,41 +235,49 @@ def maintain_cc_corpus(
     fs_delete(spark, old)
 
     # ---- tombstones (durable), then index refresh ---------------------
-    # TOMBSTONES: every id ever dropped by maintenance stays a member
-    # row, so a crash-replayed stream epoch cannot re-commit a dropped
-    # document (the per-batch replay guard anti-joins members by id).
-    # Two review-driven invariants (r16):
-    # - tombstones carry h = NULL, never a real fingerprint: a real h
-    #   in members without matching fps band rows breaks the
+    # TOMBSTONES: every id ever dropped by maintenance stays a row in
+    # the {name}_fp_ids replay-guard sidecar, so a crash-replayed
+    # stream epoch cannot re-commit a dropped document (the per-batch
+    # guard anti-joins the sidecar by its bucket key). Two
+    # review-driven invariants (r16):
+    # - tombstones live ONLY in the id sidecar, never in members: a
+    #   members row without matching fps band rows breaks the
     #   h-in-members ⟺ h-in-fps equivalence novel_band_rows' dedup
     #   rests on — a later-admitted doc sharing that h would silently
-    #   skip its band insert and become unprobeable forever. NULL never
-    #   equals anything in a join, so the tombstone is invisible to
-    #   BOTH h-joins and acts only through the id anti-join.
+    #   skip its band insert and become unprobeable forever. With the
+    #   sidecar carrying the guard, members holds live fingerprints
+    #   alone and the equivalence is unconditional.
     # - the id set is DURABLE across reruns and later passes: the
-    #   rebuilt members table starts from live docs only, and each run
+    #   rebuilt tables start from live docs only, and each run
     #   re-derives only its own drops, so without a carried-forward
     #   record a second pass would erase the first one's tombstones.
     #   The accumulated set persists in {path}_tombstones (tmp+rename,
     #   written BEFORE the table rebuild), each run unioning the file,
-    #   the pre-rebuild members ids and its own drops minus the live
-    #   set — any crash point replays to the same set.
+    #   the pre-rebuild members + sidecar ids and its own drops minus
+    #   the live set — any crash point replays to the same set.
     final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
     final_ids = final.select(id_col)
     tomb_path = f"{path}_tombstones"
-    if spark.catalog.tableExists(f"{name}_fp_members"):
-        tomb_ids = spark.table(f"{name}_fp_members").select(id_col)
-    else:
-        # the members table can be ABSENT here: a prior run that crashed
-        # inside persist_corpus_fingerprints' members rebuild (the
-        # persist_bucketed DROP → saveAsTable window) lost the table —
-        # but only AFTER that run committed its durable tombstones file
-        # (written strictly before any table rebuild), so the file alone
-        # already carries every prior member id that is not live; the
-        # live ids re-derive from the committed docs below. Without this
-        # branch a rerun threw before reaching the rebuild, making the
-        # crash permanent (r16 review).
-        tomb_ids = final_ids.limit(0)
+    # tombstone sources: the UNION of both index tables' ids and the
+    # durable file. Members covers the stream's members→guard-id crash
+    # gap (an epoch that inserted members but died before its sidecar
+    # insert — deriving from the sidecar alone would let a doc dropped
+    # in that gap resurrect on replay); the sidecar carries every PRIOR
+    # tombstone; the file is the crash-durable record. Either table can
+    # be ABSENT here — a prior run that crashed inside
+    # persist_corpus_fingerprints' rebuild (the persist_bucketed DROP →
+    # saveAsTable window) lost it — and the rerun still converges
+    # because the durable file commits strictly BEFORE any table
+    # rebuild, so it already carries every prior non-live id; live ids
+    # re-derive from the committed docs below. Without the absence
+    # tolerance a rerun threw before reaching the rebuild, making the
+    # crash permanent (r16 review).
+    tomb_ids = final_ids.limit(0)
+    for t in (f"{name}_fp_members", f"{name}_fp_ids"):
+        if spark.catalog.tableExists(t):
+            tomb_ids = tomb_ids.unionByName(
+                spark.table(t).select(id_col)
+            )
     if fs_exists(spark, tomb_path):
         tomb_ids = tomb_ids.unionByName(
             spark.read.parquet(tomb_path).select(id_col)
@@ -285,8 +295,8 @@ def maintain_cc_corpus(
         name, path, id_col, "simhash", 64, max_hamming, n_buckets,
     )
     spark.read.parquet(tomb_path).select(
-        F.lit(None).cast("long").alias("h"), F.col(id_col)
-    ).write.insertInto(f"{name}_fp_members")
+        F.col(id_col)
+    ).write.insertInto(f"{name}_fp_ids")
     n_tomb = tomb_ids.count()
     report["tombstones_total"] = n_tomb
 

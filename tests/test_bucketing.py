@@ -208,7 +208,7 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
     ]
     corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     wh = str(tmp_path_factory.mktemp("incdedup"))
-    for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members"):
+    for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members", "inc_corpus_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
         bands_t, toks_t, members_t = dedup.persist_corpus_lsh(
@@ -289,7 +289,7 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     finally:
-        for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members"):
+        for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members", "inc_corpus_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -320,7 +320,7 @@ def test_incremental_embedding_dedup_against_persisted_corpus(spark, tmp_path_fa
     corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
 
     wh = str(tmp_path_factory.mktemp("incemb"))
-    for t in ("inc_emb_vecs", "inc_emb_members"):
+    for t in ("inc_emb_vecs", "inc_emb_members", "inc_emb_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
         vecs_t, members_t, dims = ann.persist_corpus_embeddings(
@@ -388,7 +388,7 @@ def test_incremental_embedding_dedup_against_persisted_corpus(spark, tmp_path_fa
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         assert probe_plan.count("Bucketed: true") >= 2, probe_plan
     finally:
-        for t in ("inc_emb_vecs", "inc_emb_members"):
+        for t in ("inc_emb_vecs", "inc_emb_members", "inc_emb_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -544,10 +544,10 @@ def test_incremental_fingerprint_dedup_against_persisted_corpus(
         "doc_id long, simhash long",
     )
     wh = str(tmp_path_factory.mktemp("incfp"))
-    for t in ("inc_fp_fps", "inc_fp_fp_members"):
+    for t in ("inc_fp_fps", "inc_fp_fp_members", "inc_fp_fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        fps_t, members_t = dedup.persist_corpus_fingerprints(
+        fps_t, members_t, ids_t = dedup.persist_corpus_fingerprints(
             spark, corpus, "inc_fp", f"{wh}/inc_fp", max_hamming=3
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -581,7 +581,7 @@ def test_incremental_fingerprint_dedup_against_persisted_corpus(
         assert fplan.count("Bucketed: true") >= 2, fplan
         assert "SortMergeJoin" in fplan, fplan
     finally:
-        for t in ("inc_fp_fps", "inc_fp_fp_members"):
+        for t in ("inc_fp_fps", "inc_fp_fp_members", "inc_fp_fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -608,10 +608,10 @@ def test_streaming_band_insert_no_corpus_exchange(spark, tmp_path_factory):
         "doc_id long, simhash long",
     )
     wh = str(tmp_path_factory.mktemp("bandins"))
-    for t in ("bi_fps", "bi_fp_members"):
+    for t in ("bi_fps", "bi_fp_members", "bi_fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        fps_t, members_t = dedup.persist_corpus_fingerprints(
+        fps_t, members_t, ids_t = dedup.persist_corpus_fingerprints(
             spark, corpus, "bi", f"{wh}/bi", max_hamming=3
         )
         h, _ = dedup._hamming_masked_and_bands(F.col("simhash"), 64, 3)
@@ -642,5 +642,66 @@ def test_streaming_band_insert_no_corpus_exchange(spark, tmp_path_factory):
         # commit-dedup plan at all (it was the r15 full-scan side)
         assert "bi_fps" not in plan, plan
     finally:
-        for t in ("bi_fps", "bi_fp_members"):
+        for t in ("bi_fps", "bi_fp_members", "bi_fp_ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_replay_guard_no_corpus_exchange(
+    spark, tmp_path_factory
+):
+    """r16: the commit path's id replay guard anti-joins the
+    ``{name}_fp_ids`` sidecar — bucketed by the join key ``doc_id`` —
+    so the corpus side reads co-located buckets with no Exchange.
+    Guarding against the h-bucketed members table (the first r16 cut)
+    shuffled the whole corpus-side table per micro-batch."""
+    import random
+
+    from logrange_spark.ops import dedup
+
+    rng = random.Random(2027)
+
+    def to_signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    corpus = spark.createDataFrame(
+        [(i, to_signed(rng.getrandbits(64))) for i in range(200)],
+        "doc_id long, simhash long",
+    )
+    wh = str(tmp_path_factory.mktemp("guardids"))
+    for t in ("gid_fps", "gid_fp_members", "gid_fp_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        fps_t, members_t, ids_t = dedup.persist_corpus_fingerprints(
+            spark, corpus, "gid", f"{wh}/gid", max_hamming=3
+        )
+        batch = spark.createDataFrame(
+            # 5 novel ids + 2 already-committed (must be guarded out)
+            [(1000 + i, to_signed(rng.getrandbits(64)))
+             for i in range(5)]
+            + [(7, to_signed(rng.getrandbits(64))),
+               (11, to_signed(rng.getrandbits(64)))],
+            "doc_id long, simhash long",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            guarded = batch.join(
+                ids_t.select(F.col("doc_id")), "doc_id", "left_anti"
+            )
+            plan = guarded._jdf.queryExecution().executedPlan().toString()
+            ids = sorted(r["doc_id"] for r in guarded.collect())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+        assert ids == [1000, 1001, 1002, 1003, 1004]
+        # the sidecar scan is bucketed and contributes NO Exchange:
+        # every Exchange sits on the BATCH branch of the anti-join
+        assert "Bucketed: true" in plan, plan
+        ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+        assert ex_lines and all(":" in l for l in ex_lines), plan
+        # the guard must not touch members or fps at all
+        assert "gid_fp_members" not in plan and "gid_fps" not in plan, (
+            plan
+        )
+    finally:
+        for t in ("gid_fps", "gid_fp_members", "gid_fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -66,7 +66,7 @@ def test_continuous_corpus_dedup_stream(spark, tmp_path):
     )
 
     name, root = "ccd", str(tmp_path)
-    for t in ("bands", "toks", "members"):
+    for t in ("bands", "toks", "members", "ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     seed_rows = [
         (1, "alpha document about spark engines and large scale shuffles"),
@@ -121,9 +121,22 @@ def test_continuous_corpus_dedup_stream(spark, tmp_path):
         while corpus_ids() != [1, 3, 11, 21] and time.time() < deadline:
             time.sleep(0.5)
         assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
+        # the guard-id sidecar tracked every streamed commit (r16
+        # regression: cache invalidation emptied the novel set before
+        # the guard insert). POLL: the corpus wait returns at the docs
+        # write, which precedes the index inserts in the commit order
+        def guard_ids():
+            return sorted(
+                r["doc_id"] for r in spark.table(f"{name}_ids").collect()
+            )
+
+        deadline = time.time() + 60
+        while guard_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+        assert guard_ids() == [1, 3, 11, 21], guard_ids()
     finally:
         q.stop()
-        for t in ("bands", "toks", "members"):
+        for t in ("bands", "toks", "members", "ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -148,7 +161,7 @@ def test_continuous_embedding_dedup_stream(spark, tmp_path):
         return [float(rng.uniform(-1, 1)) for _ in range(16)]
 
     name, root = "ced", str(tmp_path)
-    for t in ("vecs", "members"):
+    for t in ("vecs", "members", "ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     v1, v3 = vec(), vec()
     seed = spark.createDataFrame(
@@ -201,9 +214,22 @@ def test_continuous_embedding_dedup_stream(spark, tmp_path):
                 break
         assert q.exception() is None, q.exception()
         assert corpus_ids() == [1, 3, 11, 21], corpus_ids()
+        # the guard-id sidecar tracked every streamed commit (r16
+        # regression: cache invalidation emptied the novel set before
+        # the guard insert). POLL: the corpus wait returns at the docs
+        # write, which precedes the index inserts in the commit order
+        def guard_ids():
+            return sorted(
+                r["id"] for r in spark.table(f"{name}_ids").collect()
+            )
+
+        deadline = time.time() + 60
+        while guard_ids() != [1, 3, 11, 21] and time.time() < deadline:
+            time.sleep(0.5)
+        assert guard_ids() == [1, 3, 11, 21], guard_ids()
     finally:
         q.stop()
-        for t in ("vecs", "members"):
+        for t in ("vecs", "members", "ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -490,7 +516,7 @@ def test_continuous_fingerprint_dedup_stream(spark, tmp_path):
     )
 
     name, root = "cfd", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     base = (
         "alpha document about spark engines and large scale shuffles "
@@ -580,7 +606,7 @@ def test_continuous_fingerprint_dedup_stream(spark, tmp_path):
         assert member_ids() == [1, 3, 11, 21], member_ids()
     finally:
         q.stop()
-        for t in ("fps", "fp_members"):
+        for t in ("fps", "fp_members", "fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -604,7 +630,7 @@ def test_streaming_cc_capstone(spark, tmp_path):
     )
 
     name, root = "ccs", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
     def page(body_words, n_lines=4):
@@ -752,7 +778,7 @@ def _fp_corpus_fixture(spark, tmp_path, name):
         "ratios budgets heaps sweeps artifacts attribution deltas registries "
         "oracles twins hashes rotations retirements coverage inventories"
     )
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     seed = spark.createDataFrame(
         [(1, base), (2, eps)], "doc_id long, text string"
@@ -826,6 +852,13 @@ def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
     assert (
         spark.table(f"{name}_fp_members").where("doc_id = 11").count() == 1
     )
+    # ...and the guard-id sidecar completes too (r16 regression: the
+    # members insert invalidates a persist-cached novel set, which
+    # recomputes EMPTY against the now-complete index — the guard
+    # insert then silently wrote nothing; the eager lineage cut pins it)
+    assert (
+        spark.table(f"{name}_fp_ids").where("doc_id = 11").count() == 1
+    )
 
     # the completed index catches a near-dup of the replayed doc
     probe = spark.createDataFrame(
@@ -837,7 +870,7 @@ def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
     )
     docs = spark.read.parquet(f"{path}_docs")
     assert docs.where("doc_id = 20").count() == 0
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     return docs
 
@@ -907,7 +940,7 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
 
     name, root = "ccm", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
     SPAN = (
@@ -1069,16 +1102,20 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         .select(h_expr.alias("h"), "doc_id")
         .collect()
     }
-    # maintenance-DROPPED ids persist as NULL-h tombstone member rows
-    # (the stream-replay guard; r16 review — NULL so the tombstone is
-    # invisible to every h-join: a real h without fps band rows would
-    # break the band-insert dedup's membership equivalence)
-    want_tomb = {(None, 11)}
+    # members holds LIVE fingerprints only (h-in-members ⟺ h-in-fps
+    # unconditionally); maintenance-DROPPED ids persist as tombstone
+    # rows in the id-bucketed {name}_fp_ids replay-guard sidecar
+    # (r16 — a tombstone row in members would break the band-insert
+    # dedup's membership equivalence)
     got_members = {
         (r["h"], r["doc_id"])
         for r in spark.table(f"{name}_fp_members").collect()
     }
-    assert got_members == want_live | want_tomb
+    assert got_members == want_live
+    guard_ids = {
+        r["doc_id"] for r in spark.table(f"{name}_fp_ids").collect()
+    }
+    assert guard_ids == {r[1] for r in want_live} | {11}
     # doc 20's fingerprint CHANGED (its span is gone) — the old one must
     # not linger in the refreshed index
     old20 = dedup.simhash(
@@ -1097,9 +1134,8 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         max_hamming=3, n_buckets=8,
     )
     assert report2["tombstones_total"] == 1
-    assert (None, 11) in {
-        (r["h"], r["doc_id"])
-        for r in spark.table(f"{name}_fp_members").collect()
+    assert 11 in {
+        r["doc_id"] for r in spark.table(f"{name}_fp_ids").collect()
     }
 
     # ---- the stream resumes across maintenance -----------------------
@@ -1133,7 +1169,7 @@ def test_cc_corpus_maintenance_job(spark, tmp_path):
         wait_for([1, 2, 10, 20, 31], q)
     finally:
         q.stop()
-        for t in ("fps", "fp_members"):
+        for t in ("fps", "fp_members", "fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -1254,7 +1290,7 @@ def test_maintenance_on_unscored_fingerprint_corpus(spark, tmp_path):
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
 
     name, root = "mgen", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     span = (
         "one repeated stretch of twenty or more tokens aa bb cc dd ee "
@@ -1299,11 +1335,15 @@ def test_maintenance_on_unscored_fingerprint_corpus(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in docs.collect()}
     # keep-first: doc 1 retains the span, doc 2 lost it
     assert "aa bb cc" in got[1] and "aa bb cc" not in got[2]
-    # index: live fingerprints for 1/2/4 plus a tombstone for 3
+    # index: live fingerprints for 1/2/4; the tombstone for 3 lives in
+    # the id-guard sidecar, never in members
     member_ids = sorted(
         r["doc_id"] for r in spark.table(f"{name}_fp_members").collect()
     )
-    assert member_ids == [1, 2, 3, 4]
+    assert member_ids == [1, 2, 4]
+    assert sorted(
+        r["doc_id"] for r in spark.table(f"{name}_fp_ids").collect()
+    ) == [1, 2, 3, 4]
     # replay shape: redelivering the dropped id leaves the corpus alone
     fingerprint_probe_and_commit(
         spark,
@@ -1314,7 +1354,7 @@ def test_maintenance_on_unscored_fingerprint_corpus(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{root}/{name}_docs").collect()
     ) == [1, 2, 4]
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -1330,7 +1370,7 @@ def test_maintenance_preserves_caller_columns(spark, tmp_path):
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
 
     name, root = "mcols", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     span = (
         "one repeated stretch of twenty or more tokens aa bb cc dd ee "
@@ -1367,7 +1407,7 @@ def test_maintenance_preserves_caller_columns(spark, tmp_path):
     # the maintained TEXT still changed (keep-first span removal)
     assert "aa bb cc" in got[1]["text"]
     assert "aa bb cc" not in got[2]["text"]
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
 
 
@@ -1414,7 +1454,7 @@ def test_maintenance_rerun_after_members_rebuild_crash(spark, tmp_path):
     from logrange_spark.streaming.maintenance import maintain_cc_corpus
 
     name, root = "mcrash", str(tmp_path)
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     rows = [
         (1, "first doc distinct head words entirely unrelated content"),
@@ -1442,14 +1482,17 @@ def test_maintenance_rerun_after_members_rebuild_crash(spark, tmp_path):
         max_hamming=3, n_buckets=8,
     )
     assert report["docs_after"] == 2
-    # converged: live fingerprints for 1/3 plus the tombstone for 2
+    # converged: live fingerprints for 1/3 in members; the tombstone
+    # for 2 in the id-guard sidecar
     members = {
         r["doc_id"]: r["h"]
         for r in spark.table(f"{name}_fp_members").collect()
     }
-    assert sorted(members) == [1, 2, 3]
-    assert members[2] is None  # tombstone, invisible to h-joins
+    assert sorted(members) == [1, 3]
     assert members[1] is not None and members[3] is not None
+    assert sorted(
+        r["doc_id"] for r in spark.table(f"{name}_fp_ids").collect()
+    ) == [1, 2, 3]
     # and the tombstone still suppresses a replay of the dropped id
     fingerprint_probe_and_commit(
         spark,
@@ -1460,5 +1503,25 @@ def test_maintenance_rerun_after_members_rebuild_crash(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{root}/{name}_docs").collect()
     ) == [1, 3]
-    for t in ("fps", "fp_members"):
+    # second crash flavor: the GUARD SIDECAR saveAsTable never
+    # completed — the rerun must converge identically (the durable
+    # tombstones file carries the non-live ids)
+    spark.sql(f"DROP TABLE {name}_fp_ids")
+    maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.table(f"{name}_fp_ids").collect()
+    ) == [1, 2, 3]
+    fingerprint_probe_and_commit(
+        spark,
+        spark.createDataFrame([rows[1]], "doc_id long, text string"),
+        name, f"{root}/{name}", max_hamming=3, batch_id=8,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+    ) == [1, 3]
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")

@@ -65,7 +65,7 @@ def _pages(df):
 def _bootstrap(spark, name, root, seed):
     from logrange_spark.streaming.cc_ingest import bootstrap_cc_corpus
 
-    for t in ("fps", "fp_members"):
+    for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
     t0 = time.time()
     bootstrap_cc_corpus(

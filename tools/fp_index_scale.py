@@ -43,7 +43,7 @@ def main() -> int:
         fp = dedup.simhash(docs, "doc_id", "text", bits=64)
         name = f"fpidx_{label}"
         t0 = time.time()
-        fps_t, members_t = dedup.persist_corpus_fingerprints(
+        fps_t, members_t, ids_t = dedup.persist_corpus_fingerprints(
             spark, fp, name, f"{wh}/{name}", max_hamming=3
         )
         persist_s = round(time.time() - t0, 3)
@@ -76,7 +76,7 @@ def main() -> int:
             "probe_runs": runs,
             "pairs": pairs,
         }))
-        for t in (f"{name}_fps", f"{name}_fp_members"):
+        for t in (f"{name}_fps", f"{name}_fp_members", f"{name}_fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
     return 0

@@ -51,7 +51,7 @@ def main() -> int:
     name, root = "mscale", tempfile.mkdtemp(prefix="lr-maint-scale-")
     out: dict = {"scale": scale}
     try:
-        for t in ("fps", "fp_members"):
+        for t in ("fps", "fp_members", "fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
         seed = _pages(
             spark.read.parquet(f"{corpus_dir}/documents.parquet")
@@ -82,7 +82,7 @@ def main() -> int:
         out["fps_rows_after"] = spark.table(f"{name}_fps").count()
         out["members_after"] = spark.table(f"{name}_fp_members").count()
     finally:
-        for t in ("fps", "fp_members"):
+        for t in ("fps", "fp_members", "fp_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
         shutil.rmtree(root, ignore_errors=True)
     path = os.path.join(
