@@ -784,9 +784,9 @@ def persist_corpus_embeddings(
     n_buckets: int = 64,
 ):
     """Materialize the corpus' embedding near-dup probe state as three
-    catalog tables; returns (vecs_table, members_table, dims) — the
-    id-bucketed ``<name>_ids`` replay-guard sidecar is persisted
-    alongside.
+    catalog tables; returns (vecs_table, members_table, ids_table, dims) — the
+    id-bucketed ``<name>_ids`` replay-guard sidecar is the third
+    table.
 
     - ``<name>_vecs`` (bucket, rid, vec, norm): ONE row per distinct
       vector (exact-collapse — a boilerplate cluster of identical
@@ -825,9 +825,11 @@ def persist_corpus_embeddings(
     # id-bucketed replay-guard sidecar (see dedup.persist_corpus_lsh):
     # the stream anti-joins it on its own bucket key per micro-batch,
     # so the corpus side pays no Exchange
-    persist_bucketed(spark, corpus.select(F.col(id_col).alias("id")),
-                     f"{name}_ids", f"{path}_ids", n_buckets, "id")
-    return vecs_t, members_t, dims
+    ids_t = persist_bucketed(
+        spark, corpus.select(F.col(id_col).alias("id")),
+        f"{name}_ids", f"{path}_ids", n_buckets, "id",
+    )
+    return vecs_t, members_t, ids_t, dims
 
 
 def embedding_near_duplicates_against(

@@ -1263,7 +1263,7 @@ def persist_corpus_lsh(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Materialize the corpus' near-dup probe state as three catalog
     tables, all keyed by the exact-content key ``tkey`` (one row per
     DISTINCT content — see ``_collapsed_probe_state``):
@@ -1297,7 +1297,7 @@ def persist_corpus_lsh(
             ("ids", corpus.select(F.col(id_col)), id_col),
         )
     ]
-    return out[0], out[1], out[2]
+    return out[0], out[1], out[2], out[3]
 
 
 def near_duplicates_against(
@@ -1460,7 +1460,7 @@ def persist_corpus_fingerprints(
     bits: int = 64,
     max_hamming: int = 3,
     n_buckets: int = 64,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Materialize a corpus' Hamming-fingerprint probe index as two
     catalog tables — the cross-crawl near-dup state for the
     64-bit-simhash family (the declared 100 TB fingerprint path; MinHash

@@ -106,7 +106,7 @@ def bootstrap_corpus(
     kept = corpus.join(drops, id_col, "left_anti")
     reset_docs_dir(spark, f"{path}_docs")
     write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
-    bands, toks, members = dedup.persist_corpus_lsh(
+    bands, toks, members, _ids = dedup.persist_corpus_lsh(
         spark, kept, name, path, id_col, text_col, n_buckets
     )
     return spark.read.parquet(f"{path}_docs"), bands, toks, members
@@ -127,6 +127,10 @@ def start_corpus_dedup_stream(
     """Start the continuous dedup query. ``bootstrap_corpus`` must have
     run for ``name``/``path`` first. Novel documents land in
     ``{path}_docs``; the probe tables grow by bucketed INSERTs."""
+    # the sidecar's existence cannot change while the stream runs (the
+    # offline maintenance contract), so resolve it ONCE at stream start
+    # instead of per micro-batch (r16 review)
+    has_ids_t = spark.catalog.tableExists(f"{name}_ids")
 
     def sink(batch_df, batch_id):
         batch = batch_df.persist()
@@ -160,23 +164,29 @@ def start_corpus_dedup_stream(
             # per batch — the members anti-join shuffled the whole
             # tkey-bucketed table); pre-sidecar stores fall back to
             # members.
-            has_ids_t = spark.catalog.tableExists(f"{name}_ids")
             guard_t = (
                 spark.table(f"{name}_ids")
                 if has_ids_t
                 else members_t.select(F.col(id_col))
             )
-            novel = novel.join(
+            # EAGER lineage cut of the novel ID SET, not a persist and
+            # not the full rows: each insertInto below invalidates
+            # cached plans referencing the modified table, and a
+            # persist recomputed after the members insert sees the
+            # batch fully in the probe state and empties itself — the
+            # guard-id insert then silently writes nothing (see
+            # fingerprint_probe_and_commit). Checkpointing only the id
+            # column keeps the pinned executor blocks at one long per
+            # novel doc (r16 review: full-row blocks accumulate until
+            # the driver GCs the frame); the full rows rebuild from
+            # ``batch`` — persisted and TABLE-INDEPENDENT, so its
+            # cache survives every insert's invalidation.
+            novel_ids = novel.join(
                 guard_t.select(F.col(id_col)), id_col, "left_anti"
-            # EAGER lineage cut, NOT persist: each insertInto below
-            # invalidates cached plans referencing the modified table;
-            # a persist recomputed after the members insert sees the
-            # batch fully in the probe state and empties itself, so the
-            # guard-id insert would silently write nothing (see
-            # fingerprint_probe_and_commit)
-            ).localCheckpoint(eager=True)
-            if novel.isEmpty():
+            ).select(id_col).localCheckpoint(eager=True)
+            if novel_ids.isEmpty():
                 return
+            novel = batch.join(novel_ids, id_col)
             write_docs_batch(novel, f"{path}_docs", batch_id)
             nb, nt, nm = dedup._collapsed_probe_state(novel, id_col, text_col)
             # bucketed appends: insertInto preserves the bucket spec,
@@ -186,7 +196,7 @@ def start_corpus_dedup_stream(
             nt.select("tkey", "tok").write.insertInto(f"{name}_toks")
             nm.select("tkey", id_col).write.insertInto(f"{name}_members")
             if has_ids_t:
-                novel.select(id_col).write.insertInto(f"{name}_ids")
+                novel_ids.write.insertInto(f"{name}_ids")
             # explicit refresh: the batch frames belong to the CLONED
             # streaming session, so the inserts do not refresh the base
             # session's relation cache (see fingerprint_probe_and_commit)
@@ -289,10 +299,11 @@ def fingerprint_probe_and_commit(
     rows are never inserted. That gap is benign: the probe itself
     guards any replay of those ids while their fingerprints are live,
     and the next maintenance pass closes it — its tombstone derivation
-    unions the MEMBERS ids (which that epoch did insert) with the old
-    sidecar and the durable tombstones file, so even a document
-    maintenance drops while sitting in this gap stays tombstoned —
-    never a missed or duplicated document in any window.
+    reads the PRE-maintenance docs table (which holds every committed
+    document from its epoch's first write, regardless of which index
+    inserts completed), so even a document maintenance drops while
+    sitting in ANY partial-commit gap stays tombstoned — never a
+    missed or duplicated document in any window.
 
     The band-insert dedup anti-joins ``{name}_fp_members`` (bucketed by
     ``h``), NOT ``{name}_fps`` (bucketed by ``bkey``): membership is

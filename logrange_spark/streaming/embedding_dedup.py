@@ -52,7 +52,7 @@ def bootstrap_embedding_corpus(
     kept = corpus.join(drops, id_col, "left_anti")
     reset_docs_dir(spark, f"{path}_docs")
     write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
-    vecs_t, members_t, dims = ann.persist_corpus_embeddings(
+    vecs_t, members_t, _ids_t, dims = ann.persist_corpus_embeddings(
         spark, kept, name, path, id_col, vec_col, dims=dims,
         n_buckets=n_buckets,
     )
@@ -77,6 +77,10 @@ def start_embedding_dedup_stream(
     first, and ``dims`` must be the value it returned. Novel vectors
     land in ``{path}_docs``; the probe tables grow by bucketed
     INSERTs."""
+    # the sidecar's existence cannot change while the stream runs (the
+    # offline maintenance contract), so resolve it ONCE at stream start
+    # instead of per micro-batch (r16 review)
+    has_ids_t = spark.catalog.tableExists(f"{name}_ids")
 
     def sink(batch_df, batch_id):
         batch = batch_df.persist()
@@ -108,23 +112,24 @@ def start_embedding_dedup_stream(
             # id-BUCKETED {name}_ids sidecar — anti-joining the
             # rid-bucketed members table shuffled the whole corpus-side
             # table per micro-batch; pre-sidecar stores fall back.
-            has_ids_t = spark.catalog.tableExists(f"{name}_ids")
             guard_t = (
                 spark.table(f"{name}_ids")
                 if has_ids_t
                 else members_t
             )
-            novel = novel.join(
-                guard_t.select(F.col("id").alias(id_col)), id_col, "left_anti"
-            # EAGER lineage cut, NOT persist: each insertInto below
-            # invalidates cached plans referencing the modified table;
-            # a persist recomputed after the members insert sees the
-            # batch fully in the probe state and empties itself, so the
-            # guard-id insert would silently write nothing (see
-            # fingerprint_probe_and_commit)
-            ).localCheckpoint(eager=True)
-            if novel.isEmpty():
+            # EAGER lineage cut of the novel ID SET, not a persist and
+            # not the full rows (see corpus_dedup's sink for the full
+            # rationale: inserts invalidate table-referencing caches,
+            # and an id-only checkpoint keeps the pinned blocks at one
+            # long per novel vector; the embedding rows rebuild from
+            # ``batch`` — persisted and table-independent)
+            novel_ids = novel.join(
+                guard_t.select(F.col("id").alias(id_col)), id_col,
+                "left_anti",
+            ).select(id_col).localCheckpoint(eager=True)
+            if novel_ids.isEmpty():
                 return
+            novel = batch.join(novel_ids, id_col)
             write_docs_batch(novel, f"{path}_docs", batch_id)
             keyed = novel.select(
                 F.col(id_col), F.col(vec_col),
@@ -145,7 +150,7 @@ def start_embedding_dedup_stream(
             vecs.write.insertInto(f"{name}_vecs")
             members.write.insertInto(f"{name}_members")
             if has_ids_t:
-                novel.select(
+                novel_ids.select(
                     F.col(id_col).alias("id")
                 ).write.insertInto(f"{name}_ids")
             # explicit refresh: the batch frames belong to the CLONED

@@ -131,6 +131,14 @@ def maintain_cc_corpus(
     ]
     base = base_full.select(id_col, text_col)
     n_before = base.count()
+    # pin the PRE-maintenance id set now (eager — the atomic rewrite
+    # below deletes the files this plan reads): it is the tombstone
+    # derivation's source of truth. Every committed document is in the
+    # docs table from its epoch's FIRST write, so deriving drops from
+    # it covers even a doc whose epoch crashed before any index insert
+    # (in docs, in neither members nor the sidecar) — deriving from the
+    # index tables missed exactly that window (r16 review).
+    pre_ids = base_full.select(id_col).localCheckpoint(eager=True)
 
     # tokenize ONCE (the r15 capstone contract): span removal and the
     # contamination n-grams consume the same spread token stream
@@ -258,26 +266,20 @@ def maintain_cc_corpus(
     final = spark.read.parquet(f"{path}_docs").select(id_col, text_col)
     final_ids = final.select(id_col)
     tomb_path = f"{path}_tombstones"
-    # tombstone sources: the UNION of both index tables' ids and the
-    # durable file. Members covers the stream's members→guard-id crash
-    # gap (an epoch that inserted members but died before its sidecar
-    # insert — deriving from the sidecar alone would let a doc dropped
-    # in that gap resurrect on replay); the sidecar carries every PRIOR
-    # tombstone; the file is the crash-durable record. Either table can
-    # be ABSENT here — a prior run that crashed inside
+    # tombstone sources: the PRE-maintenance docs ids (pinned above)
+    # and the durable file — deliberately NOT the index tables. The
+    # docs table holds every committed document from its epoch's first
+    # write, so pre_ids covers every stream crash window uniformly —
+    # including an epoch that died before ANY index insert, whose doc
+    # is in docs but in neither members nor the sidecar (deriving from
+    # the index tables let maintenance drop such a doc WITHOUT a
+    # tombstone, and the replayed epoch then resurrected it; r16
+    # review). The file carries every PRIOR pass's tombstones (ids no
+    # longer in docs). Reading no index table here also makes the
+    # rerun trivially immune to a crash inside
     # persist_corpus_fingerprints' rebuild (the persist_bucketed DROP →
-    # saveAsTable window) lost it — and the rerun still converges
-    # because the durable file commits strictly BEFORE any table
-    # rebuild, so it already carries every prior non-live id; live ids
-    # re-derive from the committed docs below. Without the absence
-    # tolerance a rerun threw before reaching the rebuild, making the
-    # crash permanent (r16 review).
-    tomb_ids = final_ids.limit(0)
-    for t in (f"{name}_fp_members", f"{name}_fp_ids"):
-        if spark.catalog.tableExists(t):
-            tomb_ids = tomb_ids.unionByName(
-                spark.table(t).select(id_col)
-            )
+    # saveAsTable window) losing one of them.
+    tomb_ids = pre_ids
     if fs_exists(spark, tomb_path):
         tomb_ids = tomb_ids.unionByName(
             spark.read.parquet(tomb_path).select(id_col)

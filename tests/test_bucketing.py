@@ -211,7 +211,7 @@ def test_incremental_dedup_against_persisted_corpus(spark, tmp_path_factory):
     for t in ("inc_corpus_bands", "inc_corpus_toks", "inc_corpus_members", "inc_corpus_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        bands_t, toks_t, members_t = dedup.persist_corpus_lsh(
+        bands_t, toks_t, members_t, _ids_t = dedup.persist_corpus_lsh(
             spark, corpus, "inc_corpus", f"{wh}/inc_corpus"
         )
         # new shard: 100+i is a near-copy of corpus doc i (one word edit),
@@ -323,7 +323,7 @@ def test_incremental_embedding_dedup_against_persisted_corpus(spark, tmp_path_fa
     for t in ("inc_emb_vecs", "inc_emb_members", "inc_emb_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        vecs_t, members_t, dims = ann.persist_corpus_embeddings(
+        vecs_t, members_t, _ids_t, dims = ann.persist_corpus_embeddings(
             spark, corpus, "inc_emb", f"{wh}/inc_emb", n_rows=len(corpus_rows)
         )
         # new shard: near-copies of corpus docs 0-4 (tiny jitter), novel

@@ -792,8 +792,9 @@ def _fp_corpus_fixture(spark, tmp_path, name):
 def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
     """Run fingerprint_probe_and_commit, kill it after ``crash_after``
     insertInto calls (0 = between the docs write and the bands insert,
-    1 = between the bands insert and the members insert), replay the
-    SAME batch, and assert exactly-once on ``_docs`` + index catch."""
+    1 = between the bands insert and the members insert, 2 = between
+    the members insert and the guard-id insert), replay the SAME
+    batch, and assert exactly-once on ``_docs`` + index catch."""
     from pyspark.sql.readwriter import DataFrameWriter
 
     from logrange_spark.streaming.corpus_dedup import (
@@ -831,13 +832,15 @@ def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
     finally:
         DataFrameWriter.insertInto = real_insert
 
-    # the docs write landed before the crash (partial commit on disk),
-    # but doc 11 is NOT in members — the index never half-records
+    # the docs write landed before the crash (partial commit on disk);
+    # for crashes before the members insert the index never
+    # half-records, for the members→guard-id window (crash_after=2)
+    # members is complete and only the sidecar row is missing
     docs = spark.read.parquet(f"{path}_docs")
     assert [r["doc_id"] for r in docs.where("doc_id = 11").collect()] == [11]
-    assert (
-        spark.table(f"{name}_fp_members").where("doc_id = 11").count() == 0
-    )
+    assert spark.table(f"{name}_fp_members").where(
+        "doc_id = 11"
+    ).count() == (1 if crash_after >= 2 else 0)
 
     # REPLAY the same batch (foreachBatch redelivers the same epoch):
     # the per-batch overwrite partition replaces the partial attempt —
@@ -855,10 +858,14 @@ def _crash_replay_drill(spark, tmp_path, name, crash_after, transform=None):
     # ...and the guard-id sidecar completes too (r16 regression: the
     # members insert invalidates a persist-cached novel set, which
     # recomputes EMPTY against the now-complete index — the guard
-    # insert then silently wrote nothing; the eager lineage cut pins it)
-    assert (
-        spark.table(f"{name}_fp_ids").where("doc_id = 11").count() == 1
-    )
+    # insert then silently wrote nothing; the eager lineage cut pins
+    # it). Exception: in the members→guard-id window the replay's
+    # probe fully verifies, so the sidecar row is (documented-benign)
+    # never inserted — the probe guards the id while its fingerprint
+    # is live, and maintenance re-derives the sidecar from docs
+    assert spark.table(f"{name}_fp_ids").where(
+        "doc_id = 11"
+    ).count() == (0 if crash_after >= 2 else 1)
 
     # the completed index catches a near-dup of the replayed doc
     probe = spark.createDataFrame(
@@ -891,6 +898,19 @@ def test_fingerprint_commit_crash_between_bands_and_members(
     must not duplicate docs OR lose the document; the only residue is
     a (harmless, distinct()-collapsed) duplicate band row."""
     _crash_replay_drill(spark, tmp_path, "cr1", crash_after=1)
+
+
+def test_fingerprint_commit_crash_between_members_and_guard_ids(
+    spark, tmp_path
+):
+    """r16, the NEW window: members landed, the guard-id insert
+    didn't. The replay's probe fully verifies the doc against its own
+    committed fingerprint, so the epoch is exactly-once with the
+    sidecar row (documented-benign) absent — the probe guards the id
+    while its fingerprint is live. Pins the subtlest claim in the
+    sidecar design: a reorder of the inserts, or a probe change that
+    stops matching a doc's own fingerprint, would duplicate here."""
+    _crash_replay_drill(spark, tmp_path, "crg", crash_after=2)
 
 
 def test_cc_capstone_commit_crash_replay_exactly_once(spark, tmp_path):
@@ -1523,5 +1543,70 @@ def test_maintenance_rerun_after_members_rebuild_crash(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{root}/{name}_docs").collect()
     ) == [1, 3]
+    for t in ("fps", "fp_members", "fp_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+
+
+def test_maintenance_tombstones_partially_committed_doc(spark, tmp_path):
+    """r16 review: an epoch that crashed BEFORE any index insert
+    leaves its doc in ``{path}_docs`` but in neither members nor the
+    guard sidecar. Maintenance dropping that doc must STILL tombstone
+    it — the derivation reads the pre-maintenance docs table (which
+    holds every committed doc from its epoch's first write), not the
+    index tables — or the replayed epoch resurrects the dropped
+    text."""
+    from logrange_spark.streaming.corpus_dedup import (
+        bootstrap_fingerprint_corpus,
+        fingerprint_probe_and_commit,
+        write_docs_batch,
+    )
+    from logrange_spark.streaming.maintenance import maintain_cc_corpus
+
+    name, root = "mpartial", str(tmp_path)
+    for t in ("fps", "fp_members", "fp_ids"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
+    contaminated = (
+        "second doc quoting the benchmark corpus verbatim here with "
+        "plenty of unique overlap tokens to count"
+    )
+    seed = spark.createDataFrame(
+        [(1, "first doc distinct head words entirely unrelated stuff")],
+        "doc_id long, text string",
+    )
+    bootstrap_fingerprint_corpus(
+        spark, seed, name, f"{root}/{name}", max_hamming=3, n_buckets=8
+    )
+    # crash residue: doc 2's epoch wrote its docs partition, then died
+    # before ANY index insert
+    write_docs_batch(
+        spark.createDataFrame([(2, contaminated)],
+                              "doc_id long, text string"),
+        f"{root}/{name}_docs", 5,
+    )
+    assert spark.table(f"{name}_fp_members").where(
+        "doc_id = 2").count() == 0
+    assert spark.table(f"{name}_fp_ids").where("doc_id = 2").count() == 0
+
+    bench = spark.createDataFrame([(99, contaminated)],
+                                  "doc_id long, text string")
+    report = maintain_cc_corpus(
+        spark, name, f"{root}/{name}", benchmark=bench,
+        max_hamming=3, n_buckets=8,
+    )
+    assert report["docs_after"] == 1
+    # the partially-committed doc was dropped AND tombstoned
+    assert spark.table(f"{name}_fp_ids").where("doc_id = 2").count() == 1
+    # the crashed epoch replays: the tombstone keeps the dropped text
+    # out (no fingerprint survives for it, so only the id guard can)
+    fingerprint_probe_and_commit(
+        spark,
+        spark.createDataFrame([(2, contaminated)],
+                              "doc_id long, text string"),
+        name, f"{root}/{name}", max_hamming=3, batch_id=5,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/{name}_docs").collect()
+    ) == [1]
     for t in ("fps", "fp_members", "fp_ids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{t}")
