@@ -1005,14 +1005,52 @@ class Engine:
 
     def tail_cursor(self, stmt: "ast.Select"):
         """Seed a value cursor at the current end-of-stream for ``stmt``'s
-        source/range/where: a CursorToken for the last matching row, or
-        None when the stream is empty (beginning-of-stream — everything
-        that ever arrives is new). The single tail-seeding code path
-        shared by ``follow`` and the server's blocking-wait endpoint, so
-        tail-semantics fixes can't land in only one of them.
+        source: a CursorToken positioned at-or-after every existing row
+        of the matching partitions, or None when they are empty
+        (beginning-of-stream — everything that ever arrives is new). The
+        single tail-seeding code path shared by ``follow`` and the
+        server's blocking-wait endpoint, so tail-semantics fixes can't
+        land in only one of them.
+
+        Seeded from the in-memory chunk catalog under the write lock —
+        no Spark job, and atomic with respect to concurrent writes: the
+        old last-matching-row PROBE SCAN took hundreds of ms (one full
+        plan build + backward scan per attach), during which a landing
+        write was silently folded into the seed and never reported as
+        new (observed: the server's 'tail sees data written after the
+        query' contract broke whenever the seed scan outran the write).
+        The catalog max over (max_ts, src, max_seq) is the end-of-stream
+        boundary AS OF the lock acquisition — the reference seeds tail
+        the same way, from the journal's current write position, not
+        from a filtered record scan (pkg/cursor: POSITION tail = journal
+        end). A where/range-filtered statement seeds at the same stream
+        end: only rows arriving AFTER the attach are 'new', exactly the
+        reference's position semantics.
+
+        Falls back to the legacy probe scan when a matching chunk
+        predates seq high-water stats (same posture as
+        ``chunks_after_cursor``).
         """
         from .compiler.select import CursorToken
 
+        src_ids = self.resolve_sources(stmt.source)
+        best = None
+        with self._write_lock:
+            for src in src_ids:
+                for st in (self._chunk_stats.get(src) or {}).values():
+                    if st.get("max_seq") is None:
+                        best = None
+                        break
+                    cand = (st["max_ts"], src, st["max_seq"])
+                    if best is None or cand > best:
+                        best = cand
+                else:
+                    continue
+                break  # legacy chunk without max_seq: probe below
+            else:
+                if best is not None:
+                    return CursorToken(*best)
+                return None
         probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
                            ast.Position("tail"), -1, 1)
         rows = self.select(probe, None).collect()

@@ -591,17 +591,21 @@ class ShardReader:
         return any(s not in known for s in src_ids)
 
     def tail_cursor(self, stmt):
-        """Seed a value cursor at the current end-of-stream (same probe
-        as Engine.tail_cursor, compiled over the shard union)."""
-        from .compiler.select import CursorToken
-        from .lql import ast
-
-        probe = ast.Select(None, stmt.source, stmt.range, stmt.where,
-                           ast.Position("tail"), -1, 1)
-        rows = self.select(probe, None).collect()
-        if rows:
-            return CursorToken(rows[0]["ts"], rows[0]["src"], rows[0]["seq"])
-        return None
+        """Seed a value cursor at the current end-of-stream: the max of
+        the per-shard catalog seeds (srcs never span shards, so the
+        global last position is the max over shards). Inherits
+        Engine.tail_cursor's catalog fast path — no Spark job per
+        attach; a shard with legacy no-seq chunk stats probes only its
+        own store."""
+        best = None
+        for e in self._snapshot():
+            tok = e.tail_cursor(stmt)
+            if tok is not None and (
+                best is None
+                or (tok.ts, tok.src, tok.seq) > (best.ts, best.src, best.seq)
+            ):
+                best = tok
+        return best
 
     def execute(self, lql: str, now_ns: int | None = None):
         """Query-tier LQL dispatch: SELECT / SHOW PARTITIONS / DESCRIBE
