@@ -31,6 +31,7 @@ from logrange_spark.engine import MAX_LIMIT
 from logrange_spark.ingest import parsers
 from logrange_spark.lql.parser import parse_lql
 from logrange_spark.ops import ann, dedup, joins, multimodal, text
+from logrange_spark.ops.util import spread
 
 NS_PER_HOUR = 3_600 * 10**9
 # RANGE bounds for the lql_range query, folded like the LQL compiler does
@@ -553,7 +554,8 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ text
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_stats(_t(spark, sf_dir, "documents"))
+    # spread(): pure per-row map, single-row-group scan (guide §2.5)
+    return text.text_stats(spread(_t(spark, sf_dir, "documents")))
 
 
 def _q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1056,10 @@ def _q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg to 6dp, ppl recomputed from the ROUNDED avg at 4dp."""
     from logrange_spark.ops.text import kn_bigram_lm, kn_bigram_score
 
+    # NO spread() here (r16, measured): this row is stage-barrier-bound
+    # (33 stages, 2.5 executor-seconds total at sf0.1) — parallelizing
+    # the 0.8 s tokenize map behind an extra exchange pair consistently
+    # measured +0.4 s, not less.
     docs = _t(spark, sf_dir, "documents")
     model = kn_bigram_lm(docs)
     s = kn_bigram_score(docs, model)
@@ -1558,7 +1564,8 @@ def _q_gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/text.gopher_quality_stats, Rae et al. 2021) — word bounds
     inputs, symbol/bullet/ellipsis/alpha fractions, stop-word
     presence — a pure map stage with a full DuckDB recomputation."""
-    return text.gopher_quality_stats(_t(spark, sf_dir, "documents"))
+    # spread(): pure per-row map, single-row-group scan (guide §2.5)
+    return text.gopher_quality_stats(spread(_t(spark, sf_dir, "documents")))
 
 
 # Derived multi-line corpus for the quality_signals row: template lines
@@ -1595,7 +1602,13 @@ def _q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition rules, C4 flags, PII counts, blocklist — over the
     derived multi-line corpus, as ONE Exchange-free map stage. The
     DuckDB twin recomputes every column from the same derivation."""
-    docs = _t(spark, sf_dir, "documents").selectExpr(
+    # spread() first (r16): the signal chain is a pure per-row map, so
+    # its parallelism equals the scan's — a single-row-group parquet
+    # file serializes the whole corpus onto one core (guide §2.5 input
+    # skew; measured 3.35 s in ONE task of 32 at sf0.1). At scale the
+    # input has ≥ parallelism files and spread is a no-op, keeping the
+    # map Exchange-free.
+    docs = spread(_t(spark, sf_dir, "documents")).selectExpr(
         "doc_id", f"{_QS_DERIVE} AS text"
     )
     return text.quality_signals(docs, blocklist=CC_BLOCKLIST)
@@ -1739,31 +1752,49 @@ def _q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-(doc, lang) dot → per-doc struct-max with lang tie-break) is
     DuckDB-twin-checkable. Training stays pytest-covered (one-vs-rest
     stack of the quality trainer, python-twin + chain tests)."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread(): the per-doc feature map ran in ONE scan task at sf0.1
+    # (2.15 s, guide §2.5 input skew); no-op at scale
+    docs = spread(_t(spark, sf_dir, "documents"))
     nf = QUALITY_SCORE_FEATURES
-    per = []
-    for j, lang in enumerate(LANG_PREDICT_LANGS):
-        per.append(
-            spark.range(nf).select(
-                F.lit(lang).alias("lang"),
-                F.col("id").cast("int").alias("feature"),
-                (
-                    ((F.col("id") + LANG_PREDICT_SALT * j)
-                     * QUALITY_WEIGHT_MUL % QUALITY_WEIGHT_MOD
-                     - QUALITY_WEIGHT_SUB) / QUALITY_WEIGHT_DIV
-                ).alias("weight"),
-            )
-            .unionByName(
-                spark.range(1).select(
-                    F.lit(lang).alias("lang"),
-                    F.lit(-1).alias("feature"),
-                    F.lit((j - 1) / 8.0).alias("weight"),
-                )
-            )
+    # ONE range(-1, nf) × an exploded (lang, j) literal array instead of
+    # the former 3 × (range + bias-row union) = 12-frame unionByName
+    # (r16): same (lang, feature, weight) rows — the per-feature weight
+    # is the identical long-arithmetic expression with j as a column,
+    # and the (j-1)/8.0 bias is exact dyadic either way — but the plan
+    # is one stage instead of twelve 16-partition range stages, and the
+    # build is one py4j projection instead of a union chain.
+    lj = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(lang).alias("lang"), F.lit(j).alias("j"))
+                for j, lang in enumerate(LANG_PREDICT_LANGS)
+            ]
         )
-    weights = per[0]
-    for w in per[1:]:
-        weights = weights.unionByName(w)
+    )
+    weights = (
+        spark.range(-1, nf)
+        .select(F.col("id").cast("int").alias("feature"), lj.alias("lj"))
+        .select(
+            F.col("lj.lang").alias("lang"),
+            "feature",
+            F.when(
+                F.col("feature") == -1, (F.col("lj.j") - 1) / F.lit(8.0)
+            )
+            .otherwise(
+                (
+                    (
+                        F.col("feature").cast("long")
+                        + F.lit(LANG_PREDICT_SALT) * F.col("lj.j")
+                    )
+                    * QUALITY_WEIGHT_MUL
+                    % QUALITY_WEIGHT_MOD
+                    - QUALITY_WEIGHT_SUB
+                )
+                / QUALITY_WEIGHT_DIV
+            )
+            .alias("weight"),
+        )
+    )
     out = text.lang_classifier_predict(
         docs, weights, n_features=nf, hasher=text.md5_prefix_hash
     )
@@ -1881,7 +1912,10 @@ def _k8s_time() -> F.Column:
 
 
 def _q_parse_k8json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # spread(): build + parse is a pure per-row map over a single-row-
+    # group parquet scan (1.58 s in ONE task at sf0.1, guide §2.5);
+    # no-op at scale
+    ev = spread(_t(spark, sf_dir, "events"))
     stream = F.when(F.col("event_id") % 2 == 0, F.lit("stdout")).otherwise(
         F.lit("stderr")
     )
@@ -2340,9 +2374,16 @@ def _cc_stages(
     red = text.redact(decon, keep=("contamination",)).localCheckpoint(
         eager=False
     )
+    # fourth materialization point (r16): perplexity_buckets consumes
+    # scored TWICE — once for the tercile thresholds, once for the
+    # labeling join — and without the checkpoint each consumer re-ran
+    # the ENTIRE unigram-LM train+score subtree (the r16 before-plan
+    # shows the vocab/count subtrees duplicated wholesale). (doc_id,
+    # ppl) is two columns per surviving doc — the cheapest frame in the
+    # pipeline to pin.
     scored = text.unigram_lm_score(red, "doc_id", "redacted").select(
         "doc_id", "ppl"
-    )
+    ).localCheckpoint(eager=False)
     labeled = text.perplexity_buckets(
         scored.select("*", F.lit("all").alias("_g")),
         "_g",

@@ -507,11 +507,16 @@ def _emb_collapse(
         f"struct(xxhash64({vec_col}) AS h1, xxhash64(1, {vec_col}) AS h2)"
         " AS _vkey",
     )
+    # materialized once (lazy localCheckpoint, r16): reps feeds both
+    # bucket-join sides, the self-score, and dup_keys — without the
+    # checkpoint each consumer re-ran the scan+hash+collapse whenever
+    # exchange reuse missed (same finding as dedup._rep_pairs_and_
+    # members)
     reps = keyed.groupBy("_vkey").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("_csz"),
         F.first(vec_col).alias(vec_col),
-    )
+    ).localCheckpoint(eager=False)
     dup_keys = reps.where(F.col("_csz") >= 2).select("_vkey", "_csz")
     members = keyed.select("_vkey", F.col(id_col))
     return reps, members, dup_keys

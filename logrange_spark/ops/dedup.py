@@ -245,7 +245,8 @@ def _shingles_sql(tok_col: str, n: int = SHINGLE_N) -> str:
 
 
 def _sig_keyed(toked: DataFrame, id_col: str,
-               seeds: int = MINHASH_SEEDS) -> DataFrame:
+               seeds: int = MINHASH_SEEDS,
+               keep_tokens: bool = False) -> DataFrame:
     """(id, _tkey, mh0..mh{k-1}) from an (id, _tok) frame — per-seed
     lexicographic min of md5(seed|shingle), plus the exact-content key
     ``_tkey`` = md5 of the token stream (tokens contain no whitespace, so
@@ -264,11 +265,13 @@ def _sig_keyed(toked: DataFrame, id_col: str,
         f"array_min(transform(_sh, x -> md5(concat('{s}|', x)))) AS mh{s}"
         for s in range(seeds)
     ]
+    keep = ("_tok",) if keep_tokens else ()
     return toked.selectExpr(
         id_col,
         "md5(concat_ws(' ', _tok)) AS _tkey",
         f"{_shingles_sql('_tok')} AS _sh",
-    ).selectExpr(id_col, "_tkey", *mins)
+        *keep,
+    ).selectExpr(id_col, "_tkey", *mins, *keep)
 
 
 def _signature_from_tokens(toked: DataFrame, id_col: str,
@@ -377,14 +380,16 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _rep_pairs_and_members(
     toked: DataFrame, id_col: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """LSH candidate pairs over CLUSTER REPRESENTATIVES plus the
     (_tkey, id) membership frame for expansion, plus the (_tkey, _csz)
     frame of multi-member clusters (for the within-cluster prefilter +
     window-free salting in ``_expand_rep_pairs`` — the count falls out
     of the collapse aggregation for free), plus the collapsed ``reps``
     frame itself so consumers that need one-row-per-cluster facts
-    (e.g. the drop set's representative map) don't re-aggregate.
+    (e.g. the drop set's representative map) don't re-aggregate, plus
+    the checkpoint-backed (id, _tok) frame so the Jaccard verify stage
+    never re-tokenizes (see the materialization note below).
 
     Skew hardening, both layers (the 100 TB web-corpus reality is
     boilerplate clusters of thousands of identical documents):
@@ -402,21 +407,37 @@ def _rep_pairs_and_members(
        grid with identical output.
 
     merge-join hint: left to itself, AQE broadcasts one side of the
-    self-join at test scale, which re-computes the whole signature map
-    for that side (the expensive per-shingle md5 stage runs TWICE). A
-    sort-merge join shuffles both sides with byte-equal exchange
-    subtrees, so the signature map materializes once and the second side
-    is a ReusedExchange — also exactly the plan a 100 TB input gets,
-    where broadcast is impossible anyway.
+    self-join at test scale, and an estimate-driven broadcast of a
+    corpus-derived frame is exactly what the round-13 audit bans at
+    100 TB. Sort-merge shuffles-and-spills instead.
+
+    The signature frame and the collapse are MATERIALIZED (lazy
+    localCheckpoint) rather than shared by exchange reuse: the r4-r15
+    ReusedExchange strategy was fragile — any consumer whose exchange
+    subtree differed by one inferred predicate or pruned column silently
+    forked the exchange, and the per-shingle md5 signature map (the
+    dominant cost of every op in this family) re-executed once per fork
+    (measured in r16: FOUR ~30 executor-second signature stages per
+    lsh_candidates run at sf0.1). The checkpoint pins it to exactly one
+    execution no matter how many consumers the pair expansion adds, at
+    the cost of holding (id, _tkey, _tok, 12 hashes) per doc in executor
+    block storage for the query's lifetime — the same posture as the
+    capstone's text checkpoints, and strictly less data than one band
+    shuffle of the corpus. ``keep_tokens`` rides the token array through
+    the same checkpoint so the Jaccard verify stage reads it back
+    instead of re-running scan+tokenize (returned as the 5th element;
+    column pruning drops it from every other consumer's read).
     """
-    sigk = _sig_keyed(toked, id_col)
+    sigk = _sig_keyed(toked, id_col, keep_tokens=True).localCheckpoint(
+        eager=False
+    )
     reps = sigk.groupBy("_tkey").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("_csz"),
         # all rows of a _tkey group carry identical signatures, so
         # any_value is deterministic here
         *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
-    )
+    ).localCheckpoint(eager=False)
     dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey", "_csz")
     # NB: a close pair matches several bands, so the join output needs a
     # distinct(). The simhash first-matching-band residual was tried
@@ -445,11 +466,19 @@ def _rep_pairs_and_members(
         )
         .distinct()
     )
-    return rep_pairs, sigk.select("_tkey", F.col(id_col)), dup_keys, reps
+    return (
+        rep_pairs,
+        sigk.select("_tkey", F.col(id_col)),
+        dup_keys,
+        reps,
+        sigk.select(F.col(id_col), "_tok"),
+    )
 
 
 def _lsh_pairs_from_tokens(toked: DataFrame, id_col: str) -> DataFrame:
-    rep_pairs, members, dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
+    rep_pairs, members, dup_keys, _reps, _ct = _rep_pairs_and_members(
+        toked, id_col
+    )
     return _expand_rep_pairs(rep_pairs, members, id_col, within={},
                              dup_keys=dup_keys)
 
@@ -508,8 +537,10 @@ def near_duplicates(df: DataFrame, id_col: str, text_col: str, threshold: float 
     with the expensive array_intersect paid once per content pair.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
-    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+    rep_pairs, members, dup_keys, _reps, ctoked = _rep_pairs_and_members(
+        toked, id_col
+    )
+    verified = _jaccard_from_tokens(ctoked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
     return _expand_rep_pairs(
@@ -562,8 +593,10 @@ def near_duplicate_drops(
         return cl.where(F.col("cluster_id") != F.col(id_col)).select(id_col)
     if toked is None:
         toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, _dup_keys, reps = _rep_pairs_and_members(toked, id_col)
-    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+    rep_pairs, members, _dup_keys, reps, ctoked = _rep_pairs_and_members(
+        toked, id_col
+    )
+    verified = _jaccard_from_tokens(ctoked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
     dropped_clusters = verified.select(F.col("_kb").alias("_tkey")).distinct()
@@ -706,8 +739,10 @@ def near_duplicate_clusters(
     representative-level pairs.
     """
     toked = _token_frame(df, id_col, text_col)
-    rep_pairs, members, _dup_keys, _reps = _rep_pairs_and_members(toked, id_col)
-    verified = _jaccard_from_tokens(toked, rep_pairs, id_col).where(
+    rep_pairs, members, _dup_keys, _reps, ctoked = _rep_pairs_and_members(
+        toked, id_col
+    )
+    verified = _jaccard_from_tokens(ctoked, rep_pairs, id_col).where(
         F.col("jaccard") >= threshold
     )
     reps_min = members.groupBy("_tkey").agg(F.min(id_col).alias("_rep"))
@@ -1145,12 +1180,18 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     occupancy-bounded grid salting, and member pairs are expanded
     afterward — byte-identical output to the direct join.
     """
-    sk = _simhash_keyed(spread(df), id_col, text_col, bits)
+    # materialize the per-token md5 vote map once (lazy localCheckpoint,
+    # same rationale as _rep_pairs_and_members): its consumers — the
+    # collapse, the membership expansion — otherwise each re-execute the
+    # whole 64-aggregate vote stage whenever exchange reuse misses
+    sk = _simhash_keyed(spread(df), id_col, text_col, bits).localCheckpoint(
+        eager=False
+    )
     reps = sk.groupBy("_tkey").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("_csz"),
         F.first("simhash").alias("simhash"),
-    )
+    ).localCheckpoint(eager=False)
     dup_keys = reps.where(F.col("_csz") >= 2).select("_tkey", "_csz")
     per_band = bits // SIMHASH_BANDS
     mask = (1 << per_band) - 1
@@ -1236,9 +1277,17 @@ def _collapsed_probe_state(
     membership map. The same exact-collapse skew hardening as
     ``_rep_pairs_and_members``: a k-copy boilerplate cluster contributes
     ONE probe row per band instead of k, on both the corpus and the
-    shard side."""
+    shard side.
+
+    The signature frame is materialized once (lazy localCheckpoint,
+    tokens riding along — same rationale as ``_rep_pairs_and_members``):
+    the three returned frames are typically each written to a separate
+    table, and without the checkpoint every write re-executed the
+    scan+tokenize+signature map."""
     toked = _token_frame(df, id_col, text_col)
-    sigk = _sig_keyed(toked, id_col)
+    sigk = _sig_keyed(toked, id_col, keep_tokens=True).localCheckpoint(
+        eager=False
+    )
     reps = sigk.groupBy("_tkey").agg(
         F.min(id_col).alias(id_col),
         *[F.first(f"mh{s}").alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
@@ -1248,7 +1297,7 @@ def _collapsed_probe_state(
     )
     toks = (
         reps.select(F.col("_tkey"), F.col(id_col))
-        .join(toked, id_col)
+        .join(sigk.select(F.col(id_col), "_tok"), id_col)
         .select(F.col("_tkey").alias("tkey"), F.array_distinct("_tok").alias("tok"))
     )
     members = sigk.select(F.col("_tkey").alias("tkey"), F.col(id_col))

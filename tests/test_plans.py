@@ -76,22 +76,27 @@ def test_lsh_join_is_hash_join_not_nested_loop(spark):
 
 @needs_testdata
 def test_near_duplicates_single_tokenize_repartition(spark):
-    """The whole LSH→Jaccard pipeline shares ONE token-frame repartition:
-    after execution every consumer but the first reads it via
-    ReusedExchange, so the regex tokenization runs once per row (round-4
-    perf finding: it ran twice, doubling shuffle + tokenize cost)."""
+    """The whole LSH→Jaccard pipeline computes scan+tokenize+signature
+    exactly once: the signature frame (tokens riding along) is
+    materialized by a lazy localCheckpoint inside
+    ``_rep_pairs_and_members`` (r16 — the previous ReusedExchange
+    sharing silently forked whenever a consumer's exchange subtree
+    differed by one pruned column, re-running the per-shingle md5 map
+    up to four times per query). Every consumer — collapse, band join,
+    Jaccard verify, member expansion — must therefore read the
+    checkpoint RDD, and the visible plan must carry NO token
+    repartition or parquet scan of its own."""
     from logrange_spark.ops.dedup import near_duplicates
 
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     nd = near_duplicates(df, "doc_id", "text")
-    nd.collect()  # AQE: reuse shows in the final plan only after execution
+    nd.collect()  # AQE: final plan exists only after execution
     final = plan_of(nd).split("== Initial Plan ==")[0]
-    import re
-
-    materialized = len(re.findall(r"Exchange RoundRobinPartitioning", final))
-    reused = len(re.findall(r"ReusedExchange.*RoundRobinPartitioning", final))
-    # one materialized token shuffle; every other reference is a reuse
-    assert materialized - reused == 1, final
+    # tokenize+spread and the signature map live inside the checkpoint
+    # lineage; the query plan reads the materialized RDD instead
+    assert "ExistingRDD" in final, final
+    assert "RoundRobinPartitioning" not in final, final
+    assert "Scan parquet" not in final, final
 
 
 @needs_testdata
