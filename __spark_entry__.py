@@ -2072,13 +2072,31 @@ def _chunked(rows: list[tuple[int, str]]) -> list[list[tuple[int, str]]]:
 
 
 def _doc_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str]]:
-    return [
-        (r["doc_id"], r["text"] or "")
-        for r in _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .collect()
-    ]
+    # pyarrow instead of a Spark collect (r16): this runs INSIDE the
+    # timed fixture-staging step of every wet/cc bench run, and the
+    # driver-side read of two columns of a local parquet file needs no
+    # Spark job (measured ~0.6-1.5 s/call saved at sf0.1 — scheduling +
+    # orderBy shuffle + row collection). Identical rows/order: sort_by
+    # doc_id, null text → ''. Falls back to the Spark path for any
+    # layout pyarrow can't read directly.
+    try:
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_by("doc_id")
+        return [
+            (i, t if t is not None else "")
+            for i, t in zip(tb["doc_id"].to_pylist(), tb["text"].to_pylist())
+        ]
+    except Exception:
+        return [
+            (r["doc_id"], r["text"] or "")
+            for r in _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        ]
 
 
 def _wet_fixture_bytes(rows: list[tuple[int, str]]) -> bytes:
@@ -2326,17 +2344,34 @@ def _cc_stages(
     # the shared exchange, and the span/rebuild consumers take the
     # anti-joined survivor slice of the SAME tokens (tokens of surv ≡
     # anti-join of tokens of gated, since dedup never edits tokens).
+    # r16: the token frame is MATERIALIZED with the text riding along —
+    # (doc_id, text, _tok) in one lazy localCheckpoint. The r15 layout
+    # left this frame virtual, so each consumer re-executed the
+    # boilerplate-dictionary + gate + tokenize chain above it (the
+    # r16 job-count attribution measured the span-removal subtree at 26
+    # Spark jobs, most of them re-runs of this chain — at sf0.1 the
+    # capstone is job-count-bound at ~0.2 s fixed cost per job, and at
+    # scale the re-run is 2× the tokenize/gate compute). One checkpoint
+    # pins it; the downstream consumers (minhash signatures, the span
+    # token stream, the survivor text) are column-pruned reads of it.
     toked_all = dedup.spread(
-        gated.selectExpr("doc_id", f"{text.tokens_sql('text')} AS _tok")
-    )
-    toked_mh = toked_all.where(
+        gated.selectExpr("doc_id", "text", f"{text.tokens_sql('text')} AS _tok")
+    ).localCheckpoint(eager=False)
+    toked_mh = toked_all.select("doc_id", "_tok").where(
         (F.size("_tok") >= dedup.SHINGLE_N) & F.col("doc_id").isNotNull()
     )
     drop = dedup.near_duplicate_drops(
         gated, "doc_id", "text", threshold=0.8, unique=False, toked=toked_mh
     )
-    surv = gated.join(drop, "doc_id", "left_anti")
-    toked_surv = toked_all.join(drop, "doc_id", "left_anti")
+    surv = toked_all.select("doc_id", "text").join(drop, "doc_id", "left_anti")
+    # survivor token stream checkpointed too (r16): repeated_spans
+    # consumes it three times (window-hash probe, the probe's groupBy,
+    # the rebuild join) and the anti-join above it carries the whole
+    # verify/expand drop subplan — without the pin that subplan executed
+    # once per consumer (measured: spanned_t 16 → 9 jobs).
+    toked_surv = toked_all.select("doc_id", "_tok").join(
+        drop, "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     # substring-level dedup: every repeated ≥20-token span keeps one
     # copy corpus-wide; rebuilt text is the lowercased token stream.
     # Second materialization point — three consumers below; the kept

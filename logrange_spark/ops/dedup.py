@@ -916,9 +916,15 @@ def repeated_spans(
     from pyspark.sql.window import Window
 
     if toked is None:
+        # materialized (r16): the window-hash frame below is consumed
+        # TWICE — once as the join-back probe and once inside its own
+        # groupBy — and the two exchange subtrees differ (partial agg
+        # sits below the second), so exchange reuse never fires and the
+        # scan+tokenize chain executed twice. Same rationale as
+        # _rep_pairs_and_members' signature checkpoint.
         toked = spread(df).select(
             F.col(id_col), tokens(F.col(text_col)).alias("_tok")
-        )
+        ).localCheckpoint(eager=False)
     w = _window_hashes(toked, id_col, min_len)
     first = (
         w.groupBy("whash")
@@ -987,9 +993,11 @@ def remove_repeated_spans(
     join-back — broadcasting it is a mis-estimate away from OOM.
     """
     if toked is None:
+        # materialized (r16): three consumers — the window-hash probe,
+        # its groupBy, and the rebuild join below (see repeated_spans)
         toked = spread(df).select(
             F.col(id_col), tokens(F.col(text_col)).alias("_tok")
-        )
+        ).localCheckpoint(eager=False)
     spans = repeated_spans(df, id_col, text_col, min_len, toked=toked)
     ivs = spans.groupBy(id_col).agg(
         F.collect_list(
@@ -1082,6 +1090,11 @@ def _simhash_keyed(df: DataFrame, id_col: str, text_col: str,
     # parsed SQL projection — the Column-API construction of the 16-bit
     # mask + 16 vote aggregates cost ~300 ms of py4j round-trips per
     # query build (value-equivalence pinned by the simhash oracle row).
+    # (r16: a nested-transform rewrite that materialized the per-token
+    # md5 array to "share" it measured 3-4x SLOWER back-to-back — the
+    # runtime already subexpression-eliminates the repeated md5/conv
+    # inside the lambda, and the extra array allocations are pure loss.
+    # Left in the inline form deliberately.)
     k1 = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
     k2 = "cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)"
     mask = " + ".join(
