@@ -707,6 +707,7 @@ def embedding_near_duplicate_drops(
     n_rows: int | None = None,
     dims: int | None = None,
     multi_probe: bool = True,
+    unique: bool = True,
 ) -> DataFrame:
     """The vectors to DROP under keep-first embedding near-dedup — one id
     per dropped vector, equal by construction to
@@ -745,17 +746,30 @@ def embedding_near_duplicate_drops(
         )
         >= threshold
     ).select("_vkey", F.col(id_col).alias("_rep"))
+    # ONE pass over the membership map (r16, guide §2.4 — same rewrite
+    # as the token path's near_duplicate_drops): both branches decide on
+    # cluster-level facts, so fold the dropped flag onto the reps-scaled
+    # selfscore frame and let a single members join decide drop iff
+    # (id != rep) OR cluster-dropped. Lossless inner/left joins: every
+    # dropped key's reps cleared the score threshold (a null-score
+    # zero-norm rep can never appear in a verified pair), so
+    # dropped_keys ⊆ selfscore_ok keys, and members of zero-norm
+    # clusters — never droppable — fall out of the inner join exactly as
+    # they fell out of both old branches.
     # merge hints: selfscore_ok/dropped_keys are aggregate/pair-derived
     # and data-scaled — never estimate-broadcast (round-13 audit)
-    non_reps = (
-        members.hint("merge").join(selfscore_ok, "_vkey")
-        .where(F.col(id_col) != F.col("_rep"))
+    flagged = selfscore_ok.hint("merge").join(
+        dropped_keys.withColumn("_dropped", F.lit(True)), "_vkey", "left"
+    )
+    out = (
+        members.hint("merge").join(flagged, "_vkey")
+        .where((F.col(id_col) != F.col("_rep")) | F.col("_dropped").isNotNull())
         .select(id_col)
     )
-    cluster_members = (
-        members.hint("merge").join(dropped_keys, "_vkey").select(id_col)
-    )
-    return non_reps.unionByName(cluster_members).distinct()
+    # ``unique=False`` skips the distinct for left_anti consumers (the
+    # id SET is identical; anti-joins ignore right-side multiplicity —
+    # and post-rewrite each member id emits at most once anyway)
+    return out.distinct() if unique else out
 
 
 # ------------------------------------ incremental embedding dedup

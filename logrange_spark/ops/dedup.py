@@ -603,18 +603,26 @@ def near_duplicate_drops(
     # the collapse already computed each cluster's min id — reuse it
     # (column pruning drops the minhash aggregates from this branch)
     reps_min = reps.select("_tkey", F.col(id_col).alias("_rep"))
+    # ONE pass over the membership map (r16, guide §2.4): the two drop
+    # branches — (a) non-representatives and (b) every member of a
+    # dropped cluster — previously each joined corpus-sized `members`
+    # (two shuffles + sorts of the id map, then a union). Both branches
+    # decide on CLUSTER-level facts, which are reps-scaled: fold the
+    # dropped flag onto reps first, then one members join decides both
+    # — drop iff (id != rep) OR cluster-dropped. The id SET is
+    # unchanged; a dropped cluster's non-reps now emit once instead of
+    # twice (the documented unique=False multiplicity freedom).
     # merge hints: reps_min is aggregate-derived (distinct-content-
     # scaled) and dropped_clusters pair-derived — their undershooting
     # size estimates would broadcast them at any scale (round-13 audit)
-    non_reps = (
-        members.hint("merge").join(reps_min, "_tkey")
-        .where(F.col(id_col) != F.col("_rep"))
+    flagged = reps_min.hint("merge").join(
+        dropped_clusters.withColumn("_dropped", F.lit(True)), "_tkey", "left"
+    )
+    out = (
+        members.hint("merge").join(flagged, "_tkey")
+        .where((F.col(id_col) != F.col("_rep")) | F.col("_dropped").isNotNull())
         .select(id_col)
     )
-    cluster_members = (
-        members.hint("merge").join(dropped_clusters, "_tkey").select(id_col)
-    )
-    out = non_reps.unionByName(cluster_members)
     return out.distinct() if unique else out
 
 

@@ -102,7 +102,8 @@ def bootstrap_corpus(
     """Initial build: dedup the seed corpus (keep-first) and persist its
     probe state + the corpus rows themselves. Returns (corpus_df,
     bands, toks, members) catalog tables."""
-    drops = dedup.near_duplicate_drops(corpus, id_col, text_col)
+    drops = dedup.near_duplicate_drops(corpus, id_col, text_col,
+                                       unique=False)  # left_anti consumer
     kept = corpus.join(drops, id_col, "left_anti")
     reset_docs_dir(spark, f"{path}_docs")
     write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
@@ -138,7 +139,9 @@ def start_corpus_dedup_stream(
             if batch.isEmpty():
                 return
             # 1. keep-first dedup WITHIN the shard
-            drops = dedup.near_duplicate_drops(batch, id_col, text_col, threshold)
+            drops = dedup.near_duplicate_drops(
+                batch, id_col, text_col, threshold, unique=False
+            )  # left_anti consumer
             shard = batch.join(drops, id_col, "left_anti")
             # 2. probe the persisted corpus state
             bands_t = spark.table(f"{name}_bands")

@@ -47,8 +47,8 @@ def bootstrap_embedding_corpus(
     survivors + probe state. Returns (corpus_df, vecs_t, members_t,
     dims) — hold onto ``dims`` for the stream."""
     drops = ann.embedding_near_duplicate_drops(
-        corpus, threshold, id_col, vec_col, dims=dims
-    )
+        corpus, threshold, id_col, vec_col, dims=dims, unique=False
+    )  # left_anti consumer
     kept = corpus.join(drops, id_col, "left_anti")
     reset_docs_dir(spark, f"{path}_docs")
     write_docs_batch(kept, f"{path}_docs", BOOTSTRAP_BATCH)
@@ -90,8 +90,8 @@ def start_embedding_dedup_stream(
             # 1. keep-first dedup WITHIN the shard (fixed dims: the
             # shard's own blocking must match the corpus')
             drops = ann.embedding_near_duplicate_drops(
-                batch, threshold, id_col, vec_col, dims=dims
-            )
+                batch, threshold, id_col, vec_col, dims=dims, unique=False
+            )  # left_anti consumer
             shard = batch.join(drops, id_col, "left_anti")
             # 2. probe the persisted corpus state
             vecs_t = spark.table(f"{name}_vecs")
