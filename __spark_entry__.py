@@ -197,7 +197,7 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan+partial-agg chain ran in ONE task of 32 (guide §2.5 input
     # skew); interleaved A/B measured ~0.88x. No-op at scale. Decimal
     # sums are exact, so the repartition cannot drift any value.
-    li = spread(_t(spark, sf_dir, "lineitem"))
+    li = spread(_t(spark, sf_dir, "lineitem"), by="l_orderkey")
     ep = F.col("l_extendedprice").cast(_DEC)
     disc = (F.lit(1.0) - F.col("l_discount")).cast(_RATE)
     tax = (F.lit(1.0) + F.col("l_tax")).cast(_RATE)
@@ -219,7 +219,7 @@ def _q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread() on the probe side (r16): same single-row-group rationale
     # as pricing_summary; the broadcast-join chain then runs 32-wide
     # (interleaved A/B ~0.8x, values byte-identical — decimal sums)
-    li = spread(_t(spark, sf_dir, "lineitem"))
+    li = spread(_t(spark, sf_dir, "lineitem"), by="l_orderkey")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     rev = (F.col("l_extendedprice").cast(_DEC) * (F.lit(1.0) - F.col("l_discount")).cast(_RATE))
@@ -236,7 +236,7 @@ def _q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread() on the probe side (r16) — see _q_revenue_by_segment
-    li = spread(_t(spark, sf_dir, "lineitem"))
+    li = spread(_t(spark, sf_dir, "lineitem"), by="l_orderkey")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")

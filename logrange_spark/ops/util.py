@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def spread(df: DataFrame, min_factor: int = 2, by: str | None = None) -> DataFrame:
     """Ensure enough partitions for CPU-bound expansion stages.
 
     Small inputs (a single parquet file, a collected dimension) arrive as
@@ -20,6 +20,17 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     get one unneeded shuffle; Spark would have split those files anyway.
     Non-file inputs — in-memory test frames — report 0 files and are
     repartitioned, which is always cheap for them.)
+
+    ``by`` names a well-distributed key column to HASH-repartition on
+    instead of round-robin: keyless ``repartition(n)`` first pays a
+    local sort of the input (sortBeforeRepartition, guide §2.5 — the
+    retry-determinism sort), which is measurable on wide rows feeding
+    cheap consumers (lineitem aggregate A/B: 0.92 → 0.55 s min-of-6
+    interleaved); a hash partitioning on a high-cardinality key is
+    deterministic under retry by construction and skips the sort.
+    Callers must pick a key with far more distinct values than
+    partitions (guide §2.5). Value-identical either way — only row
+    placement changes.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -28,6 +39,8 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     except Exception:
         width = 0
     if width * min_factor <= target:
+        if by is not None:
+            return df.repartition(target, F.col(by))
         return df.repartition(target)
     return df
 
