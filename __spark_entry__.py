@@ -760,13 +760,34 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of self-joining against the stats frame (no shuffle).
     # Round like text_stats does so the threshold matches the oracle's
     # rounded quality column.
-    qdocs = docs.where(F.round(F.expr(text.quality_score_sql("text")), 6) >= 0.5)
+    # r16: spread + materialize the filtered frame ONCE — it has two
+    # independent consumers (the near-dup token frame and the final
+    # text_stats projection), so the quality expression (a multi-
+    # tokenization fold) evaluated twice, inside single-task scan
+    # stages; the checkpoint runs it once, 32-wide, and both consumers
+    # read materialized rows (same posture as the capstone's gated
+    # frame).
+    qdocs = (
+        dedup.spread(docs.select("doc_id", "text"))
+        .where(F.round(F.expr(text.quality_score_sql("text")), 6) >= 0.5)
+        .localCheckpoint(eager=False)
+    )
+    # token frame off the checkpoint (the capstone's toked= pattern):
+    # _token_frame would pay a second repartition exchange of the token
+    # arrays — the checkpoint is already spread-wide, so the tokenize
+    # is a pure map read with the same (size ≥ SHINGLE_N, id not null)
+    # gate _token_frame applies.
+    toked = qdocs.selectExpr(
+        "doc_id", f"{text.tokens_sql('text')} AS _tok"
+    ).where(
+        (F.size("_tok") >= dedup.SHINGLE_N) & F.col("doc_id").isNotNull()
+    )
     # O(n)-output drop set: provably equal to materializing all near-dup
     # pairs and dropping id_b, without the within-cluster pair volume.
     # unique=False: left_anti ignores right-side multiplicity, so the
     # drop set's final distinct exchange is pure waste here.
     drop = dedup.near_duplicate_drops(qdocs, "doc_id", "text", threshold=0.8,
-                                      unique=False)
+                                      unique=False, toked=toked)
     # merge hint: the drop set grows with the corpus's duplicate volume
     # and its size estimate is join-derived — an estimate-driven
     # broadcast anti-join dies at a duplicate-heavy 100 TB corpus
@@ -2275,8 +2296,8 @@ def _cc_stages(
     once; boilerplate/gates are cheap array maps over it), after span
     removal (the window-hash join runs once; the kept token array is
     checkpointed alongside the text), and after redaction (the LM's
-    train + score passes and the final attribute join share one
-    execution of the regex chain). The corpus is TOKENIZED ONCE at the
+    train, score and attach passes share one execution of the regex
+    chain). The corpus is TOKENIZED ONCE at the
     gated frame; MinHash, span removal and contamination all consume
     that single spread token stream (r15 — each previously re-split
     the text). All data-scaled joins carry merge hints (round-13
@@ -2291,6 +2312,20 @@ def _cc_stages(
         [_cc_fixture_bytes(c) for c in _chunked(_doc_rows(spark, sf_dir))],
     )
     warc = wet.read_warc(spark, d, glob="*.warc.gz")
+    # r16: recs has THREE independent consumers below — url_dedup's
+    # aggregate, the null/blank automatic-keeper filter, and the
+    # keep-join probe side — and scans are never shared across
+    # subtrees, so the gzip+WARC decode (the capstone's dominant cost
+    # at x100: decode-bound at 80 s/500k pages) executed three times.
+    # Only the (doc_id, url) projection is checkpointed: the two
+    # URL-stage consumers read it (ONE decode between them, a few
+    # dozen bytes/doc stored), while the keep-join probe side decodes
+    # once more for the payload — 3 decodes → 2, and the raw payload
+    # corpus is NEVER pinned to block storage (guide §8: decide with
+    # small rows, move big rows once). Measured at x100 (500k pages,
+    # same-session controls): url-only checkpoint 194 s, no checkpoint
+    # 232 s, FULL-payload checkpoint 259 s — materializing the payload
+    # costs more than the decode it saves.
     recs = warc.where(F.col("http_status") == 200).select(
         F.regexp_extract("record_id", "([0-9]+)", 1)
         .cast("long")
@@ -2298,11 +2333,14 @@ def _cc_stages(
         F.col("target_uri").alias("url"),
         "payload",
     )
+    urlkeys = recs.select("doc_id", "url").localCheckpoint(eager=False)
     # URL stage FIRST: collapse crawl-frontier variants to canonical
     # keys, keep the lowest doc_id per key — pages dropped here never
     # pay for decode/extraction. The kept-id frame is corpus-scaled →
     # merge join, never broadcast.
-    kept_ids = url_ops.url_dedup(recs, id_col="doc_id", url_col="url").select(
+    kept_ids = url_ops.url_dedup(
+        urlkeys, id_col="doc_id", url_col="url"
+    ).select(
         F.col("kept_id").alias("doc_id")
     ).unionByName(
         # null- AND blank-key docs are automatic keepers: url_dedup
@@ -2310,7 +2348,7 @@ def _cc_stages(
         # predicate must mirror url_dedup's full exclusion set, or the
         # keep-join silently drops what the dedup merely declined to
         # group), so the keep-join passes them through
-        recs.where(
+        urlkeys.where(
             F.col("url").isNull()
             | (F.btrim(F.col("url"), F.lit(" \t\n\r\f\v")) == "")
         ).select("doc_id")
@@ -2362,8 +2400,15 @@ def _cc_stages(
     # scale the re-run is 2× the tokenize/gate compute). One checkpoint
     # pins it; the downstream consumers (minhash signatures, the span
     # token stream, the survivor text) are column-pruned reads of it.
+    # tokenize ABOVE the spread (r16, same move as _token_frame): the
+    # exchange carries raw (doc_id, text) — strictly fewer bytes than
+    # text + token arrays — and the regex split runs at full width
+    # above it instead of inside the (possibly AQE-coalesced-to-1)
+    # upstream map stage.
     toked_all = dedup.spread(
-        gated.selectExpr("doc_id", "text", f"{text.tokens_sql('text')} AS _tok")
+        gated, by="doc_id"
+    ).selectExpr(
+        "doc_id", "text", f"{text.tokens_sql('text')} AS _tok"
     ).localCheckpoint(eager=False)
     toked_mh = toked_all.select("doc_id", "_tok").where(
         (F.size("_tok") >= dedup.SHINGLE_N) & F.col("doc_id").isNotNull()
@@ -2397,23 +2442,30 @@ def _cc_stages(
     # stands in for the eval set (bounded, broadcast inside the op);
     # docs quoting ≥ CC_CONTAM_MAX of their 8-grams from it are dropped
     # (the benchmark docs themselves overlap fully and go too).
+    # r16: the survivor text rides contamination's keep= pass-through
+    # (per-doc totals frame — one row per doc), so the decontaminated
+    # frame is a SELECT of the signal output instead of a second
+    # corpus-scaled merge join of spanned against the keep set (the
+    # totals⋈hits attach join the op pays anyway now carries the text;
+    # one corpus text sort+shuffle leg removed). Row/value-identical:
+    # totals is keyed 1:1 on doc_id, so filter+select ≡ the old
+    # inner-join against the filtered keep frame.
     cont = text.contamination(
         spanned_t,
         spanned_t.where(F.col("doc_id") % 97 == 0),
         n=8,
         tokens_col="tokens",
         bench_tokens_col="tokens",
+        keep=("text",),
     )
-    keep = cont.where(F.col("contamination") < CC_CONTAM_MAX).select(
-        "doc_id", F.round("contamination", 6).alias("contamination")
+    decon = cont.where(F.col("contamination") < CC_CONTAM_MAX).select(
+        "doc_id", "text", F.round("contamination", 6).alias("contamination")
     )
-    decon = spanned.hint("merge").join(keep, "doc_id")
-    # keep= carries contamination through the redaction map, so the
-    # pipeline tail re-attaches attributes with ONE merge join instead
-    # of two. Third materialization point: the LM trains AND scores
-    # over red's exploded tokens and the final join reads it a third
-    # time — without the checkpoint the decon join + redact regex
-    # chain re-executed for each.
+    # keep= carries contamination through the redaction map. Third
+    # materialization point: unigram_lm_score reads red THREE times
+    # (vocab training, the score explode, the per-doc attach join) —
+    # without the checkpoint the contamination + redact regex chain
+    # re-executed for each.
     red = text.redact(decon, keep=("contamination",)).localCheckpoint(
         eager=False
     )
@@ -2421,11 +2473,19 @@ def _cc_stages(
     # scored TWICE — once for the tercile thresholds, once for the
     # labeling join — and without the checkpoint each consumer re-ran
     # the ENTIRE unigram-LM train+score subtree (the r16 before-plan
-    # shows the vocab/count subtrees duplicated wholesale). (doc_id,
-    # ppl) is two columns per surviving doc — the cheapest frame in the
-    # pipeline to pin.
-    scored = text.unigram_lm_score(red, "doc_id", "redacted").select(
-        "doc_id", "ppl"
+    # shows the vocab/count subtrees duplicated wholesale). Four small
+    # columns per surviving doc — the cheapest frame in the pipeline
+    # to pin.
+    # r16: contamination and n_emails ride the LM score's keep= attach
+    # join (per-doc, 1:1 on doc_id) through the terciles and the shard
+    # window, so the pipeline tail needs NO final merge join back to
+    # red — one survivor-scaled sort+shuffle leg removed. The shard
+    # assignment and within-shard order derive only from md5(salt|id)
+    # (shard_corpus), so the extra two columns cannot move any row.
+    scored = text.unigram_lm_score(
+        red, "doc_id", "redacted", keep=("contamination", "n_emails")
+    ).select(
+        "doc_id", "contamination", "n_emails", "ppl"
     ).localCheckpoint(eager=False)
     labeled = text.perplexity_buckets(
         scored.select("*", F.lit("all").alias("_g")),
@@ -2434,15 +2494,14 @@ def _cc_stages(
         CC_TERCILES,
     )
     sharded = sampling.shard_corpus(
-        labeled.select("doc_id", "ppl", "bucket"), CC_SHARDS
+        labeled.select(
+            "doc_id", "contamination", "n_emails", "ppl", "bucket"
+        ),
+        CC_SHARDS,
     )
-    final = (
-        sharded.hint("merge")
-        .join(red.select("doc_id", "contamination", "n_emails"), "doc_id")
-        .select(
-            "doc_id", "contamination", "n_emails",
-            "ppl", "bucket", "shard_id", "shard_pos",
-        )
+    final = sharded.select(
+        "doc_id", "contamination", "n_emails",
+        "ppl", "bucket", "shard_id", "shard_pos",
     )
     return [
         ("url_extract", pages.select("doc_id", "text")),

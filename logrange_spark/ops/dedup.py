@@ -204,28 +204,27 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
 
 
 def _token_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, _tok) for documents with ≥ SHINGLE_N tokens, tokenized BELOW
+    """(id, _tok) for documents with ≥ SHINGLE_N tokens, tokenized ABOVE
     the ``spread`` repartition.
 
-    This is the shared scan for the whole near-dup pipeline: LSH signature
-    generation and Jaccard verification both consume it, and because the
-    projection+filter sit *under* the exchange, every consumer's exchange
-    subtree is byte-identical — Spark's exchange reuse (ReusedExchange)
-    materializes the shuffle once, so the regex tokenization runs once per
-    row and ``near_duplicates`` has exactly ONE repartition regardless of
-    how many stages read the tokens (round-4 finding: tokenize+spread ran
-    twice, doubling both the regex work and the shuffle).
+    The r4-r15 layout tokenized BELOW the exchange so that multiple
+    consumers could share the shuffle via ReusedExchange — but since the
+    signature frame became a localCheckpoint (r16), every ``toked``
+    produced here has exactly ONE consumer (``_sig_keyed``), so the
+    reuse rationale is gone and the below-exchange placement only
+    serialized the regex tokenization into the scan stage's tasks (ONE
+    task on a single-row-group input — guide §2.5 input skew). Raw
+    (id, text) rows now ride the spread (hash on the id: deterministic
+    under retry, no pre-repartition sort; smaller bytes than token
+    arrays) and the tokenize + length gate run at full width above it.
+    Same rows, same values — only task placement changes.
     """
-    # the explicit isnotnull matches the constraint the downstream
-    # expansion joins infer and push below the exchange — without it one
-    # branch's exchange subtree gains a join-inferred isnotnull the
-    # others lack, breaking ReusedExchange (two tokenize+shuffle passes)
     from .text import tokens_sql
 
-    return spread(
-        df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _tok").where(
-            (F.size("_tok") >= SHINGLE_N) & F.col(id_col).isNotNull()
-        )
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _tok")
+        .where((F.size("_tok") >= SHINGLE_N) & F.col(id_col).isNotNull())
     )
 
 

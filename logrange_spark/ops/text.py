@@ -761,15 +761,21 @@ def contamination(
     bench_text_col: str = "text",
     tokens_col: str | None = None,
     bench_tokens_col: str | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Benchmark decontamination signal: per-document overlap with an
     evaluation set's word n-grams (the standard pre-training hygiene
     step — drop or flag training documents that quote eval data).
 
-    Returns (id, n_grams, n_contaminated, contamination) where
+    Returns (id, keep..., n_grams, n_contaminated, contamination) where
     ``n_grams`` is the document's distinct n-gram count (0 for
     documents shorter than n tokens — contamination 0.0) and
-    ``contamination`` = n_contaminated / n_grams.
+    ``contamination`` = n_contaminated / n_grams. ``keep`` carries
+    extra ``docs`` columns through (the redact/gopher convention): the
+    per-doc totals frame is already one row per document, so a pipeline
+    tail that needs (text, contamination) reads them off this output
+    instead of paying a corpus-scaled join back — the attribute rides
+    the one (id, count) shuffle the signal needs anyway.
 
     Plan shape for 100 TB: the benchmark side is aggregated to DISTINCT
     n-grams and broadcast (eval sets are tiny next to a corpus), the
@@ -804,7 +810,9 @@ def contamination(
         if tokens_col is not None
         else tokens(F.col(text_col))
     )
-    doc_toks = docs.select(F.col(id_col), doc_tk.alias("_tk"))
+    doc_toks = docs.select(
+        F.col(id_col), *[F.col(k) for k in keep], doc_tk.alias("_tk")
+    )
     doc_grams = doc_toks.select(
         F.col(id_col), F.explode(_shingles_of(F.col("_tk"), n)).alias("_g")
     )
@@ -814,12 +822,15 @@ def contamination(
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     totals = doc_toks.select(
-        F.col(id_col), F.size(_shingles_of(F.col("_tk"), n)).alias("n_grams")
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        F.size(_shingles_of(F.col("_tk"), n)).alias("n_grams"),
     )
     return (
         totals.join(hits, id_col, "left")
         .select(
             id_col,
+            *[F.col(k) for k in keep],
             F.greatest(F.col("n_grams"), F.lit(0)).alias("n_grams"),
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
             F.round(
@@ -887,6 +898,7 @@ def unigram_lm_score(
     vocab_size: int = 50_000,
     alpha: float = 0.5,
     tokens_col: str | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document unigram language-model score — the CCNet-style LM
     quality signal (Wenzek et al., "CCNet", LREC 2020 use a wiki-trained
@@ -896,12 +908,15 @@ def unigram_lm_score(
     pathologically repetitive common-token documents score high. Filter
     on both tails.
 
-    Returns (id, n_tokens, avg_logprob, ppl) for EVERY input document;
-    empty documents carry null score. ``vocab`` (token, logp) may be
-    passed to score against a fixed reference model (and to skip the
-    training aggregate); otherwise it is trained on ``docs`` itself:
+    Returns (id, keep..., n_tokens, avg_logprob, ppl) for EVERY input
+    document; empty documents carry null score. ``vocab`` (token, logp)
+    may be passed to score against a fixed reference model (and to skip
+    the training aggregate); otherwise it is trained on ``docs`` itself:
     top ``vocab_size`` tokens by count with add-alpha smoothing, OOV
-    mass = alpha / (total + alpha*(V+1)).
+    mass = alpha / (total + alpha*(V+1)). ``keep`` carries extra
+    ``docs`` columns through (the redact convention): they ride the
+    per-doc attach join this op already pays, so a pipeline tail never
+    joins back to recover attributes.
 
     100 TB shape: vocabulary training is one explode + groupBy-count
     (map-side partial aggregation collapses each partition to its
@@ -945,10 +960,11 @@ def unigram_lm_score(
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
     )
     return (
-        docs.select(F.col(id_col))
+        docs.select(F.col(id_col), *[F.col(k) for k in keep])
         .join(per_doc, id_col, "left")
         .select(
             id_col,
+            *[F.col(k) for k in keep],
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.col("avg_logprob"),
             F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
