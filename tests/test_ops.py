@@ -1923,6 +1923,51 @@ def test_unigram_lm_score_vocab_cut_and_external(spark):
     assert abs(ext[1] - exp1) < 1e-6
 
 
+def test_keep_passthrough_rides_existing_joins(spark):
+    """r16: contamination() and unigram_lm_score() carry extra input
+    columns through (``keep=``, the redact convention) so a pipeline
+    tail reads attributes off the per-doc frame the op already builds
+    instead of joining back. Contract: the op's own columns are
+    identical to the ``keep=()`` call, the kept values equal a
+    join-back against the input, and every input row appears exactly
+    once (the attach frames are keyed 1:1 on the id)."""
+    rows = [
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 1),
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 2),
+        ("one two three", 3),  # shorter than n=8 → 0 grams
+        ("", 4),  # empty → null LM score
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f"s{i}", i % 3) for t, i in rows],
+        "doc_id long, text string, tag string, n_emails int",
+    )
+    bench = df.where(F.col("doc_id") == 1)
+    want = {r["doc_id"]: (r["tag"], r["n_emails"]) for r in df.collect()}
+
+    base = text.contamination(df, bench, n=8)
+    kept = text.contamination(df, bench, n=8, keep=("tag", "n_emails"))
+    assert kept.columns == [
+        "doc_id", "tag", "n_emails",
+        "n_grams", "n_contaminated", "contamination",
+    ]
+    own = ("doc_id", "n_grams", "n_contaminated", "contamination")
+    k_rows = kept.collect()
+    assert sorted(tuple(r[c] for c in own) for r in base.collect()) \
+        == sorted(tuple(r[c] for c in own) for r in k_rows)
+    assert sorted(r["doc_id"] for r in k_rows) == [1, 2, 3, 4]
+    assert all((r["tag"], r["n_emails"]) == want[r["doc_id"]] for r in k_rows)
+
+    base = text.unigram_lm_score(df, "doc_id", "text")
+    kept = text.unigram_lm_score(df, "doc_id", "text", keep=("tag",))
+    assert kept.columns == ["doc_id", "tag", "n_tokens", "avg_logprob", "ppl"]
+    own = ("doc_id", "n_tokens", "avg_logprob", "ppl")
+    k_rows = kept.collect()
+    assert sorted(tuple(r[c] for c in own) for r in base.collect()) \
+        == sorted(tuple(r[c] for c in own) for r in k_rows)
+    assert sorted(r["doc_id"] for r in k_rows) == [1, 2, 3, 4]
+    assert all(r["tag"] == want[r["doc_id"]][0] for r in k_rows)
+
+
 # --------------------------------------------------------- document chunking
 def _chunk_reference(text, max_tokens, overlap):
     ws = text.lower().split()
