@@ -1091,7 +1091,12 @@ def _q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured +0.4 s, not less.
     docs = _t(spark, sf_dir, "documents")
     model = kn_bigram_lm(docs)
-    s = kn_bigram_score(docs, model)
+    # self_scored (r17, VERDICT r16 #4): the score corpus IS the train
+    # corpus, so every event's bigram is in the model and the ctx facts
+    # ride the bigram table (window over u, model-scaled) — one
+    # event-stream SMJ + one event-stream Exchange removed, scores
+    # bit-identical (see kn_bigram_score's contract + focused test).
+    s = kn_bigram_score(docs, model, self_scored=True)
     avg6 = F.round(F.col("avg_logprob"), 6)
     return s.select(
         "doc_id",
@@ -2302,6 +2307,8 @@ def _cc_stages(
     that single spread token stream (r15 — each previously re-split
     the text). All data-scaled joins carry merge hints (round-13
     broadcast audit)."""
+    from pyspark.sql.window import Window as PSWindow
+
     from logrange_spark.ingest import wet
     from logrange_spark.ops import html as ophtml
     from logrange_spark.ops import sampling
@@ -2312,20 +2319,41 @@ def _cc_stages(
         [_cc_fixture_bytes(c) for c in _chunked(_doc_rows(spark, sf_dir))],
     )
     warc = wet.read_warc(spark, d, glob="*.warc.gz")
-    # r16: recs has THREE independent consumers below — url_dedup's
-    # aggregate, the null/blank automatic-keeper filter, and the
-    # keep-join probe side — and scans are never shared across
-    # subtrees, so the gzip+WARC decode (the capstone's dominant cost
-    # at x100: decode-bound at 80 s/500k pages) executed three times.
-    # Only the (doc_id, url) projection is checkpointed: the two
-    # URL-stage consumers read it (ONE decode between them, a few
-    # dozen bytes/doc stored), while the keep-join probe side decodes
-    # once more for the payload — 3 decodes → 2, and the raw payload
-    # corpus is NEVER pinned to block storage (guide §8: decide with
-    # small rows, move big rows once). Measured at x100 (500k pages,
-    # same-session controls): url-only checkpoint 194 s, no checkpoint
-    # 232 s, FULL-payload checkpoint 259 s — materializing the payload
-    # costs more than the decode it saves.
+    # r17 (VERDICT r16 #1): ONE gzip+WARC decode. The r16 layout still
+    # decoded twice — once to materialize the (doc_id, url) checkpoint
+    # that fed url_dedup's aggregate + the auto-keeper union, and once
+    # more on the keep-join probe side for the payload — and the merge
+    # keep-join ALSO shuffled the payload corpus by doc_id. The keep
+    # decision is min-doc_id per canonical URL key (url_dedup's
+    # max_by(id, -id) rule), which a window computes directly on the
+    # single decoded stream: row_number over the canonical key ordered
+    # by doc_id, keep rank 1. url_dedup's exclusion set — null and
+    # blank/whitespace-only urls, automatic keepers — maps to a
+    # per-row unique window partition (_ugrp = doc_id, _ukey = null),
+    # so each invalid-url doc is its own rank-1 keeper; valid docs
+    # share _ugrp = 0 and partition by the canonical key. Equivalence
+    # to the r16 kept_ids ∪ auto-keepers inner join (oracle-verified
+    # at sf0.001/sf0.01, survivors re-pinned at x100):
+    #   - doc_ids are unique per record (urn:doc:N, N unique at every
+    #     SF and in the x100 replica layout), so the r16 keep-join was
+    #     1:1 and kept exactly {min id per key} ∪ {invalid-url ids};
+    #     rank-1-per-key keeps the same set, one row each.
+    #   - normalize_url is null-preserving / never-null-introducing
+    #     (ops/url.py), so the valid/invalid split is identical, and
+    #     (_ugrp=0, _ukey) can never collide with an invalid row's
+    #     partition (_ukey null ⟺ invalid).
+    # Cost at 100 TB: the payload crosses ONE exchange — it crossed
+    # one in r16 too (the doc_id-keyed SMJ probe side) — and is
+    # decoded ONCE; the url_dedup aggregate exchange, the kept-side
+    # sort, the union, and the urlkeys checkpoint all disappear.
+    # Nothing corpus-scaled is broadcast or pinned. Skew: a hot
+    # canonical key lands its refetches in one window partition —
+    # bounded by per-URL refetch counts (the same rows previously
+    # sorted through one SMJ partition keyed by their doc_ids).
+    # Measured (x100, 500k pages, same-session A/B): see
+    # OPTIMIZATION_r17.md — this replaces r16's 2-decode layout whose
+    # same-window control read 194 s (vs 232 s unpinned, 259 s
+    # full-payload pin).
     recs = warc.where(F.col("http_status") == 200).select(
         F.regexp_extract("record_id", "([0-9]+)", 1)
         .cast("long")
@@ -2333,29 +2361,27 @@ def _cc_stages(
         F.col("target_uri").alias("url"),
         "payload",
     )
-    urlkeys = recs.select("doc_id", "url").localCheckpoint(eager=False)
-    # URL stage FIRST: collapse crawl-frontier variants to canonical
-    # keys, keep the lowest doc_id per key — pages dropped here never
-    # pay for decode/extraction. The kept-id frame is corpus-scaled →
-    # merge join, never broadcast.
-    kept_ids = url_ops.url_dedup(
-        urlkeys, id_col="doc_id", url_col="url"
-    ).select(
-        F.col("kept_id").alias("doc_id")
-    ).unionByName(
-        # null- AND blank-key docs are automatic keepers: url_dedup
-        # excludes both (no same-page evidence — r16: the keeper
-        # predicate must mirror url_dedup's full exclusion set, or the
-        # keep-join silently drops what the dedup merely declined to
-        # group), so the keep-join passes them through
-        urlkeys.where(
-            F.col("url").isNull()
-            | (F.btrim(F.col("url"), F.lit(" \t\n\r\f\v")) == "")
-        ).select("doc_id")
+    _valid = F.col("url").isNotNull() & (
+        F.btrim(F.col("url"), F.lit(" \t\n\r\f\v")) != ""
     )
-    pages = ophtml.html_documents(
-        recs.hint("merge").join(kept_ids, "doc_id")
+    w_url = PSWindow.partitionBy("_ugrp", "_ukey").orderBy("doc_id")
+    kept = (
+        recs.select(
+            "doc_id",
+            "url",
+            "payload",
+            F.when(_valid, url_ops.normalize_url(F.col("url"))).alias(
+                "_ukey"
+            ),
+            F.when(_valid, F.lit(0)).otherwise(F.col("doc_id")).alias(
+                "_ugrp"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_url))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "url", "payload")
     )
+    pages = ophtml.html_documents(kept)
     # C4 line rules + page gates, then materialize ONCE: everything
     # below re-reads this frame (dictionary pass, gate maps, dedup
     # token frame), so the checkpoint pins decode+parse+line-rules to a

@@ -1906,6 +1906,7 @@ def kn_bigram_score(
     text_col: str = "text",
     discount: float = KN_DISCOUNT,
     alpha: float = 0.5,
+    self_scored: bool = False,
 ) -> DataFrame:
     """(id, n_events, avg_logprob, ppl) for every document under the
     trained KN bigram model — low perplexity = fluent under the training
@@ -1926,9 +1927,38 @@ def kn_bigram_score(
     order-5 model, SCALE.md x100 sweep). SMJ keys the event stream by
     u/w instead — and reads the ``persist_kn_model`` tables bucketed,
     with no model-side Exchange at all.
+
+    ``self_scored=True`` (r17, guide §2.4): sound ONLY when every
+    scored event's (u, w) bigram occurs in the training corpus — in
+    particular when ``docs`` IS the training frame (train-and-score-
+    yourself, the CCNet in-corpus filter shape). Then the ``ev ⋈ big``
+    left join matches every event, so the per-context facts (cu, n1u)
+    can ride the bigram table itself — computed as a window over ``u``
+    on the model-scaled (u, w, cuw) table, NOT a third event-stream
+    join — and the ctx join disappears: one event-stream SMJ removed,
+    one event-stream Exchange (hash(u)) removed, the unseen-context
+    fallback provably dormant (cu ≥ cuw ≥ 1 on every matched row).
+    The window aggregates equal ctx's by definition (sum/count of cuw
+    per u — exact integer arithmetic), so scores are bit-identical to
+    the default path; pinned by
+    tests/test_ops.py::test_kn_bigram_self_scored_identical.
     """
     big, ctx, cont, totals = model
-    big, ctx, cont = big.hint("merge"), ctx.hint("merge"), cont.hint("merge")
+    if self_scored:
+        from pyspark.sql import Window
+
+        wu = Window.partitionBy("u")
+        big = big.select(
+            "u",
+            "w",
+            "cuw",
+            F.sum("cuw").over(wu).alias("cu"),
+            F.count(F.lit(1)).over(wu).alias("n1u"),
+        )
+        ctx = None
+    big, cont = big.hint("merge"), cont.hint("merge")
+    if ctx is not None:
+        ctx = ctx.hint("merge")
     ev = _kn_events(docs, id_col, text_col)
     d = F.lit(float(discount))
     a = F.lit(float(alpha))
@@ -1944,10 +1974,11 @@ def kn_bigram_score(
         )
         / F.col("cu"),
     ).otherwise(pcont)
+    joined = ev.join(big, ["u", "w"], "left")
+    if ctx is not None:
+        joined = joined.join(ctx, "u", "left")
     scored = (
-        ev.join(big, ["u", "w"], "left")
-        .join(ctx, "u", "left")
-        .join(cont, "w", "left")
+        joined.join(cont, "w", "left")
         .crossJoin(F.broadcast(totals))
         .select(id_col, F.log(p).alias("_lp"))
     )

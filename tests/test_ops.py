@@ -3629,6 +3629,35 @@ def test_kn_bigram_twin(spark):
         assert abs(got[did][2] - ref[did][2]) < 1e-6 * ref[did][2]
 
 
+def test_kn_bigram_self_scored_identical(spark):
+    """``self_scored=True`` (sound when the score corpus is the train
+    corpus) reproduces the default three-join path: the window-attached
+    (cu, n1u) are exact integer aggregates equal to ctx's, every
+    event's bigram matches, and the per-event float expression tree is
+    unchanged — so each event's logprob is the same double and the
+    per-doc means agree to summation-order reassociation (the same
+    run-to-run tolerance the default path itself has). Pins the r17
+    ctx-join removal's equivalence contract."""
+    import random
+
+    rng = random.Random(23)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(2, 9))))
+            for i in range(30)] + [(30, "")]  # empty doc: <s>→</s> in model
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = text.kn_bigram_lm(docs)
+    base = {r["doc_id"]: (r["n_events"], r["avg_logprob"], r["ppl"])
+            for r in text.kn_bigram_score(docs, model).collect()}
+    fast = {r["doc_id"]: (r["n_events"], r["avg_logprob"], r["ppl"])
+            for r in text.kn_bigram_score(
+                docs, model, self_scored=True).collect()}
+    assert set(base) == set(fast)
+    for did in base:
+        assert base[did][0] == fast[did][0], did
+        assert abs(base[did][1] - fast[did][1]) <= 1e-12 * abs(base[did][1])
+        assert abs(base[did][2] - fast[did][2]) <= 1e-12 * base[did][2]
+
+
 def test_kn_bigram_ranks_fluency(spark):
     """Behavioral contract: under a model trained on patterned text,
     in-distribution documents score lower perplexity than shuffled or
