@@ -191,7 +191,15 @@ def run_single(n_shards: int, in_path: str) -> int:
     return 0
 
 
-def run_concurrent(k: int, n_shards: int) -> int:
+def run_concurrent(
+    k: int, n_shards: int, in_path: str | None = None
+) -> int:
+    """``in_path`` (r17, VERDICT r16 #8): an alternative documents
+    parquet to slice across the k streams — pass the scale_proof x10
+    table to measure k concurrent streams at CommonCrawl-sized shards
+    (the default sf0.1 table gives 1.25k-doc slices at k=4, two orders
+    of magnitude under a real crawl shard). The block is keyed
+    concurrency_k{k}_x10-class so the small-shard datapoint stays."""
     from pyspark.sql import functions as F
 
     spark = _session()
@@ -210,7 +218,7 @@ def run_concurrent(k: int, n_shards: int) -> int:
         # k disjoint id-space slices of the sf0.1 documents — each
         # stream ingests its own corpus, nothing shared but the session
         full = spark.read.parquet(
-            "/root/testdata/sf0.1/documents.parquet"
+            in_path or "/root/testdata/sf0.1/documents.parquet"
         ).select("doc_id", "text")
         slices = [
             _pages(
@@ -278,7 +286,10 @@ def run_concurrent(k: int, n_shards: int) -> int:
         shutil.rmtree(root, ignore_errors=True)
     # keyed by stream count so multiple k-points coexist (a scaling
     # curve, not a single overwritten sample)
-    _merge_out(f"concurrency_k{k}", block)
+    key = f"concurrency_k{k}" if in_path is None else (
+        f"concurrency_k{k}_{os.path.basename(os.path.dirname(in_path))}"
+    )
+    _merge_out(key, block)
     spark.stop()
     return 0
 
@@ -364,7 +375,8 @@ def main() -> int:
     if args and args[0] == "concurrent":
         k = int(args[1]) if len(args) > 1 else 3
         n = int(args[2]) if len(args) > 2 else 4
-        return run_concurrent(k, n)
+        in_path = args[3] if len(args) > 3 else None
+        return run_concurrent(k, n, in_path)
     if args and args[0] == "index-growth":
         n = int(args[1]) if len(args) > 1 else 4
         return run_index_growth(n)
